@@ -1,13 +1,435 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each key in `queries` is one operator slug from SURVEY §2's inventory;
+  * each ✓-oracle slug also has an entry in `oracleSql` with semantically
+  * identical ANSI SQL for DuckDB. Column names and types are aligned on
+  * both sides (the driver's compare hashes by column name and checks
+  * schema). Cross-engine determinism rules (FIXTURES.md §3): money
+  * aggregates sum as DECIMAL then cast to double; timestamps are reduced
+  * to epoch seconds; every query ends in a total ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0.
+    * TPC-H-Q1-shaped hash aggregation (SURVEY §7 M1). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Aggs.hashGroup(Tables.lineitem(spark, "/root/testdata/sf0.001"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- scans / ingestion ---
+    "scan_project" -> ((s, d) => Scans.scanProject(Tables.lineitem(s, d))),
+    "scan_json_lines" -> ((s, d) => Scans.scanJsonLines(Tables.events(s, d))),
+    // --- filter / project / predicates ---
+    "filter_pred" -> ((s, d) => Filters.filterPred(Tables.lineitem(s, d))),
+    "project_compute" -> ((s, d) => Filters.projectCompute(Tables.lineitem(s, d))),
+    "filter_null_safe" -> ((s, d) => Filters.filterNullSafe(Tables.customer(s, d))),
+    "fn_case_cond" -> ((s, d) => Filters.fnCaseCond(Tables.customer(s, d))),
+    // --- joins ---
+    "join_inner" -> ((s, d) => Joins.inner(Tables.orders(s, d), Tables.customer(s, d))),
+    "join_broadcast" -> ((s, d) => Joins.broadcastDim(Tables.nation(s, d), Tables.region(s, d))),
+    "join_multiway" -> ((s, d) =>
+      Joins.multiway(Tables.region(s, d), Tables.nation(s, d),
+        Tables.customer(s, d), Tables.orders(s, d))),
+    "join_left_outer" -> ((s, d) => Joins.leftOuter(Tables.customer(s, d), Tables.orders(s, d))),
+    "join_semi" -> ((s, d) => Joins.semi(Tables.customer(s, d), Tables.orders(s, d))),
+    "join_anti" -> ((s, d) => Joins.anti(Tables.customer(s, d), Tables.orders(s, d))),
+    "join_theta_range" -> ((s, d) => Joins.thetaRange(Tables.part(s, d), Tables.supplier(s, d))),
+    "join_asof_event" -> ((s, d) => Joins.asofEvent(Tables.events(s, d), Tables.orders(s, d))),
+    // --- aggregations ---
+    "agg_hash_group" -> ((s, d) => Aggs.hashGroup(Tables.lineitem(s, d))),
+    "agg_distinct" -> ((s, d) => Aggs.distinctCounts(Tables.lineitem(s, d))),
+    "agg_approx_distinct" -> ((s, d) => Aggs.approxDistinct(Tables.events(s, d))),
+    "agg_rollup" -> ((s, d) =>
+      Aggs.rollupRegionNation(Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "agg_cube" -> ((s, d) => Aggs.cubeStatusPriority(Tables.orders(s, d))),
+    "agg_stats" -> ((s, d) => Aggs.stats(Tables.orders(s, d))),
+    // --- windows ---
+    "window_rank" -> ((s, d) => Windows.rankInCustomer(Tables.orders(s, d))),
+    "window_running_sum" -> ((s, d) => Windows.runningSum(Tables.lineitem(s, d))),
+    "window_lag_lead" -> ((s, d) => Windows.lagLead(Tables.events(s, d))),
+    "window_ntile_dense" -> ((s, d) => Windows.ntileDense(Tables.customer(s, d))),
+    // --- sorts / limits / set ops ---
+    "sort_limit_topk" -> ((s, d) => SortsSets.topk(Tables.orders(s, d))),
+    "topk_per_group" -> ((s, d) => Windows.topkPerGroup(Tables.orders(s, d))),
+    "set_union" -> ((s, d) => SortsSets.unionNations(Tables.customer(s, d), Tables.supplier(s, d))),
+    "set_intersect" -> ((s, d) => SortsSets.intersectNations(Tables.customer(s, d), Tables.supplier(s, d))),
+    "set_except" -> ((s, d) => SortsSets.exceptNations(Tables.customer(s, d), Tables.supplier(s, d))),
+    // --- scalar functions ---
+    "fn_string" -> ((s, d) => ScalarFns.fnString(Tables.part(s, d))),
+    "fn_date" -> ((s, d) => ScalarFns.fnDate(Tables.orders(s, d))),
+    "fn_math" -> ((s, d) => ScalarFns.fnMath(Tables.part(s, d))),
+    "fn_array" -> ((s, d) => VectorOps.fnArray(Tables.embeddings(s, d))),
+    "fn_map" -> ((s, d) => ScalarFns.fnMap(Tables.events(s, d))),
+    "fn_json" -> ((s, d) => ScalarFns.fnJson(Tables.events(s, d))),
+    // --- dedup (LLM-pipeline) ---
+    "dedup_exact" -> ((s, d) => DedupOps.exact(Tables.documents(s, d))),
+    "dedup_near_minhash" -> ((s, d) => DedupOps.nearMinhash(Tables.documents(s, d))),
+    "dedup_simhash" -> ((s, d) => DedupOps.simhash(Tables.documents(s, d))),
+    "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccard(Tables.documents(s, d))),
+    "dedup_near_embedding" -> ((s, d) => VectorOps.nearDupEmbedding(Tables.embeddings(s, d))),
+    // --- similarity search (LLM-pipeline) ---
+    "sim_cosine_topk" -> ((s, d) => VectorOps.cosineTopK(Tables.embeddings(s, d))),
+    "sim_ann_lsh" -> ((s, d) => VectorOps.annLsh(Tables.embeddings(s, d))),
+    // --- text analysis (LLM-pipeline) ---
+    "text_wordcount" -> ((s, d) => TextOps.wordcount(Tables.documents(s, d))),
+    "text_lang_stats" -> ((s, d) => TextOps.langStats(Tables.documents(s, d))),
+    "text_tokens" -> ((s, d) => TextOps.tokens(Tables.documents(s, d))),
+    "text_tokens_bpe" -> ((s, d) => TextOps.tokensBpe(Tables.documents(s, d))),
+    "text_quality" -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
+    "text_langid" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
+    "text_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
+    // --- streaming batch-equivalents ---
+    "stream_tumbling_batch" -> ((s, d) => StreamBatchOps.tumbling(Tables.events(s, d))),
+    "stream_session_batch" -> ((s, d) => StreamBatchOps.sessions(Tables.events(s, d))),
+  )
+
+  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Omitted for non-SQL-expressible / approximate
+    * ops (driver records a weaker rows-only check). */
+  def oracleSql: Map[String, String] = Map(
+    "scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_discount""".stripMargin,
+
+    "scan_json_lines" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "filter_pred" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.06
+        |  AND l_quantity < 24""".stripMargin,
+
+    "project_compute" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS DOUBLE) AS net_price,
+        |  CAST(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6)) AS DOUBLE) AS gross_price
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, net_price, gross_price""".stripMargin,
+
+    "filter_null_safe" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN NULL ELSE c_mktsegment END AS seg,
+        |  ((CASE WHEN c_acctbal < 0 THEN NULL ELSE c_mktsegment END) IS NOT DISTINCT FROM 'BUILDING') AS is_building,
+        |  ((CASE WHEN c_acctbal < 0 THEN NULL ELSE c_mktsegment END) IS NULL) AS seg_null
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "fn_case_cond" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal >= 7500 THEN 'platinum'
+        |       WHEN c_acctbal >= 5000 THEN 'gold'
+        |       WHEN c_acctbal >= 0 THEN 'standard'
+        |       ELSE 'debt' END AS tier,
+        |  (c_acctbal >= 0) AS solvent
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "join_inner" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "join_broadcast" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "join_multiway" ->
+      """SELECT r_name, n_name, COUNT(*) AS order_cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "join_left_outer" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS order_cnt
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_theta_range" ->
+      """SELECT s_suppkey, COUNT(*) AS n_parts
+        |FROM part JOIN supplier
+        |  ON p_retailprice > s_acctbal * 0.1 AND p_retailprice < s_acctbal * 0.11
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+
+    "join_asof_event" ->
+      """SELECT e.event_id, e.user_id,
+        |  CAST(epoch(date_trunc('second',
+        |    (SELECT max(o.o_orderdate) FROM orders o
+        |     WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts))) AS BIGINT) AS last_order_s
+        |FROM events e ORDER BY e.event_id""".stripMargin,
+
+    "agg_hash_group" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-06-30 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_suppkey) AS supp_cnt,
+        |  COUNT(DISTINCT l_partkey) AS part_cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT COALESCE(r_name, '_ALL_') AS r_name, COALESCE(n_name, '_ALL_') AS n_name,
+        |  COUNT(*) AS cust_cnt,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT COALESCE(o_orderstatus, '_ALL_') AS o_orderstatus,
+        |  COALESCE(o_orderpriority, '_ALL_') AS o_orderpriority,
+        |  COUNT(*) AS order_cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "agg_stats" ->
+      """SELECT min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |  round(stddev_samp(o_totalprice), 2) AS stddev_price,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+        |  COUNT(*) AS cnt
+        |FROM orders""".stripMargin,
+
+    "window_rank" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS INTEGER) AS rnk
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "window_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |    OVER (PARTITION BY l_suppkey
+        |          ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey,
+        |                   l_quantity, l_extendedprice, l_discount, l_tax,
+        |                   l_returnflag, l_linestatus
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_rev""".stripMargin,
+
+    "window_lag_lead" ->
+      """SELECT event_id, user_id,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |    - CAST(epoch(date_trunc('second', lag(ts, 1) OVER w)) AS BIGINT) AS gap_sec,
+        |  lead(event_type, 1) OVER w AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "window_ntile_dense" ->
+      """SELECT c_custkey, c_acctbal,
+        |  CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS tile,
+        |  CAST(dense_rank() OVER (ORDER BY c_acctbal DESC) AS INTEGER) AS drank
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "sort_limit_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "set_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "set_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "fn_string" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS u_name,
+        |  substring(p_name, 1, 8) AS pfx,
+        |  p_brand || ':' || p_type AS brand_type,
+        |  CAST(length(p_name) AS INTEGER) AS name_len,
+        |  trim(p_name) AS trimmed,
+        |  (p_type LIKE 'S%') AS is_s_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_date" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |  CAST(day(o_orderdate) AS INTEGER) AS dom,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_math" ->
+      """SELECT p_partkey,
+        |  round(p_retailprice * 0.8, 2) AS disc_price,
+        |  abs(p_retailprice - 950.0) AS absdev,
+        |  pow(p_size, 2) AS size_sq,
+        |  round(ln(p_retailprice), 6) AS ln_price,
+        |  sqrt(p_retailprice) AS sqrt_price,
+        |  CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS floor_price
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_array" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INTEGER) AS dim,
+        |  CAST(embedding[1] AS DOUBLE) AS first_elem,
+        |  CAST(embedding[-1] AS DOUBLE) AS last_elem,
+        |  round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])), 4) AS norm_sq
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "fn_json" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  '{"k":' || CAST(json_extract_string(props, '$.k') AS BIGINT) || '}' AS rebuilt
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        |        FROM toks WHERE len(w) >= 3) u
+        |),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b USING (sh)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b,
+        |  round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "sim_cosine_topk" ->
+      """WITH p AS (SELECT CAST(embedding AS DOUBLE[]) AS probe FROM embeddings WHERE vec_id = 0),
+        |c AS (
+        |  SELECT vec_id,
+        |    list_dot_product(CAST(embedding AS DOUBLE[]), probe)
+        |      / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(probe, probe))) AS rawcos
+        |  FROM embeddings, p
+        |)
+        |SELECT vec_id, round(rawcos, 6) AS cos FROM c
+        |ORDER BY rawcos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "text_wordcount" ->
+      """SELECT word, COUNT(*) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |WHERE word <> ''
+        |GROUP BY word ORDER BY cnt DESC, word LIMIT 100""".stripMargin,
+
+    "text_lang_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS INTEGER) AS n_distinct_tokens,
+        |  n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER) AS n_words,
+        |  CAST(n_chars AS DOUBLE) / len(list_filter(string_split(text, ' '), x -> x <> '')) AS chars_per_word,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    x -> x IN ('the','a','of','and','in','to','is','it'))) AS DOUBLE)
+        |    / len(list_filter(string_split(text, ' '), x -> x <> '')) AS stopword_ratio,
+        |  CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+        |    / greatest(n_chars, 1) AS alpha_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "stream_tumbling_batch" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start_s,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY hour_start_s""".stripMargin,
+
+    "stream_session_batch" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts, 1) OVER w IS NULL
+        |           OR (CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |               - CAST(epoch(date_trunc('second', lag(ts, 1) OVER w)) AS BIGINT)) > 1800
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, sess_id,
+        |  CAST(min(epoch(date_trunc('second', ts))) AS BIGINT) AS session_start_s,
+        |  COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+  )
 }

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` (LLM-data-pipeline extensions).
+  *
+  * Scale design: every variant reduces to (a) a deterministic per-row
+  * signature computed map-side with no shuffle, then (b) ONE shuffle on the
+  * signature/bucket key. Nothing here collects to the driver; nothing is
+  * quadratic in corpus size (candidate generation is bucket-local).
+  */
+object DedupOps {
+
+  /** `dedup_exact`: exact dedup on text, keeping the lowest doc_id.
+    * `row_number` over a hash-partitioned window — deterministic keeper,
+    * unlike `dropDuplicates` (which keeps an arbitrary first-seen row and
+    * is therefore partitioning-dependent). At 100 TB, partition by
+    * `xxhash64(text)` instead of raw text to keep shuffle keys small. */
+  def exact(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("text").orderBy("doc_id")
+    documents
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** Word k-shingles of a document (lowercased, whitespace tokens). */
+  private def shingles(text: Column, k: Int): Column = {
+    val toks = filter(split(lower(text), " "), t => t =!= "")
+    val n = size(toks)
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(n - k, lit(0))),
+          i => when(n >= k, concat_ws(" ", slice(toks, i + 1, lit(k))))),
+        s => s.isNotNull))
+  }
+
+  /** One MinHash value: min over shingle hashes under seed `s`. */
+  private def minhash(sh: Column, s: Int): Column =
+    array_min(transform(sh, t => xxhash64(lit(s), t)))
+
+  /** `dedup_near_minhash`: near-duplicate clustering via shingling →
+    * MinHash → banded LSH. Signature: `nHashes` minhashes over word
+    * 3-shingles; bands of `rowsPerBand` hashes are hashed to a band key;
+    * docs sharing any band key become candidate pairs; candidates are
+    * verified with exact shingle-set Jaccard.
+    *
+    * Pipeline = map (signatures) → explode bands → shuffle on band key →
+    * bucket-local pairs → verify. The only shuffle key is (band, bandHash);
+    * skewed mega-buckets (boilerplate docs) would be salted at scale.
+    * No oracle (LSH is sampling-based); ScalaTest asserts the known
+    * near-dup pairs are found. */
+  def nearMinhash(documents: DataFrame, shingleK: Int = 3, nHashes: Int = 32,
+                  rowsPerBand: Int = 4, jaccardTau: Double = 0.7): DataFrame = {
+    val nBands = nHashes / rowsPerBand
+    val sh = documents
+      .select(col("doc_id"), shingles(col("text"), shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = sh.select(
+      col("doc_id"), col("sh"),
+      array((0 until nHashes).map(s => minhash(col("sh"), s)): _*).as("sig"))
+    val banded = sig.select(
+      col("doc_id"), col("sh"),
+      explode(
+        array((0 until nBands).map(b =>
+          struct(lit(b).as("band"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+              .as("bh"))): _*)).as("bk"))
+    val l = banded.select(col("bk"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("bk"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val cand = l.join(r, Seq("bk")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+    cand
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= jaccardTau)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** `dedup_simhash`: 64-bit SimHash fingerprints. Each token votes its
+    * hash bits weighted ±1; the sign vector packs into one long. Docs with
+    * identical simhash (or small Hamming distance via band-rotation at
+    * scale) are near-dups. Pure column arithmetic, no shuffle until the
+    * final self-join on the fingerprint. */
+  def simhash(documents: DataFrame): DataFrame = {
+    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    val hashes = transform(toks, t => xxhash64(t))
+    val bitCols = (0 until 64).map { b =>
+      val votes = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    documents
+      .select(col("doc_id"), bitCols.reduce(_ + _).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** `dedup_ngram_jaccard`: exact n-gram Jaccard similarity for all pairs
+    * sharing at least one shingle — the inverted-index formulation:
+    * explode shingles → self-join on shingle → per-pair intersection count
+    * → |A∪B| = |A|+|B|−|A∩B|. One shuffle on the shingle key; never a
+    * crossJoin. Hot shingles (stopword runs) are the skew risk at scale —
+    * cap or salt them. */
+  def ngramJaccard(documents: DataFrame, k: Int = 3, tau: Double = 0.2): DataFrame = {
+    val sh = documents
+      .select(col("doc_id"), explode(shingles(col("text"), k)).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.select(col("sh"), col("doc_id").as("id_a"))
+      .join(sh.select(col("sh"), col("doc_id").as("id_b")), "sh")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+}

@@ -1,0 +1,476 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, StructType}
+
+/** Cross-engine numeric helpers.
+  *
+  * The correctness gate hash-compares Spark parquet output against DuckDB.
+  * Floating-point SUMs are order-dependent, so money aggregates are summed
+  * as exact DECIMAL (per-row `double -> decimal` cast is identical in both
+  * engines on these 2-decimal generated values) and cast back to double —
+  * deterministic regardless of partitioning/association order, which also
+  * means the result is stable from local[32] to a 1000-executor cluster.
+  */
+object Num {
+  /** Exact decimal sum of a money column, returned as double. */
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Deterministic average: exact decimal sum divided by count, in double. */
+  def davg(c: Column, scale: Int = 2): Column =
+    dsum(c, scale) / count(lit(1))
+}
+
+/** Scans & ingestion (SURVEY §2-B "Scans / sources / sinks").
+  * The reference's scan surface is a Pub/Sub pull of opaque bytes
+  * (`pubsub_pipeline.py:195-211`); batch analog = parquet scan with
+  * projection pushdown.
+  */
+object Scans {
+  /** `scan_project`: projection narrow enough that the parquet reader only
+    * materializes 4 of 11 lineitem columns (check `ReadSchema` in explain). */
+  def scanProject(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+      // (l_orderkey, l_linenumber) is NOT unique in the generated data —
+      // order by every output column for a cross-engine-stable total order.
+      .orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+
+  /** `scan_json_lines`: JSON-payload ingestion — batch analog of the
+    * reference's default deserializer (`pubsub_pipeline.py:55-57`,
+    * `byte_load_json`). `get_json_object` is codegen'd; no UDF. */
+  def scanJsonLines(events: DataFrame): DataFrame =
+    events
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy("event_id")
+}
+
+/** Filters / projections / predicates (SURVEY §2-B). All predicates are
+  * plain `Column` expressions so they push down into the parquet scan.
+  */
+object Filters {
+  /** `filter_pred`: TPC-H Q6 shape — conjunctive range predicates, fully
+    * pushed to the scan; aggregate is a single partial+final reduce (no
+    * shuffle of base rows) so it scales linearly with input splits. */
+  def filterPred(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.02, 0.06) &&
+          col("l_quantity") < 24)
+      .agg(
+        sum((col("l_extendedprice") * col("l_discount")).cast(DecimalType(18, 4)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("cnt"))
+
+  /** `project_compute`: computed columns, whole-stage-codegen arithmetic. */
+  def projectCompute(lineitem: DataFrame): DataFrame =
+    lineitem.select(
+      col("l_orderkey"),
+      col("l_linenumber"),
+      (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 4)).cast("double").as("net_price"),
+      (col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+        .cast(DecimalType(18, 6)).cast("double").as("gross_price"))
+      .orderBy("l_orderkey", "l_linenumber", "net_price", "gross_price")
+
+  /** `filter_null_safe`: null-safe equality (`<=>`) + IS NULL; nulls are
+    * synthesized from negative balances since the generated data is
+    * null-free. */
+  def filterNullSafe(customer: DataFrame): DataFrame = {
+    val seg = when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_mktsegment"))
+    customer
+      .select(
+        col("c_custkey"),
+        seg.as("seg"),
+        (seg <=> lit("BUILDING")).as("is_building"),
+        seg.isNull.as("seg_null"))
+      .orderBy("c_custkey")
+  }
+
+  /** `fn_case_cond`: CASE WHEN tiering. */
+  def fnCaseCond(customer: DataFrame): DataFrame =
+    customer
+      .select(
+        col("c_custkey"),
+        when(col("c_acctbal") >= 7500, "platinum")
+          .when(col("c_acctbal") >= 5000, "gold")
+          .when(col("c_acctbal") >= 0, "standard")
+          .otherwise("debt").as("tier"),
+        (col("c_acctbal") >= 0).as("solvent"))
+      .orderBy("c_custkey")
+}
+
+/** Joins (SURVEY §2-B "Joins").
+  *
+  * Strategy notes for 100 TB: fact-fact equi joins shuffle on the join key
+  * (sort-merge under AQE); dimension joins are explicitly `broadcast()` so
+  * no shuffle of the fact side ever happens; the theta join is a broadcast
+  * nested-loop against the *small* side only.
+  */
+object Joins {
+  /** `join_inner`: orders ⋈ customer equi join. At scale both sides shuffle
+    * on custkey once; co-locating via bucketing on custkey would remove it. */
+  def inner(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"), "inner")
+      .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+
+  /** `join_broadcast`: explicit broadcast of the 5-row region dim. */
+  def broadcastDim(nation: DataFrame, region: DataFrame): DataFrame =
+    nation
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      .orderBy("n_nationkey")
+
+  /** `join_multiway`: 4-way star join region→nation→customer→orders.
+    * Dims broadcast; only the orders fact shuffles (for the final agg). */
+  def multiway(region: DataFrame, nation: DataFrame, customer: DataFrame,
+               orders: DataFrame): DataFrame =
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("order_cnt"), Num.dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("r_name", "n_name")
+
+  /** `join_left_outer`: all customers incl. zero-order ones. */
+  def leftOuter(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("order_cnt"))
+      .orderBy("c_custkey")
+
+  /** `join_semi`: customers WITH orders — semi join never materializes the
+    * right side's columns, so only keys shuffle. */
+  def semi(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** `join_anti`: customers WITHOUT orders. */
+  def anti(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** `join_theta_range`: non-equi band join part × supplier. Planned as
+    * broadcast nested loop (supplier is tiny); at scale the small side must
+    * stay broadcastable or this needs an interval-index rewrite. */
+  def thetaRange(part: DataFrame, supplier: DataFrame): DataFrame =
+    part
+      .join(
+        broadcast(supplier),
+        col("p_retailprice") > col("s_acctbal") * 0.1 &&
+          col("p_retailprice") < col("s_acctbal") * 0.11)
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy("s_suppkey")
+
+  /** `join_asof_event`: each event matched to the latest order of the same
+    * user with o_orderdate <= ts (reference has no joins at all — this is
+    * the engine's hardest relational addition, SURVEY §7 known-hard #2).
+    *
+    * Implemented with the scalable union+window trick: one shuffle+sort on
+    * (user, time) instead of a quadratic range join — O(n log n) per user
+    * group, survives 100× scale-up. On ties (event ts == order ts) the
+    * order sorts first (tag 0) so the match is inclusive, same as SQL
+    * `o_orderdate <= ts`.
+    */
+  def asofEvent(events: DataFrame, orders: DataFrame): DataFrame = {
+    val ev = events.select(
+      col("user_id"), col("ts"), lit(1).as("tag"),
+      lit(null).cast("timestamp").as("ots"), col("event_id"))
+    val os = orders.select(
+      col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+      lit(0).as("tag"), col("o_orderdate").as("ots"),
+      lit(null).cast("long").as("event_id"))
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(os)
+      .withColumn("last_order_ts", last(col("ots"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(
+        col("event_id"), col("user_id"),
+        unix_timestamp(col("last_order_ts")).as("last_order_s"))
+      .orderBy("event_id")
+  }
+}
+
+/** Aggregations (SURVEY §2-B "Aggregations"). All use Catalyst's
+  * partial+final hash aggregation (map-side combine) — the shuffle carries
+  * one row per (partition, group), not per input row.
+  */
+object Aggs {
+  /** `agg_hash_group`: TPC-H Q1 — the flagship query (SURVEY §7 M1). */
+  def hashGroup(lineitem: DataFrame): DataFrame = {
+    val discPrice = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val charge = col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))
+    lineitem
+      .filter(col("l_shipdate") <= lit("2000-06-30").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        Num.dsum(col("l_quantity")).as("sum_qty"),
+        Num.dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(discPrice.cast(DecimalType(18, 4))).cast("double").as("sum_disc_price"),
+        sum(charge.cast(DecimalType(18, 6))).cast("double").as("sum_charge"),
+        Num.davg(col("l_quantity")).as("avg_qty"),
+        Num.davg(col("l_extendedprice")).as("avg_price"),
+        Num.davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** `agg_distinct`: exact distinct counts (expands to a two-phase agg). */
+  def distinctCounts(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_suppkey")).as("supp_cnt"),
+        countDistinct(col("l_partkey")).as("part_cnt"))
+      .orderBy("l_returnflag")
+
+  /** `agg_approx_distinct`: HLL++ — constant memory per group at any scale,
+    * vs the exact version's per-group key set. No oracle (approximate). */
+  def approxDistinct(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .orderBy("event_type")
+
+  /** `agg_rollup`: hierarchical totals region→nation (+ grand total).
+    * Null grouping keys are coalesced to a sentinel so the DuckDB hash
+    * compare is order-stable (Spark sorts nulls first, DuckDB last). */
+  def rollupRegionNation(customer: DataFrame, nation: DataFrame,
+                         region: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("cust_cnt"), Num.dsum(col("c_acctbal")).as("total_bal"))
+      .select(
+        coalesce(col("r_name"), lit("_ALL_")).as("r_name"),
+        coalesce(col("n_name"), lit("_ALL_")).as("n_name"),
+        col("cust_cnt"), col("total_bal"))
+      .orderBy("r_name", "n_name")
+
+  /** `agg_cube`: full cube over two low-cardinality dims. */
+  def cubeStatusPriority(orders: DataFrame): DataFrame =
+    orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_cnt"), Num.dsum(col("o_totalprice")).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("_ALL_")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("_ALL_")).as("o_orderpriority"),
+        col("order_cnt"), col("total_price"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  /** `agg_stats`: min/max/stddev/exact interpolated percentiles. The exact
+    * `percentile` needs a per-group sort — fine here (single group); at
+    * 100 TB swap to `percentile_approx` (fixed-size sketch, mergeable). */
+  def stats(orders: DataFrame): DataFrame =
+    orders.agg(
+      min(col("o_totalprice")).as("min_price"),
+      max(col("o_totalprice")).as("max_price"),
+      round(stddev_samp(col("o_totalprice")), 2).as("stddev_price"),
+      round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+      round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+      count(lit(1)).as("cnt"))
+}
+
+/** Window functions (SURVEY §2-B "Window functions"). Each is one
+  * shuffle on the partition key + in-partition sort; ordering always
+  * carries a unique tiebreak so results are deterministic cross-engine.
+  */
+object Windows {
+  /** `window_rank`: rank orders by totalprice within customer. */
+  def rankInCustomer(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
+    orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        rank().over(w).as("rnk"))
+      .orderBy("o_orderkey")
+  }
+
+  /** `window_running_sum`: running revenue per supplier by shipdate.
+    * Decimal-summed so the running total is exact (DuckDB computes window
+    * sums with a segment tree — FP association order differs otherwise).
+    * (l_orderkey, l_linenumber) is not unique in the generated data, so the
+    * window orders by the FULL column set (full rows are unique) — any
+    * weaker ordering makes the prefix sums nondeterministic. */
+  def runningSum(lineitem: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"), col("l_linestatus"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lineitem
+      .select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4))).over(w).cast("double").as("running_rev"))
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_rev")
+  }
+
+  /** `window_lag_lead`: per-user inter-event gap (seconds) + next event
+    * type. Gap uses floor-to-second epochs on both engines. */
+  def lagLead(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .select(
+        col("event_id"), col("user_id"),
+        (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+          .as("gap_sec"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .orderBy("event_id")
+  }
+
+  /** `window_ntile_dense`: quartiles + dense rank over customer balances.
+    * NOTE: unpartitioned window — single-task sort; acceptable for a
+    * 1.5k-row dim, never for a fact table (repartitionByRange + local
+    * rank + offset merge would be the scale path). */
+  def ntileDense(customer: DataFrame): DataFrame = {
+    val wAsc = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    val wDesc = Window.orderBy(col("c_acctbal").desc)
+    customer
+      .select(col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(wAsc).as("tile"),
+        dense_rank().over(wDesc).as("drank"))
+      .orderBy("c_custkey")
+  }
+
+  /** `topk_per_group`: top-3 orders per customer via row_number —
+    * shuffle-once, no global sort. */
+  def topkPerGroup(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+}
+
+/** Sorts / limits and set operations (SURVEY §2-B). */
+object SortsSets {
+  /** `sort_limit_topk`: global top-10 — Spark plans TakeOrderedAndProject
+    * (per-partition heap + driver merge), NOT a full sort. */
+  def topk(orders: DataFrame): DataFrame =
+    orders
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** `set_union`: nation keys of customers ∪ suppliers (distinct). */
+  def unionNations(customer: DataFrame, supplier: DataFrame): DataFrame =
+    customer.select(col("c_nationkey").as("nationkey"))
+      .union(supplier.select(col("s_nationkey")))
+      .distinct()
+      .orderBy("nationkey")
+
+  /** `set_intersect`: nations having both customers and suppliers. */
+  def intersectNations(customer: DataFrame, supplier: DataFrame): DataFrame =
+    customer.select(col("c_nationkey").as("nationkey"))
+      .intersect(supplier.select(col("s_nationkey")))
+      .orderBy("nationkey")
+
+  /** `set_except`: nations with customers but no suppliers. */
+  def exceptNations(customer: DataFrame, supplier: DataFrame): DataFrame =
+    customer.select(col("c_nationkey").as("nationkey"))
+      .except(supplier.select(col("s_nationkey")))
+      .orderBy("nationkey")
+}
+
+/** Scalar functions (SURVEY §2-B "Scalar functions") — all built-in
+  * codegen'd expressions, zero UDFs (the reference's `processor` slot is
+  * arbitrary Python, `pubsub_pipeline.py:62`; here every declared transform
+  * compiles into whole-stage codegen).
+  */
+object ScalarFns {
+  /** `fn_string`. */
+  def fnString(part: DataFrame): DataFrame =
+    part
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("u_name"),
+        substring(col("p_name"), 1, 8).as("pfx"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+        length(col("p_name")).as("name_len"),
+        trim(col("p_name")).as("trimmed"),
+        col("p_type").startsWith("S").as("is_s_type"))
+      .orderBy("p_partkey")
+
+  /** `fn_date`. */
+  def fnDate(orders: DataFrame): DataFrame =
+    orders
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("month_start"),
+        datediff(col("o_orderdate"), to_date(lit("1995-01-01")))
+          .cast("long").as("days_since"))
+      .orderBy("o_orderkey")
+
+  /** `fn_math`: sqrt/ceil/floor are exactly rounded (bit-identical across
+    * engines); ln is rounded to 6 decimals to absorb libm ulp noise. */
+  def fnMath(part: DataFrame): DataFrame =
+    part
+      .select(
+        col("p_partkey"),
+        round(col("p_retailprice") * 0.8, 2).as("disc_price"),
+        abs(col("p_retailprice") - 950.0).as("absdev"),
+        pow(col("p_size"), 2).as("size_sq"),
+        round(log(col("p_retailprice")), 6).as("ln_price"),
+        sqrt(col("p_retailprice")).as("sqrt_price"),
+        ceil(col("p_retailprice")).as("ceil_price"),
+        floor(col("p_retailprice")).as("floor_price"))
+      .orderBy("p_partkey")
+
+  /** `fn_json`: the reference's default serde as a batch query —
+    * `from_json` (deserialize, `pubsub_pipeline.py:55-57`) → field access
+    * (transform) → `to_json` (serialize, `pubsub_pipeline.py:27-28`). */
+  def fnJson(events: DataFrame): DataFrame = {
+    val schema = new StructType().add("k", "long")
+    val parsed = from_json(col("props"), schema)
+    events
+      .select(
+        col("event_id"),
+        parsed.getField("k").as("k"),
+        to_json(struct(parsed.getField("k").as("k"))).as("rebuilt"))
+      .orderBy("event_id")
+  }
+
+  /** `fn_map`: build + query map columns (no oracle — DuckDB map semantics
+    * differ; covered by ScalaTest instead). */
+  def fnMap(events: DataFrame): DataFrame =
+    events
+      .select(
+        col("event_id"),
+        map(lit("type"), col("event_type"),
+          lit("k"), get_json_object(col("props"), "$.k")).as("m"))
+      .select(
+        col("event_id"),
+        element_at(col("m"), "type").as("m_type"),
+        element_at(col("m"), "k").cast("long").as("m_k"),
+        map_keys(col("m")).as("ks"))
+      .select(col("event_id"), col("m_type"), col("m_k"),
+        size(col("ks")).as("n_keys"))
+      .orderBy("event_id")
+}

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` (LLM-data-pipeline extensions;
+  * north star in BASELINE.json). The reference's capability category is
+  * "enrichment pipelines" (`setup.py:8-9`) with an arbitrary per-message
+  * `processor` (`pubsub_pipeline.py:62`); these are the enrichments a
+  * training-data pipeline actually runs, expressed as codegen'd column
+  * expressions — no UDFs, so they stay inside whole-stage codegen and
+  * scale linearly with input splits (no shuffle except the final groupBys).
+  */
+object TextOps {
+
+  private val stopwords = Seq("the", "a", "of", "and", "in", "to", "is", "it")
+
+  /** `text_wordcount`: tokenize + global word frequencies, top-100.
+    * explode → partial-agg per partition → single shuffled agg; the limit
+    * is a TakeOrdered, not a full sort. */
+  def wordcount(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(100)
+
+  /** `text_lang_stats`: per-language corpus stats. */
+  def langStats(documents: DataFrame): DataFrame =
+    documents
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+      .orderBy("lang")
+
+  /** `text_tokens`: per-document token accounting (whitespace tokenizer;
+    * the BPE-ish variant lives in `tokensBpe`). */
+  def tokens(documents: DataFrame): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    documents
+      .select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct_tokens"),
+        col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting with a BPE-ish regex split (word pieces + punctuation +
+    * whitespace runs), the usual pre-tokenizer shape. No oracle (regex
+    * semantics differ cross-engine); ScalaTest-covered. */
+  def tokensBpe(documents: DataFrame): DataFrame = {
+    val pieces = filter(
+      split(col("text"), """(?=[^\p{L}\p{N}])|(?<=[^\p{L}\p{N}])"""),
+      t => t =!= "" && t =!= " ")
+    documents
+      .select(col("doc_id"), size(pieces).as("n_pieces"))
+      .orderBy("doc_id")
+  }
+
+  /** `text_quality`: heuristic quality scoring — length, mean word length,
+    * stopword ratio, alpha ratio. These are the standard cheap filters a
+    * 100 TB corpus pass runs before anything expensive. */
+  def quality(documents: DataFrame): DataFrame = {
+    val words = filter(split(col("text"), " "), t => t =!= "")
+    val nWords = size(words)
+    val stopHits = size(filter(words, w => w.isin(stopwords: _*)))
+    documents
+      .select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        (col("n_chars").cast("double") / nWords).as("chars_per_word"),
+        (stopHits.cast("double") / nWords).as("stopword_ratio"),
+        (length(regexp_replace(col("text"), "[^a-z ]", "")).cast("double") /
+          greatest(col("n_chars"), lit(1)).cast("double")).as("alpha_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** `text_langid`: n-gram/stopword-profile language ID heuristic.
+    * Scores each doc against tiny per-language marker sets and picks the
+    * argmax (deterministic tie-break by language code). The marker lists
+    * are illustrative, not linguistic truth — the *shape* (score vectors
+    * per doc, argmax, no shuffle) is what matters at scale. No oracle
+    * (heuristic); ScalaTest asserts determinism + coverage. */
+  def langId(documents: DataFrame): DataFrame = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "is"),
+      "es" -> Seq("el", "la", "de", "que"),
+      "de" -> Seq("der", "die", "und", "ist"),
+      "fr" -> Seq("le", "la", "et", "est"),
+      "zh" -> Seq("的", "是", "了", "在"))
+    val words = split(col("text"), " ")
+    val scored = markers.foldLeft(documents.select(col("doc_id"), col("text"))) {
+      case (df, (lang, ms)) =>
+        df.withColumn(s"score_$lang",
+          size(filter(words, w => w.isin(ms: _*))))
+    }
+    val scoreCols = markers.map { case (l, _) =>
+      struct(col(s"score_$l").as("score"), lit(l).as("lang"))
+    }
+    scored
+      .select(col("doc_id"),
+        sort_array(array(scoreCols: _*), asc = false).getItem(0).as("best"))
+      .select(col("doc_id"),
+        when(col("best.score") > 0, col("best.lang")).otherwise(lit("und"))
+          .as("pred_lang"),
+        col("best.score").as("marker_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** `text_fingerprint`: 64-bit polynomial rolling hash over the token
+    * stream (document fingerprint), plus a content hash. Pure column
+    * arithmetic via `aggregate` — deterministic, partition-independent.
+    * No oracle (DuckDB lacks the same hash); ScalaTest-covered. */
+  def fingerprint(documents: DataFrame): DataFrame = {
+    val words = filter(split(col("text"), " "), t => t =!= "")
+    // fold: h = (h*31 + crc32(word)) mod p — modular so the fold can never
+    // overflow under Spark 4's default ANSI arithmetic (h < 2^31, crc32 <
+    // 2^32, so h*31 + crc32 < 2^37).
+    val p = 2147483647L // 2^31 - 1
+    val rolling = aggregate(
+      words,
+      lit(1125899906842597L % 2147483647L),
+      (h, w) => (h * lit(31L) + crc32(w)) % lit(p))
+    documents
+      .select(
+        col("doc_id"),
+        rolling.as("fingerprint"),
+        xxhash64(col("text")).as("content_hash"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector / embedding operators over `embeddings` (`embedding:
+  * array<float>` dim 64). Dot products use higher-order functions
+  * (`zip_with` + `aggregate`) — codegen'd, no UDF, no shuffle for the
+  * scoring pass. Floats are widened to double *before* multiplying so the
+  * arithmetic matches the DuckDB oracle (`embedding::DOUBLE[]`) bit-for-bit.
+  */
+object VectorOps {
+
+  /** Sequential-fold dot product of two array<float|double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** `fn_array`: array ops — size, element access (front/back), norm. */
+  def fnArray(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("first_elem"),
+        element_at(col("embedding"), -1).cast("double").as("last_elem"),
+        round(dot(col("embedding"), col("embedding")), 4).as("norm_sq"))
+      .orderBy("vec_id")
+
+  /** `sim_cosine_topk`: exact top-k cosine neighbors of a probe vector —
+    * the brute-force ANN baseline. The probe is a 1-row broadcast; scoring
+    * is a map-only pass over the corpus; top-k is TakeOrdered (per-partition
+    * heaps, no global sort). This is exactly the plan you want at 100 TB for
+    * a single probe; for probe *batches*, see `annLsh`. */
+  def cosineTopK(embeddings: DataFrame, probeId: Long = 0L, k: Int = 10): DataFrame = {
+    val probe = embeddings.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("probe"))
+    embeddings
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), cosine(col("embedding"), col("probe")).as("rawcos"))
+      .orderBy(col("rawcos").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("rawcos"), 6).as("cos"))
+  }
+
+  /** Random-hyperplane (sign) LSH bucketing: `nBits` fixed pseudo-random
+    * hyperplanes → one integer bucket per vector. Deterministic planes are
+    * derived from a hash of (plane index, dimension index) — no RNG state,
+    * so executors regenerate identical planes with no driver broadcast. */
+  private def signBucket(v: Column, dim: Int, nBits: Int): Column = {
+    // plane(p)[d] = a deterministic pseudo-random value in [-1, 1)
+    def plane(p: Int): Column = {
+      val terms = (0 until dim).map { d =>
+        val h = ((p * 1315423911L) ^ (d * 2654435761L)) * 40503L
+        val r = ((h % 2000003L).toDouble / 1000001.5) - 1.0 // [-1,1)
+        element_at(v, d + 1).cast("double") * lit(r)
+      }
+      terms.reduce(_ + _)
+    }
+    (0 until nBits)
+      .map(p => when(plane(p) >= 0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _)
+  }
+
+  /** `sim_ann_lsh`: approximate top-k via sign-LSH buckets — the scale
+    * path. Probe and corpus are bucketed; only same-bucket candidates are
+    * scored, turning a full scan into a bucket-local join. Recall is
+    * tunable via nBits/bands; here a single band of 8 bits keeps candidate
+    * sets large enough for the 500-vector corpus. No oracle (approximate);
+    * ScalaTest asserts recall against the exact baseline. */
+  def annLsh(embeddings: DataFrame, probeId: Long = 0L, k: Int = 10,
+             dim: Int = 64, nBits: Int = 8): DataFrame = {
+    val bucketed = embeddings.withColumn(
+      "bucket", signBucket(col("embedding"), dim, nBits))
+    val probe = bucketed.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("probe"), col("bucket"))
+    bucketed
+      .join(broadcast(probe), "bucket")
+      .select(col("vec_id"), cosine(col("embedding"), col("probe")).as("rawcos"))
+      .orderBy(col("rawcos").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("rawcos"), 6).as("cos"))
+  }
+
+  /** `dedup_near_embedding`: embedding-cosine near-duplicate pairs via LSH
+    * blocking — candidate pairs share a bucket, then exact cosine filters.
+    * Avoids the O(n²) crossJoin: the join is bucket-equi, so at scale it
+    * shuffles on bucket and each bucket joins locally. No oracle
+    * (approximate recall); ScalaTest checks precision of emitted pairs. */
+  def nearDupEmbedding(embeddings: DataFrame, tau: Double = 0.95,
+                       dim: Int = 64, nBits: Int = 6): DataFrame = {
+    val b = embeddings.withColumn("bucket", signBucket(col("embedding"), dim, nBits))
+    val l = b.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val r = b.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("emb_a"), col("emb_b")), 6).as("cos"))
+      .filter(col("cos") >= tau)
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+}

@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Runs each oracle SQL from Verify's oracle_sql.json in DuckDB against the
+sfDir parquet tables, loads the corresponding Spark parquet dump, sorts
+columns by name, and compares values exactly (with a near-miss report for
+float drift). Usage: check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            want = con.sql(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        try:
+            got = con.sql(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: spark output missing: {e}")
+            n_fail += 1
+            continue
+        want = want.reindex(sorted(want.columns), axis=1)
+        got = got.reindex(sorted(got.columns), axis=1)
+        if list(want.columns) != list(got.columns):
+            print(f"FAIL {name}: columns want={list(want.columns)} got={list(got.columns)}")
+            n_fail += 1
+            continue
+        if len(want) != len(got):
+            print(f"FAIL {name}: rows want={len(want)} got={len(got)}")
+            n_fail += 1
+            continue
+        wt = [str(t) for t in want.dtypes]
+        gt = [str(t) for t in got.dtypes]
+        if wt != gt:
+            print(f"WARN {name}: dtypes want={wt} got={gt}")
+        mismatch = None
+        for col in want.columns:
+            wv, gv = want[col].tolist(), got[col].tolist()
+            for i, (a, b) in enumerate(zip(wv, gv)):
+                if a is None and b is None:
+                    continue
+                eq = a == b
+                try:
+                    if isinstance(a, float) and isinstance(b, float):
+                        eq = (a == b) or (math.isnan(a) and math.isnan(b))
+                except Exception:
+                    pass
+                try:
+                    import pandas as pd
+                    if pd.isna(a) and pd.isna(b):
+                        eq = True
+                except Exception:
+                    pass
+                if not eq:
+                    mismatch = (col, i, a, b)
+                    break
+            if mismatch:
+                break
+        if mismatch:
+            col, i, a, b = mismatch
+            print(f"FAIL {name}: first diff col={col} row={i} want={a!r} got={b!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(want)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} passed, {n_fail} failed, "
+          f"{len(oracle)} oracled")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
