@@ -52,35 +52,42 @@ object VectorOps {
     * hyperplanes → one integer bucket per vector. Deterministic planes are
     * derived from a hash of (plane index, dimension index) — no RNG state,
     * so executors regenerate identical planes with no driver broadcast. */
-  private def signBucket(v: Column, dim: Int, nBits: Int): Column = {
-    // plane(p)[d] = a deterministic pseudo-random value in [-1, 1)
+  private def signBucket(v: Column, dim: Int, nBits: Int, seed: Int = 0): Column = {
+    // plane(p)[d] = a deterministic pseudo-random value in [-1, 1);
+    // materialized as ONE array literal per plane (typedlit) and folded
+    // with zip_with/aggregate so codegen stays compact — an unrolled
+    // 64-term sum per plane overflows the JVM's 64KB method limit.
     def plane(p: Int): Column = {
-      val terms = (0 until dim).map { d =>
-        val h = ((p * 1315423911L) ^ (d * 2654435761L)) * 40503L
-        val r = ((h % 2000003L).toDouble / 1000001.5) - 1.0 // [-1,1)
-        element_at(v, d + 1).cast("double") * lit(r)
+      val coeffs: Seq[Double] = (0 until dim).map { d =>
+        val h = (((p + seed) * 1315423911L) ^ (d * 2654435761L)) * 40503L
+        ((h % 2000003L).toDouble / 1000001.5) - 1.0 // [-1,1)
       }
-      terms.reduce(_ + _)
+      dot(v, typedlit(coeffs))
     }
     (0 until nBits)
       .map(p => when(plane(p) >= 0, lit(1L << p)).otherwise(lit(0L)))
       .reduce(_ + _)
   }
 
-  /** `sim_ann_lsh`: approximate top-k via sign-LSH buckets — the scale
-    * path. Probe and corpus are bucketed; only same-bucket candidates are
-    * scored, turning a full scan into a bucket-local join. Recall is
-    * tunable via nBits/bands; here a single band of 8 bits keeps candidate
-    * sets large enough for the 500-vector corpus. No oracle (approximate);
-    * ScalaTest asserts recall against the exact baseline. */
+  /** `sim_ann_lsh`: approximate top-k via banded sign-LSH — the scale
+    * path (OR-amplification: `nBands` independent bucket tables, a
+    * candidate matches the probe in ANY band). Only same-bucket candidates
+    * are scored, turning the full scan into a bucket-equi join; recall vs
+    * candidate-set size is tuned by (nBands, bitsPerBand). No oracle
+    * (approximate); ScalaTest asserts recall against the exact baseline. */
   def annLsh(embeddings: DataFrame, probeId: Long = 0L, k: Int = 10,
-             dim: Int = 64, nBits: Int = 8): DataFrame = {
-    val bucketed = embeddings.withColumn(
-      "bucket", signBucket(col("embedding"), dim, nBits))
-    val probe = bucketed.filter(col("vec_id") === probeId)
-      .select(col("embedding").as("probe"), col("bucket"))
-    bucketed
-      .join(broadcast(probe), "bucket")
+             dim: Int = 64, nBands: Int = 6, bitsPerBand: Int = 4): DataFrame = {
+    def bands(v: Column): Column = array((0 until nBands).map(b =>
+      struct(lit(b).as("band"),
+        signBucket(v, dim, bitsPerBand, seed = b * 7919).as("bkt"))): _*)
+    val corpus = embeddings
+      .select(col("vec_id"), col("embedding"), explode(bands(col("embedding"))).as("bk"))
+    val probe = embeddings.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("probe"), explode(bands(col("embedding"))).as("bk"))
+    corpus
+      .join(broadcast(probe), "bk")
+      .select(col("vec_id"), col("embedding"), col("probe"))
+      .distinct() // a candidate may collide in several bands
       .select(col("vec_id"), cosine(col("embedding"), col("probe")).as("rawcos"))
       .orderBy(col("rawcos").desc, col("vec_id"))
       .limit(k)

@@ -1,0 +1,190 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource-V2 micro-batch source for the bus (SURVEY §7 M5) —
+  * `spark.readStream.format("graft.sources.BusProvider")`.
+  *
+  * Maps the reference's source surface onto Spark's streaming contract:
+  *
+  *  - sync pull of ≤ bulk_limit messages (`pubsub_pipeline.py:195-200`) →
+  *    `SupportsAdmissionControl.latestOffset(start, ReadLimit.maxRows)`
+  *    with option `bulkLimit` (default 20 = `pubsub_pipeline.py:68`);
+  *  - deadline retry (`pubsub_pipeline.py:204-211`) → bounded ITERATIVE
+  *    retry on `TransientPullError` (the reference recurses and can blow
+  *    the stack, SURVEY §2-D — deliberately not replicated);
+  *  - ack-on-publish-success (`pubsub_pipeline.py:82-84,31-52`) →
+  *    `commit(offset)` is called by the engine only after the batch's sink
+  *    epoch committed, then acks the prefix in the bus;
+  *  - bounded runs (`max_processed_messages`, `pubsub_pipeline.py:161-163`)
+  *    → `Trigger.AvailableNow` via `SupportsTriggerAvailableNow` — "stop
+  *    once ≥ N" fixes the reference's `==` overshoot hang (SURVEY §2-D).
+  *
+  * Row schema (superset of what the reference reads, Kafka-source-shaped,
+  * SURVEY §1.3): value BINARY, ackId STRING, messageId STRING,
+  * publishTime TIMESTAMP, attributes MAP<STRING,STRING>.
+  */
+class BusProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    BusProvider.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new BusTable(properties.asScala.toMap)
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object BusProvider {
+  val schema: StructType = new StructType()
+    .add("value", BinaryType)
+    .add("ackId", StringType)
+    .add("messageId", StringType)
+    .add("publishTime", TimestampType)
+    .add("attributes", MapType(StringType, StringType))
+
+  /** Fully-qualified format name for readStream.format(...). */
+  val format: String = classOf[BusProvider].getName
+}
+
+private class BusTable(props: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String = s"graft-bus-${props.getOrElse("subscription", "?")}"
+  override def schema(): StructType = BusProvider.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = BusProvider.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new BusMicroBatchStream(
+            subscription = options.get("subscription"),
+            bulkLimit = Option(options.get("bulkLimit")).map(_.toInt).getOrElse(20),
+            maxPullRetries = Option(options.get("maxPullRetries")).map(_.toInt).getOrElse(3))
+      }
+    }
+}
+
+/** Long offset into a subscription's log (exclusive end). */
+case class BusOffset(offset: Long) extends Offset {
+  override def json(): String = offset.toString
+}
+
+private class BusMicroBatchStream(subscription: String, bulkLimit: Int,
+                                  maxPullRetries: Int)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  require(subscription != null, "option 'subscription' is required")
+
+  @volatile private var availableNowEnd: Option[Long] = None
+
+  /** Iterative bounded retry around a bus pull — the reference's
+    * deadline-retry loop without its unbounded recursion (§2-D). */
+  private def pullEndOffset(): Long = {
+    var attempt = 0
+    while (true) {
+      try {
+        return InMemoryBus.endOffset(subscription)
+      } catch {
+        case e: InMemoryBus.TransientPullError =>
+          attempt += 1
+          if (attempt > maxPullRetries) throw e
+      }
+    }
+    0L // unreachable
+  }
+
+  override def initialOffset(): Offset =
+    BusOffset(InMemoryBus.committedOffset(subscription))
+
+  override def deserializeOffset(json: String): Offset = BusOffset(json.toLong)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(bulkLimit)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val end = availableNowEnd.getOrElse(pullEndOffset())
+    val from = start.asInstanceOf[BusOffset].offset
+    val capped = limit match {
+      case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        math.min(end, from + rl.maxRows())
+      case _ => end
+    }
+    BusOffset(math.max(from, capped))
+  }
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    // Snapshot "now": the bounded run drains up to here then stops —
+    // ">= N then stop", not the reference's "== N or hang" (§2-D).
+    availableNowEnd = Some(pullEndOffset())
+  }
+
+  override def reportLatestOffset(): Offset = BusOffset(pullEndOffset())
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[BusOffset].offset
+    val e = end.asInstanceOf[BusOffset].offset
+    if (e <= s) Array.empty
+    else Array(BusInputPartition(subscription, s, e))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new BusReaderFactory
+
+  /** Engine calls this after the sink epoch is durable → ack the prefix.
+    * This IS the Acknowledger (`pubsub_pipeline.py:31-52`) with a WAL. */
+  override def commit(end: Offset): Unit =
+    InMemoryBus.commit(subscription, end.asInstanceOf[BusOffset].offset)
+
+  override def stop(): Unit = ()
+}
+
+private case class BusInputPartition(subscription: String, start: Long, end: Long)
+    extends InputPartition
+
+private class BusReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[BusInputPartition]
+    new PartitionReader[InternalRow] {
+      private val msgs = InMemoryBus.read(p.subscription, p.start, p.end).iterator
+      private var idx = p.start - 1
+      private var current: InMemoryBus.BusMessage = _
+
+      override def next(): Boolean = {
+        if (!msgs.hasNext) return false
+        current = msgs.next(); idx += 1
+        true
+      }
+
+      override def get(): InternalRow = {
+        val attrs = current.attributes
+        InternalRow(
+          current.data,
+          UTF8String.fromString(s"${p.subscription}-$idx"),
+          UTF8String.fromString(current.messageId),
+          current.publishTimeMicros,
+          ArrayBasedMapData(
+            attrs.keys.map(UTF8String.fromString).toArray,
+            attrs.values.map(UTF8String.fromString).toArray))
+      }
+
+      override def close(): Unit = ()
+    }
+  }
+}

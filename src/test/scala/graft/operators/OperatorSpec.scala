@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Unit specs for operators whose semantics the DuckDB oracle can't check
+  * (approximate / hash-based / heuristic ops — SURVEY §2-B ✗ rows).
+  */
+class OperatorSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    val sess = spark
+    import sess.implicits._
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("test"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  test("dedup_exact keeps the lowest doc_id of each duplicate group") {
+    val df = docs(5L -> "a b c", 2L -> "a b c", 9L -> "x y z")
+    val out = DedupOps.exact(df).collect().map(_.getLong(0))
+    assert(out.toSeq === Seq(2L, 9L))
+  }
+
+  test("dedup_near_minhash finds planted near-duplicates, skips unrelated docs") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 7) "CHANGED" else s"token$i").mkString(" ")
+    val unrelated = (1 to 40).map(i => s"other$i").mkString(" ")
+    val out = DedupOps.nearMinhash(docs(1L -> base, 2L -> nearDup, 3L -> unrelated))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((1L, 2L)))
+  }
+
+  test("dedup_simhash: identical texts get identical fingerprints, disjoint texts differ") {
+    val df = docs(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta",
+      3L -> "completely different words here")
+    val m = DedupOps.simhash(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) === m(2L))
+    assert(m(1L) !== m(3L))
+  }
+
+  test("text_fingerprint is deterministic and order-sensitive") {
+    val df = docs(1L -> "a b c", 2L -> "a b c", 3L -> "c b a")
+    val m = TextOps.fingerprint(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) === m(2L))
+    assert(m(1L) !== m(3L))
+  }
+
+  test("text_langid picks the language with most marker hits, 'und' when none") {
+    val df = docs(
+      1L -> "the cat and the dog is here",
+      2L -> "el perro de la casa que ladra",
+      3L -> "qqq www eee rrr")
+    val m = TextOps.langId(df).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) === "en")
+    assert(m(2L) === "es")
+    assert(m(3L) === "und")
+  }
+
+  test("sim_ann_lsh recall@10 vs exact brute force on real embeddings") {
+    val emb = Tables.embeddings(spark, sf())
+    val exact = VectorOps.cosineTopK(emb, probeId = 0, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = VectorOps.annLsh(emb, probeId = 0, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@10 = $recall (exact=$exact approx=$approx)")
+  }
+
+  test("dedup_near_embedding finds planted duplicate vectors only") {
+    val emb = Tables.embeddings(spark, sf()).limit(50)
+    // plant: vec 9000 = copy of vec 0 → cosine 1.0
+    val planted = emb.union(
+      emb.filter(col("vec_id") === 0).select(lit(9000L).as("vec_id"),
+        col("embedding"), col("label")))
+    val out = VectorOps.nearDupEmbedding(planted, tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((0L, 9000L)))
+  }
+
+  test("fn_map builds and queries map columns") {
+    val row = ScalarFns.fnMap(Tables.events(spark, sf())).limit(1).collect()(0)
+    assert(row.getInt(3) === 2) // n_keys
+    assert(Set("signup", "click", "purchase", "error", "view").contains(row.getString(1)))
+  }
+
+  test("agg_approx_distinct is within rsd of the exact count") {
+    val ev = Tables.events(spark, sf())
+    val approx = Aggs.approxDistinct(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ev.groupBy("event_type").agg(countDistinct("user_id").as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    approx.foreach { case (k, a) =>
+      assert(math.abs(a - exact(k)).toDouble / exact(k) <= 0.05,
+        s"$k: approx=$a exact=${exact(k)}")
+    }
+  }
+
+  test("text_tokens_bpe splits words and punctuation into pieces") {
+    val df = docs(1L -> "hello, world! a-b")
+    val n = TextOps.tokensBpe(df).collect()(0).getInt(1)
+    // hello , world ! a - b → 7 pieces
+    assert(n === 7)
+  }
+}

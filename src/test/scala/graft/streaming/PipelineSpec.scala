@@ -1,0 +1,143 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.SparkSpec
+import graft.sources.InMemoryBus
+
+/** The three behavioral contracts ported from the reference's test suite
+  * (SURVEY §5.2-1; `test_pubsub_pipeline.py:56-143`), plus admission
+  * control, run against the in-memory bus through the full
+  * readStream→transform→publish→ack path.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private def fresh(prefix: String): (String, String, String, String) = {
+    val id = java.util.UUID.randomUUID().toString.take(8)
+    val inTopic = s"$prefix-in-$id"; val inSub = s"$prefix-insub-$id"
+    val outTopic = s"$prefix-out-$id"; val outSub = s"$prefix-outsub-$id"
+    InMemoryBus.createTopic(inTopic)
+    InMemoryBus.createSubscription(inTopic, inSub)
+    InMemoryBus.createTopic(outTopic)
+    InMemoryBus.createSubscription(outTopic, outSub)
+    (inTopic, inSub, outTopic, outSub)
+  }
+
+  private val payloadSchema = new StructType()
+    .add("data", "string")
+    .add("nested", new StructType().add("nestedData", "string"))
+
+  // The reference's single test fixture (test_pubsub_pipeline.py:28-34).
+  private val fixture =
+    """{"data":"This is some json data that is to processed","nested":{"nestedData":"This is just some more data"}}"""
+
+  /** Acks arrive via an async listener after epoch commit — poll. */
+  private def awaitCommitted(sub: String, expect: Long, timeoutMs: Long = 20000): Long = {
+    val deadline = System.currentTimeMillis + timeoutMs
+    while (System.currentTimeMillis < deadline &&
+      InMemoryBus.committedOffset(sub) < expect) Thread.sleep(50)
+    InMemoryBus.committedOffset(sub)
+  }
+
+  private def identityPipeline(inSub: String, outTopic: String,
+                               bulkLimit: Int = 20): Pipeline =
+    new Pipeline(
+      spark, inSub, outTopic, JsonSerde(payloadSchema),
+      // identity processor (test_pubsub_pipeline.py:37-38): pass the
+      // payload struct through untouched
+      df => df.select(col("payload.*")),
+      Files.createTempDirectory("graft-ckpt").toString,
+      bulkLimit)
+
+  test("contract 1: ack on successful publish + payload integrity") {
+    val (inTopic, inSub, outTopic, outSub) = fresh("c1")
+    (1 to 3).foreach(_ => InMemoryBus.publish(inTopic, fixture.getBytes(UTF_8)))
+
+    val q = identityPipeline(inSub, outTopic).start(availableNow = true)
+    q.awaitTermination(60000)
+
+    val out = InMemoryBus.payloads(outSub).map(new String(_, UTF_8))
+    assert(out.size === 3)
+    // payload round-trips JSON-equal (assert of test_pubsub_pipeline.py:60-61)
+    assert(out.forall(_ === fixture))
+    // input acked only after publish: committed == everything
+    assert(awaitCommitted(inSub, 3) === 3)
+  }
+
+  test("contract 2: no ack when publish fails; restart replays the batch") {
+    val (inTopic, inSub, outTopic, outSub) = fresh("c2")
+    InMemoryBus.publish(inTopic, fixture.getBytes(UTF_8))
+    InMemoryBus.failNextPublishes(outTopic, 10)
+
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    def pipe(): Pipeline = new Pipeline(
+      spark, inSub, outTopic, JsonSerde(payloadSchema),
+      df => df.select(col("payload.*")), ckpt)
+
+    val q1 = pipe().start(availableNow = true)
+    intercept[Exception] { q1.awaitTermination(60000) }
+    // publish failed → input NOT acked (test_pubsub_pipeline.py:90,93);
+    // give the async listener time to (wrongly) ack before asserting
+    Thread.sleep(1000)
+    assert(InMemoryBus.committedOffset(inSub) === 0)
+    assert(InMemoryBus.payloads(outSub).isEmpty)
+
+    // recover the bus, restart from the same checkpoint → batch replays
+    InMemoryBus.failNextPublishes(outTopic, 0)
+    val q2 = pipe().start(availableNow = true)
+    q2.awaitTermination(60000)
+    assert(InMemoryBus.payloads(outSub).map(new String(_, UTF_8)) === Seq(fixture))
+    assert(awaitCommitted(inSub, 1) === 1)
+  }
+
+  test("contract 3: transient pull error is retried, message still processed") {
+    val (inTopic, inSub, outTopic, outSub) = fresh("c3")
+    InMemoryBus.publish(inTopic, fixture.getBytes(UTF_8))
+    // first pulls raise DeadlineExceeded-style errors
+    // (test_pubsub_pipeline.py:107-143); source retries iteratively
+    InMemoryBus.failNextPulls(inSub, 2)
+
+    val q = identityPipeline(inSub, outTopic).start(availableNow = true)
+    q.awaitTermination(60000)
+    assert(InMemoryBus.payloads(outSub).map(new String(_, UTF_8)) === Seq(fixture))
+    assert(awaitCommitted(inSub, 1) === 1)
+  }
+
+  test("admission control: bulkLimit caps each micro-batch like bulk_limit") {
+    val (inTopic, inSub, outTopic, outSub) = fresh("c4")
+    (1 to 50).foreach(i => InMemoryBus.publish(inTopic, s"""{"data":"m$i","nested":{"nestedData":"x"}}""".getBytes(UTF_8)))
+
+    val q = identityPipeline(inSub, outTopic, bulkLimit = 20).start(availableNow = true)
+    q.awaitTermination(60000)
+    // all 50 processed (>= semantics — no == overshoot hang, SURVEY §2-D)
+    assert(InMemoryBus.payloads(outSub).size === 50)
+    assert(awaitCommitted(inSub, 50) === 50)
+    // and no batch exceeded the admission cap
+    assert(q.recentProgress.forall(_.numInputRows <= 20))
+  }
+
+  test("operator library composes into the streaming transform slot") {
+    val (inTopic, inSub, outTopic, outSub) = fresh("c5")
+    (1 to 4).foreach(i => InMemoryBus.publish(inTopic,
+      s"""{"data":"value $i","nested":{"nestedData":"n"}}""".getBytes(UTF_8)))
+
+    // non-identity processor: project + compute, same shape a batch
+    // operator uses (the reference's arbitrary `processor` slot)
+    val q = new Pipeline(
+      spark, inSub, outTopic, JsonSerde(payloadSchema),
+      df => df.select(upper(col("payload.data")).as("u"),
+        length(col("payload.data")).as("len")),
+      Files.createTempDirectory("graft-ckpt").toString)
+      .start(availableNow = true)
+    q.awaitTermination(60000)
+
+    val out = InMemoryBus.payloads(outSub).map(new String(_, UTF_8)).sorted
+    assert(out.size === 4)
+    assert(out.head === """{"u":"VALUE 1","len":7}""")
+  }
+}
