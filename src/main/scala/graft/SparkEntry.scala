@@ -85,6 +85,9 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
+    // --- multimodal columns (LLM-pipeline; decode stubbed, see MultimodalOps) ---
+    "multimodal_features" -> ((s, d) => MultimodalOps.features(Tables.documents(s, d))),
+    "multimodal_frames" -> ((s, d) => MultimodalOps.frames(Tables.documents(s, d))),
     // --- streaming batch-equivalents ---
     "stream_tumbling_batch" -> ((s, d) => StreamBatchOps.tumbling(Tables.events(s, d))),
     "stream_session_batch" -> ((s, d) => StreamBatchOps.sessions(Tables.events(s, d))),

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Multimodal plumbing: schema, batch shape, determinism of the stubbed
+  * decode + feature extraction (the codec itself is faked — see
+  * MultimodalOps).
+  */
+class MultimodalSpec extends SparkSpec {
+
+  test("media table has the binary+metadata schema") {
+    val media = MultimodalOps.attachMedia(Tables.documents(spark, sf()))
+    assert(media.schema.fieldNames.toSeq === Seq("media_id", "payload", "meta"))
+    assert(media.schema("payload").dataType.typeName === "binary")
+    val m = media.limit(1).collect()(0)
+    assert(m.getStruct(2).getString(0).nonEmpty) // format
+  }
+
+  test("feature extraction is deterministic, L1-normalized, fixed width") {
+    val media = MultimodalOps.attachMedia(Tables.documents(spark, sf()).limit(20))
+    val f1 = MultimodalOps.extractFeatures(media).collect().sortBy(_.media_id)
+    val f2 = MultimodalOps.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(f1.length === 20)
+    f1.zip(f2).foreach { case (a, b) =>
+      assert(a.features.toSeq === b.features.toSeq)
+      assert(a.features.length === 32)
+      assert(math.abs(a.features.sum - 1f) < 1e-3)
+    }
+  }
+
+  test("frame sampling emits every stride-th fixed-size frame") {
+    val media = MultimodalOps.attachMedia(Tables.documents(spark, sf()).limit(5))
+    val frames = MultimodalOps.sampleFrames(media, frameBytes = 64, stride = 4)
+      .collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.getInt(1) % 4 === 0))
+    // all but possibly the tail frame are exactly frameBytes long
+    val lens = frames.map(r => r.getAs[Array[Byte]](2).length)
+    assert(lens.count(_ === 64) >= lens.length - 5)
+  }
+
+  test("query surfaces return rows") {
+    val docs = Tables.documents(spark, sf())
+    assert(MultimodalOps.features(docs).count() === 500)
+    assert(MultimodalOps.frames(docs).count() > 0)
+  }
+}

@@ -1,0 +1,140 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.{SparkSpec, Tables}
+import graft.operators.StreamBatchOps
+
+/** Streaming window semantics (SURVEY §2-B "Streaming", §7 M6): tumbling +
+  * watermark + late-data drop, sliding, session windows, streaming dedup,
+  * and arbitrary state — driven through MemoryStream.
+  */
+class StreamingWindowSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumbling window + watermark finalizes windows and drops late data") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val counts = in.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("w"), col("cnt"))
+
+    val q = counts.writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((1L, ts("2024-01-01 00:05:00")), (2L, ts("2024-01-01 00:55:00")))
+      q.processAllAvailable()
+      // nothing finalized yet (watermark still inside the window)
+      assert(spark.table("tumbling").count() === 0)
+
+      // jump 2h → watermark passes 01:00 + 10min → window [00:00,01:00) final
+      in.addData((3L, ts("2024-01-01 03:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling").collect().map(r => (r.getTimestamp(0), r.getLong(1)))
+      assert(rows.toSeq === Seq((ts("2024-01-01 00:00:00"), 2L)))
+
+      // a very late event for the finalized window is DROPPED
+      in.addData((4L, ts("2024-01-01 00:30:00")))
+      q.processAllAvailable()
+      assert(spark.table("tumbling").count() === 1)
+    } finally q.stop()
+  }
+
+  test("sliding windows assign each event to overlapping windows (batch form)") {
+    val ev = Tables.events(spark, sf()).limit(100)
+    val slid = ev.select(col("event_id"), window(col("ts"), "1 hour", "15 minutes"))
+    // hour window sliding by 15min → every event falls in exactly 4 windows
+    assert(slid.count() === 400)
+  }
+
+  test("session_window streaming matches the gaps-and-islands batch equivalent") {
+    val sess = spark
+    import sess.implicits._
+    val ev = Tables.events(spark, sf())
+
+    // batch session_window (same expression a streaming query uses)
+    val viaSessionWindow = ev
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+
+    // gaps-and-islands at µs precision with session_window's boundary rule
+    // (merge while next_start < prev_start + gap)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("tsm", "event_id")
+    val wc = w.rowsBetween(Long.MinValue, 0)
+    val islands = ev
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsm"))
+      .withColumn("new_sess",
+        when(col("tsm") - lag(col("tsm"), 1).over(w) < 1800L * 1000000L, 0).otherwise(1))
+      .withColumn("sess_id", sum(col("new_sess")).over(wc))
+      .groupBy("user_id", "sess_id").agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+
+    assert(viaSessionWindow.sameElements(islands))
+    // and the oracle-checked floor-to-second variant has the same shape
+    assert(StreamBatchOps.sessions(ev).count() > 0)
+  }
+
+  test("dropDuplicatesWithinWatermark dedups replayed message ids") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp)]
+    val deduped = in.toDF().toDF("messageId", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("messageId")
+
+    val q = deduped.writeStream.format("memory").queryName("dedupstream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(("m1", ts("2024-01-01 00:00:00")), ("m2", ts("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      // redelivery of m1 (at-least-once source) within the watermark
+      in.addData(("m1", ts("2024-01-01 00:02:00")))
+      q.processAllAvailable()
+      assert(spark.table("dedupstream").select("messageId").collect()
+        .map(_.getString(0)).sorted.toSeq === Seq("m1", "m2"))
+    } finally q.stop()
+  }
+
+  test("arbitrary state: per-user running counts survive across micro-batches") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)] // (user_id, increment)
+
+    val counted = in.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val next = state.getOption.getOrElse(0L) + rows.map(_._2).sum
+          state.update(next)
+          (user, next)
+      }
+
+    val q = counted.toDF("user_id", "total").writeStream.format("memory")
+      .queryName("statecounts").outputMode(OutputMode.Update).start()
+    try {
+      in.addData((1L, 2L), (2L, 5L))
+      q.processAllAvailable()
+      in.addData((1L, 3L))
+      q.processAllAvailable()
+      val last = spark.table("statecounts").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (u, vs) => (u, vs.map(_._2).max) }
+      assert(last === Map(1L -> 5L, 2L -> 5L))
+    } finally q.stop()
+  }
+}
