@@ -1,0 +1,22 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators._
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions","8").config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val d = "/root/testdata/sf0.1"
+    val docs = Tables.documents(spark, d)
+    def time(n: String)(f: => Long): Unit = { val t0=System.nanoTime(); val c=f; println(f"[prof] $n%-28s ${(System.nanoTime()-t0)/1e9}%6.2f s  rows=$c") }
+    // stage 1: shingles only
+    val sh = docs.select(col("doc_id"), expr("filter(split(lower(text), ' '), t -> t != '')").as("toks"))
+    time("tokenize")(sh.count())
+    import graft.operators.DedupOps
+    time("nearMinhash e2e")(DedupOps.nearMinhash(docs).count())
+    time("nearMinhash again")(DedupOps.nearMinhash(docs).count())
+    time("ngramJaccard e2e")(DedupOps.ngramJaccard(docs).count())
+    spark.stop()
+  }
+}

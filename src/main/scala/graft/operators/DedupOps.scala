@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.ShingleExpressions
+
 /** Deduplication operators over `documents` (LLM-data-pipeline extensions).
   *
   * Scale design: every variant reduces to (a) a deterministic per-row
@@ -27,21 +29,6 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
-  /** Word k-shingles of a document (lowercased, whitespace tokens). */
-  private def shingles(text: Column, k: Int): Column = {
-    val toks = filter(split(lower(text), " "), t => t =!= "")
-    val n = size(toks)
-    array_distinct(
-      filter(
-        transform(sequence(lit(0), greatest(n - k, lit(0))),
-          i => when(n >= k, concat_ws(" ", slice(toks, i + 1, lit(k))))),
-        s => s.isNotNull))
-  }
-
-  /** One MinHash value: min over shingle hashes under seed `s`. */
-  private def minhash(sh: Column, s: Int): Column =
-    array_min(transform(sh, t => xxhash64(lit(s), t)))
-
   /** `dedup_near_minhash`: near-duplicate clustering via shingling →
     * MinHash → banded LSH. Signature: `nHashes` minhashes over word
     * 3-shingles; bands of `rowsPerBand` hashes are hashed to a band key;
@@ -56,24 +43,33 @@ object DedupOps {
   def nearMinhash(documents: DataFrame, shingleK: Int = 3, nHashes: Int = 32,
                   rowsPerBand: Int = 4, jaccardTau: Double = 0.7): DataFrame = {
     val nBands = nHashes / rowsPerBand
+    // compiled custom expressions (graft.functions.ShingleExpressions):
+    // the pure-HOF formulation is interpreted per element and profiled
+    // ~10s at sf0.1; one compiled pass per row is ~100× cheaper
     val sh = documents
-      .select(col("doc_id"), shingles(col("text"), shingleK).as("sh"))
+      .select(col("doc_id"),
+        ShingleExpressions.shingleHashes(lower(col("text")), shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
     val sig = sh.select(
-      col("doc_id"), col("sh"),
-      array((0 until nHashes).map(s => minhash(col("sh"), s)): _*).as("sig"))
+      col("doc_id"),
+      ShingleExpressions.minHashSignature(col("sh"), nHashes).as("sig"))
+    // banded rows carry ONLY (band-key, doc_id): the candidate self-join
+    // shuffles two longs per row, never the shingle arrays
     val banded = sig.select(
-      col("doc_id"), col("sh"),
+      col("doc_id"),
       explode(
         array((0 until nBands).map(b =>
           struct(lit(b).as("band"),
             xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
               .as("bh"))): _*)).as("bk"))
-    val l = banded.select(col("bk"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("bk"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    val cand = l.join(r, Seq("bk")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+    val cand = banded.select(col("bk"), col("doc_id").as("id_a"))
+      .join(banded.select(col("bk"), col("doc_id").as("id_b")), Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // verification re-attaches the (small, broadcastable) shingle sets
     cand
+      .join(broadcast(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))), "id_a")
+      .join(broadcast(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
@@ -107,11 +103,20 @@ object DedupOps {
     * crossJoin. Hot shingles (stopword runs) are the skew risk at scale —
     * cap or salt them. */
   def ngramJaccard(documents: DataFrame, k: Int = 3, tau: Double = 0.2): DataFrame = {
+    // 64-bit-hashed shingles: the self-join shuffles longs, not strings.
+    // Collisions would need ~2^32 distinct shingles to matter (corpus has
+    // ~10^5); result is semantically identical to joining raw shingles.
     val sh = documents
-      .select(col("doc_id"), explode(shingles(col("text"), k)).as("sh"))
+      .select(col("doc_id"),
+        explode(ShingleExpressions.shingleHashes(lower(col("text")), k)).as("sh"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sh.select(col("sh"), col("doc_id").as("id_a"))
-      .join(sh.select(col("sh"), col("doc_id").as("id_b")), "sh")
+    // exact pruning: a shingle held by a single document produces no
+    // pairs — drop it before the join (removes the long unique tail)
+    val shared = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1).select("sh")
+    val joinable = sh.join(shared, "sh")
+    val pairs = joinable.select(col("sh"), col("doc_id").as("id_a"))
+      .join(joinable.select(col("sh"), col("doc_id").as("id_b")), "sh")
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     pairs
