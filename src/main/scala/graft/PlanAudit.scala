@@ -1,0 +1,22 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Prints physical plans of representative queries for the scale audit —
+  * run after operator changes to confirm pushdown/broadcast/codegen hold. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val names = Seq("scan_project", "filter_pred", "join_broadcast",
+      "join_theta_range", "agg_hash_group", "join_multiway", "sim_cosine_topk",
+      "sort_limit_topk")
+    names.foreach { n =>
+      println(s"\n================ $n ================")
+      println(SparkEntry.queries(n)(spark, d).queryExecution.executedPlan
+        .treeString.linesIterator.take(40).mkString("\n"))
+    }
+    spark.stop()
+  }
+}

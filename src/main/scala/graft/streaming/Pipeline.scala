@@ -102,39 +102,6 @@ final class Pipeline(
     q
   }
 
-  /** Ack bookkeeping: on each completed batch, advance the bus's
-    * committed (acked) prefix to the batch's end offset. Events that
-    * arrive before the query's runId is known are buffered, so no batch
-    * commit can be missed (bind() replays them). */
-  private final class AckOnCommitListener(session: SparkSession, sub: String)
-      extends org.apache.spark.sql.streaming.StreamingQueryListener {
-    import org.apache.spark.sql.streaming.StreamingQueryListener._
-    @volatile private var runId: java.util.UUID = _
-    private val pending =
-      new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.streaming.StreamingQueryProgress]
-
-    def bind(id: java.util.UUID): Unit = synchronized {
-      runId = id
-      pending.filter(_.runId == id).foreach(ack)
-      pending.clear()
-    }
-
-    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-    override def onQueryIdle(e: QueryIdleEvent): Unit = ()
-    override def onQueryProgress(e: QueryProgressEvent): Unit = synchronized {
-      if (runId == null) pending += e.progress
-      else if (e.progress.runId == runId) ack(e.progress)
-    }
-    override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-      if (e.runId == runId) session.streams.removeListener(this)
-
-    private def ack(p: org.apache.spark.sql.streaming.StreamingQueryProgress): Unit =
-      p.sources.headOption.foreach { s =>
-        Option(s.endOffset).map(_.trim).filter(_.nonEmpty)
-          .foreach(o => InMemoryBus.commit(sub, o.toLong))
-      }
-  }
-
   /** Graceful shutdown between micro-batches — the engine's
     * `GracefulKiller` (`pubsub_pipeline.py:15-24,147-154`): a JVM
     * shutdown hook stops the query cleanly so the last committed batch
