@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{MinHashSignatureExpr, ShingleHashesExpr}
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * Catalyst expressions as SQL functions, so `spark.sql` users get the
+  * same compiled operators as the Column API:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions)...
+  * spark.sql("SELECT shingle_hashes(lower(text), 3) FROM docs")
+  * spark.sql("SELECT minhash_signature(shingle_hashes(text, 3), 32) ...")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got: $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashesExpr].getName, "shingle_hashes"),
+      (args: Seq[Expression]) =>
+        ShingleHashesExpr(args.head, intArg(args(1), "shingle size k"))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignatureExpr].getName, "minhash_signature"),
+      (args: Seq[Expression]) =>
+        MinHashSignatureExpr(args.head, intArg(args(1), "signature length n"))))
+  }
+}
+
+/** Same registrations for an already-running session (tests, REPL). */
+object GraftExtensions {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("shingle_hashes",
+      args => ShingleHashesExpr(args.head,
+        args(1).asInstanceOf[Literal].value.asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("minhash_signature",
+      args => MinHashSignatureExpr(args.head,
+        args(1).asInstanceOf[Literal].value.asInstanceOf[Int]), "built-in")
+  }
+}

@@ -110,18 +110,21 @@ object DedupOps {
       .select(col("doc_id"),
         explode(ShingleExpressions.shingleHashes(lower(col("text")), k)).as("sh"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // exact pruning: a shingle held by a single document produces no
-    // pairs — drop it before the join (removes the long unique tail)
-    val shared = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > 1).select("sh")
-    val joinable = sh.join(shared, "sh")
-    val pairs = joinable.select(col("sh"), col("doc_id").as("id_a"))
-      .join(joinable.select(col("sh"), col("doc_id").as("id_b")), "sh")
+    // inverted index in ONE shuffle: doc list per shingle; singleton
+    // shingles (df=1) can't produce pairs — dropped exactly. Pairs come
+    // from a double explode of the (≤ df_max) doc list, so there is no
+    // self-join and no second shuffle of the shingle table.
+    val byShingle = sh.groupBy("sh")
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val pairs = byShingle
+      .select(explode(col("ds")).as("id_a"), col("ds"))
+      .select(col("id_a"), explode(col("ds")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     pairs
-      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+      .join(broadcast(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a"))), "id_a")
+      .join(broadcast(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b"))), "id_b")
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))

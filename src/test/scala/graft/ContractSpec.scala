@@ -1,0 +1,47 @@
+package graft
+
+import graft.functions.ShingleExpressions
+import org.apache.spark.sql.functions._
+
+/** Wiring safety net for the driver contract: every oracle key has a
+  * query, every query analyzes and returns rows on sf0.001, and the SQL
+  * extension functions resolve.
+  */
+class ContractSpec extends SparkSpec {
+
+  test("every oracleSql key has a matching queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("every query analyzes and yields rows at sf0.001") {
+    val empties = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val df = fn(spark, sf())
+      assert(df.schema.nonEmpty, s"$name: empty schema")
+      // near-dup ops may legitimately be empty on the tiny corpus
+      val mayBeEmpty = Set("dedup_near_embedding", "dedup_near_minhash",
+        "dedup_ngram_jaccard", "join_anti", "set_except",
+        "join_theta_range" /* band is empty with only 10 suppliers @sf0.001 */)
+      if (!mayBeEmpty(name) && df.isEmpty) Some(name) else None
+    }
+    assert(empties.isEmpty, s"queries with no rows: $empties")
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("custom expressions are SQL-registrable and match the Column API") {
+    GraftExtensions.register(spark)
+    Tables.documents(spark, sf()).limit(20).createOrReplaceTempView("docs_ext")
+    val viaSql = spark.sql(
+      "SELECT doc_id, minhash_signature(shingle_hashes(lower(text), 3), 8) AS sig " +
+        "FROM docs_ext ORDER BY doc_id").collect()
+    val viaCol = Tables.documents(spark, sf()).limit(20)
+      .select(col("doc_id"),
+        ShingleExpressions.minHashSignature(
+          ShingleExpressions.shingleHashes(lower(col("text")), 3), 8).as("sig"))
+      .orderBy("doc_id").collect()
+    assert(viaSql.map(_.toString).toSeq === viaCol.map(_.toString).toSeq)
+  }
+}
