@@ -77,6 +77,7 @@ object SparkEntry {
     // --- similarity search (LLM-pipeline) ---
     "sim_cosine_topk" -> ((s, d) => VectorOps.cosineTopK(Tables.embeddings(s, d))),
     "sim_ann_lsh" -> ((s, d) => VectorOps.annLsh(Tables.embeddings(s, d))),
+    "sim_ann_ivf" -> ((s, d) => VectorOps.annIvf(Tables.embeddings(s, d))),
     // --- text analysis (LLM-pipeline) ---
     "text_wordcount" -> ((s, d) => TextOps.wordcount(Tables.documents(s, d))),
     "text_lang_stats" -> ((s, d) => TextOps.langStats(Tables.documents(s, d))),

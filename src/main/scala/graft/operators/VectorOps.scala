@@ -94,6 +94,43 @@ object VectorOps {
       .select(col("vec_id"), round(col("rawcos"), 6).as("cos"))
   }
 
+  /** `sim_ann_ivf`: IVF-style approximate top-k — the other standard ANN
+    * scale path. A KMeans coarse quantizer (MLlib, distributed fit)
+    * partitions the corpus into `nlist` cells; the probe scans only the
+    * `nprobe` cells whose centroids are most cosine-aligned. At 100 TB the
+    * assignment is precomputed/bucketed by cell so a probe touches
+    * nprobe/nlist of the data. Only the probe vector and the tiny centroid
+    * set ever reach the driver. No oracle (approximate); ScalaTest asserts
+    * recall vs the exact baseline. */
+  def annIvf(embeddings: DataFrame, probeId: Long = 0L, k: Int = 10,
+             nlist: Int = 8, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = embeddings.withColumn("fv",
+      array_to_vector(col("embedding").cast("array<double>")))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(feat)
+    val assigned = model.transform(feat)
+    val probeVec = embeddings.filter(col("vec_id") === probeId)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cells = model.clusterCenters.map(_.toArray).zipWithIndex
+      .sortBy { case (c, _) => -cos(c, probeVec) }.take(nprobe).map(_._2)
+    val probe = embeddings.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("probe"))
+    assigned
+      .filter(col("cell").isin(cells.toIndexedSeq: _*))
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), cosine(col("embedding"), col("probe")).as("rawcos"))
+      .orderBy(col("rawcos").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("rawcos"), 6).as("cos"))
+  }
+
   /** `dedup_near_embedding`: embedding-cosine near-duplicate pairs via LSH
     * blocking — candidate pairs share a bucket, then exact cosine filters.
     * Avoids the O(n²) crossJoin: the join is bucket-equi, so at scale it

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class SkewAndIvfSpec extends SparkSpec {
+
+  test("saltedJoin returns exactly the unsalted join result") {
+    val ev = Tables.events(spark, sf()) // user_id is the (mildly) skewed key
+      .select(col("event_id"), col("user_id"))
+    val dim = Tables.customer(spark, sf())
+      .select(col("c_custkey").as("user_id"), col("c_name"))
+    val plain = ev.join(dim, "user_id")
+      .select("event_id", "user_id", "c_name")
+      .collect().map(_.toString).sorted
+    val salted = Skew.saltedJoin(ev, dim, "user_id", salt = 4)
+      .select("event_id", "user_id", "c_name")
+      .collect().map(_.toString).sorted
+    assert(plain.length > 0)
+    assert(plain.sameElements(salted))
+  }
+
+  test("saltedCount matches plain groupBy count") {
+    val ev = Tables.events(spark, sf())
+    val plain = ev.groupBy("user_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val salted = Skew.saltedCount(ev, "user_id", salt = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(plain === salted)
+  }
+
+  test("sim_ann_ivf recall@10 vs exact brute force") {
+    val emb = Tables.embeddings(spark, sf())
+    val exact = VectorOps.cosineTopK(emb, probeId = 0, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = VectorOps.annIvf(emb, probeId = 0, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@10 = $recall")
+  }
+}

@@ -109,6 +109,41 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed aggregation runs inside the bus pipeline's transform slot") {
+    import graft.sources.InMemoryBus
+    val id = java.util.UUID.randomUUID().toString.take(8)
+    val (inTopic, inSub, outTopic, outSub) =
+      (s"w-in-$id", s"w-insub-$id", s"w-out-$id", s"w-outsub-$id")
+    InMemoryBus.createTopic(inTopic); InMemoryBus.createSubscription(inTopic, inSub)
+    InMemoryBus.createTopic(outTopic); InMemoryBus.createSubscription(outTopic, outSub)
+
+    // replay event-shaped JSON through the bus; the transform is the SAME
+    // windowed-agg expression the batch oracle checks (M6): watermark +
+    // tumbling 1h counts, append mode emits finalized windows as messages
+    def msg(t: String) = s"""{"ts":"$t","user":1}""".getBytes("UTF-8")
+    Seq("2024-01-01 00:05:00", "2024-01-01 00:45:00", "2024-01-01 03:00:00")
+      .foreach(t => InMemoryBus.publish(inTopic, msg(t)))
+
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("ts", "string").add("user", "long")
+    val pipe = new Pipeline(spark, inSub, outTopic, JsonSerde(schema),
+      df => df
+        .select(col("payload.ts").cast("timestamp").as("ts"), col("payload.user"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(date_format(col("window.start"), "HH:mm").as("w"), col("cnt")),
+      java.nio.file.Files.createTempDirectory("wdemo-ckpt").toString,
+      bulkLimit = 2 /* forces multiple micro-batches -> watermark advances */)
+    val q = pipe.start(availableNow = true)
+    q.awaitTermination(60000)
+
+    val out = InMemoryBus.payloads(outSub).map(new String(_, "UTF-8"))
+    // window [00:00,01:00) finalized once the 03:00 event advanced the
+    // watermark; the 03:00 window itself is still open -> not emitted
+    assert(out === Seq("""{"w":"00:00","cnt":2}"""))
+  }
+
   test("arbitrary state: per-user running counts survive across micro-batches") {
     val sess = spark
     import sess.implicits._
