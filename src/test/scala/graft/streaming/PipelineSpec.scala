@@ -121,6 +121,30 @@ class PipelineSpec extends SparkSpec {
     assert(q.recentProgress.forall(_.numInputRows <= 20))
   }
 
+  test("graceful stop between micro-batches resumes from checkpoint without loss") {
+    val (inTopic, inSub, outTopic, outSub) = fresh("c6")
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    def pipe(): Pipeline = new Pipeline(
+      spark, inSub, outTopic, JsonSerde(payloadSchema),
+      df => df.select(col("payload.*")), ckpt)
+
+    (1 to 3).foreach(_ => InMemoryBus.publish(inTopic, fixture.getBytes(UTF_8)))
+    val q1 = pipe().start(availableNow = true)
+    q1.awaitTermination(60000)
+    // the GracefulKiller analog: stop between batches
+    // (pubsub_pipeline.py:147-154); AvailableNow already stopped cleanly
+    assert(!q1.isActive)
+    assert(awaitCommitted(inSub, 3) === 3)
+
+    // more traffic while "the VM was preempted", then restart same ckpt
+    (1 to 2).foreach(_ => InMemoryBus.publish(inTopic, fixture.getBytes(UTF_8)))
+    val q2 = pipe().start(availableNow = true)
+    q2.awaitTermination(60000)
+    // no loss, no duplicates across the stop/resume boundary
+    assert(InMemoryBus.payloads(outSub).size === 5)
+    assert(awaitCommitted(inSub, 5) === 5)
+  }
+
   test("operator library composes into the streaming transform slot") {
     val (inTopic, inSub, outTopic, outSub) = fresh("c5")
     (1 to 4).foreach(i => InMemoryBus.publish(inTopic,
