@@ -49,6 +49,7 @@ object SparkEntry {
     "agg_rollup" -> ((s, d) =>
       Aggs.rollupRegionNation(Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "agg_cube" -> ((s, d) => Aggs.cubeStatusPriority(Tables.orders(s, d))),
+    "agg_pivot" -> ((s, d) => Aggs.pivotStatus(Tables.orders(s, d))),
     "agg_stats" -> ((s, d) => Aggs.stats(Tables.orders(s, d))),
     // --- windows ---
     "window_rank" -> ((s, d) => Windows.rankInCustomer(Tables.orders(s, d))),
@@ -59,10 +60,12 @@ object SparkEntry {
     "sort_limit_topk" -> ((s, d) => SortsSets.topk(Tables.orders(s, d))),
     "topk_per_group" -> ((s, d) => Windows.topkPerGroup(Tables.orders(s, d))),
     "set_union" -> ((s, d) => SortsSets.unionNations(Tables.customer(s, d), Tables.supplier(s, d))),
+    "set_union_all" -> ((s, d) => SortsSets.unionAllNations(Tables.customer(s, d), Tables.supplier(s, d))),
     "set_intersect" -> ((s, d) => SortsSets.intersectNations(Tables.customer(s, d), Tables.supplier(s, d))),
     "set_except" -> ((s, d) => SortsSets.exceptNations(Tables.customer(s, d), Tables.supplier(s, d))),
     // --- scalar functions ---
     "fn_string" -> ((s, d) => ScalarFns.fnString(Tables.part(s, d))),
+    "fn_regexp" -> ((s, d) => ScalarFns.fnRegexp(Tables.part(s, d))),
     "fn_date" -> ((s, d) => ScalarFns.fnDate(Tables.orders(s, d))),
     "fn_math" -> ((s, d) => ScalarFns.fnMath(Tables.part(s, d))),
     "fn_array" -> ((s, d) => VectorOps.fnArray(Tables.embeddings(s, d))),
@@ -225,6 +228,13 @@ object SparkEntry {
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
 
+    "agg_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "agg_stats" ->
       """SELECT min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
         |  round(stddev_samp(o_totalprice), 2) AS stddev_price,
@@ -281,6 +291,11 @@ object SparkEntry {
         |UNION SELECT s_nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
 
+    "set_union_all" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION ALL SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
     "set_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |INTERSECT SELECT s_nationkey FROM supplier
@@ -299,6 +314,14 @@ object SparkEntry {
         |  CAST(length(p_name) AS INTEGER) AS name_len,
         |  trim(p_name) AS trimmed,
         |  (p_type LIKE 'S%') AS is_s_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_regexp" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word,
+        |  regexp_extract(p_brand, '(\d+)', 1) AS brand_num,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled,
+        |  regexp_matches(p_name, '^[a-z]+ [a-z]+$') AS two_words
         |FROM part ORDER BY p_partkey""".stripMargin,
 
     "fn_date" ->

@@ -278,6 +278,21 @@ object Aggs {
         col("order_cnt"), col("total_price"))
       .orderBy("o_orderstatus", "o_orderpriority")
 
+  /** `agg_pivot`: status-by-priority crosstab via native pivot with an
+    * explicit value list (no extra distinct-values job, and the output
+    * schema is static — required for a streaming-compatible plan). */
+  def pivotStatus(orders: DataFrame): DataFrame =
+    orders
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(
+        col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy("o_orderpriority")
+
   /** `agg_stats`: min/max/stddev/exact interpolated percentiles. The exact
     * `percentile` needs a per-group sort — fine here (single group); at
     * 100 TB swap to `percentile_approx` (fixed-size sketch, mergeable). */
@@ -383,6 +398,13 @@ object SortsSets {
       .distinct()
       .orderBy("nationkey")
 
+  /** `set_union_all`: bag union (keeps duplicates) — `union` in Spark is
+    * UNION ALL; the distinct variant is `set_union`. */
+  def unionAllNations(customer: DataFrame, supplier: DataFrame): DataFrame =
+    customer.select(col("c_nationkey").as("nationkey"))
+      .union(supplier.select(col("s_nationkey")))
+      .orderBy("nationkey")
+
   /** `set_intersect`: nations having both customers and suppliers. */
   def intersectNations(customer: DataFrame, supplier: DataFrame): DataFrame =
     customer.select(col("c_nationkey").as("nationkey"))
@@ -413,6 +435,18 @@ object ScalarFns {
         length(col("p_name")).as("name_len"),
         trim(col("p_name")).as("trimmed"),
         col("p_type").startsWith("S").as("is_s_type"))
+      .orderBy("p_partkey")
+
+  /** `fn_regexp`: extraction (group select, empty-string on no match —
+    * same contract in DuckDB) and global replacement. */
+  def fnRegexp(part: DataFrame): DataFrame =
+    part
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "([a-z]+) ([a-z]+)", 2).as("second_word"),
+        regexp_extract(col("p_brand"), "(\\d+)", 1).as("brand_num"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("devoweled"),
+        col("p_name").rlike("^[a-z]+ [a-z]+$").as("two_words"))
       .orderBy("p_partkey")
 
   /** `fn_date`. */
