@@ -48,6 +48,10 @@ object ShingleExpressions {
   /** Column API: n-element MinHash signature of a shingle-hash array. */
   def minHashSignature(hashes: Column, n: Int): Column =
     column(MinHashSignatureExpr(expression(hashes), n))
+
+  /** Column API: compiled sequential dot product of two numeric arrays. */
+  def dotProduct(a: Column, b: Column): Column =
+    column(DotProductExpr(expression(a), expression(b)))
 }
 
 /** `shingle_hashes(text, k)`: split on single spaces, drop empty tokens,
@@ -91,6 +95,45 @@ case class ShingleHashesExpr(child: Expression, k: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** `dot_product(a, b)`: sequential-fold double dot product of two
+  * numeric arrays (float inputs widened per element before multiplying —
+  * the same arithmetic, in the same order, as the interpreted
+  * `zip_with`+`aggregate` formulation and as DuckDB's
+  * `list_dot_product(a::DOUBLE[], b::DOUBLE[])`, so oracle results are
+  * bit-identical). Compiled loop instead of per-element lambda
+  * interpretation — the vector ops' hot path. */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  private def isFloatArr(e: Expression): Boolean = e.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    val aF = isFloatArr(left); val bF = isFloatArr(right)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `minhash_signature(hashes, n)`: n minima of affine hash mixes

@@ -11,12 +11,12 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Sequential-fold dot product of two array<float|double> columns. */
+  /** Sequential-fold dot product of two array<float|double> columns —
+    * compiled custom expression (same arithmetic order as the HOF
+    * `zip_with`+`aggregate` form and DuckDB's list_dot_product on
+    * DOUBLE[], so oracle results stay bit-identical). */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+    graft.functions.ShingleExpressions.dotProduct(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
