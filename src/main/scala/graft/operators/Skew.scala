@@ -28,6 +28,34 @@ object Skew {
     saltedLeft.join(replicatedDim, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Scalable global row_number: an unpartitioned `Window.orderBy` pulls
+    * every row through ONE task (fine for a dim table, fatal for a fact
+    * table). This is the distributed equivalent: range-repartition on the
+    * sort key, rank locally per partition, then add broadcasted partition
+    * offsets. Two passes over the data, no single-task bottleneck.
+    * Result is identical to `row_number().over(Window.orderBy(sortCols))`
+    * for a total (tie-free) sort key (verified by SkewAndIvfSpec). */
+  def distributedRowNumber(df: DataFrame, numPartitions: Int,
+                           sortCols: org.apache.spark.sql.Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parted = df
+      .repartitionByRange(numPartitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val local = parted.withColumn("__local_rn",
+      row_number().over(Window.partitionBy("__pid").orderBy(sortCols: _*)))
+    // pass 1: per-partition counts -> prefix offsets (tiny, driver-safe)
+    val counts = parted.groupBy("__pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }
+      .sliding(2).collect { case Array((_, off), (pid, _)) => (pid, off) }.toSeq
+    val offDf = df.sparkSession.createDataFrame(offsets).toDF("__pid", "__off")
+    local
+      .join(broadcast(offDf), Seq("__pid"), "left")
+      .withColumn("rn", col("__local_rn") + coalesce(col("__off"), lit(0L)))
+      .drop("__pid", "__local_rn", "__off")
+  }
+
   /** Two-phase skewed aggregation: count per (key, salt) map-side-style,
     * then merge per key — the classic fix when one group holds most rows
     * and a single reducer would own it. */

@@ -30,6 +30,22 @@ class SkewAndIvfSpec extends SparkSpec {
     assert(plain === salted)
   }
 
+  test("distributedRowNumber equals the single-task global window") {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.orders(spark, sf())
+    val viaWindow = orders
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .select("o_orderkey", "rn")
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong)).toMap
+    val viaDistributed = Skew.distributedRowNumber(
+      orders, 8, col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_orderkey", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaWindow.size === viaDistributed.size)
+    assert(viaWindow === viaDistributed)
+  }
+
   test("sim_ann_ivf recall@10 vs exact brute force") {
     val emb = Tables.embeddings(spark, sf())
     val exact = VectorOps.cosineTopK(emb, probeId = 0, k = 10)
