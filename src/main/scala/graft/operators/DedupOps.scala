@@ -109,7 +109,10 @@ object DedupOps {
     val sh = documents
       .select(col("doc_id"),
         explode(ShingleExpressions.shingleHashes(lower(col("text")), k)).as("sh"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // |shingles(doc)| computed map-side from the array length — no
+    // explode + groupBy shuffle just to count
+    val sizes = documents.select(col("doc_id"),
+      size(ShingleExpressions.shingleHashes(lower(col("text")), k)).cast("long").as("n"))
     // inverted index in ONE shuffle: doc list per shingle; singleton
     // shingles (df=1) can't produce pairs — dropped exactly. Pairs come
     // from a double explode of the (≤ df_max) doc list, so there is no

@@ -108,7 +108,9 @@ object VectorOps {
     import org.apache.spark.ml.functions.array_to_vector
     val feat = embeddings.withColumn("fv",
       array_to_vector(col("embedding").cast("array<double>")))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+    // few iterations: cells only need to be a stable coarse partition,
+    // not a converged clustering
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("cell").fit(feat)
     val assigned = model.transform(feat)
     val probeVec = embeddings.filter(col("vec_id") === probeId)
