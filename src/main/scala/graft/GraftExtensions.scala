@@ -18,12 +18,7 @@ import graft.functions.{MinHashSignatureExpr, ShingleHashesExpr}
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-
-  private def intArg(e: Expression, what: String): Int = e match {
-    case Literal(v: Int, _) => v
-    case other => throw new IllegalArgumentException(
-      s"$what must be an integer literal, got: $other")
-  }
+  import GraftExtensions.intArg
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -41,13 +36,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 /** Same registrations for an already-running session (tests, REPL). */
 object GraftExtensions {
+  private[graft] def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got: $other")
+  }
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("shingle_hashes",
-      args => ShingleHashesExpr(args.head,
-        args(1).asInstanceOf[Literal].value.asInstanceOf[Int]), "built-in")
+      args => ShingleHashesExpr(args.head, intArg(args(1), "shingle size k")),
+      "built-in")
     reg.createOrReplaceTempFunction("minhash_signature",
-      args => MinHashSignatureExpr(args.head,
-        args(1).asInstanceOf[Literal].value.asInstanceOf[Int]), "built-in")
+      args => MinHashSignatureExpr(args.head, intArg(args(1), "signature length n")),
+      "built-in")
   }
 }

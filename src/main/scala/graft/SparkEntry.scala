@@ -424,10 +424,10 @@ object SparkEntry {
     "text_quality" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER) AS n_words,
-        |  CAST(n_chars AS DOUBLE) / len(list_filter(string_split(text, ' '), x -> x <> '')) AS chars_per_word,
+        |  CAST(n_chars AS DOUBLE) / NULLIF(len(list_filter(string_split(text, ' '), x -> x <> '')), 0) AS chars_per_word,
         |  CAST(len(list_filter(string_split(text, ' '),
         |    x -> x IN ('the','a','of','and','in','to','is','it'))) AS DOUBLE)
-        |    / len(list_filter(string_split(text, ' '), x -> x <> '')) AS stopword_ratio,
+        |    / NULLIF(len(list_filter(string_split(text, ' '), x -> x <> '')), 0) AS stopword_ratio,
         |  CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
         |    / greatest(n_chars, 1) AS alpha_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,

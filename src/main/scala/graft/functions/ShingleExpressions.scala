@@ -114,12 +114,18 @@ case class DotProductExpr(left: Expression, right: Expression)
     case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
     case _ => false
   }
+  // type dispatch once, not per row (this is the vector ops' hot path)
+  @transient private lazy val aF = isFloatArr(left)
+  @transient private lazy val bF = isFloatArr(right)
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
-    val aF = isFloatArr(left); val bF = isFloatArr(right)
+    val n = a.numElements()
+    // fail loudly on dimension mismatch rather than returning a
+    // plausible-but-wrong partial dot product
+    if (b.numElements() != n) throw new IllegalArgumentException(
+      s"dot_product: mismatched dimensions ${n} vs ${b.numElements()}")
     var acc = 0.0
     var i = 0
     while (i < n) {

@@ -102,8 +102,11 @@ object MultimodalOps {
   def sampleFrames(media: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame = {
     val nFrames = floor(length(col("payload")) / frameBytes).cast("int")
     media
+      // payloads shorter than one frame emit nothing (all emitted frames
+      // are exactly frameBytes — no truncated pseudo-frame)
+      .filter(nFrames > 0)
       .select(col("media_id"), col("payload"),
-        explode(sequence(lit(0), greatest(nFrames - 1, lit(0)))).as("frame_idx"))
+        explode(sequence(lit(0), nFrames - 1)).as("frame_idx"))
       .filter(col("frame_idx") % stride === 0)
       .select(
         col("media_id"), col("frame_idx"),

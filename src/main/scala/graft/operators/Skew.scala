@@ -38,10 +38,16 @@ object Skew {
   def distributedRowNumber(df: DataFrame, numPartitions: Int,
                            sortCols: org.apache.spark.sql.Column*): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // localCheckpoint pins the partitioning: repartitionByRange SAMPLES
+    // its boundaries per execution, so running the counts action and the
+    // ranking action over un-materialized lineage would rank against
+    // offsets from a DIFFERENT partitioning (verified: two executions of
+    // the same lineage produced different partition sizes)
     val parted = df
       .repartitionByRange(numPartitions, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     val local = parted.withColumn("__local_rn",
       row_number().over(Window.partitionBy("__pid").orderBy(sortCols: _*)))
     // pass 1: per-partition counts -> prefix offsets (tiny, driver-safe)

@@ -69,12 +69,15 @@ object TextOps {
     val words = filter(split(col("text"), " "), t => t =!= "")
     val nWords = size(words)
     val stopHits = size(filter(words, w => w.isin(stopwords: _*)))
+    // empty/whitespace-only docs: ratios are NULL, not a DIVIDE_BY_ZERO
+    // abort (ANSI mode throws on /0)
+    val safeWords = when(nWords === 0, lit(null)).otherwise(nWords)
     documents
       .select(
         col("doc_id"),
         nWords.as("n_words"),
-        (col("n_chars").cast("double") / nWords).as("chars_per_word"),
-        (stopHits.cast("double") / nWords).as("stopword_ratio"),
+        (col("n_chars").cast("double") / safeWords).as("chars_per_word"),
+        (stopHits.cast("double") / safeWords).as("stopword_ratio"),
         (length(regexp_replace(col("text"), "[^a-z ]", "")).cast("double") /
           greatest(col("n_chars"), lit(1)).cast("double")).as("alpha_ratio"))
       .orderBy("doc_id")

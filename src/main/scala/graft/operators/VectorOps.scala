@@ -18,8 +18,12 @@ object VectorOps {
   def dot(a: Column, b: Column): Column =
     graft.functions.ShingleExpressions.dotProduct(a, b)
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** Zero-norm vectors yield NULL (excluded by top-k ordering and
+    * threshold filters) instead of an ANSI DIVIDE_BY_ZERO abort. */
+  def cosine(a: Column, b: Column): Column = {
+    val den = sqrt(dot(a, a)) * sqrt(dot(b, b))
+    when(den === 0, lit(null)).otherwise(dot(a, b) / den)
+  }
 
   /** `fn_array`: array ops — size, element access (front/back), norm. */
   def fnArray(embeddings: DataFrame): DataFrame =

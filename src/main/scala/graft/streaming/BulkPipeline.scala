@@ -41,7 +41,7 @@ final class BulkPipeline[A, B](
       .option("bulkLimit", bulkLimit)
       .load()
       .select("value")
-    val q = src.writeStream
+    val q = try src.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(0))
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -62,6 +62,10 @@ final class BulkPipeline[A, B](
         }
       }
       .start()
+    catch {
+      // unbound listener would buffer other queries' events forever
+      case e: Throwable => spark.streams.removeListener(ackListener); throw e
+    }
     ackListener.bind(q.runId)
     q
   }

@@ -83,21 +83,27 @@ final class Pipeline(
     val out = transform(stream())
     val ackListener = new AckOnCommitListener(spark, subscription)
     spark.streams.addListener(ackListener)
-    val q = out
-      .select(serde.serialize(struct(out.columns.map(col).toIndexedSeq: _*)).as("data"))
-      .writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(0))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val topic = outTopic
-        // Executor-side publish: no collect-to-driver. On the in-memory
-        // bus this is same-JVM; against a real service each partition
-        // holds one publisher client.
-        batch.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-          rows.foreach(r => InMemoryBus.publish(topic, r.getAs[Array[Byte]](0)))
+    // if start() itself throws, unregister the listener — an unbound
+    // listener would buffer every future query's progress events forever
+    val q = try {
+      out
+        .select(serde.serialize(struct(out.columns.map(col).toIndexedSeq: _*)).as("data"))
+        .writeStream
+        .option("checkpointLocation", checkpointDir)
+        .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(0))
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val topic = outTopic
+          // Executor-side publish: no collect-to-driver. On the in-memory
+          // bus this is same-JVM; against a real service each partition
+          // holds one publisher client.
+          batch.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+            rows.foreach(r => InMemoryBus.publish(topic, r.getAs[Array[Byte]](0)))
+          }
         }
-      }
-      .start()
+        .start()
+    } catch {
+      case e: Throwable => spark.streams.removeListener(ackListener); throw e
+    }
     ackListener.bind(q.runId)
     q
   }
