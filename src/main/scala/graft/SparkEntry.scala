@@ -94,6 +94,7 @@ object SparkEntry {
     "multimodal_frames" -> ((s, d) => MultimodalOps.frames(Tables.documents(s, d))),
     // --- streaming batch-equivalents ---
     "stream_tumbling_batch" -> ((s, d) => StreamBatchOps.tumbling(Tables.events(s, d))),
+    "stream_sliding_batch" -> ((s, d) => StreamBatchOps.sliding(Tables.events(s, d))),
     "stream_session_batch" -> ((s, d) => StreamBatchOps.sessions(Tables.events(s, d))),
   )
 
@@ -437,6 +438,13 @@ object SparkEntry {
         |  COUNT(*) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1 ORDER BY hour_start_s""".stripMargin,
+
+    "stream_sliding_batch" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes') AS BIGINT) AS slot_s,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events, (SELECT unnest(range(0, 4)) AS k) k
+        |GROUP BY 1 ORDER BY slot_s""".stripMargin,
 
     "stream_session_batch" ->
       """WITH flagged AS (

@@ -26,6 +26,19 @@ object StreamBatchOps {
         col("cnt"), col("total_value"))
       .orderBy("hour_start_s")
 
+  /** `stream_sliding_batch`: 1-hour windows sliding every 15 minutes —
+    * each event lands in exactly 4 overlapping windows. Same `window()`
+    * expression as the streaming form; the oracle reproduces the slots
+    * with time_bucket + 4 offsets. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("cnt"), Num.dsum(col("value")).as("total_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("slot_s"),
+        col("cnt"), col("total_value"))
+      .orderBy("slot_s")
+
   /** `stream_session_batch`: session windows with a 30-minute gap, per
     * user — the gaps-and-islands batch equivalent of
     * `session_window(ts, "30 minutes")`. Two windows over ONE shuffle on
