@@ -437,13 +437,14 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start_s,
         |  COUNT(*) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1 ORDER BY hour_start_s""".stripMargin,
+        |FROM events WHERE ts IS NOT NULL GROUP BY 1 ORDER BY hour_start_s""".stripMargin,
 
     "stream_sliding_batch" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes') AS BIGINT) AS slot_s,
         |  COUNT(*) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events, (SELECT unnest(range(0, 4)) AS k) k
+        |WHERE ts IS NOT NULL
         |GROUP BY 1 ORDER BY slot_s""".stripMargin,
 
     "stream_session_batch" ->

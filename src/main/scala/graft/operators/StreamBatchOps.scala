@@ -12,32 +12,33 @@ import org.apache.spark.sql.functions._
   */
 object StreamBatchOps {
 
-  /** `stream_tumbling_batch`: tumbling 1-hour event-time windows.
-    * `window()` is the identical expression a streaming query uses; in
-    * batch it's a plain groupBy (one partial+final agg). Output key is
-    * epoch seconds of the window start to dodge cross-engine timestamp
-    * encoding. */
-  def tumbling(events: DataFrame): DataFrame =
+  /** Shared body of the time-windowed aggregations: `window()` is the
+    * identical expression a streaming query uses; in batch it's a plain
+    * groupBy (one partial+final agg). Output key is epoch seconds of the
+    * window start to dodge cross-engine timestamp encoding. (Spark's
+    * window() drops NULL-timestamp rows; the oracle SQL filters them
+    * explicitly for the same semantics.) */
+  private def windowed(events: DataFrame, duration: String,
+                       slide: Option[String], keyName: String): DataFrame = {
+    val w = slide.fold(window(col("ts"), duration))(s => window(col("ts"), duration, s))
     events
-      .groupBy(window(col("ts"), "1 hour"))
+      .groupBy(w)
       .agg(count(lit(1)).as("cnt"), Num.dsum(col("value")).as("total_value"))
       .select(
-        unix_timestamp(col("window.start")).as("hour_start_s"),
+        unix_timestamp(col("window.start")).as(keyName),
         col("cnt"), col("total_value"))
-      .orderBy("hour_start_s")
+      .orderBy(keyName)
+  }
+
+  /** `stream_tumbling_batch`: tumbling 1-hour event-time windows. */
+  def tumbling(events: DataFrame): DataFrame =
+    windowed(events, "1 hour", None, "hour_start_s")
 
   /** `stream_sliding_batch`: 1-hour windows sliding every 15 minutes —
-    * each event lands in exactly 4 overlapping windows. Same `window()`
-    * expression as the streaming form; the oracle reproduces the slots
-    * with time_bucket + 4 offsets. */
+    * each event lands in exactly 4 overlapping windows (the oracle
+    * reproduces the slots with time_bucket + 4 offsets). */
   def sliding(events: DataFrame): DataFrame =
-    events
-      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
-      .agg(count(lit(1)).as("cnt"), Num.dsum(col("value")).as("total_value"))
-      .select(
-        unix_timestamp(col("window.start")).as("slot_s"),
-        col("cnt"), col("total_value"))
-      .orderBy("slot_s")
+    windowed(events, "1 hour", Some("15 minutes"), "slot_s")
 
   /** `stream_session_batch`: session windows with a 30-minute gap, per
     * user — the gaps-and-islands batch equivalent of
