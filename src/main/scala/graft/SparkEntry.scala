@@ -40,6 +40,8 @@ object SparkEntry {
     "join_left_outer" -> ((s, d) => Joins.leftOuter(Tables.customer(s, d), Tables.orders(s, d))),
     "join_semi" -> ((s, d) => Joins.semi(Tables.customer(s, d), Tables.orders(s, d))),
     "join_anti" -> ((s, d) => Joins.anti(Tables.customer(s, d), Tables.orders(s, d))),
+    "join_full_outer" -> ((s, d) => Joins.fullOuter(Tables.customer(s, d), Tables.supplier(s, d))),
+    "join_cross" -> ((s, d) => Joins.crossDims(Tables.region(s, d), Tables.customer(s, d))),
     "join_theta_range" -> ((s, d) => Joins.thetaRange(Tables.part(s, d), Tables.supplier(s, d))),
     "join_asof_event" -> ((s, d) => Joins.asofEvent(Tables.events(s, d), Tables.orders(s, d))),
     // --- aggregations ---
@@ -49,6 +51,8 @@ object SparkEntry {
     "agg_rollup" -> ((s, d) =>
       Aggs.rollupRegionNation(Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "agg_cube" -> ((s, d) => Aggs.cubeStatusPriority(Tables.orders(s, d))),
+    "agg_grouping_sets" -> ((s, d) =>
+      Aggs.groupingSetsRegionNation(Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "agg_pivot" -> ((s, d) => Aggs.pivotStatus(Tables.orders(s, d))),
     "agg_stats" -> ((s, d) => Aggs.stats(Tables.orders(s, d))),
     // --- windows ---
@@ -176,6 +180,22 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
 
+    "join_full_outer" ->
+      """SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+        |  COALESCE(c.c_cnt, 0) AS c_cnt, COALESCE(s.s_cnt, 0) AS s_cnt
+        |FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS c_cnt
+        |      FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS nationkey, COUNT(*) AS s_cnt
+        |      FROM supplier GROUP BY 1) s
+        |  ON c.nationkey = s.nationkey
+        |ORDER BY nationkey""".stripMargin,
+
+    "join_cross" ->
+      """SELECT r_name, c_mktsegment
+        |FROM (SELECT r_name FROM region) r
+        |CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) c
+        |ORDER BY r_name, c_mktsegment""".stripMargin,
+
     "join_theta_range" ->
       """SELECT s_suppkey, COUNT(*) AS n_parts
         |FROM part JOIN supplier
@@ -218,6 +238,16 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT COALESCE(r_name, '_ALL_') AS r_name, COALESCE(n_name, '_ALL_') AS n_name,
+        |  COUNT(*) AS cust_cnt,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (n_name), ())
         |ORDER BY r_name, n_name""".stripMargin,
 
     "agg_cube" ->

@@ -165,6 +165,28 @@ object Joins {
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
+  /** `join_full_outer`: per-nation customer vs supplier presence — rows
+    * survive from BOTH sides (nations with customers but no suppliers and
+    * vice versa). */
+  def fullOuter(customer: DataFrame, supplier: DataFrame): DataFrame = {
+    val c = customer.groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("c_cnt"))
+    val s = supplier.groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("s_cnt"))
+    c.join(s, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("c_cnt"), lit(0L)).as("c_cnt"),
+        coalesce(col("s_cnt"), lit(0L)).as("s_cnt"))
+      .orderBy("nationkey")
+  }
+
+  /** `join_cross`: cartesian product of two tiny dims (explicit
+    * crossJoin — Spark refuses implicit cartesians). */
+  def crossDims(region: DataFrame, customer: DataFrame): DataFrame =
+    region.select(col("r_name"))
+      .crossJoin(customer.select(col("c_mktsegment")).distinct())
+      .orderBy("r_name", "c_mktsegment")
+
   /** `join_theta_range`: non-equi band join part × supplier. Planned as
     * broadcast nested loop (supplier is tiny); at scale the small side must
     * stay broadcastable or this needs an interval-index rewrite. */
@@ -260,6 +282,24 @@ object Aggs {
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("cust_cnt"), Num.dsum(col("c_acctbal")).as("total_bal"))
+      .select(
+        coalesce(col("r_name"), lit("_ALL_")).as("r_name"),
+        coalesce(col("n_name"), lit("_ALL_")).as("n_name"),
+        col("cust_cnt"), col("total_bal"))
+      .orderBy("r_name", "n_name")
+
+  /** `agg_grouping_sets`: explicit grouping sets — per-region, per-nation
+    * (marginals) and the grand total, WITHOUT the (region, nation) detail
+    * rows a rollup would include. */
+  def groupingSetsRegionNation(customer: DataFrame, nation: DataFrame,
+                               region: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupingSets(
+        Seq(Seq(col("r_name")), Seq(col("n_name")), Seq.empty),
+        col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("cust_cnt"), Num.dsum(col("c_acctbal")).as("total_bal"))
       .select(
         coalesce(col("r_name"), lit("_ALL_")).as("r_name"),
