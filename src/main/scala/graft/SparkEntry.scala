@@ -93,6 +93,7 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
+    "pipeline_enrich" -> ((s, d) => TextOps.enrich(Tables.documents(s, d))),
     // --- multimodal columns (LLM-pipeline; decode stubbed, see MultimodalOps) ---
     "multimodal_features" -> ((s, d) => MultimodalOps.features(Tables.documents(s, d))),
     "multimodal_frames" -> ((s, d) => MultimodalOps.frames(Tables.documents(s, d))),
@@ -462,6 +463,17 @@ object SparkEntry {
         |  CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
         |    / greatest(n_chars, 1) AS alpha_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pipeline_enrich" ->
+      """SELECT doc_id, lang, n_words,
+        |  CAST(n_chars AS DOUBLE) / n_words AS chars_per_word
+        |FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER) AS n_words,
+        |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents
+        |  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 20) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "stream_tumbling_batch" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start_s,

@@ -115,6 +115,25 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** `pipeline_enrich`: an end-to-end enrichment composition — the
+    * engine's raison d'être (the reference exists to run enrichment
+    * pipelines, `setup.py:8-9`): quality gate → exact dedup → typed
+    * projection, as ONE declarative flow Catalyst optimizes end-to-end
+    * (the quality predicate pushes below the dedup window's shuffle). */
+  def enrich(documents: DataFrame, minWords: Int = 20): DataFrame = {
+    val words = filter(split(col("text"), " "), t => t =!= "")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("text").orderBy("doc_id")
+    documents
+      .withColumn("n_words", size(words))
+      .filter(col("n_words") >= minWords)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("n_words"),
+        (col("n_chars").cast("double") / col("n_words")).as("chars_per_word"))
+      .orderBy("doc_id")
+  }
+
   /** `text_fingerprint`: 64-bit polynomial rolling hash over the token
     * stream (document fingerprint), plus a content hash. Pure column
     * arithmetic via `aggregate` — deterministic, partition-independent.
