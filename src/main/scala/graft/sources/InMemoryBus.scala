@@ -71,6 +71,8 @@ object InMemoryBus {
     }
   }
 
+  private val publishedKeys = new ConcurrentHashMap[String, java.util.HashSet[String]]()
+
   def publish(topic: String, data: Array[Byte],
               attributes: Map[String, String] = Map.empty): String = synchronized {
     createTopic(topic)
@@ -115,11 +117,38 @@ object InMemoryBus {
     s.committed = math.max(s.committed, upTo)
   }
 
+  /** Test support: rewind a subscription's acked prefix — models "publish
+    * succeeded but the ack RPC was lost" (the reference's bare-except
+    * swallow, `pubsub_pipeline.py:48-52`, SURVEY §2-D), which is the real
+    * at-least-once duplicate window. */
+  def rewindCommitted(name: String, to: Long): Unit = synchronized {
+    sub(name).committed = to
+  }
+
   /** Inject `n` transient pull failures (test hook, models the
     * DeadlineExceeded retry path). */
   def failNextPulls(name: String, n: Int): Unit = synchronized {
     sub(name).failPulls = n
   }
+
+  /** Idempotent publish: a (topic, key) pair is published at most once —
+    * replays of an already-delivered batch are absorbed. This is the
+    * standard batchId-keyed idempotent-sink pattern that upgrades the
+    * pipeline's at-least-once delivery (duplicates on
+    * crash-after-publish-before-checkpoint, `pubsub_pipeline.py:48-52`
+    * §2-D) to effective exactly-once for this bus. Returns true if the
+    * message was actually appended. */
+  def publishIdempotent(topic: String, key: String, data: Array[Byte]): Boolean =
+    synchronized {
+      createTopic(topic)
+      val seen = publishedKeys.computeIfAbsent(topic, _ => new java.util.HashSet[String]())
+      if (seen.contains(key)) false
+      else {
+        publish(topic, data)
+        seen.add(key)
+        true
+      }
+    }
 
   /** Inject `n` publish failures on a topic (test hook, models the failed
     * publish future of reference test 2). */
@@ -134,6 +163,6 @@ object InMemoryBus {
 
   /** Test support: drop all topics/subscriptions. */
   def reset(): Unit = synchronized {
-    topics.clear(); subs.clear(); failPublishes.clear()
+    topics.clear(); subs.clear(); failPublishes.clear(); publishedKeys.clear()
   }
 }

@@ -57,7 +57,13 @@ final class Pipeline(
     serde: Serde,
     transform: DataFrame => DataFrame,
     checkpointDir: String,
-    bulkLimit: Int = 20) {
+    bulkLimit: Int = 20,
+    /** Publish with (batchId, partition, index) idempotence keys: a batch
+      * replayed after crash-before-checkpoint re-publishes the same keys
+      * and the bus absorbs them — effective exactly-once, vs the
+      * reference's duplicates (§2-D). Requires the transform to be
+      * deterministic (same replayed batch → same rows per partition). */
+    idempotent: Boolean = false) {
 
   /** The streaming DataFrame: payload column is `payload`, plus the bus
     * metadata columns (ackId/messageId/publishTime/attributes). */
@@ -91,13 +97,21 @@ final class Pipeline(
         .writeStream
         .option("checkpointLocation", checkpointDir)
         .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(0))
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val topic = outTopic
+          val idem = idempotent
           // Executor-side publish: no collect-to-driver. On the in-memory
           // bus this is same-JVM; against a real service each partition
           // holds one publisher client.
           batch.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-            rows.foreach(r => InMemoryBus.publish(topic, r.getAs[Array[Byte]](0)))
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            var i = 0L
+            rows.foreach { r =>
+              val data = r.getAs[Array[Byte]](0)
+              if (idem) InMemoryBus.publishIdempotent(topic, s"$batchId-$pid-$i", data)
+              else InMemoryBus.publish(topic, data)
+              i += 1
+            }
           }
         }
         .start()

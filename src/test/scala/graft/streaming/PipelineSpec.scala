@@ -145,6 +145,40 @@ class PipelineSpec extends SparkSpec {
     assert(awaitCommitted(inSub, 5) === 5)
   }
 
+  test("batch replay after crash-before-commit: duplicates by default, absorbed with idempotent keys") {
+    def replayScenario(idempotent: Boolean): Int = {
+      val (inTopic, inSub, outTopic, outSub) = fresh(s"c7-$idempotent")
+      (1 to 3).foreach(_ => InMemoryBus.publish(inTopic, fixture.getBytes(UTF_8)))
+      val ckpt = Files.createTempDirectory("graft-ckpt")
+      def pipe() = new Pipeline(spark, inSub, outTopic, JsonSerde(payloadSchema),
+        df => df.select(col("payload.*")), ckpt.toString, 20, idempotent)
+      val q1 = pipe().start(availableNow = true)
+      q1.awaitTermination(60000)
+      assert(InMemoryBus.payloads(outSub).size === 3)
+      // simulate "published, then crashed with both the epoch commit AND
+      // the acks lost" — the reference's §2-D duplicate window
+      // (pubsub_pipeline.py:48-52): drop the batch's commit record and
+      // rewind the bus acks so restart redelivers batch 0
+      InMemoryBus.rewindCommitted(inSub, 0)
+      java.nio.file.Files.delete(ckpt.resolve("commits").resolve("0"))
+      // the local FS keeps a Hadoop checksum shadow; leaving it behind
+      // makes the commit-log rewrite look like a concurrent writer
+      java.nio.file.Files.deleteIfExists(ckpt.resolve("commits").resolve(".0.crc"))
+      // wait for q1's checkpoint lease to be released before restarting
+      val deadline = System.currentTimeMillis + 20000
+      while (System.currentTimeMillis < deadline &&
+        spark.streams.active.exists(_.runId == q1.runId)) Thread.sleep(50)
+      Thread.sleep(250)
+      val q2 = pipe().start(availableNow = true)
+      q2.awaitTermination(60000)
+      InMemoryBus.payloads(outSub).size
+    }
+    // default = the reference's at-least-once: the replay re-publishes
+    assert(replayScenario(idempotent = false) === 6)
+    // idempotent keys absorb the replay: effective exactly-once
+    assert(replayScenario(idempotent = true) === 3)
+  }
+
   test("operator library composes into the streaming transform slot") {
     val (inTopic, inSub, outTopic, outSub) = fresh("c5")
     (1 to 4).foreach(i => InMemoryBus.publish(inTopic,
