@@ -144,6 +144,48 @@ class StreamingWindowSpec extends SparkSpec {
     assert(out === Seq("""{"w":"00:00","cnt":2}"""))
   }
 
+  test("transformWithState (operator state API v2): value state + RocksDB store") {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoders => E}
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    class RunningTotal extends StatefulProcessor[Long, (Long, Long), (Long, Long)] {
+      @transient private var total: org.apache.spark.sql.streaming.ValueState[Long] = _
+      override def init(outputMode: OM, timeMode: TimeMode): Unit =
+        total = getHandle.getValueState[Long]("total", E.scalaLong, TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                                   timerValues: TimerValues): Iterator[(Long, Long)] = {
+        val next = (if (total.exists()) total.get() else 0L) + rows.map(_._2).sum
+        total.update(next)
+        Iterator.single((key, next))
+      }
+    }
+
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, Long)]
+      val counted = in.toDS().groupByKey(_._1)
+        .transformWithState(new RunningTotal, TimeMode.None(), OutputMode.Update)
+      val q = counted.toDF("user_id", "total").writeStream.format("memory")
+        .queryName("twscounts").outputMode(OutputMode.Update).start()
+      try {
+        in.addData((1L, 4L), (2L, 7L)); q.processAllAvailable()
+        in.addData((1L, 6L)); q.processAllAvailable()
+        val last = spark.table("twscounts").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).map { case (u, vs) => (u, vs.map(_._2).max) }
+        assert(last === Map(1L -> 10L, 2L -> 7L))
+      } finally q.stop()
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("arbitrary state: per-user running counts survive across micro-batches") {
     val sess = spark
     import sess.implicits._
