@@ -102,7 +102,12 @@ object DedupOps {
     * → |A∪B| = |A|+|B|−|A∩B|. One shuffle on the shingle key; never a
     * crossJoin. Hot shingles (stopword runs) are the skew risk at scale —
     * cap or salt them. */
-  def ngramJaccard(documents: DataFrame, k: Int = 3, tau: Double = 0.2): DataFrame = {
+  /** `maxDf` is the skew knob for boilerplate-heavy corpora: shingles
+    * held by more than maxDf documents are dropped from candidate
+    * generation (lossy — pairs that ONLY share ultra-common shingles are
+    * missed, which is usually the point). Default keeps exact semantics. */
+  def ngramJaccard(documents: DataFrame, k: Int = 3, tau: Double = 0.2,
+                   maxDf: Int = Int.MaxValue): DataFrame = {
     // 64-bit-hashed shingles: the self-join shuffles longs, not strings.
     // Collisions would need ~2^32 distinct shingles to matter (corpus has
     // ~10^5); result is semantically identical to joining raw shingles.
@@ -119,7 +124,7 @@ object DedupOps {
     // self-join and no second shuffle of the shingle table.
     val byShingle = sh.groupBy("sh")
       .agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")) > 1)
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxDf)
     val pairs = byShingle
       .select(explode(col("ds")).as("id_a"), col("ds"))
       .select(col("id_a"), explode(col("ds")).as("id_b"))

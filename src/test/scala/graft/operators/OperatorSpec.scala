@@ -33,6 +33,16 @@ class OperatorSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L)))
   }
 
+  test("ngramJaccard maxDf caps hot shingles; default is exact") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val dup = base + " extra"
+    val df = docs(1L -> base, 2L -> dup)
+    // near-dup pair found with exact semantics
+    assert(DedupOps.ngramJaccard(df, tau = 0.5).count() === 1)
+    // every shared shingle has df=2 — a df cap of 1 suppresses the pair
+    assert(DedupOps.ngramJaccard(df, tau = 0.5, maxDf = 1).count() === 0)
+  }
+
   test("dedup_simhash: identical texts get identical fingerprints, disjoint texts differ") {
     val df = docs(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta",
       3L -> "completely different words here")
