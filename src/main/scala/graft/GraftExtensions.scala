@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{MinHashSignatureExpr, ShingleHashesExpr}
+import graft.functions.{DotProductExpr, MinHashSignatureExpr, ShingleHashesExpr, SimHash64Expr}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so `spark.sql` users get the
@@ -31,6 +31,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSignatureExpr].getName, "minhash_signature"),
       (args: Seq[Expression]) =>
         MinHashSignatureExpr(args.head, intArg(args(1), "signature length n"))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
+      (args: Seq[Expression]) => DotProductExpr(args.head, args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64Expr(args.head)))
   }
 }
 
@@ -50,5 +58,9 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("minhash_signature",
       args => MinHashSignatureExpr(args.head, intArg(args(1), "signature length n")),
       "built-in")
+    reg.createOrReplaceTempFunction("dot_product",
+      args => DotProductExpr(args.head, args(1)), "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      args => SimHash64Expr(args.head), "built-in")
   }
 }

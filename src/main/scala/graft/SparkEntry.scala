@@ -80,6 +80,8 @@ object SparkEntry {
     "dedup_near_minhash" -> ((s, d) => DedupOps.nearMinhash(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => DedupOps.simhash(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccard(Tables.documents(s, d))),
+    "dedup_ngram_jaccard_capped" -> ((s, d) =>
+      DedupOps.ngramJaccard(Tables.documents(s, d), maxDf = 3)),
     "dedup_near_embedding" -> ((s, d) => VectorOps.nearDupEmbedding(Tables.embeddings(s, d))),
     // --- similarity search (LLM-pipeline) ---
     "sim_cosine_topk" -> ((s, d) => VectorOps.cosineTopK(Tables.embeddings(s, d))),
@@ -411,6 +413,37 @@ object SparkEntry {
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
         |  FROM sh a JOIN sh b USING (sh)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b,
+        |  round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // maxDf skew knob, oracle-checked: shingles with df > 3 are dropped
+    // from BOTH candidate generation and the per-doc sizes, so jaccard is
+    // exact within the reduced universe (matches DedupOps.ngramJaccard
+    // maxDf semantics).
+    "dedup_ngram_jaccard_capped" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        |        FROM toks WHERE len(w) >= 3) u
+        |),
+        |df AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+        |kept AS (SELECT s.doc_id, s.sh FROM sh s JOIN df USING (sh) WHERE df.df <= 3),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM kept a JOIN kept b USING (sh)
         |  WHERE a.doc_id < b.doc_id
         |  GROUP BY 1, 2
         |)

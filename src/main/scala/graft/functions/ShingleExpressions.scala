@@ -1,29 +1,36 @@
 package graft.functions
 
+import java.util.concurrent.ConcurrentHashMap
+
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Custom Catalyst expressions for the dedup pipeline.
+/** Custom Catalyst expressions for the dedup/similarity pipeline.
   *
   * Why custom: shingling + MinHash in pure `transform`/`aggregate` works
   * but higher-order lambdas are interpreted per element (no codegen) —
   * profiled at ~10s for 5k docs at sf0.1, which would be hours at 100 TB.
   * These expressions do the same work in one compiled JVM loop per row
-  * (~50ms for the same input). This is the SURVEY §7 escape hatch:
-  * "a custom Catalyst Expression only if codegen profiling demands it" —
-  * it did.
+  * (~50ms for the same input).
   *
-  * Both are deterministic pure functions of their input, so they are
+  * All four implement `doGenCode`, so they participate in whole-stage
+  * codegen instead of breaking the fused pipeline with a CodegenFallback
+  * (round-1 state): the generated code calls straight into the static
+  * kernels below (`ShingleKernels`), keeping the surrounding operators in
+  * one generated loop. This is the SURVEY §7 escape hatch: "a custom
+  * Catalyst Expression only if codegen profiling demands it" — it did.
+  *
+  * All are deterministic pure functions of their input, so they are
   * partition-independent and safe under retries/speculation.
   */
 object ShingleExpressions {
 
-  private val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+  private[functions] val P = 2147483647L // 2^31 - 1 (Mersenne prime)
 
   /** Affine mix parameters for the MinHash family, fixed seed. */
   private[functions] def mixParams(n: Int): (Array[Long], Array[Long]) = {
@@ -52,20 +59,23 @@ object ShingleExpressions {
   /** Column API: compiled sequential dot product of two numeric arrays. */
   def dotProduct(a: Column, b: Column): Column =
     column(DotProductExpr(expression(a), expression(b)))
+
+  /** Column API: 64-bit SimHash of a space-tokenized text column. */
+  def simHash64(text: Column): Column =
+    column(SimHash64Expr(expression(text)))
 }
 
-/** `shingle_hashes(text, k)`: split on single spaces, drop empty tokens,
-  * hash each k-gram (joined with one space) with XXH64, return the
-  * DISTINCT hash values. One compiled pass; no intermediate shingle
-  * strings survive the row. */
-case class ShingleHashesExpr(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+/** Static kernels shared by the interpreted (`nullSafeEval`) and generated
+  * (`doGenCode`) paths. Top-level Scala object → the compiler emits static
+  * forwarders, so janino-generated Java calls these directly with no
+  * reference-object indirection. */
+object ShingleKernels {
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "shingle_hashes"
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks0 = input.asInstanceOf[UTF8String].toString.split(' ')
+  /** Split on single spaces, drop empty tokens, hash each k-gram (joined
+    * with one space) with XXH64 seed 42, return the DISTINCT hash values.
+    * One pass; no intermediate shingle strings survive the row. */
+  def shingleHashes(input: UTF8String, k: Int): ArrayData = {
+    val toks0 = input.toString.split(' ')
     val toks = new java.util.ArrayList[String](toks0.length)
     var i = 0
     while (i < toks0.length) {
@@ -93,6 +103,78 @@ case class ShingleHashesExpr(child: Expression, k: Int)
     new GenericArrayData(out)
   }
 
+  // (a, b) affine-mix parameter pairs per signature width, computed once
+  // per JVM — generated code can't close over driver state, so the lookup
+  // lives here instead of in the expression instance
+  private val mixCache = new ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def mix(n: Int): (Array[Long], Array[Long]) =
+    mixCache.computeIfAbsent(n, ShingleExpressions.mixParams(_))
+
+  /** n minima of affine hash mixes `((h mod P) * a_i + b_i) mod P` over
+    * the input hash array — the standard universal-hash MinHash family,
+    * all n lanes updated in one pass over the array. */
+  def minHash(arr: ArrayData, n: Int): ArrayData = {
+    val (as, bs) = mix(n)
+    val P = ShingleExpressions.P
+    val m = arr.numElements()
+    val mins = Array.fill(n)(Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val h = math.floorMod(arr.getLong(i), P)
+      var j = 0
+      while (j < n) {
+        val v = (h * as(j) + bs(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 64-bit SimHash: every token occurrence (NOT deduped — frequency is
+    * signal here, unlike shingles) votes ±1 on each bit of its XXH64
+    * (seed 42, same as Spark's `xxhash64`); the packed sign vector is the
+    * fingerprint. One pass, 64 accumulators — replaces the round-1
+    * formulation of 64 interpreted `aggregate` HOF passes per document. */
+  def simHash64(input: UTF8String): Long = {
+    val toks = input.toString.split(' ')
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) {
+        val u = UTF8String.fromString(toks(i))
+        val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+/** `shingle_hashes(text, k)` — see [[ShingleKernels.shingleHashes]]. */
+case class ShingleHashesExpr(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernels.shingleHashes(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernels.shingleHashes($c, $k)")
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -102,19 +184,18 @@ case class ShingleHashesExpr(child: Expression, k: Int)
   * the same arithmetic, in the same order, as the interpreted
   * `zip_with`+`aggregate` formulation and as DuckDB's
   * `list_dot_product(a::DOUBLE[], b::DOUBLE[])`, so oracle results are
-  * bit-identical). Compiled loop instead of per-element lambda
-  * interpretation — the vector ops' hot path. */
+  * bit-identical). The generated code is a straight primitive loop fused
+  * into whole-stage codegen — the vector ops' hot path. */
 case class DotProductExpr(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends BinaryExpression {
 
-  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def dataType: DataType = DoubleType
 
   private def isFloatArr(e: Expression): Boolean = e.dataType match {
     case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
     case _ => false
   }
-  // type dispatch once, not per row (this is the vector ops' hot path)
+  // type dispatch once (at codegen/plan time), not per row
   @transient private lazy val aF = isFloatArr(left)
   @transient private lazy val bF = isFloatArr(right)
 
@@ -137,41 +218,60 @@ case class DotProductExpr(left: Expression, right: Expression)
     acc
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val getA = if (aF) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getB = if (bF) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "dot_product: mismatched dimensions " + $n + " vs " + $b.numElements());
+         |}
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ($getA) * ($getB);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
 
-/** `minhash_signature(hashes, n)`: n minima of affine hash mixes
-  * `((h mod P) * a_i + b_i) mod P` over the input hash array — the
-  * standard universal-hash MinHash family, all n lanes updated in one
-  * pass over the array. */
+/** `minhash_signature(hashes, n)` — see [[ShingleKernels.minHash]]. */
 case class MinHashSignatureExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
-
-  private val (as, bs) = ShingleExpressions.mixParams(n)
-  private val P = 2147483647L
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val m = arr.numElements()
-    val mins = Array.fill(n)(Long.MaxValue)
-    var i = 0
-    while (i < m) {
-      val h = math.floorMod(arr.getLong(i), P)
-      var j = 0
-      while (j < n) {
-        val v = (h * as(j) + bs(j)) % P
-        if (v < mins(j)) mins(j) = v
-        j += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(mins)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernels.minHash(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernels.minHash($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `simhash64(text)` — see [[ShingleKernels.simHash64]]. */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernels.simHash64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernels.simHash64($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -9,9 +9,12 @@ import graft.functions.ShingleExpressions
 /** Deduplication operators over `documents` (LLM-data-pipeline extensions).
   *
   * Scale design: every variant reduces to (a) a deterministic per-row
-  * signature computed map-side with no shuffle, then (b) ONE shuffle on the
-  * signature/bucket key. Nothing here collects to the driver; nothing is
-  * quadratic in corpus size (candidate generation is bucket-local).
+  * signature computed map-side with no shuffle, then (b) shuffles keyed on
+  * signatures/buckets/doc ids. Nothing collects to the driver, nothing is
+  * quadratic in corpus size (candidate generation is bucket-local), and —
+  * critically — no corpus-sized relation is ever `broadcast(...)`: the only
+  * broadcast-eligible sides are candidate-pair tables, which AQE may elect
+  * to broadcast at runtime when they turn out small.
   */
 object DedupOps {
 
@@ -36,10 +39,10 @@ object DedupOps {
     * verified with exact shingle-set Jaccard.
     *
     * Pipeline = map (signatures) → explode bands → shuffle on band key →
-    * bucket-local pairs → verify. The only shuffle key is (band, bandHash);
-    * skewed mega-buckets (boilerplate docs) would be salted at scale.
-    * No oracle (LSH is sampling-based); ScalaTest asserts the known
-    * near-dup pairs are found. */
+    * bucket-local pairs → verify. The only shuffle key in candidate
+    * generation is (band, bandHash); skewed mega-buckets (boilerplate
+    * docs) would be salted at scale. No oracle (LSH is sampling-based);
+    * ScalaTest asserts the known near-dup pairs are found. */
   def nearMinhash(documents: DataFrame, shingleK: Int = 3, nHashes: Int = 32,
                   rowsPerBand: Int = 4, jaccardTau: Double = 0.7): DataFrame = {
     val nBands = nHashes / rowsPerBand
@@ -66,10 +69,14 @@ object DedupOps {
       .join(banded.select(col("bk"), col("doc_id").as("id_b")), Seq("bk"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // verification re-attaches the (small, broadcastable) shingle sets
+    // verification re-attaches shingle sets via plain shuffle joins keyed
+    // on doc_id. The corpus-sized `sh` relation is deliberately NOT
+    // broadcast (at 100 TB that materializes the corpus on the driver and
+    // every executor — OOM); the candidate-pair side is the small one, and
+    // AQE is free to broadcast IT at runtime if it fits.
     cand
-      .join(broadcast(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))), "id_a")
-      .join(broadcast(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))), "id_b")
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
@@ -78,61 +85,71 @@ object DedupOps {
       .orderBy("id_a", "id_b")
   }
 
-  /** `dedup_simhash`: 64-bit SimHash fingerprints. Each token votes its
-    * hash bits weighted ±1; the sign vector packs into one long. Docs with
+  /** `dedup_simhash`: 64-bit SimHash fingerprints. Each token occurrence
+    * votes its hash bits ±1; the sign vector packs into one long. Docs with
     * identical simhash (or small Hamming distance via band-rotation at
-    * scale) are near-dups. Pure column arithmetic, no shuffle until the
-    * final self-join on the fingerprint. */
-  def simhash(documents: DataFrame): DataFrame = {
-    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
-    val hashes = transform(toks, t => xxhash64(t))
-    val bitCols = (0 until 64).map { b =>
-      val votes = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
-    }
+    * scale) are near-dups. One compiled pass per document
+    * ([[graft.functions.SimHash64Expr]] — replaces the round-1 version's
+    * 64 interpreted `aggregate` HOF passes per doc), no shuffle. */
+  def simhash(documents: DataFrame): DataFrame =
     documents
-      .select(col("doc_id"), bitCols.reduce(_ + _).as("simhash"))
+      .select(col("doc_id"),
+        ShingleExpressions.simHash64(lower(col("text"))).as("simhash"))
       .orderBy("doc_id")
-  }
 
   /** `dedup_ngram_jaccard`: exact n-gram Jaccard similarity for all pairs
     * sharing at least one shingle — the inverted-index formulation:
-    * explode shingles → self-join on shingle → per-pair intersection count
+    * explode shingles → group by shingle → per-pair intersection count
     * → |A∪B| = |A|+|B|−|A∩B|. One shuffle on the shingle key; never a
-    * crossJoin. Hot shingles (stopword runs) are the skew risk at scale —
-    * cap or salt them. */
-  /** `maxDf` is the skew knob for boilerplate-heavy corpora: shingles
-    * held by more than maxDf documents are dropped from candidate
-    * generation (lossy — pairs that ONLY share ultra-common shingles are
-    * missed, which is usually the point). Default keeps exact semantics. */
+    * crossJoin.
+    *
+    * `maxDf` is the skew knob for boilerplate-heavy corpora: shingles held
+    * by more than maxDf documents are dropped from the universe — both
+    * from candidate generation AND from the per-doc size counts, so the
+    * reported jaccard is exact WITHIN the reduced shingle universe (no
+    * systematic underestimate near tau; pairs that only share ultra-common
+    * shingles are missed, which is usually the point). Default
+    * (`Int.MaxValue`) keeps exact full-universe semantics with map-side
+    * size counting (no extra shuffle). */
   def ngramJaccard(documents: DataFrame, k: Int = 3, tau: Double = 0.2,
                    maxDf: Int = Int.MaxValue): DataFrame = {
-    // 64-bit-hashed shingles: the self-join shuffles longs, not strings.
-    // Collisions would need ~2^32 distinct shingles to matter (corpus has
-    // ~10^5); result is semantically identical to joining raw shingles.
+    // 64-bit-hashed shingles: the inverted index shuffles longs, not
+    // strings. Collisions would need ~2^32 distinct shingles to matter
+    // (corpus has ~10^5); result is semantically identical to raw shingles.
     val sh = documents
       .select(col("doc_id"),
         explode(ShingleExpressions.shingleHashes(lower(col("text")), k)).as("sh"))
-    // |shingles(doc)| computed map-side from the array length — no
-    // explode + groupBy shuffle just to count
-    val sizes = documents.select(col("doc_id"),
-      size(ShingleExpressions.shingleHashes(lower(col("text")), k)).cast("long").as("n"))
-    // inverted index in ONE shuffle: doc list per shingle; singleton
-    // shingles (df=1) can't produce pairs — dropped exactly. Pairs come
-    // from a double explode of the (≤ df_max) doc list, so there is no
+    // inverted index in ONE shuffle: doc list per shingle. `capped` is the
+    // df-filtered universe (everything, when maxDf is off).
+    val byShingle = sh.groupBy("sh").agg(collect_list(col("doc_id")).as("ds"))
+    val capped =
+      if (maxDf == Int.MaxValue) byShingle
+      else byShingle.filter(size(col("ds")) <= maxDf)
+    // |shingles(doc)|: default = map-side from the array length (no
+    // shuffle); with maxDf active, counted over the SAME reduced universe
+    // the pairs come from, keeping the jaccard internally consistent.
+    val sizes =
+      if (maxDf == Int.MaxValue)
+        documents.select(col("doc_id"),
+          size(ShingleExpressions.shingleHashes(lower(col("text")), k))
+            .cast("long").as("n"))
+      else
+        capped.select(explode(col("ds")).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // singleton shingles (df=1) can't produce pairs — dropped exactly.
+    // Pairs come from a double explode of the doc list, so there is no
     // self-join and no second shuffle of the shingle table.
-    val byShingle = sh.groupBy("sh")
-      .agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxDf)
-    val pairs = byShingle
+    val pairs = capped.filter(size(col("ds")) > 1)
       .select(explode(col("ds")).as("id_a"), col("ds"))
       .select(col("id_a"), explode(col("ds")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    // size re-attach: shuffle joins on doc_id — `sizes` is corpus-sized
+    // (one row per document) and must never be broadcast; the pairs side
+    // is the small one and AQE may broadcast it at runtime.
     pairs
-      .join(broadcast(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a"))), "id_a")
-      .join(broadcast(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b"))), "id_b")
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
