@@ -73,7 +73,12 @@ private class BusTable(props: Map[String, String]) extends Table with SupportsRe
           new BusMicroBatchStream(
             subscription = options.get("subscription"),
             bulkLimit = Option(options.get("bulkLimit")).map(_.toInt).getOrElse(20),
-            maxPullRetries = Option(options.get("maxPullRetries")).map(_.toInt).getOrElse(3))
+            maxPullRetries = Option(options.get("maxPullRetries")).map(_.toInt).getOrElse(3),
+            readPartitions = Option(options.get("readPartitions")).map(_.toInt).getOrElse(4),
+            retryBackoffMs = Option(options.get("retryBackoffMs")).map(_.toLong).getOrElse(100L),
+            respectDeadline = Option(options.get("respectDeadline")).exists(_.toBoolean),
+            maxBytesPerPull = Option(options.get("maxBytesPerPull")).map(_.toLong)
+              .getOrElse(Long.MaxValue))
       }
     }
 }
@@ -84,16 +89,24 @@ case class BusOffset(offset: Long) extends Offset {
 }
 
 private class BusMicroBatchStream(subscription: String, bulkLimit: Int,
-                                  maxPullRetries: Int)
+                                  maxPullRetries: Int, readPartitions: Int,
+                                  retryBackoffMs: Long, respectDeadline: Boolean,
+                                  maxBytesPerPull: Long)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
   require(subscription != null, "option 'subscription' is required")
+  require(readPartitions >= 1, "readPartitions must be >= 1")
 
   @volatile private var availableNowEnd: Option[Long] = None
 
   /** Iterative bounded retry around a bus pull — the reference's
-    * deadline-retry loop without its unbounded recursion (§2-D). */
+    * deadline-retry loop without its unbounded recursion (§2-D), with its
+    * two knobs: a sleep between deadline retries
+    * (`deadline_exceeded_retry_wait_secs`, `pubsub_pipeline.py:72` —
+    * here `retryBackoffMs`, so an outage is not a hot spin) and the
+    * fail-fast mode (`respect_deadline=True` re-raises the deadline error,
+    * `pubsub_pipeline.py:207-208` — here `respectDeadline`). */
   private def pullEndOffset(): Long = {
     var attempt = 0
     while (true) {
@@ -101,8 +114,10 @@ private class BusMicroBatchStream(subscription: String, bulkLimit: Int,
         return InMemoryBus.endOffset(subscription)
       } catch {
         case e: InMemoryBus.TransientPullError =>
+          if (respectDeadline) throw e
           attempt += 1
           if (attempt > maxPullRetries) throw e
+          if (retryBackoffMs > 0) Thread.sleep(retryBackoffMs)
       }
     }
     0L // unreachable
@@ -122,11 +137,29 @@ private class BusMicroBatchStream(subscription: String, bulkLimit: Int,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val end = availableNowEnd.getOrElse(pullEndOffset())
     val from = start.asInstanceOf[BusOffset].offset
-    val capped = limit match {
+    val rowCapped = limit match {
       case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
         math.min(end, from + rl.maxRows())
       case _ => end
     }
+    // byte-based admission on top of the row cap (ReadMaxBytes analog):
+    // walk payload sizes and stop once the batch would exceed the budget —
+    // but always admit at least one message, or an oversized message
+    // would stall the subscription forever.
+    val capped =
+      if (maxBytesPerPull == Long.MaxValue || rowCapped <= from) rowCapped
+      else {
+        var bytes = 0L
+        var o = from
+        val it = InMemoryBus.read(subscription, from, rowCapped).iterator
+        var stop = false
+        while (!stop && it.hasNext) {
+          bytes += it.next().data.length
+          if (bytes > maxBytesPerPull && o > from) stop = true
+          else o += 1
+        }
+        o
+      }
     BusOffset(math.max(from, capped))
   }
 
@@ -138,11 +171,25 @@ private class BusMicroBatchStream(subscription: String, bulkLimit: Int,
 
   override def reportLatestOffset(): Offset = BusOffset(pullEndOffset())
 
+  /** Split the micro-batch's offset range into up to `readPartitions`
+    * contiguous slices, so a batch is read and deserialized by several
+    * tasks in parallel instead of one (the reference is single-threaded
+    * per pull, `pubsub_pipeline.py:172-193` — the engine's point is to
+    * beat that bound). Slice count never exceeds the row count. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[BusOffset].offset
     val e = end.asInstanceOf[BusOffset].offset
     if (e <= s) Array.empty
-    else Array(BusInputPartition(subscription, s, e))
+    else {
+      val n = math.min(readPartitions.toLong, e - s).toInt
+      val span = e - s
+      (0 until n).map { i =>
+        // even split: first (span % n) slices get one extra row
+        val lo = s + i * (span / n) + math.min(i, span % n)
+        val hi = s + (i + 1) * (span / n) + math.min(i + 1, span % n)
+        BusInputPartition(subscription, lo, hi): InputPartition
+      }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new BusReaderFactory

@@ -19,6 +19,11 @@ import graft.sources.{BusProvider, InMemoryBus}
   * Maps to `Dataset.mapPartitions`: each micro-batch partition is one
   * "bulk" (bounded by `bulkLimit` admission, like the reference's
   * ≤`bulk_limit` pull), deserialized driver-free on executors.
+  *
+  * `readPartitions` defaults to 1 so one bulk = one whole pulled batch —
+  * the reference's list-at-a-time contract (`pubsub_pipeline.py:225-231`).
+  * Raising it trades that for read parallelism: each slice of the batch
+  * becomes its own bulk (still length-enforced per slice).
   */
 final class BulkPipeline[A, B](
     spark: SparkSession,
@@ -28,7 +33,8 @@ final class BulkPipeline[A, B](
     serializer: B => Array[Byte],
     bulk: Seq[A] => Seq[B],
     checkpointDir: String,
-    bulkLimit: Int = 20) extends Serializable {
+    bulkLimit: Int = 20,
+    readPartitions: Int = 1) extends Serializable {
 
   def start(availableNow: Boolean = false): StreamingQuery = {
     val dser = deserializer; val ser = serializer; val f = bulk
@@ -39,6 +45,7 @@ final class BulkPipeline[A, B](
       .format(BusProvider.format)
       .option("subscription", subscription)
       .option("bulkLimit", bulkLimit)
+      .option("readPartitions", readPartitions)
       .load()
       .select("value")
     val q = try src.writeStream

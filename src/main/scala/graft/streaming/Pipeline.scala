@@ -58,12 +58,37 @@ final class Pipeline(
     transform: DataFrame => DataFrame,
     checkpointDir: String,
     bulkLimit: Int = 20,
-    /** Publish with (batchId, partition, index) idempotence keys: a batch
-      * replayed after crash-before-checkpoint re-publishes the same keys
-      * and the bus absorbs them — effective exactly-once, vs the
-      * reference's duplicates (§2-D). Requires the transform to be
-      * deterministic (same replayed batch → same rows per partition). */
-    idempotent: Boolean = false) {
+    /** Publish with content-derived idempotence keys: a batch replayed
+      * after crash-before-checkpoint re-publishes the same keys and the
+      * bus absorbs them — effective exactly-once, vs the reference's
+      * duplicates (§2-D). Keys are (pipeline identity, batchId, content
+      * hash position) — see `start()` — so they are stable under
+      * shuffling transforms AND scoped per pipeline (two pipelines
+      * sharing an output topic, or a restart with a fresh checkpoint dir,
+      * never collide on keys). Requires only that the transform is
+      * deterministic as a multiset of rows per batch. */
+    idempotent: Boolean = false,
+    /** Micro-batch read parallelism of the bus source (slices per offset
+      * range); the reference reads each pull single-threaded. */
+    readPartitions: Int = 4,
+    /** Sleep between transient-pull retries — the reference's
+      * `deadline_exceeded_retry_wait_secs` (default 300 s there; a test-
+      * friendly 100 ms here, configurable). */
+    retryBackoffMs: Long = 100L,
+    /** Fail fast on a transient pull error instead of retrying — the
+      * reference's `respect_deadline=True`. */
+    respectDeadline: Boolean = false,
+    /** Byte-budget admission per micro-batch on top of `bulkLimit`
+      * (ReadMaxBytes analog; always admits at least one message). */
+    maxBytesPerPull: Long = Long.MaxValue) {
+
+  /** Stable pipeline identity for idempotence-key namespacing: derived
+    * from the checkpoint location, which is exactly the unit that defines
+    * "the same logical pipeline" across restarts. */
+  private val pipelineId: String =
+    java.util.UUID.nameUUIDFromBytes(
+      checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .toString.take(8)
 
   /** The streaming DataFrame: payload column is `payload`, plus the bus
     * metadata columns (ackId/messageId/publishTime/attributes). */
@@ -72,6 +97,10 @@ final class Pipeline(
       .format(BusProvider.format)
       .option("subscription", subscription)
       .option("bulkLimit", bulkLimit)
+      .option("readPartitions", readPartitions)
+      .option("retryBackoffMs", retryBackoffMs)
+      .option("respectDeadline", respectDeadline)
+      .option("maxBytesPerPull", maxBytesPerPull)
       .load()
       .withColumn("payload", serde.deserialize(col("value")))
 
@@ -99,18 +128,35 @@ final class Pipeline(
         .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(0))
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val topic = outTopic
-          val idem = idempotent
+          val pipe = pipelineId
           // Executor-side publish: no collect-to-driver. On the in-memory
           // bus this is same-JVM; against a real service each partition
           // holds one publisher client.
-          batch.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-            val pid = org.apache.spark.TaskContext.getPartitionId()
-            var i = 0L
-            rows.foreach { r =>
-              val data = r.getAs[Array[Byte]](0)
-              if (idem) InMemoryBus.publishIdempotent(topic, s"$batchId-$pid-$i", data)
-              else InMemoryBus.publish(topic, data)
-              i += 1
+          if (idempotent) {
+            // Replay-stable keys: a row's key must not depend on which
+            // physical partition/index it lands in, because shuffle block
+            // fetch order varies across replays and an index-based key
+            // would bind to a DIFFERENT row on replay (silent drop = data
+            // loss). Fix: repartition + sort by CONTENT, so (pid, idx) is
+            // a pure function of the batch's row multiset — equal-content
+            // rows are interchangeable, everything else has a stable slot.
+            // Costs one extra shuffle per batch in idempotent mode.
+            batch
+              .withColumn("__h", xxhash64(col("data")))
+              .repartition(col("__h"))
+              .sortWithinPartitions(col("__h"), col("data"))
+              .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+                val pid = org.apache.spark.TaskContext.getPartitionId()
+                var i = 0L
+                rows.foreach { r =>
+                  val data = r.getAs[Array[Byte]](0)
+                  InMemoryBus.publishIdempotent(topic, s"$pipe-$batchId-$pid-$i", data)
+                  i += 1
+                }
+              }
+          } else {
+            batch.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+              rows.foreach(r => InMemoryBus.publish(topic, r.getAs[Array[Byte]](0)))
             }
           }
         }

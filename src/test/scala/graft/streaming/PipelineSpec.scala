@@ -179,6 +179,131 @@ class PipelineSpec extends SparkSpec {
     assert(replayScenario(idempotent = true) === 3)
   }
 
+  test("a large micro-batch is read by multiple source partitions; output and acks unchanged") {
+    val (inTopic, inSub, outTopic, outSub) = fresh("c8")
+    (1 to 40).foreach(i => InMemoryBus.publish(inTopic,
+      s"""{"data":"m$i","nested":{"nestedData":"x"}}""".getBytes(UTF_8)))
+
+    // tag each row with the partition that read it: deserialize is narrow,
+    // so spark_partition_id() here reflects the SOURCE input partition
+    val q = new Pipeline(
+      spark, inSub, outTopic, JsonSerde(payloadSchema),
+      df => df.select(col("payload.data").as("d"), spark_partition_id().as("pid")),
+      Files.createTempDirectory("graft-ckpt").toString,
+      bulkLimit = 40, readPartitions = 4).start(availableNow = true)
+    q.awaitTermination(60000)
+
+    val out = InMemoryBus.payloads(outSub).map(new String(_, UTF_8))
+    assert(out.size === 40)
+    val pids = out.flatMap(s => "\"pid\":(\\d+)".r.findFirstMatchIn(s).map(_.group(1))).toSet
+    assert(pids.size > 1, s"expected the batch to span >1 read partitions, got $pids")
+    assert(awaitCommitted(inSub, 40) === 40)
+  }
+
+  test("respectDeadline fails fast on a transient pull error instead of retrying") {
+    val (inTopic, inSub, outTopic, _) = fresh("c9")
+    InMemoryBus.publish(inTopic, fixture.getBytes(UTF_8))
+    InMemoryBus.failNextPulls(inSub, 1)
+
+    val q = new Pipeline(
+      spark, inSub, outTopic, JsonSerde(payloadSchema),
+      df => df.select(col("payload.*")),
+      Files.createTempDirectory("graft-ckpt").toString,
+      bulkLimit = 20, idempotent = false, readPartitions = 4,
+      retryBackoffMs = 0L, respectDeadline = true).start(availableNow = true)
+    intercept[Exception] { q.awaitTermination(60000) }
+    assert(InMemoryBus.committedOffset(inSub) === 0)
+  }
+
+  test("retry backoff sleeps between transient-pull retries") {
+    val (inTopic, inSub, outTopic, outSub) = fresh("c10")
+    InMemoryBus.publish(inTopic, fixture.getBytes(UTF_8))
+    InMemoryBus.failNextPulls(inSub, 2)
+
+    val t0 = System.nanoTime()
+    val q = new Pipeline(
+      spark, inSub, outTopic, JsonSerde(payloadSchema),
+      df => df.select(col("payload.*")),
+      Files.createTempDirectory("graft-ckpt").toString,
+      bulkLimit = 20, idempotent = false, readPartitions = 4,
+      retryBackoffMs = 300L).start(availableNow = true)
+    q.awaitTermination(60000)
+    assert(InMemoryBus.payloads(outSub).map(new String(_, UTF_8)) === Seq(fixture))
+    // two injected failures × 300 ms backoff = at least 600 ms of sleeping
+    assert((System.nanoTime() - t0) / 1e6 >= 600.0)
+  }
+
+  test("maxBytesPerPull caps each micro-batch by payload bytes") {
+    val (inTopic, inSub, outTopic, outSub) = fresh("c11")
+    // ~42-byte messages; a 100-byte budget admits at most 2 per batch
+    (1 to 10).foreach(i => InMemoryBus.publish(inTopic,
+      f"""{"data":"m$i%02d","nested":{"nestedData":"x"}}""".getBytes(UTF_8)))
+
+    val q = new Pipeline(
+      spark, inSub, outTopic, JsonSerde(payloadSchema),
+      df => df.select(col("payload.*")),
+      Files.createTempDirectory("graft-ckpt").toString,
+      bulkLimit = 20, idempotent = false, readPartitions = 4,
+      retryBackoffMs = 0L, respectDeadline = false,
+      maxBytesPerPull = 100L).start(availableNow = true)
+    q.awaitTermination(60000)
+    assert(InMemoryBus.payloads(outSub).size === 10)
+    assert(awaitCommitted(inSub, 10) === 10)
+    assert(q.recentProgress.forall(_.numInputRows <= 2),
+      s"batch sizes: ${q.recentProgress.map(_.numInputRows).toSeq}")
+  }
+
+  test("idempotent keys are scoped per pipeline: shared output topic, no collision") {
+    // two logical pipelines (distinct checkpoints) feeding ONE topic with
+    // identical content and identical batchIds: index-only keys ("0-0-0")
+    // would collide across pipelines and silently drop one side's output
+    val id = java.util.UUID.randomUUID().toString.take(8)
+    val outTopic = s"c12-out-$id"; val outSub = s"c12-outsub-$id"
+    InMemoryBus.createTopic(outTopic); InMemoryBus.createSubscription(outTopic, outSub)
+    Seq("a", "b").foreach { side =>
+      val inTopic = s"c12-in-$side-$id"; val inSub = s"c12-insub-$side-$id"
+      InMemoryBus.createTopic(inTopic); InMemoryBus.createSubscription(inTopic, inSub)
+      InMemoryBus.publish(inTopic, fixture.getBytes(UTF_8))
+      val q = new Pipeline(spark, inSub, outTopic, JsonSerde(payloadSchema),
+        df => df.select(col("payload.*")),
+        Files.createTempDirectory("graft-ckpt").toString,
+        bulkLimit = 20, idempotent = true).start(availableNow = true)
+      q.awaitTermination(60000)
+    }
+    assert(InMemoryBus.payloads(outSub).size === 2)
+  }
+
+  test("idempotent replay is absorbed even when the transform shuffles") {
+    val (inTopic, inSub, outTopic, outSub) = fresh("c13")
+    (1 to 3).foreach(i => InMemoryBus.publish(inTopic,
+      s"""{"data":"m$i","nested":{"nestedData":"x"}}""".getBytes(UTF_8)))
+    val ckpt = Files.createTempDirectory("graft-ckpt")
+    // repartition = a shuffle between source and publish: replayed rows
+    // can land in different partitions/positions, so index-based keys
+    // would re-bind and silently drop rows; content-derived keys must not
+    def pipe() = new Pipeline(spark, inSub, outTopic, JsonSerde(payloadSchema),
+      df => df.select(col("payload.*")).repartition(5),
+      ckpt.toString, 20, idempotent = true)
+    val q1 = pipe().start(availableNow = true)
+    q1.awaitTermination(60000)
+    assert(InMemoryBus.payloads(outSub).size === 3)
+    // crash with the epoch commit and the acks both lost → batch replays
+    InMemoryBus.rewindCommitted(inSub, 0)
+    java.nio.file.Files.delete(ckpt.resolve("commits").resolve("0"))
+    java.nio.file.Files.deleteIfExists(ckpt.resolve("commits").resolve(".0.crc"))
+    val deadline = System.currentTimeMillis + 20000
+    while (System.currentTimeMillis < deadline &&
+      spark.streams.active.exists(_.runId == q1.runId)) Thread.sleep(50)
+    Thread.sleep(250)
+    val q2 = pipe().start(availableNow = true)
+    q2.awaitTermination(60000)
+    // replay fully absorbed: no duplicates AND no silent drops
+    val out = InMemoryBus.payloads(outSub).map(new String(_, UTF_8)).sorted
+    assert(out.size === 3, s"got: $out")
+    assert(out.map(s => "\"data\":\"(m\\d)\"".r.findFirstMatchIn(s).get.group(1))
+      === Seq("m1", "m2", "m3"))
+  }
+
   test("operator library composes into the streaming transform slot") {
     val (inTopic, inSub, outTopic, outSub) = fresh("c5")
     (1 to 4).foreach(i => InMemoryBus.publish(inTopic,
