@@ -395,18 +395,15 @@ object Windows {
   }
 
   /** `window_ntile_dense`: quartiles + dense rank over customer balances.
-    * NOTE: unpartitioned window — single-task sort; acceptable for a
-    * 1.5k-row dim, never for a fact table (repartitionByRange + local
-    * rank + offset merge would be the scale path). */
-  def ntileDense(customer: DataFrame): DataFrame = {
-    val wAsc = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-    val wDesc = Window.orderBy(col("c_acctbal").desc)
-    customer
-      .select(col("c_custkey"), col("c_acctbal"),
-        ntile(4).over(wAsc).as("tile"),
-        dense_rank().over(wDesc).as("drank"))
+    * Routed through [[Skew.distributedNtileDense]]: range-partitioned
+    * local windows + broadcast offset merge instead of the single-task
+    * global `Window.orderBy` (which pulls every row through ONE task —
+    * fatal on a fact table; customer grows with scale factor). Verified
+    * equal to the single-task formulation in SkewAndIvfSpec. */
+  def ntileDense(customer: DataFrame): DataFrame =
+    Skew.distributedNtileDense(customer, 8, 4, "c_acctbal", "c_custkey")
+      .select(col("c_custkey"), col("c_acctbal"), col("tile"), col("drank"))
       .orderBy("c_custkey")
-  }
 
   /** `topk_per_group`: top-3 orders per customer via row_number —
     * shuffle-once, no global sort. */

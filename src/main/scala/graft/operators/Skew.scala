@@ -62,6 +62,84 @@ object Skew {
       .drop("__pid", "__local_rn", "__off")
   }
 
+  /** Distributed equivalent of the two global analytic functions of
+    * `window_ntile_dense`:
+    *
+    *   `ntile(n)      OVER (ORDER BY value, tieBreak)`   (ascending)
+    *   `dense_rank()  OVER (ORDER BY value DESC)`
+    *
+    * in ONE range repartition instead of one single-task window per
+    * function. Per partition: local row_number + local dense_rank; a tiny
+    * per-partition stats pass (count, distinct-value count, min/max value
+    * — O(partitions), driver-safe) yields global offsets. Two subtleties:
+    *
+    *  - equal `value`s with different tiebreaks CAN straddle a range
+    *    boundary, so adjacent partitions sharing a boundary value merge
+    *    one dense rank (the `lo == prevHi` correction);
+    *  - descending dense rank is derived from the ascending one in the
+    *    SAME partitioning: rank_desc(x) = D − rank_asc(x) + 1, D = total
+    *    distinct values — no second sort order needed.
+    *
+    * ntile bucket arithmetic matches Spark/ANSI exactly: with N rows, the
+    * first N mod n tiles get ⌈N/n⌉ rows, the rest ⌊N/n⌋.
+    * Result verified identical to the single-task windows (SkewAndIvfSpec).
+    */
+  def distributedNtileDense(df: DataFrame, numPartitions: Int, n: Int,
+                            value: String, tieBreak: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // localCheckpoint pins the partitioning (repartitionByRange samples
+    // boundaries per execution — same hazard as distributedRowNumber)
+    val parted = df
+      .repartitionByRange(numPartitions, col(value), col(tieBreak))
+      .sortWithinPartitions(value, tieBreak)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val wRow = Window.partitionBy("__pid").orderBy(col(value), col(tieBreak))
+    val wVal = Window.partitionBy("__pid").orderBy(col(value))
+    val local = parted
+      .withColumn("__lrn", row_number().over(wRow))
+      .withColumn("__ldr", dense_rank().over(wVal))
+    val stats = parted.groupBy("__pid").agg(
+        count(lit(1)).as("c"), countDistinct(col(value)).as("d"),
+        min(col(value)).as("lo"), max(col(value)).as("hi"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.get(3), r.get(4)))
+      .sortBy(_._1)
+    val totalRows = stats.map(_._2).sum
+    var rowAcc = 0L
+    var denseAcc = 0L
+    var prevHi: Option[Any] = None
+    val offsets = stats.map { case (pid, c, d, lo, hi) =>
+      val rowOff = rowAcc
+      rowAcc += c
+      // boundary merge: this partition's lowest value continues the
+      // previous partition's highest → their dense ranks coincide
+      val denseOff = denseAcc - (if (prevHi.contains(lo)) 1L else 0L)
+      denseAcc = denseOff + d
+      prevHi = Some(hi)
+      (pid, rowOff, denseOff)
+    }.toSeq
+    val totalDistinct = denseAcc
+    val offDf = df.sparkSession.createDataFrame(offsets)
+      .toDF("__pid", "__roff", "__doff")
+    val q = totalRows / n
+    val r = totalRows % n
+    val rn = col("__lrn") + col("__roff")
+    // first r tiles have q+1 rows; ANSI integer division via DIV
+    val tile =
+      if (q == 0) expr(s"CAST((__lrn + __roff - 1) AS INT) + 1")
+      else when(rn <= lit(r * (q + 1)),
+          expr(s"CAST((__lrn + __roff - 1) DIV ${q + 1} AS INT) + 1"))
+        .otherwise(
+          expr(s"CAST((__lrn + __roff - 1 - ${r * (q + 1)}) DIV $q AS INT) + ${r + 1}"))
+    local
+      .join(broadcast(offDf), Seq("__pid"))
+      .withColumn("tile", tile.cast("int"))
+      .withColumn("drank",
+        (lit(totalDistinct) - (col("__ldr") + col("__doff")) + 1).cast("int"))
+      .drop("__pid", "__lrn", "__ldr", "__roff", "__doff")
+  }
+
   /** Two-phase skewed aggregation: count per (key, salt) map-side-style,
     * then merge per key — the classic fix when one group holds most rows
     * and a single reducer would own it. */

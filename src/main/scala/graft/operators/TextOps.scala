@@ -83,20 +83,43 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** `text_langid`: n-gram/stopword-profile language ID heuristic.
-    * Scores each doc against tiny per-language marker sets and picks the
-    * argmax (deterministic tie-break by language code). The marker lists
-    * are illustrative, not linguistic truth — the *shape* (score vectors
-    * per doc, argmax, no shuffle) is what matters at scale. No oracle
-    * (heuristic); ScalaTest asserts determinism + coverage. */
+  /** `text_langid`: stopword-profile language ID. Scores each doc
+    * against per-language high-frequency-word profiles (the standard
+    * stopword-profile heuristic — top function words are the most
+    * language-discriminative tokens) and picks the argmax; ties break
+    * deterministically (reverse-lexicographic language code, from the
+    * descending struct sort). Everything is a codegen'd column expression
+    * — score vectors per doc, argmax, no shuffle, no UDF — so the pass
+    * stays map-only at any corpus size. Assumes space-tokenized text
+    * (true of the corpus; CJK docs must be pre-segmented, which is why
+    * the zh profile is single characters). No oracle (heuristic);
+    * ScalaTest asserts predictions over an 8-language fixture set. */
   def langId(documents: DataFrame): DataFrame = {
     val markers: Seq[(String, Seq[String])] = Seq(
-      "en" -> Seq("the", "and", "of", "is"),
-      "es" -> Seq("el", "la", "de", "que"),
-      "de" -> Seq("der", "die", "und", "ist"),
-      "fr" -> Seq("le", "la", "et", "est"),
-      "zh" -> Seq("的", "是", "了", "在"))
-    val words = split(col("text"), " ")
+      "en" -> Seq("the", "and", "of", "is", "in", "to", "it", "that", "was",
+        "for", "on", "are", "as", "with", "they", "at", "be", "this", "have",
+        "from", "or", "had", "not", "but", "what"),
+      "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los",
+        "las", "por", "con", "no", "para", "es", "al", "lo", "como", "pero",
+        "sus", "le", "ya", "este", "cuando", "muy"),
+      "de" -> Seq("der", "die", "und", "ist", "das", "nicht", "von", "sie",
+        "mit", "dem", "den", "ein", "eine", "zu", "auf", "für", "im", "es",
+        "an", "auch", "als", "war", "bei", "um", "aus"),
+      "fr" -> Seq("le", "la", "et", "est", "les", "des", "un", "une", "du",
+        "en", "que", "qui", "dans", "pour", "ce", "il", "au", "sur", "se",
+        "ne", "pas", "par", "plus", "avec", "son"),
+      "it" -> Seq("il", "di", "che", "è", "un", "una", "per", "in", "non",
+        "sono", "con", "si", "da", "come", "le", "dei", "del", "al", "lo",
+        "ma", "più", "anche", "su", "della", "questo"),
+      "pt" -> Seq("o", "a", "de", "que", "e", "do", "da", "em", "um",
+        "para", "é", "com", "não", "uma", "os", "no", "se", "na", "por",
+        "mais", "as", "dos", "como", "mas", "foi"),
+      "nl" -> Seq("de", "het", "een", "en", "van", "is", "dat", "op", "te",
+        "zijn", "met", "voor", "niet", "aan", "er", "om", "ook", "als",
+        "dan", "maar", "bij", "uit", "nog", "naar", "wat"),
+      "zh" -> Seq("的", "是", "了", "在", "我", "有", "他", "这", "中",
+        "大", "来", "上", "到", "说", "们", "为", "和", "你", "地", "也"))
+    val words = split(lower(col("text")), " ")
     val scored = markers.foldLeft(documents.select(col("doc_id"), col("text"))) {
       case (df, (lang, ms)) =>
         df.withColumn(s"score_$lang",

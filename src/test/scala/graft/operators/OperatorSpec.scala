@@ -58,15 +58,23 @@ class OperatorSpec extends SparkSpec {
     assert(m(1L) !== m(3L))
   }
 
-  test("text_langid picks the language with most marker hits, 'und' when none") {
+  test("text_langid separates 8 languages on stopword-profile fixtures, 'und' when none") {
+    // deliberately includes cross-language stopword collisions: es/fr
+    // share "la"/"que", pt/nl share "de", en/nl share "is" — the larger
+    // profiles must still separate them on aggregate hits
     val df = docs(
-      1L -> "the cat and the dog is here",
-      2L -> "el perro de la casa que ladra",
-      3L -> "qqq www eee rrr")
+      1L -> "The cat and the dog is here but not for what it was",
+      2L -> "el perro de la casa que ladra no es para las personas",
+      3L -> "der hund ist nicht in dem haus und die katze war auch da",
+      4L -> "le chien est dans la maison et les chats ne sont pas sur le toit",
+      5L -> "il cane non è in casa ma sono sicuro che anche il gatto",
+      6L -> "o cachorro não está em casa mas foi para o parque com os outros",
+      7L -> "de hond is niet in het huis maar ook een kat bij de deur",
+      8L -> "的 是 了 在 我 有 他 这 中 大",
+      9L -> "qqq www eee rrr")
     val m = TextOps.langId(df).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(m(1L) === "en")
-    assert(m(2L) === "es")
-    assert(m(3L) === "und")
+    assert(m === Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr",
+      5L -> "it", 6L -> "pt", 7L -> "nl", 8L -> "zh", 9L -> "und"))
   }
 
   test("sim_ann_lsh recall@10 vs exact brute force on real embeddings") {

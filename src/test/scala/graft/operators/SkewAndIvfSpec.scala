@@ -46,6 +46,25 @@ class SkewAndIvfSpec extends SparkSpec {
     assert(viaWindow === viaDistributed)
   }
 
+  test("distributedNtileDense equals the single-task global windows") {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.orders(spark, sf())
+    // o_totalprice has duplicate values across orderkeys, so value runs
+    // straddle range-partition boundaries — exercising the dense-rank
+    // boundary-merge correction; n=7 leaves a remainder (N mod 7 != 0)
+    val viaWindow = orders
+      .select(col("o_orderkey"),
+        ntile(7).over(Window.orderBy(col("o_totalprice"), col("o_orderkey"))).as("tile"),
+        dense_rank().over(Window.orderBy(col("o_totalprice").desc)).as("drank"))
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getInt(2)))).toMap
+    val viaDistributed = Skew.distributedNtileDense(
+        orders, 8, 7, "o_totalprice", "o_orderkey")
+      .select("o_orderkey", "tile", "drank")
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getInt(2)))).toMap
+    assert(viaWindow.size === viaDistributed.size)
+    assert(viaWindow === viaDistributed)
+  }
+
   test("sim_ann_ivf recall@10 vs exact brute force") {
     val emb = Tables.embeddings(spark, sf())
     val exact = VectorOps.cosineTopK(emb, probeId = 0, k = 10)
