@@ -8,14 +8,22 @@ import graft.sources.InMemoryBus
   * subscription, invoking a callback per message and acking it (the
   * reference's default callback prints + acks, `test_client.py:22-26`).
   *
-  * The reference consumes via an async background streaming pull; here
-  * `drain()` is an explicit poll (deterministic in tests — no background
-  * scheduler thread to race against).
+  * Two consumption modes, matching the reference's and the deterministic
+  * variant:
+  *  - `subscribe()` — the reference's shape (`test_client.py:27`,
+  *    `subscriber.subscribe(callback=...)`): a background daemon thread
+  *    streams messages to the callback as they arrive, acking each.
+  *  - `drain()` — explicit poll, deterministic in tests (no scheduler
+  *    thread to race against).
   */
 final class BusTestClient(
     inTopic: String,
     outSubscription: String,
-    callback: Array[Byte] => Unit = b => println(new String(b, "UTF-8"))) {
+    callback: Array[Byte] => Unit = b => println(new String(b, "UTF-8")))
+    extends AutoCloseable {
+
+  @volatile private var running = false
+  private var consumer: Thread = _
 
   /** Publish a payload into the pipeline's incoming topic
     * (`test_client.py:29-31`). */
@@ -31,5 +39,29 @@ final class BusTestClient(
     msgs.foreach(m => callback(m.data))
     InMemoryBus.commit(outSubscription, until)
     msgs.size
+  }
+
+  /** Async streaming-pull consumption — the reference's
+    * `subscriber.subscribe(callback=...)` background scheduler
+    * (`test_client.py:27`): a daemon thread delivers each new message to
+    * the callback and acks it, until `close()`. Idempotent. */
+  def subscribe(pollMs: Long = 10L): this.type = synchronized {
+    if (!running) {
+      running = true
+      consumer = new Thread(() => {
+        while (running) {
+          if (drain() == 0) Thread.sleep(pollMs)
+        }
+      }, s"bus-test-client-$outSubscription")
+      consumer.setDaemon(true)
+      consumer.start()
+    }
+    this
+  }
+
+  /** Stop the background consumer (no-op if `subscribe()` never ran). */
+  override def close(): Unit = synchronized {
+    running = false
+    if (consumer != null) { consumer.join(2000); consumer = null }
   }
 }

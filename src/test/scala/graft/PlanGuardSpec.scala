@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+import org.apache.spark.sql.execution.debug.codegenString
+import org.apache.spark.sql.functions._
+
+import graft.functions.ShingleExpressions
+import graft.operators._
+
+/** Plan-shape regression guards: the scale properties docs/SCALE.md
+  * claims are asserted here against the actual plans, so a future edit
+  * that silently reintroduces a corpus-sized broadcast, breaks pushdown/
+  * pruning, or knocks a custom expression out of whole-stage codegen
+  * fails the build instead of surviving until a 100 TB run finds it.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sf())
+
+  test("dedup ops carry NO broadcast hints (corpus-sized relations must shuffle)") {
+    // round-1 defect: verification/size re-attach joins broadcast corpus-
+    // derived tables (one row per doc/shingle) — OOM at scale. The fix
+    // removed every hint; AQE may still broadcast the candidate side at
+    // runtime from observed sizes, which is exactly the right mechanism.
+    Seq(
+      "nearMinhash" -> DedupOps.nearMinhash(docs),
+      "ngramJaccard" -> DedupOps.ngramJaccard(docs),
+      "ngramJaccard(maxDf)" -> DedupOps.ngramJaccard(docs, maxDf = 3)
+    ).foreach { case (name, df) =>
+      val hinted = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+      assert(hinted.isEmpty, s"$name: broadcast hint present: $hinted")
+    }
+  }
+
+  test("custom expressions run inside whole-stage codegen, not interpreted fallback") {
+    val scored = docs.select(
+      ShingleExpressions.minHashSignature(
+        ShingleExpressions.shingleHashes(lower(col("text")), 3), 8).as("sig"),
+      ShingleExpressions.simHash64(lower(col("text"))).as("sh"))
+    val code = codegenString(scored.queryExecution.executedPlan)
+    assert(code.contains("ShingleKernels.shingleHashes"),
+      "shingle_hashes not in generated code")
+    assert(code.contains("ShingleKernels.minHash"),
+      "minhash_signature not in generated code")
+    assert(code.contains("ShingleKernels.simHash64"),
+      "simhash64 not in generated code")
+
+    val emb = Tables.embeddings(spark, sf())
+    val dotted = emb.select(
+      graft.functions.ShingleExpressions.dotProduct(
+        col("embedding"), col("embedding")).as("d"))
+    val dotCode = codegenString(dotted.queryExecution.executedPlan)
+    // the dot product generates an inline primitive loop (no kernel call)
+    assert(dotCode.contains("dot_product: mismatched dimensions"),
+      "dot_product loop not in generated code")
+  }
+
+  test("scan_project prunes columns; filter_pred pushes predicates into the scan") {
+    val projPlan = Scans.scanProject(Tables.lineitem(spark, sf()))
+      .queryExecution.executedPlan.treeString
+    assert(projPlan.contains("ReadSchema"), projPlan)
+    assert(!projPlan.contains("l_comment") && !projPlan.contains("l_shipmode"),
+      "scan_project reads columns the query never uses")
+
+    val q6Plan = Filters.filterPred(Tables.lineitem(spark, sf()))
+      .queryExecution.executedPlan.treeString
+    assert(q6Plan.contains("PushedFilters: [IsNotNull"),
+      s"no predicates pushed into the parquet scan:\n$q6Plan")
+  }
+
+  test("global top-k plans TakeOrderedAndProject, never a full sort") {
+    val plan = SortsSets.topk(Tables.orders(spark, sf()))
+      .queryExecution.executedPlan.treeString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("star join broadcasts all dims — zero shuffles of the fact table") {
+    val plan = Joins.multiway(Tables.region(spark, sf()), Tables.nation(spark, sf()),
+        Tables.customer(spark, sf()), Tables.orders(spark, sf()))
+      .queryExecution.executedPlan.treeString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the only hash exchange allowed is the final aggregation's — the
+    // join pipeline itself must not repartition the fact side
+    val joinSection = plan.split("HashAggregate").last
+    assert(!joinSection.contains("Exchange hashpartitioning"),
+      s"fact table shuffled before a dim join:\n$plan")
+  }
+}

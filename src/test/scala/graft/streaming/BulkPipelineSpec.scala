@@ -61,6 +61,29 @@ class BulkPipelineSpec extends SparkSpec {
     assert(InMemoryBus.committedOffset(inSub) === 0)
   }
 
+  test("BusTestClient async subscribe streams pipeline output to the callback") {
+    val (inTopic, inSub, outTopic, outSub) = fresh("b4")
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val client = new BusTestClient(inTopic, outSub,
+      b => received.add(new String(b, UTF_8))).subscribe()
+    try {
+      (1 to 3).foreach(i =>
+        client.publish(s"""{"data":"a$i","nested":{"nestedData":"w"}}""".getBytes(UTF_8)))
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("data", "string")
+        .add("nested", new org.apache.spark.sql.types.StructType().add("nestedData", "string"))
+      val q = new Pipeline(spark, inSub, outTopic, JsonSerde(schema),
+        df => df.select(org.apache.spark.sql.functions.col("payload.*")),
+        Files.createTempDirectory("tc-ckpt").toString).start(availableNow = true)
+      q.awaitTermination(60000)
+      // no explicit drain: the background consumer must deliver and ack
+      val deadline = System.currentTimeMillis + 20000
+      while (System.currentTimeMillis < deadline && received.size < 3) Thread.sleep(50)
+      assert(received.size === 3)
+      assert(InMemoryBus.committedOffset(outSub) === 3) // acked by consumer
+    } finally client.close()
+  }
+
   test("BusTestClient round trip: publish → pipeline → drain with callback") {
     val (inTopic, inSub, outTopic, outSub) = fresh("b3")
     val received = scala.collection.mutable.ArrayBuffer[String]()
