@@ -79,16 +79,19 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => DedupOps.exact(Tables.documents(s, d))),
     "dedup_near_minhash" -> ((s, d) => DedupOps.nearMinhash(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => DedupOps.simhash(Tables.documents(s, d))),
+    "dedup_simhash_pairs" -> ((s, d) => DedupOps.simhashPairs(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccard(Tables.documents(s, d))),
     "dedup_ngram_jaccard_capped" -> ((s, d) =>
       DedupOps.ngramJaccard(Tables.documents(s, d), maxDf = 3)),
     "dedup_near_embedding" -> ((s, d) => VectorOps.nearDupEmbedding(Tables.embeddings(s, d))),
     // --- similarity search (LLM-pipeline) ---
     "sim_cosine_topk" -> ((s, d) => VectorOps.cosineTopK(Tables.embeddings(s, d))),
+    "sim_batch_topk" -> ((s, d) => VectorOps.batchCosineTopK(Tables.embeddings(s, d))),
     "sim_ann_lsh" -> ((s, d) => VectorOps.annLsh(Tables.embeddings(s, d))),
     "sim_ann_ivf" -> ((s, d) => VectorOps.annIvf(Tables.embeddings(s, d))),
     // --- text analysis (LLM-pipeline) ---
     "text_wordcount" -> ((s, d) => TextOps.wordcount(Tables.documents(s, d))),
+    "text_ngram_stats" -> ((s, d) => TextOps.ngramStats(Tables.documents(s, d))),
     "text_lang_stats" -> ((s, d) => TextOps.langStats(Tables.documents(s, d))),
     "text_tokens" -> ((s, d) => TextOps.tokens(Tables.documents(s, d))),
     "text_tokens_bpe" -> ((s, d) => TextOps.tokensBpe(Tables.documents(s, d))),
@@ -466,6 +469,33 @@ object SparkEntry {
         |)
         |SELECT vec_id, round(rawcos, 6) AS cos FROM c
         |ORDER BY rawcos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "sim_batch_topk" ->
+      """WITH p AS (
+        |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS probe
+        |  FROM embeddings WHERE vec_id < 5),
+        |c AS (
+        |  SELECT probe_id, e.vec_id,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), probe)
+        |      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(probe, probe))) AS rawcos
+        |  FROM embeddings e CROSS JOIN p),
+        |r AS (
+        |  SELECT probe_id, vec_id, rawcos,
+        |    CAST(row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY rawcos DESC, vec_id) AS INTEGER) AS rn
+        |  FROM c)
+        |SELECT probe_id, vec_id, round(rawcos, 6) AS cos, rn
+        |FROM r WHERE rn <= 10 ORDER BY probe_id, rn""".stripMargin,
+
+    "text_ngram_stats" ->
+      """SELECT gram, COUNT(*) AS cnt FROM (
+        |  SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+        |  FROM (SELECT w, unnest(range(1, len(w) - 1)) AS i
+        |        FROM (SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |              FROM documents) t
+        |        WHERE len(w) >= 3) u) g
+        |GROUP BY gram ORDER BY cnt DESC, gram LIMIT 50""".stripMargin,
 
     "text_wordcount" ->
       """SELECT word, COUNT(*) AS cnt FROM (

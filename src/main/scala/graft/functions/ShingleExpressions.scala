@@ -63,6 +63,11 @@ object ShingleExpressions {
   /** Column API: 64-bit SimHash of a space-tokenized text column. */
   def simHash64(text: Column): Column =
     column(SimHash64Expr(expression(text)))
+
+  /** Column API: ALL k-gram strings (with multiplicity) of a
+    * space-tokenized text column → array<string>. */
+  def ngrams(text: Column, k: Int): Column =
+    column(NgramsExpr(expression(text), k))
 }
 
 /** Static kernels shared by the interpreted (`nullSafeEval`) and generated
@@ -160,6 +165,34 @@ object ShingleKernels {
       b += 1
     }
     out
+  }
+
+  /** All k-grams of the space-tokenized input as strings, WITH
+    * multiplicity (frequency statistics need every occurrence; dedup
+    * signatures use the distinct hashed variant above). */
+  def ngrams(input: UTF8String, k: Int): ArrayData = {
+    val toks0 = input.toString.split(' ')
+    val toks = new java.util.ArrayList[String](toks0.length)
+    var i = 0
+    while (i < toks0.length) {
+      if (toks0(i).nonEmpty) toks.add(toks0(i)); i += 1
+    }
+    val n = toks.size
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - k + 1)
+    val sb = new java.lang.StringBuilder(64)
+    i = 0
+    while (i <= n - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.get(i + j)); j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 }
 
@@ -272,6 +305,23 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernels.simHash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `ngrams(text, k)` — see [[ShingleKernels.ngrams]]. */
+case class NgramsExpr(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "ngrams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernels.ngrams(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernels.ngrams($c, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

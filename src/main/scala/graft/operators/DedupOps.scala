@@ -97,6 +97,40 @@ object DedupOps {
         ShingleExpressions.simHash64(lower(col("text"))).as("simhash"))
       .orderBy("doc_id")
 
+  /** `dedup_simhash_pairs`: near-duplicate PAIRS from SimHash fingerprints
+    * via banded Hamming LSH — completes `simhash` (which only emits
+    * fingerprints) into a detector. The 64-bit fingerprint splits into
+    * `bands` equal bit-slices; by pigeonhole, any pair with Hamming
+    * distance < `bands` shares at least one identical slice, so
+    * bucket-joining per slice finds all such pairs exactly (pairs with
+    * distance in [bands, maxHamming] are found with LSH probability —
+    * the standard recall tradeoff). Candidate rows carry only
+    * (band-key, doc_id, 8-byte fingerprint); verification is a popcount
+    * of the XOR — no re-attach join at all. No oracle (hash-based);
+    * ScalaTest planted-pair test. */
+  def simhashPairs(documents: DataFrame, bands: Int = 4,
+                   maxHamming: Int = 8): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val bandBits = 64 / bands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val fp = documents.select(col("doc_id"),
+      ShingleExpressions.simHash64(lower(col("text"))).as("fp"))
+    val banded = fp.select(col("doc_id"), col("fp"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("fp"), b * bandBits).bitwiseAND(lit(mask))
+            .as("slice"))): _*)).as("bk"))
+    banded.select(col("bk"), col("doc_id").as("id_a"), col("fp").as("fp_a"))
+      .join(banded.select(col("bk"), col("doc_id").as("id_b"), col("fp").as("fp_b")),
+        Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .distinct() // a pair may collide in several bands
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("id_a", "id_b")
+  }
+
   /** `dedup_ngram_jaccard`: exact n-gram Jaccard similarity for all pairs
     * sharing at least one shingle — the inverted-index formulation:
     * explode shingles → group by shingle → per-pair intersection count

@@ -37,6 +37,21 @@ object TextOps {
         (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
       .orderBy("lang")
 
+  /** `text_ngram_stats`: corpus-level trigram frequencies, top-50 — the
+    * n-gram statistics pass a contamination/boilerplate analysis runs.
+    * Trigram strings come from one compiled pass per document
+    * ([[graft.functions.NgramsExpr]], with multiplicity — an interpreted
+    * HOF formulation would pay per-element lambda costs); counting is
+    * explode → partial+final agg, limit is TakeOrdered. */
+  def ngramStats(documents: DataFrame, k: Int = 3): DataFrame =
+    documents
+      .select(explode(
+        graft.functions.ShingleExpressions.ngrams(lower(col("text")), k)).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(50)
+
   /** `text_tokens`: per-document token accounting (whitespace tokenizer;
     * the BPE-ish variant lives in `tokensBpe`). */
   def tokens(documents: DataFrame): DataFrame = {

@@ -55,6 +55,32 @@ object VectorOps {
       .select(col("vec_id"), round(col("rawcos"), 6).as("cos"))
   }
 
+  /** `sim_batch_topk`: exact top-k neighbors for a SET of probes in one
+    * pass — the batched-retrieval shape. The probe set broadcasts (tiny);
+    * scoring is one map-only sweep of the corpus computing every
+    * (probe, candidate) cosine; per-probe top-k is a row_number window
+    * partitioned BY PROBE, so the ranking shuffle carries only
+    * (probe_id, vec_id, score) triples, never embeddings. At 100 TB this
+    * is a blocked matrix product: corpus partitions × broadcast probe
+    * block. */
+  def batchCosineTopK(embeddings: DataFrame, nProbes: Int = 5,
+                      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probes = embeddings.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("rawcos").desc, col("vec_id"))
+    embeddings
+      .crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("vec_id"),
+        cosine(col("embedding"), col("probe")).as("rawcos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("vec_id"),
+        round(col("rawcos"), 6).as("cos"), col("rn"))
+      .orderBy("probe_id", "rn")
+  }
+
   /** Random-hyperplane (sign) LSH bucketing: `nBits` fixed pseudo-random
     * hyperplanes → one integer bucket per vector. Deterministic planes are
     * derived from a hash of (plane index, dimension index) — no RNG state,

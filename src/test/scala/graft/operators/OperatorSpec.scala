@@ -51,6 +51,27 @@ class OperatorSpec extends SparkSpec {
     assert(m(1L) !== m(3L))
   }
 
+  test("dedup_simhash_pairs finds planted near-duplicates, skips unrelated docs") {
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 13) "CHANGED" else s"token$i").mkString(" ")
+    val unrelated = (1 to 60).map(i => s"other$i").mkString(" ")
+    val out = DedupOps.simhashPairs(docs(1L -> base, 2L -> nearDup, 3L -> unrelated))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((1L, 2L)))
+  }
+
+  test("sim_batch_topk agrees with the single-probe exact top-k per probe") {
+    val emb = Tables.embeddings(spark, sf())
+    val batch = VectorOps.batchCosineTopK(emb, nProbes = 3, k = 5)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq).toMap
+    (0L until 3L).foreach { p =>
+      val single = VectorOps.cosineTopK(emb, probeId = p, k = 5)
+        .collect().map(_.getLong(0)).toSeq
+      assert(batch(p) === single, s"probe $p")
+    }
+  }
+
   test("text_fingerprint is deterministic and order-sensitive") {
     val df = docs(1L -> "a b c", 2L -> "a b c", 3L -> "c b a")
     val m = TextOps.fingerprint(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
