@@ -83,6 +83,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccard(Tables.documents(s, d))),
     "dedup_ngram_jaccard_capped" -> ((s, d) =>
       DedupOps.ngramJaccard(Tables.documents(s, d), maxDf = 3)),
+    "dedup_jaccard_clusters" -> ((s, d) =>
+      DedupOps.clusters(DedupOps.ngramJaccard(Tables.documents(s, d)))),
     "dedup_near_embedding" -> ((s, d) => VectorOps.nearDupEmbedding(Tables.embeddings(s, d))),
     // --- similarity search (LLM-pipeline) ---
     "sim_cosine_topk" -> ((s, d) => VectorOps.cosineTopK(Tables.embeddings(s, d))),
@@ -426,6 +428,41 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // connected components over the (deterministic, oracled) jaccard
+    // pairs: transitive closure via recursive CTE on the DuckDB side,
+    // min-label propagation on the Spark side — same fixpoint.
+    "dedup_jaccard_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        |        FROM toks WHERE len(w) >= 3) u
+        |),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b USING (sh)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM cand
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
+        |),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |)
+        |SELECT a AS doc_id, least(a, min(b)) AS cluster
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
     // maxDf skew knob, oracle-checked: shingles with df > 3 are dropped
     // from BOTH candidate generation and the per-doc sizes, so jaccard is

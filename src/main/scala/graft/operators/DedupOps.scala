@@ -131,6 +131,47 @@ object DedupOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** `dedup_jaccard_clusters`: connected components over near-duplicate
+    * PAIRS → per-document cluster assignment (cluster id = lowest doc_id
+    * in the component) — the step that turns any pair detector above into
+    * an actual dedup decision ("keep the cluster representative").
+    *
+    * Distributed min-label propagation: every node starts labeled with
+    * itself; each round every node takes the min of its own and its
+    * neighbors' labels — ONE shuffle per round, converging in
+    * O(component diameter) rounds (near-dup components are shallow;
+    * bounded at 50). `localCheckpoint` per round truncates the lineage so
+    * the plan doesn't grow with iterations — the same iterative-algorithm
+    * shape as MLlib's KMeans. The driver sees only the convergence
+    * counter, never the data. */
+  def clusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster").as("nc")), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("nc")).as("nmin"))
+      val updated = labels
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      changed = updated
+        .join(labels.withColumnRenamed("cluster", "old"), "doc_id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels = updated
+      rounds += 1
+    }
+    labels.orderBy("doc_id")
+  }
+
   /** `dedup_ngram_jaccard`: exact n-gram Jaccard similarity for all pairs
     * sharing at least one shingle — the inverted-index formulation:
     * explode shingles → group by shingle → per-pair intersection count

@@ -72,6 +72,16 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("dedup clusters: transitive chains collapse to one component, labeled by its min") {
+    val sess = spark
+    import sess.implicits._
+    // 1~2, 2~3 but never 1~3 directly: only transitivity links them
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val out = DedupOps.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("text_fingerprint is deterministic and order-sensitive") {
     val df = docs(1L -> "a b c", 2L -> "a b c", 3L -> "c b a")
     val m = TextOps.fingerprint(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
