@@ -44,6 +44,17 @@ object SparkEntry {
     "join_cross" -> ((s, d) => Joins.crossDims(Tables.region(s, d), Tables.customer(s, d))),
     "join_theta_range" -> ((s, d) => Joins.thetaRange(Tables.part(s, d), Tables.supplier(s, d))),
     "join_asof_event" -> ((s, d) => Joins.asofEvent(Tables.events(s, d), Tables.orders(s, d))),
+    // --- composed TPC-H-shaped analytics ---
+    "q3_shipping_priority" -> ((s, d) =>
+      ComposedOps.q3ShippingPriority(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d))),
+    "q5_local_supplier" -> ((s, d) =>
+      ComposedOps.q5LocalSupplier(Tables.region(s, d), Tables.nation(s, d),
+        Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
+        Tables.supplier(s, d))),
+    "q10_returned_items" -> ((s, d) =>
+      ComposedOps.q10ReturnedItems(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d), Tables.nation(s, d))),
     // --- aggregations ---
     "agg_hash_group" -> ((s, d) => Aggs.hashGroup(Tables.lineitem(s, d))),
     "agg_distinct" -> ((s, d) => Aggs.distinctCounts(Tables.lineitem(s, d))),
@@ -216,6 +227,45 @@ object SparkEntry {
         |    (SELECT max(o.o_orderdate) FROM orders o
         |     WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts))) AS BIGINT) AS last_order_s
         |FROM events e ORDER BY e.event_id""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT o_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(epoch(date_trunc('second', o_orderdate)) AS BIGINT) AS order_date_s
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON n_nationkey = c_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "agg_hash_group" ->
       """SELECT l_returnflag, l_linestatus,
