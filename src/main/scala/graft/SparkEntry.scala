@@ -101,6 +101,7 @@ object SparkEntry {
     "sim_cosine_topk" -> ((s, d) => VectorOps.cosineTopK(Tables.embeddings(s, d))),
     "sim_batch_topk" -> ((s, d) => VectorOps.batchCosineTopK(Tables.embeddings(s, d))),
     "sim_ann_lsh" -> ((s, d) => VectorOps.annLsh(Tables.embeddings(s, d))),
+    "sim_ann_lsh_batch" -> ((s, d) => VectorOps.annLshBatch(Tables.embeddings(s, d))),
     "sim_ann_ivf" -> ((s, d) => VectorOps.annIvf(Tables.embeddings(s, d))),
     // --- text analysis (LLM-pipeline) ---
     "text_wordcount" -> ((s, d) => TextOps.wordcount(Tables.documents(s, d))),

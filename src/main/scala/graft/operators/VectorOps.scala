@@ -105,11 +105,19 @@ object VectorOps {
       .reduce(_ + _)
   }
 
+  /** Banded sign-LSH bucket keys of a vector: `nBands` independent
+    * (band, bucket) structs (OR-amplification — a candidate matches in
+    * ANY band). */
+  private def lshBands(v: Column, dim: Int, nBands: Int,
+                       bitsPerBand: Int): Column =
+    array((0 until nBands).map(b =>
+      struct(lit(b).as("band"),
+        signBucket(v, dim, bitsPerBand, seed = b * 7919).as("bkt"))): _*)
+
   /** `sim_ann_lsh`: approximate top-k via banded sign-LSH — the scale
-    * path (OR-amplification: `nBands` independent bucket tables, a
-    * candidate matches the probe in ANY band). Only same-bucket candidates
-    * are scored, turning the full scan into a bucket-equi join; recall vs
-    * candidate-set size is tuned by (nBands, bitsPerBand).
+    * path. Only same-bucket candidates are scored, turning the full scan
+    * into a bucket-equi join; recall vs candidate-set size is tuned by
+    * (nBands, bitsPerBand).
     *
     * Shuffle hygiene: band rows and the candidate dedup carry ONLY
     * (vec_id, band-key) — 16 bytes — never the 64-float embedding;
@@ -118,9 +126,7 @@ object VectorOps {
     * against the exact baseline. */
   def annLsh(embeddings: DataFrame, probeId: Long = 0L, k: Int = 10,
              dim: Int = 64, nBands: Int = 6, bitsPerBand: Int = 4): DataFrame = {
-    def bands(v: Column): Column = array((0 until nBands).map(b =>
-      struct(lit(b).as("band"),
-        signBucket(v, dim, bitsPerBand, seed = b * 7919).as("bkt"))): _*)
+    def bands(v: Column): Column = lshBands(v, dim, nBands, bitsPerBand)
     val corpusBands = embeddings
       .select(col("vec_id"), explode(bands(col("embedding"))).as("bk"))
     val probeBands = embeddings.filter(col("vec_id") === probeId)
@@ -139,6 +145,41 @@ object VectorOps {
       .orderBy(col("rawcos").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id"), round(col("rawcos"), 6).as("cos"))
+  }
+
+  /** `sim_ann_lsh_batch`: approximate top-k for a probe SET via the same
+    * banded sign-LSH — the sub-linear batched-retrieval path (the exact
+    * sweep `batchCosineTopK` scores corpus × probes; this scores only
+    * bucket-colliding candidate pairs). Candidate generation is a
+    * bucket-equi join of two (id, band-key) tables — when the probe set
+    * is itself large, this is a plain shuffle join on the band key, no
+    * broadcast required; embeddings re-attach to the deduped (probe_id,
+    * vec_id) candidates afterwards. No oracle (approximate); ScalaTest
+    * asserts per-probe recall vs the exact batch sweep. */
+  def annLshBatch(embeddings: DataFrame, nProbes: Int = 5, k: Int = 10,
+                  dim: Int = 64, nBands: Int = 8, bitsPerBand: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def bands(v: Column): Column = lshBands(v, dim, nBands, bitsPerBand)
+    val corpusBands = embeddings
+      .select(col("vec_id"), explode(bands(col("embedding"))).as("bk"))
+    val probeBands = embeddings.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), explode(bands(col("embedding"))).as("bk"))
+    val cand = corpusBands.join(probeBands, Seq("bk"))
+      .select("probe_id", "vec_id").distinct()
+    val probes = embeddings.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("rawcos").desc, col("vec_id"))
+    cand
+      .join(embeddings, "vec_id")
+      .join(probes, "probe_id")
+      .select(col("probe_id"), col("vec_id"),
+        cosine(col("embedding"), col("probe")).as("rawcos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("vec_id"),
+        round(col("rawcos"), 6).as("cos"), col("rn"))
+      .orderBy("probe_id", "rn")
   }
 
   /** A built IVF index: the tiny centroid table (nlist rows) plus the

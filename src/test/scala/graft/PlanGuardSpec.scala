@@ -68,6 +68,15 @@ class PlanGuardSpec extends SparkSpec {
       s"no predicates pushed into the parquet scan:\n$q6Plan")
   }
 
+  test("composed TPC-H shapes push every selective filter into the scans") {
+    val plan = ComposedOps.q3ShippingPriority(Tables.customer(spark, sf()),
+        Tables.orders(spark, sf()), Tables.lineitem(spark, sf()))
+      .queryExecution.executedPlan.treeString
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"), plan)
+    assert(plan.contains("LessThan(o_orderdate"), plan)
+    assert(plan.contains("GreaterThan(l_shipdate"), plan)
+  }
+
   test("global top-k plans TakeOrderedAndProject, never a full sort") {
     val plan = SortsSets.topk(Tables.orders(spark, sf()))
       .queryExecution.executedPlan.treeString

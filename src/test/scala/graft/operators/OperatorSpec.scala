@@ -60,6 +60,21 @@ class OperatorSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L)))
   }
 
+  test("sim_ann_lsh_batch per-probe recall vs the exact batch sweep") {
+    val emb = Tables.embeddings(spark, sf())
+    val exact = VectorOps.batchCosineTopK(emb, nProbes = 3, k = 10)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val approx = VectorOps.annLshBatch(emb, nProbes = 3, k = 10)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    (0L until 3L).foreach { p =>
+      val recall = (exact(p) intersect approx.getOrElse(p, Set.empty)).size.toDouble /
+        exact(p).size
+      assert(recall >= 0.5, s"probe $p recall = $recall")
+    }
+  }
+
   test("sim_batch_topk agrees with the single-probe exact top-k per probe") {
     val emb = Tables.embeddings(spark, sf())
     val batch = VectorOps.batchCosineTopK(emb, nProbes = 3, k = 5)
