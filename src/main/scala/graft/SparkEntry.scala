@@ -71,6 +71,7 @@ object SparkEntry {
     "window_running_sum" -> ((s, d) => Windows.runningSum(Tables.lineitem(s, d))),
     "window_lag_lead" -> ((s, d) => Windows.lagLead(Tables.events(s, d))),
     "window_ntile_dense" -> ((s, d) => Windows.ntileDense(Tables.customer(s, d))),
+    "window_percent_cume" -> ((s, d) => Windows.percentCume(Tables.orders(s, d))),
     // --- sorts / limits / set ops ---
     "sort_limit_topk" -> ((s, d) => SortsSets.topk(Tables.orders(s, d))),
     "topk_per_group" -> ((s, d) => Windows.topkPerGroup(Tables.orders(s, d))),
@@ -86,6 +87,7 @@ object SparkEntry {
     "fn_array" -> ((s, d) => VectorOps.fnArray(Tables.embeddings(s, d))),
     "fn_map" -> ((s, d) => ScalarFns.fnMap(Tables.events(s, d))),
     "fn_json" -> ((s, d) => ScalarFns.fnJson(Tables.events(s, d))),
+    "fn_bitwise" -> ((s, d) => ScalarFns.fnBitwise(Tables.part(s, d))),
     // --- dedup (LLM-pipeline) ---
     "dedup_exact" -> ((s, d) => DedupOps.exact(Tables.documents(s, d))),
     "dedup_near_minhash" -> ((s, d) => DedupOps.nearMinhash(Tables.documents(s, d))),
@@ -357,6 +359,22 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
+
+    "window_percent_cume" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  round(percent_rank() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey), 6) AS pr,
+        |  round(cume_dist() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey), 6) AS cd
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_bitwise" ->
+      """SELECT p_partkey,
+        |  CAST(bit_count(p_partkey) AS INTEGER) AS bits,
+        |  p_partkey << 3 AS shifted,
+        |  xor(p_partkey, CAST(p_size AS BIGINT)) AS xored,
+        |  p_partkey & 255 AS low_byte
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "window_ntile_dense" ->
       """SELECT c_custkey, c_acctbal,

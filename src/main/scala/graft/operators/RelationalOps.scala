@@ -405,6 +405,20 @@ object Windows {
       .select(col("c_custkey"), col("c_acctbal"), col("tile"), col("drank"))
       .orderBy("c_custkey")
 
+  /** `window_percent_cume`: relative-position analytics — percent_rank +
+    * cume_dist per order priority. Same one-shuffle window shape as the
+    * rank family; rounded to 6 decimals (both engines compute the same
+    * rational values; rounding absorbs double formatting noise). */
+  def percentCume(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy("o_orderkey")
+  }
+
   /** `topk_per_group`: top-3 orders per customer via row_number —
     * shuffle-once, no global sort. */
   def topkPerGroup(orders: DataFrame): DataFrame = {
@@ -512,6 +526,19 @@ object ScalarFns {
         sqrt(col("p_retailprice")).as("sqrt_price"),
         ceil(col("p_retailprice")).as("ceil_price"),
         floor(col("p_retailprice")).as("floor_price"))
+      .orderBy("p_partkey")
+
+  /** `fn_bitwise`: bitwise scalar functions over integer keys — popcount,
+    * shifts, xor, masking. The primitives sketch/partitioner code is built
+    * from; all codegen'd. */
+  def fnBitwise(part: DataFrame): DataFrame =
+    part
+      .select(
+        col("p_partkey"),
+        bit_count(col("p_partkey")).cast("int").as("bits"),
+        shiftleft(col("p_partkey"), 3).as("shifted"),
+        col("p_partkey").bitwiseXOR(col("p_size").cast("long")).as("xored"),
+        col("p_partkey").bitwiseAND(lit(255L)).as("low_byte"))
       .orderBy("p_partkey")
 
   /** `fn_json`: the reference's default serde as a batch query —
