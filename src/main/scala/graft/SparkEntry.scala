@@ -43,6 +43,8 @@ object SparkEntry {
     "join_full_outer" -> ((s, d) => Joins.fullOuter(Tables.customer(s, d), Tables.supplier(s, d))),
     "join_cross" -> ((s, d) => Joins.crossDims(Tables.region(s, d), Tables.customer(s, d))),
     "join_theta_range" -> ((s, d) => Joins.thetaRange(Tables.part(s, d), Tables.supplier(s, d))),
+    "join_range_bucket" -> ((s, d) =>
+      Joins.rangeBucketJoin(Tables.part(s, d), Tables.supplier(s, d))),
     "join_asof_event" -> ((s, d) => Joins.asofEvent(Tables.events(s, d), Tables.orders(s, d))),
     // --- composed TPC-H-shaped analytics ---
     "q3_shipping_priority" -> ((s, d) =>
@@ -219,6 +221,14 @@ object SparkEntry {
         |ORDER BY r_name, c_mktsegment""".stripMargin,
 
     "join_theta_range" ->
+      """SELECT s_suppkey, COUNT(*) AS n_parts
+        |FROM part JOIN supplier
+        |  ON p_retailprice > s_acctbal * 0.1 AND p_retailprice < s_acctbal * 0.11
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+
+    // identical result to join_theta_range — the oracle verifies the
+    // interval-bucket rewrite is semantics-preserving
+    "join_range_bucket" ->
       """SELECT s_suppkey, COUNT(*) AS n_parts
         |FROM part JOIN supplier
         |  ON p_retailprice > s_acctbal * 0.1 AND p_retailprice < s_acctbal * 0.11

@@ -20,8 +20,10 @@ class ContractSpec extends SparkSpec {
       assert(df.schema.nonEmpty, s"$name: empty schema")
       // near-dup ops may legitimately be empty on the tiny corpus
       val mayBeEmpty = Set("dedup_near_embedding", "dedup_near_minhash",
-        "dedup_ngram_jaccard", "join_anti", "set_except",
-        "join_theta_range" /* band is empty with only 10 suppliers @sf0.001 */)
+        "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped",
+        "dedup_jaccard_clusters", "dedup_simhash_pairs", "join_anti",
+        "set_except", "join_theta_range", "join_range_bucket"
+        /* band joins are empty with only 10 suppliers @sf0.001 */)
       if (!mayBeEmpty(name) && df.isEmpty) Some(name) else None
     }
     assert(empties.isEmpty, s"queries with no rows: $empties")

@@ -83,6 +83,14 @@ class PlanGuardSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("range-bucket join is an equi join — no nested loop, no cartesian") {
+    val plan = Joins.rangeBucketJoin(Tables.part(spark, sf()),
+        Tables.supplier(spark, sf()))
+      .queryExecution.executedPlan.treeString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"interval-bucket rewrite degenerated to a nested loop:\n$plan")
+  }
+
   test("star join broadcasts all dims — zero shuffles of the fact table") {
     val plan = Joins.multiway(Tables.region(spark, sf()), Tables.nation(spark, sf()),
         Tables.customer(spark, sf()), Tables.orders(spark, sf()))
