@@ -46,6 +46,8 @@ object SparkEntry {
     "join_range_bucket" -> ((s, d) =>
       Joins.rangeBucketJoin(Tables.part(s, d), Tables.supplier(s, d))),
     "join_asof_event" -> ((s, d) => Joins.asofEvent(Tables.events(s, d), Tables.orders(s, d))),
+    "join_asof_tolerance" -> ((s, d) =>
+      Joins.asofEventTolerance(Tables.events(s, d), Tables.orders(s, d))),
     // --- composed TPC-H-shaped analytics ---
     "q3_shipping_priority" -> ((s, d) =>
       ComposedOps.q3ShippingPriority(Tables.customer(s, d), Tables.orders(s, d),
@@ -279,6 +281,14 @@ object SparkEntry {
         |  AND l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "join_asof_tolerance" ->
+      """SELECT e.event_id, e.user_id,
+        |  CAST(epoch(date_trunc('second',
+        |    (SELECT max(o.o_orderdate) FROM orders o
+        |     WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |       AND o.o_orderdate >= date_trunc('second', e.ts) - INTERVAL '30 days'))) AS BIGINT) AS last_order_s
+        |FROM events e ORDER BY e.event_id""".stripMargin,
 
     "agg_hash_group" ->
       """SELECT l_returnflag, l_linestatus,

@@ -257,6 +257,37 @@ object Joins {
         unix_timestamp(col("last_order_ts")).as("last_order_s"))
       .orderBy("event_id")
   }
+
+  /** `join_asof_tolerance`: as-of join with a max-staleness bound — the
+    * standard time-series form (`ASOF JOIN ... TOLERANCE`). Same
+    * one-shuffle union+window plan as [[asofEvent]]; the tolerance is a
+    * post-window predicate (a match older than `toleranceDays` before the
+    * event nulls out), so the scale shape is unchanged. Second-resolution
+    * arithmetic on both engines keeps the boundary exact. */
+  def asofEventTolerance(events: DataFrame, orders: DataFrame,
+                         toleranceDays: Int = 30): DataFrame = {
+    val ev = events.select(
+      col("user_id"), col("ts"), lit(1).as("tag"),
+      lit(null).cast("timestamp").as("ots"), col("event_id"))
+    val os = orders.select(
+      col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+      lit(0).as("tag"), col("o_orderdate").as("ots"),
+      lit(null).cast("long").as("event_id"))
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tolSecs = toleranceDays.toLong * 86400L
+    ev.unionByName(os)
+      .withColumn("last_order_ts", last(col("ots"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(
+        col("event_id"), col("user_id"),
+        when(unix_timestamp(col("ts")) - unix_timestamp(col("last_order_ts"))
+          <= tolSecs, unix_timestamp(col("last_order_ts")))
+          .as("last_order_s"))
+      .orderBy("event_id")
+  }
 }
 
 /** Aggregations (SURVEY §2-B "Aggregations"). All use Catalyst's

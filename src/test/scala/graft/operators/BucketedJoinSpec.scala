@@ -6,13 +6,29 @@ import org.apache.spark.sql.functions._
 
 import graft.{SparkSpec, Tables}
 
-/** Proves the SCALE.md claim that bucketing both sides of a fact⋈fact
-  * join on the key removes BOTH exchanges: the bucketed scans already
-  * satisfy the join's hash-partitioning requirement, so the planner emits
-  * a sort-merge join with zero Exchange operators — the co-located-join
-  * layout a 100 TB deployment uses for its recurring fact joins.
+/** Proves the SCALE.md table-layout claims: bucketing both sides of a
+  * fact⋈fact join removes BOTH exchanges, and a partitioned layout
+  * prunes non-matching partitions at the scan — the two physical-layout
+  * levers a 100 TB deployment pulls before touching any operator code.
   */
 class BucketedJoinSpec extends SparkSpec {
+
+  test("partitioned table layout prunes partitions at the scan") {
+    val dir = Files.createTempDirectory("graft-partitioned").toString
+    Tables.orders(spark, sf())
+      .withColumn("yr", year(col("o_orderdate")))
+      .write.partitionBy("yr").mode("overwrite").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("yr") === 1996)
+    val plan = pruned.queryExecution.executedPlan.treeString
+    // the year predicate must be a PartitionFilter (directory pruning),
+    // not a row-level PushedFilter — non-1996 files are never opened
+    assert(plan.contains("PartitionFilters: [isnotnull(yr"), plan)
+    assert(plan.contains("(yr") && plan.contains("= 1996"), plan)
+    val expected = Tables.orders(spark, sf())
+      .filter(year(col("o_orderdate")) === 1996).count()
+    assert(pruned.count() === expected)
+    assert(expected > 0)
+  }
 
   test("co-bucketed tables sort-merge join with zero shuffle exchanges") {
     val wh = Files.createTempDirectory("graft-bucketed").toString
