@@ -20,10 +20,22 @@ trait Serde {
   def serialize(payload: Column): Column
 }
 
-/** Default JSON serde: UTF-8 bytes ⇄ struct via from_json/to_json. */
-final case class JsonSerde(schema: DataType) extends Serde {
+/** Default JSON serde: UTF-8 bytes ⇄ struct via from_json/to_json.
+  *
+  * `failFast = false` (default): a malformed payload deserializes to a
+  * null struct (Spark's PERMISSIVE mode) — the batch completes and the
+  * transform decides what to do with nulls. `failFast = true` mirrors
+  * the reference's behavior (`json.loads` raises uncaught,
+  * `pubsub_pipeline.py:177` — the loop dies, nothing is acked, the
+  * message redelivers on restart): the batch FAILS on the first
+  * malformed payload, so no offset commits and the poison message stays
+  * unacked. */
+final case class JsonSerde(schema: DataType, failFast: Boolean = false) extends Serde {
   override def deserialize(value: Column): Column =
-    from_json(value.cast("string"), schema)
+    if (failFast)
+      from_json(value.cast("string"), schema.asInstanceOf[org.apache.spark.sql.types.StructType],
+        Map("mode" -> "FAILFAST"))
+    else from_json(value.cast("string"), schema)
   override def serialize(payload: Column): Column =
     to_json(payload).cast("binary")
 }

@@ -304,6 +304,33 @@ class PipelineSpec extends SparkSpec {
       === Seq("m1", "m2", "m3"))
   }
 
+  test("malformed payload: permissive serde yields null payload; failFast fails the batch unacked") {
+    // permissive (default): corrupt JSON becomes a struct of null fields,
+    // batch completes, transform filters — no poison-message livelock
+    val (inTopicP, inSubP, outTopicP, outSubP) = fresh("c14p")
+    InMemoryBus.publish(inTopicP, "NOT JSON {{{".getBytes(UTF_8))
+    InMemoryBus.publish(inTopicP, fixture.getBytes(UTF_8))
+    val qp = new Pipeline(spark, inSubP, outTopicP, JsonSerde(payloadSchema),
+      df => df.filter(col("payload.data").isNotNull).select(col("payload.*")),
+      Files.createTempDirectory("graft-ckpt").toString).start(availableNow = true)
+    qp.awaitTermination(60000)
+    assert(InMemoryBus.payloads(outSubP).map(new String(_, UTF_8)) === Seq(fixture))
+    assert(awaitCommitted(inSubP, 2) === 2) // corrupt message consumed+acked
+
+    // failFast: the reference's crash semantics — batch fails, nothing
+    // acked, the poison message redelivers on restart
+    val (inTopicF, inSubF, outTopicF, outSubF) = fresh("c14f")
+    InMemoryBus.publish(inTopicF, "NOT JSON {{{".getBytes(UTF_8))
+    val qf = new Pipeline(spark, inSubF, outTopicF,
+      JsonSerde(payloadSchema, failFast = true),
+      df => df.select(col("payload.*")),
+      Files.createTempDirectory("graft-ckpt").toString).start(availableNow = true)
+    intercept[Exception] { qf.awaitTermination(60000) }
+    Thread.sleep(500)
+    assert(InMemoryBus.committedOffset(inSubF) === 0)
+    assert(InMemoryBus.payloads(outSubF).isEmpty)
+  }
+
   test("operator library composes into the streaming transform slot") {
     val (inTopic, inSub, outTopic, outSub) = fresh("c5")
     (1 to 4).foreach(i => InMemoryBus.publish(inTopic,
