@@ -17,6 +17,10 @@ object Prof {
     time("nearMinhash e2e")(DedupOps.nearMinhash(docs).count())
     time("nearMinhash again")(DedupOps.nearMinhash(docs).count())
     time("ngramJaccard e2e")(DedupOps.ngramJaccard(docs).count())
+    time("ngramJaccard capped")(DedupOps.ngramJaccard(docs, maxDf = 3).count())
+    time("jaccard clusters e2e")(DedupOps.clusters(DedupOps.ngramJaccard(docs)).count())
+    time("simhashPairs e2e")(DedupOps.simhashPairs(docs).count())
+    time("ngramStats e2e")(TextOps.ngramStats(docs).count())
     spark.stop()
   }
 }

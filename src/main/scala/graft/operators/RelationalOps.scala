@@ -393,7 +393,7 @@ object Aggs {
 
   /** `agg_stats`: min/max/stddev/exact interpolated percentiles. The exact
     * `percentile` needs a per-group sort — fine here (single group); at
-    * 100 TB swap to `percentile_approx` (fixed-size sketch, mergeable). */
+    * 100 TB swap to [[statsApprox]] (fixed-size sketch, mergeable). */
   def stats(orders: DataFrame): DataFrame =
     orders.agg(
       min(col("o_totalprice")).as("min_price"),
@@ -401,6 +401,19 @@ object Aggs {
       round(stddev_samp(col("o_totalprice")), 2).as("stddev_price"),
       round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
       round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+      count(lit(1)).as("cnt"))
+
+  /** `agg_stats_approx`: the 100 TB form of [[stats]] — `percentile_approx`
+    * (KLL-style mergeable sketch, constant memory per group, map-side
+    * combinable) instead of the exact per-group sort. No oracle (sketch
+    * internals differ across engines); ScalaTest bounds the error vs the
+    * exact percentiles. */
+  def statsApprox(orders: DataFrame, accuracy: Int = 10000): DataFrame =
+    orders.agg(
+      min(col("o_totalprice")).as("min_price"),
+      max(col("o_totalprice")).as("max_price"),
+      round(percentile_approx(col("o_totalprice"), lit(0.5), lit(accuracy)), 2).as("p50"),
+      round(percentile_approx(col("o_totalprice"), lit(0.9), lit(accuracy)), 2).as("p90"),
       count(lit(1)).as("cnt"))
 }
 

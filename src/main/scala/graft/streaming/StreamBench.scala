@@ -41,18 +41,19 @@ object StreamBench {
     val schema = new StructType()
       .add("data", "string")
       .add("nested", new StructType().add("nestedData", "string"))
+    val readParts = sys.env.getOrElse("SPARK_GRAFT_READ_PARTS", "4").toInt
     val pipe = new Pipeline(spark, inSub, outTopic, JsonSerde(schema),
       df => df.select(upper(col("payload.data")).as("data"),
         col("payload.nested.nestedData").as("nested")),
       Files.createTempDirectory("sbench-ckpt").toString,
-      bulkLimit = 10000)
+      bulkLimit = 10000, readPartitions = readParts)
     val t0 = System.nanoTime()
     val q = pipe.start(availableNow = true)
     q.awaitTermination(300000)
     val secs = (System.nanoTime() - t0) / 1e9
     val out = InMemoryBus.payloads(outSub).size
     require(out == n, s"expected $n published, got $out")
-    println(s"""{"metric":"stream_msgs_per_sec","value":${(n / secs).round},"unit":"msgs/sec","n":$n,"secs":$secs,"reference_bound":"~20 msgs per pull RTT, 1 transform thread"}""")
+    println(s"""{"metric":"stream_msgs_per_sec","value":${(n / secs).round},"unit":"msgs/sec","n":$n,"secs":$secs,"readPartitions":$readParts,"reference_bound":"~20 msgs per pull RTT, 1 transform thread"}""")
     spark.stop()
   }
 }

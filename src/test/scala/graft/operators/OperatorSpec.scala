@@ -162,6 +162,20 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("agg_stats_approx percentiles land within 1% of the exact ones") {
+    val orders = Tables.orders(spark, sf())
+    val exact = Aggs.stats(orders).collect()(0)
+    val approx = Aggs.statsApprox(orders).collect()(0)
+    // same min/max/cnt; sketch percentiles within relative tolerance
+    assert(approx.getDouble(0) === exact.getDouble(0))
+    assert(approx.getDouble(1) === exact.getDouble(1))
+    assert(approx.getLong(4) === exact.getLong(5))
+    Seq(2 -> 3, 3 -> 4).foreach { case (ai, ei) =>
+      val (a, e) = (approx.getDouble(ai), exact.getDouble(ei))
+      assert(math.abs(a - e) / e <= 0.01, s"approx $a vs exact $e")
+    }
+  }
+
   test("text_tokens_bpe splits words and punctuation into pieces") {
     val df = docs(1L -> "hello, world! a-b")
     val n = TextOps.tokensBpe(df).collect()(0).getInt(1)
