@@ -93,6 +93,9 @@ object SparkEntry {
     "fn_map" -> ((s, d) => ScalarFns.fnMap(Tables.events(s, d))),
     "fn_json" -> ((s, d) => ScalarFns.fnJson(Tables.events(s, d))),
     "fn_bitwise" -> ((s, d) => ScalarFns.fnBitwise(Tables.part(s, d))),
+    "fn_levenshtein" -> ((s, d) => ScalarFns.fnLevenshtein(Tables.part(s, d))),
+    "fn_date_arith" -> ((s, d) => ScalarFns.fnDateArith(Tables.orders(s, d))),
+    "split_train_test" -> ((s, d) => Aggs.splitTrainTest(Tables.part(s, d))),
     // --- dedup (LLM-pipeline) ---
     "dedup_exact" -> ((s, d) => DedupOps.exact(Tables.documents(s, d))),
     "dedup_near_minhash" -> ((s, d) => DedupOps.nearMinhash(Tables.documents(s, d))),
@@ -396,6 +399,26 @@ object SparkEntry {
         |  xor(p_partkey, CAST(p_size AS BIGINT)) AS xored,
         |  p_partkey & 255 AS low_byte
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_levenshtein" ->
+      """SELECT p_partkey,
+        |  CAST(levenshtein(p_name, regexp_replace(p_name, '[aeiou]', '', 'g')) AS INTEGER) AS dist_devowel,
+        |  CAST(levenshtein(p_brand, p_type) AS INTEGER) AS dist_bt
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_date_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS eom,
+        |  CAST(isodow(o_orderdate) AS INTEGER) AS dow_iso,
+        |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        |  CAST(weekofyear(o_orderdate) AS INTEGER) AS woy
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "split_train_test" ->
+      """SELECT CASE WHEN p_partkey % 10 < 8 THEN 'train' ELSE 'test' END AS split,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(p_partkey) AS BIGINT) AS key_sum
+        |FROM part GROUP BY 1 ORDER BY split""".stripMargin,
 
     "window_ntile_dense" ->
       """SELECT c_custkey, c_acctbal,

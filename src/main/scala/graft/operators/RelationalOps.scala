@@ -403,6 +403,19 @@ object Aggs {
       round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
       count(lit(1)).as("cnt"))
 
+  /** `split_train_test`: reproducible dataset split by key modulo — the
+    * content-defined assignment a training pipeline needs (same row →
+    * same split on every run, any cluster, any partitioning; unlike
+    * `df.sample`, whose RNG is partition-dependent). Checksummed per
+    * split so the oracle verifies the ASSIGNMENT, not just the sizes. */
+  def splitTrainTest(part: DataFrame): DataFrame =
+    part
+      .withColumn("split",
+        when(pmod(col("p_partkey"), lit(10)) < 8, "train").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"), sum(col("p_partkey")).as("key_sum"))
+      .orderBy("split")
+
   /** `agg_stats_approx`: the 100 TB form of [[stats]] — `percentile_approx`
     * (KLL-style mergeable sketch, constant memory per group, map-side
     * combinable) instead of the exact per-group sort. No oracle (sketch
@@ -598,6 +611,30 @@ object ScalarFns {
         ceil(col("p_retailprice")).as("ceil_price"),
         floor(col("p_retailprice")).as("floor_price"))
       .orderBy("p_partkey")
+
+  /** `fn_levenshtein`: edit-distance scalar function — the fuzzy-match
+    * primitive (candidate verification in entity-resolution / typo-dedup
+    * pipelines). Codegen'd built-in, map-only. */
+  def fnLevenshtein(part: DataFrame): DataFrame =
+    part
+      .select(
+        col("p_partkey"),
+        levenshtein(col("p_name"),
+          regexp_replace(col("p_name"), "[aeiou]", "")).as("dist_devowel"),
+        levenshtein(col("p_brand"), col("p_type")).as("dist_bt"))
+      .orderBy("p_partkey")
+
+  /** `fn_date_arith`: calendar arithmetic — month addition (overflow-day
+    * clamping matches across engines), month-end, ISO weekday/week. */
+  def fnDateArith(orders: DataFrame): DataFrame =
+    orders
+      .select(
+        col("o_orderkey"),
+        last_day(col("o_orderdate")).as("eom"),
+        (weekday(col("o_orderdate")) + 1).as("dow_iso"),
+        add_months(col("o_orderdate"), 3).as("plus3m"),
+        weekofyear(col("o_orderdate")).as("woy"))
+      .orderBy("o_orderkey")
 
   /** `fn_bitwise`: bitwise scalar functions over integer keys — popcount,
     * shifts, xor, masking. The primitives sketch/partitioner code is built
