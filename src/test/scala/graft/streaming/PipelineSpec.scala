@@ -331,6 +331,42 @@ class PipelineSpec extends SparkSpec {
     assert(InMemoryBus.payloads(outSubF).isEmpty)
   }
 
+  test("event-time windowed aggregation through the bus: finalized windows publish, open ones don't") {
+    val (inTopic, inSub, outTopic, outSub) = fresh("c15")
+    // batch 1 (bulkLimit=3): three events in the 10:00 hour
+    Seq("10:05", "10:20", "10:40").foreach(t => InMemoryBus.publish(inTopic,
+      s"""{"user":1,"ets":"2024-01-01 $t:00","value":5}""".getBytes(UTF_8)))
+    // batch 2: two events a day later — their event time advances the
+    // watermark far past the 10:00 window, finalizing it
+    Seq("09:00", "09:30").foreach(t => InMemoryBus.publish(inTopic,
+      s"""{"user":1,"ets":"2024-01-02 $t:00","value":7}""".getBytes(UTF_8)))
+
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("user", "long").add("ets", "string").add("value", "long")
+    val q = new Pipeline(
+      spark, inSub, outTopic, JsonSerde(schema),
+      df => df
+        .select(col("payload.user").as("user"),
+          to_timestamp(col("payload.ets")).as("ets"),
+          col("payload.value").as("value"))
+        .withWatermark("ets", "10 minutes")
+        .groupBy(window(col("ets"), "1 hour"))
+        .agg(count(lit(1)).as("cnt"), sum(col("value")).as("total"))
+        .select(unix_timestamp(col("window.start")).as("ws"),
+          col("cnt"), col("total")),
+      Files.createTempDirectory("graft-ckpt").toString,
+      bulkLimit = 3).start(availableNow = true)
+    q.awaitTermination(60000)
+
+    val out = InMemoryBus.payloads(outSub).map(new String(_, UTF_8))
+    // exactly the finalized 10:00 window: 3 events, sum 15. The day-2
+    // window is still open (nothing advanced the watermark past it) and
+    // must NOT have been published.
+    assert(out.size === 1, s"published: $out")
+    assert(out.head.contains("\"cnt\":3") && out.head.contains("\"total\":15"), out.head)
+    assert(awaitCommitted(inSub, 5) === 5) // all inputs consumed + acked
+  }
+
   test("operator library composes into the streaming transform slot") {
     val (inTopic, inSub, outTopic, outSub) = fresh("c5")
     (1 to 4).foreach(i => InMemoryBus.publish(inTopic,
