@@ -71,6 +71,7 @@ object SparkEntry {
     "agg_pivot" -> ((s, d) => Aggs.pivotStatus(Tables.orders(s, d))),
     "agg_stats" -> ((s, d) => Aggs.stats(Tables.orders(s, d))),
     "agg_stats_approx" -> ((s, d) => Aggs.statsApprox(Tables.orders(s, d))),
+    "sample_bottomk" -> ((s, d) => Aggs.sampleBottomK(Tables.lineitem(s, d))),
     // --- windows ---
     "window_rank" -> ((s, d) => Windows.rankInCustomer(Tables.orders(s, d))),
     "window_running_sum" -> ((s, d) => Windows.runningSum(Tables.lineitem(s, d))),

@@ -416,6 +416,19 @@ object Aggs {
       .agg(count(lit(1)).as("n"), sum(col("p_partkey")).as("key_sum"))
       .orderBy("split")
 
+  /** `sample_bottomk`: deterministic uniform sample of suppliers per
+    * returnflag via the bottom-k-by-hash sketch
+    * ([[graft.functions.BottomKSample]]) — reproducible on any cluster /
+    * partitioning, constant memory per group, map-side combinable. No
+    * oracle (hash-based); ScalaTest proves equality with the exact
+    * "k smallest hashes per group" formulation. */
+  def sampleBottomK(lineitem: DataFrame, k: Int = 8): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(graft.functions.BottomKSample.bottomK(
+        xxhash64(col("l_suppkey")), k).as("sample_hashes"))
+      .orderBy("l_returnflag")
+
   /** `agg_stats_approx`: the 100 TB form of [[stats]] — `percentile_approx`
     * (KLL-style mergeable sketch, constant memory per group, map-side
     * combinable) instead of the exact per-group sort. No oracle (sketch

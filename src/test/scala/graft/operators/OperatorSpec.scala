@@ -162,6 +162,18 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("sample_bottomk equals the exact k-smallest-hashes per group") {
+    val li = Tables.lineitem(spark, sf())
+    val sketch = Aggs.sampleBottomK(li, k = 8).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    val exact = li
+      .select(col("l_returnflag"), xxhash64(col("l_suppkey")).as("h"))
+      .distinct()
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).distinct.sorted.take(8).toSeq).toMap
+    assert(sketch === exact)
+  }
+
   test("agg_stats_approx percentiles land within 1% of the exact ones") {
     val orders = Tables.orders(spark, sf())
     val exact = Aggs.stats(orders).collect()(0)
