@@ -99,6 +99,7 @@ object SparkEntry {
     "split_train_test" -> ((s, d) => Aggs.splitTrainTest(Tables.part(s, d))),
     // --- dedup (LLM-pipeline) ---
     "dedup_exact" -> ((s, d) => DedupOps.exact(Tables.documents(s, d))),
+    "dedup_exact_hash" -> ((s, d) => DedupOps.exactByHash(Tables.documents(s, d))),
     "dedup_near_minhash" -> ((s, d) => DedupOps.nearMinhash(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => DedupOps.simhash(Tables.documents(s, d))),
     "dedup_simhash_pairs" -> ((s, d) => DedupOps.simhashPairs(Tables.documents(s, d))),
@@ -512,6 +513,15 @@ object SparkEntry {
         |FROM events ORDER BY event_id""".stripMargin,
 
     "dedup_exact" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // identical result to dedup_exact — the oracle proves the
+    // hash-group + collision-settle rewrite is semantics-preserving
+    "dedup_exact_hash" ->
       """SELECT doc_id, lang, n_chars FROM (
         |  SELECT doc_id, lang, n_chars,
         |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn

@@ -32,6 +32,34 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** `dedup_exact_hash`: the 100 TB form of [[exact]] — identical result
+    * (same oracle), but the wide shuffle carries (doc_id, xxhash64(text))
+    * = 16 bytes/row instead of full documents. Hash groups with one
+    * member are unique texts by construction; only multi-member groups
+    * (true duplicates plus the ~n²/2⁶⁴ collision tail) re-attach their
+    * text via a semi-join and settle exactly — so document bodies only
+    * ever shuffle for the duplicate candidates, a vanishing fraction of
+    * a deduped corpus. */
+  def exactByHash(documents: DataFrame): DataFrame = {
+    val groups = documents
+      .select(col("doc_id"), xxhash64(col("text")).as("h"))
+      .groupBy("h").agg(collect_list(col("doc_id")).as("ds"))
+    val singles = groups.filter(size(col("ds")) === 1)
+      .select(explode(col("ds")).as("doc_id"))
+    val multiIds = groups.filter(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("doc_id"))
+    val w = Window.partitionBy("text").orderBy("doc_id")
+    val multiKeepers = documents
+      .join(multiIds, Seq("doc_id"), "left_semi")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id")
+    documents
+      .join(singles.union(multiKeepers), Seq("doc_id"), "left_semi")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** `dedup_near_minhash`: near-duplicate clustering via shingling →
     * MinHash → banded LSH. Signature: `nHashes` minhashes over word
     * 3-shingles; bands of `rowsPerBand` hashes are hashed to a band key;

@@ -24,6 +24,14 @@ class OperatorSpec extends SparkSpec {
     assert(out.toSeq === Seq(2L, 9L))
   }
 
+  test("dedup_exact_hash matches exact() on planted duplicates") {
+    val df = docs(5L -> "a b c", 2L -> "a b c", 9L -> "x y z", 4L -> "a b c")
+    val viaHash = DedupOps.exactByHash(df).collect().map(_.getLong(0)).toSeq
+    val viaExact = DedupOps.exact(df).collect().map(_.getLong(0)).toSeq
+    assert(viaHash === viaExact)
+    assert(viaHash === Seq(2L, 9L))
+  }
+
   test("dedup_near_minhash finds planted near-duplicates, skips unrelated docs") {
     val base = (1 to 40).map(i => s"token$i").mkString(" ")
     val nearDup = (1 to 40).map(i => if (i == 7) "CHANGED" else s"token$i").mkString(" ")
