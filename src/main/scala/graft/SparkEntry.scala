@@ -95,6 +95,7 @@ object SparkEntry {
     "fn_json" -> ((s, d) => ScalarFns.fnJson(Tables.events(s, d))),
     "fn_bitwise" -> ((s, d) => ScalarFns.fnBitwise(Tables.part(s, d))),
     "fn_levenshtein" -> ((s, d) => ScalarFns.fnLevenshtein(Tables.part(s, d))),
+    "fn_hash" -> ((s, d) => ScalarFns.fnHash(Tables.part(s, d))),
     "fn_date_arith" -> ((s, d) => ScalarFns.fnDateArith(Tables.orders(s, d))),
     "split_train_test" -> ((s, d) => Aggs.splitTrainTest(Tables.part(s, d))),
     // --- dedup (LLM-pipeline) ---
@@ -406,6 +407,12 @@ object SparkEntry {
       """SELECT p_partkey,
         |  CAST(levenshtein(p_name, regexp_replace(p_name, '[aeiou]', '', 'g')) AS INTEGER) AS dist_devowel,
         |  CAST(levenshtein(p_brand, p_type) AS INTEGER) AS dist_bt
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_hash" ->
+      """SELECT p_partkey,
+        |  md5(p_name) AS md5_hex,
+        |  sha256(p_name) AS sha256_hex
         |FROM part ORDER BY p_partkey""".stripMargin,
 
     "fn_date_arith" ->

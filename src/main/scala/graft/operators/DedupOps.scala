@@ -21,8 +21,9 @@ object DedupOps {
   /** `dedup_exact`: exact dedup on text, keeping the lowest doc_id.
     * `row_number` over a hash-partitioned window — deterministic keeper,
     * unlike `dropDuplicates` (which keeps an arbitrary first-seen row and
-    * is therefore partitioning-dependent). At 100 TB, partition by
-    * `xxhash64(text)` instead of raw text to keep shuffle keys small. */
+    * is therefore partitioning-dependent). The 100 TB form that avoids
+    * shuffling document bodies is [[exactByHash]] (same result, same
+    * oracle). */
   def exact(documents: DataFrame): DataFrame = {
     val w = Window.partitionBy("text").orderBy("doc_id")
     documents

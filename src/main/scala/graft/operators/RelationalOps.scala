@@ -625,6 +625,18 @@ object ScalarFns {
         floor(col("p_retailprice")).as("floor_price"))
       .orderBy("p_partkey")
 
+  /** `fn_hash`: cryptographic/checksum hash functions — content
+    * fingerprinting for dataset versioning and cross-system integrity
+    * checks (md5/sha-256 hex digests agree byte-for-byte across
+    * engines). */
+  def fnHash(part: DataFrame): DataFrame =
+    part
+      .select(
+        col("p_partkey"),
+        md5(col("p_name").cast("binary")).as("md5_hex"),
+        sha2(col("p_name").cast("binary"), 256).as("sha256_hex"))
+      .orderBy("p_partkey")
+
   /** `fn_levenshtein`: edit-distance scalar function — the fuzzy-match
     * primitive (candidate verification in entity-resolution / typo-dedup
     * pipelines). Codegen'd built-in, map-only. */
