@@ -21,6 +21,19 @@ object Prof {
     time("jaccard clusters e2e")(DedupOps.clusters(DedupOps.ngramJaccard(docs)).count())
     time("simhashPairs e2e")(DedupOps.simhashPairs(docs).count())
     time("ngramStats e2e")(TextOps.ngramStats(docs).count())
+    // interpreted→compiled delta for SimHash: the round-1 formulation ran
+    // 64 interpreted `aggregate` HOF passes per document; the compiled
+    // SimHash64Expr does one pass with 64 accumulators
+    val toks = expr("filter(split(lower(text), ' '), t -> t != '')")
+    val hashes = transform(toks, t => xxhash64(t))
+    val bitCols = (0 until 64).map { b =>
+      val votes = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    time("simhash interpreted HOF")(
+      docs.select(col("doc_id"), bitCols.reduce(_ + _).as("sh")).count())
+    time("simhash compiled expr")(DedupOps.simhash(docs).count())
     spark.stop()
   }
 }
