@@ -24,7 +24,9 @@ object Bench {
     // probe (nprobe cell scans).
     try operators.VectorOps.annIvf(Tables.embeddings(spark, sfDir)).count()
     catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // fixed name order: run-to-run and round-to-round comparability
+    // (Map iteration order is hash-dependent)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
       catch { case e: Throwable =>
@@ -36,7 +38,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -91,6 +91,7 @@ object SparkEntry {
     "fn_date" -> ((s, d) => ScalarFns.fnDate(Tables.orders(s, d))),
     "fn_math" -> ((s, d) => ScalarFns.fnMath(Tables.part(s, d))),
     "fn_array" -> ((s, d) => VectorOps.fnArray(Tables.embeddings(s, d))),
+    "fn_vector_norm" -> ((s, d) => VectorOps.vectorNorm(Tables.embeddings(s, d))),
     "fn_map" -> ((s, d) => ScalarFns.fnMap(Tables.events(s, d))),
     "fn_json" -> ((s, d) => ScalarFns.fnJson(Tables.events(s, d))),
     "fn_bitwise" -> ((s, d) => ScalarFns.fnBitwise(Tables.part(s, d))),
@@ -512,6 +513,17 @@ object SparkEntry {
         |  CAST(embedding[-1] AS DOUBLE) AS last_elem,
         |  round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])), 4) AS norm_sq
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "fn_vector_norm" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  round(nrm, 6) AS l2norm,
+        |  round(list_dot_product(emb, list_transform(emb, x -> CAST(1.0 AS DOUBLE))) / nullif(nrm, 0), 6) AS unit_sum,
+        |  round(emb[1] / nullif(nrm, 0), 6) AS unit_first
+        |FROM e ORDER BY vec_id""".stripMargin,
 
     "fn_json" ->
       """SELECT event_id,

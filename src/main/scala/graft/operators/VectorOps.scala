@@ -39,6 +39,26 @@ object VectorOps {
         round(dot(col("embedding"), col("embedding")), 4).as("norm_sq"))
       .orderBy("vec_id")
 
+  /** `fn_vector_norm`: L2 normalization summary — the preprocessing pass
+    * embedding pipelines run before cosine retrieval. Output is scalar
+    * checksums of the unit vector (norm, elementwise-sum over norm, first
+    * element over norm) so the oracle compares scalars, not float arrays;
+    * the element sum uses the compiled sequential-fold dot against a ones
+    * vector, matching DuckDB's accumulation order exactly. */
+  def vectorNorm(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val emb = col("embedding")
+    val nrm = sqrt(dot(emb, emb))
+    val safe = when(nrm === 0, lit(null)).otherwise(nrm)
+    val ones = typedlit(Seq.fill(dim)(1.0))
+    embeddings
+      .select(
+        col("vec_id"),
+        round(nrm, 6).as("l2norm"),
+        round(dot(emb, ones) / safe, 6).as("unit_sum"),
+        round(element_at(emb, 1).cast("double") / safe, 6).as("unit_first"))
+      .orderBy("vec_id")
+  }
+
   /** `sim_cosine_topk`: exact top-k cosine neighbors of a probe vector —
     * the brute-force ANN baseline. The probe is a 1-row broadcast; scoring
     * is a map-only pass over the corpus; top-k is TakeOrdered (per-partition

@@ -331,6 +331,28 @@ class PipelineSpec extends SparkSpec {
     assert(InMemoryBus.payloads(outSubF).isEmpty)
   }
 
+  test("stream-static dimension join in the transform slot enriches each message") {
+    val (inTopic, inSub, outTopic, outSub) = fresh("c16")
+    // messages carry a region key; the transform joins the STATIC region
+    // dim (broadcast — the standard stream-enrichment shape at any scale)
+    Seq(0, 2).foreach(k => InMemoryBus.publish(inTopic,
+      s"""{"data":"x","nested":{"nestedData":"$k"}}""".getBytes(UTF_8)))
+    val regions = graft.Tables.region(spark, sf())
+    val q = new Pipeline(
+      spark, inSub, outTopic, JsonSerde(payloadSchema),
+      df => df
+        .select(col("payload.nested.nestedData").cast("int").as("r_regionkey"))
+        .join(broadcast(regions), Seq("r_regionkey"))
+        .select(col("r_regionkey"), col("r_name")),
+      Files.createTempDirectory("graft-ckpt").toString).start(availableNow = true)
+    q.awaitTermination(60000)
+    val out = InMemoryBus.payloads(outSub).map(new String(_, UTF_8)).sorted
+    assert(out === Seq(
+      """{"r_regionkey":0,"r_name":"AFRICA"}""",
+      """{"r_regionkey":2,"r_name":"ASIA"}"""))
+    assert(awaitCommitted(inSub, 2) === 2)
+  }
+
   test("event-time windowed aggregation through the bus: finalized windows publish, open ones don't") {
     val (inTopic, inSub, outTopic, outSub) = fresh("c15")
     // batch 1 (bulkLimit=3): three events in the 10:00 hour
