@@ -110,6 +110,8 @@ object SparkEntry {
       DedupOps.ngramJaccard(Tables.documents(s, d), maxDf = 3)),
     "dedup_jaccard_clusters" -> ((s, d) =>
       DedupOps.clusters(DedupOps.ngramJaccard(Tables.documents(s, d)))),
+    "dedup_minhash_clusters" -> ((s, d) =>
+      DedupOps.clusters(DedupOps.nearMinhash(Tables.documents(s, d)))),
     "dedup_near_embedding" -> ((s, d) => VectorOps.nearDupEmbedding(Tables.embeddings(s, d))),
     // --- similarity search (LLM-pipeline) ---
     "sim_cosine_topk" -> ((s, d) => VectorOps.cosineTopK(Tables.embeddings(s, d))),
@@ -126,6 +128,7 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
+    "text_pii_scrub" -> ((s, d) => TextOps.scrubPii(Tables.documents(s, d))),
     "pipeline_enrich" -> ((s, d) => TextOps.enrich(Tables.documents(s, d))),
     // --- multimodal columns (LLM-pipeline; decode stubbed, see MultimodalOps) ---
     "multimodal_features" -> ((s, d) => MultimodalOps.features(Tables.documents(s, d))),

@@ -153,6 +153,31 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** `text_pii_scrub`: pattern-based PII redaction — the scrub pass a
+    * training corpus runs before anything else ships. Chained
+    * `regexp_replace` (codegen'd, map-only, no shuffle): emails, then
+    * phone-shaped digit groups, then long digit runs (ids/cards). The
+    * patterns are the standard first-line regex tier — a production pass
+    * layers NER on top; the *shape* (pure column rewrite at scan speed)
+    * is the part that must hold at 100 TB. No oracle (regex dialects
+    * differ across engines); ScalaTest asserts each category on planted
+    * fixtures and that clean text passes through byte-identical. */
+  def scrubPii(documents: DataFrame): DataFrame = {
+    val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+    val phone = """\+?\d{0,3}[-. ]*\(?\d{3}\)?[-. ]*\d{3}[-. ]*\d{4}"""
+    val longDigits = """\d{9,}"""
+    documents
+      .select(col("doc_id"),
+        // order matters: long unbroken digit runs (ids/cards) must be
+        // taken before the phone pattern can bite off their prefix
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), email, "<EMAIL>"),
+            longDigits, "<NUM>"),
+          phone, "<PHONE>").as("text"))
+      .orderBy("doc_id")
+  }
+
   /** `pipeline_enrich`: an end-to-end enrichment composition — the
     * engine's raison d'être (the reference exists to run enrichment
     * pipelines, `setup.py:8-9`): quality gate → exact dedup → typed

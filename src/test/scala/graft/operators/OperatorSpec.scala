@@ -112,6 +112,19 @@ class OperatorSpec extends SparkSpec {
     assert(m(1L) !== m(3L))
   }
 
+  test("text_pii_scrub redacts emails/phones/long ids, leaves clean text untouched") {
+    val df = docs(
+      1L -> "contact me at jane.doe+spam@example.co.uk for details",
+      2L -> "call +1 (555) 123-4567 or 555.987.6543 now",
+      3L -> "account 1234567890123456 is overdrawn",
+      4L -> "perfectly clean text with digits 42 and 2024")
+    val m = TextOps.scrubPii(df).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) === "contact me at <EMAIL> for details")
+    assert(m(2L).contains("<PHONE>") && !m(2L).exists(_.isDigit), m(2L))
+    assert(m(3L) === "account <NUM> is overdrawn")
+    assert(m(4L) === "perfectly clean text with digits 42 and 2024")
+  }
+
   test("text_langid separates 8 languages on stopword-profile fixtures, 'und' when none") {
     // deliberately includes cross-language stopword collisions: es/fr
     // share "la"/"que", pt/nl share "de", en/nl share "is" — the larger
