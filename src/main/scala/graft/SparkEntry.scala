@@ -133,6 +133,7 @@ object SparkEntry {
     // --- multimodal columns (LLM-pipeline; decode stubbed, see MultimodalOps) ---
     "multimodal_features" -> ((s, d) => MultimodalOps.features(Tables.documents(s, d))),
     "multimodal_frames" -> ((s, d) => MultimodalOps.frames(Tables.documents(s, d))),
+    "multimodal_resize" -> ((s, d) => MultimodalOps.resized(Tables.documents(s, d))),
     // --- streaming batch-equivalents ---
     "stream_tumbling_batch" -> ((s, d) => StreamBatchOps.tumbling(Tables.events(s, d))),
     "stream_sliding_batch" -> ((s, d) => StreamBatchOps.sliding(Tables.events(s, d))),

@@ -95,6 +95,50 @@ object MultimodalOps {
         round(element_at(col("features"), 32).cast("double"), 6).as("f31"))
       .orderBy("media_id")
 
+  /** Output row of the resize stage. */
+  final case class ResizedMedia(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      byte_len: Int,
+      checksum: Long)
+
+  /** Resize stage: decode (stubbed) → downsample to the target dims →
+    * re-encode (stubbed). The fake resample keeps every `ratio`-th byte,
+    * where ratio follows the source/target area ratio — so output size
+    * tracks the real operation's shape deterministically. Same
+    * partition-batched typed form as [[extractFeatures]]: a real codec
+    * slots into `fakeDecode`/the sampling loop with no structural change. */
+  def resize(media: DataFrame, targetW: Int = 64, targetH: Int = 64): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload", "meta.width", "meta.height")
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, payload, w, h) =>
+          val pixels = fakeDecode(payload)
+          val ratio = math.max(1L,
+            (w.toLong * h.toLong) / (targetW.toLong * targetH.toLong)).toInt
+          val out = new Array[Byte]((pixels.length + ratio - 1) / ratio)
+          var i = 0
+          var o = 0
+          while (i < pixels.length) {
+            out(o) = pixels(i); o += 1; i += ratio
+          }
+          var sum = 0L
+          var j = 0
+          while (j < out.length) { sum = (sum * 31 + (out(j) & 0xff)) & 0xFFFFFFFFL; j += 1 }
+          ResizedMedia(id, targetW, targetH, out.length, sum)
+        }
+      }
+  }
+
+  /** `multimodal_resize` query surface (rows-only; ScalaTest asserts
+    * determinism, target dims, and size reduction). */
+  def resized(documents: DataFrame): DataFrame =
+    resize(attachMedia(documents)).toDF()
+      .orderBy("media_id")
+
   /** Frame sampling for video-shaped payloads: split the byte stream into
     * fixed-size "frames" and keep every `stride`-th — the decode of real
     * container formats is the stubbed part; the explode/partition shape is

@@ -41,9 +41,28 @@ class MultimodalSpec extends SparkSpec {
     assert(lens.count(_ === 64) >= lens.length - 5)
   }
 
+  test("resize hits target dims deterministically and never grows payloads") {
+    val media = MultimodalOps.attachMedia(Tables.documents(spark, sf()).limit(20))
+    val srcLens = media.select(col("media_id"), length(col("payload")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val r1 = MultimodalOps.resize(media, 64, 64).collect().sortBy(_.media_id)
+    val r2 = MultimodalOps.resize(media, 64, 64).collect().sortBy(_.media_id)
+    assert(r1.length === 20)
+    r1.zip(r2).foreach { case (a, b) => assert(a === b) } // deterministic
+    r1.foreach { r =>
+      assert(r.width === 64 && r.height === 64)
+      assert(r.byte_len <= srcLens(r.media_id))
+    }
+    // smaller target → at most as many bytes kept
+    val small = MultimodalOps.resize(media, 16, 16).collect()
+      .map(r => r.media_id -> r.byte_len).toMap
+    r1.foreach(r => assert(small(r.media_id) <= r.byte_len))
+  }
+
   test("query surfaces return rows") {
     val docs = Tables.documents(spark, sf())
     assert(MultimodalOps.features(docs).count() === 500)
     assert(MultimodalOps.frames(docs).count() > 0)
+    assert(MultimodalOps.resized(docs).count() === 500)
   }
 }
