@@ -10,8 +10,10 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("WARN")
     val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val names = Seq("scan_project", "filter_pred", "join_broadcast",
-      "join_theta_range", "agg_hash_group", "join_multiway", "sim_cosine_topk",
-      "sort_limit_topk")
+      "join_theta_range", "join_range_bucket", "agg_hash_group",
+      "join_multiway", "sim_cosine_topk", "sort_limit_topk",
+      "q3_shipping_priority", "q5_local_supplier", "dedup_exact_hash",
+      "dedup_ngram_jaccard", "sim_batch_topk")
     names.foreach { n =>
       println(s"\n================ $n ================")
       println(SparkEntry.queries(n)(spark, d).queryExecution.executedPlan

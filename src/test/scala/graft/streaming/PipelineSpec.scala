@@ -331,6 +331,22 @@ class PipelineSpec extends SparkSpec {
     assert(InMemoryBus.payloads(outSubF).isEmpty)
   }
 
+  test("two concurrent pipelines stay isolated: no cross-acks, no cross-publishes") {
+    val (inA, subA, outA, outSubA) = fresh("c17a")
+    val (inB, subB, outB, outSubB) = fresh("c17b")
+    (1 to 3).foreach(_ => InMemoryBus.publish(inA, fixture.getBytes(UTF_8)))
+    (1 to 5).foreach(_ => InMemoryBus.publish(inB, fixture.getBytes(UTF_8)))
+    // both queries run in the same session simultaneously — the ack
+    // listeners must each bind to their own runId/subscription
+    val qA = identityPipeline(subA, outA).start(availableNow = true)
+    val qB = identityPipeline(subB, outB).start(availableNow = true)
+    qA.awaitTermination(60000); qB.awaitTermination(60000)
+    assert(InMemoryBus.payloads(outSubA).size === 3)
+    assert(InMemoryBus.payloads(outSubB).size === 5)
+    assert(awaitCommitted(subA, 3) === 3)
+    assert(awaitCommitted(subB, 5) === 5)
+  }
+
   test("stream-static dimension join in the transform slot enriches each message") {
     val (inTopic, inSub, outTopic, outSub) = fresh("c16")
     // messages carry a region key; the transform joins the STATIC region
