@@ -78,6 +78,8 @@ object SparkEntry {
     "window_lag_lead" -> ((s, d) => Windows.lagLead(Tables.events(s, d))),
     "window_ntile_dense" -> ((s, d) => Windows.ntileDense(Tables.customer(s, d))),
     "window_percent_cume" -> ((s, d) => Windows.percentCume(Tables.orders(s, d))),
+    "window_first_last" -> ((s, d) => Windows.firstLast(Tables.orders(s, d))),
+    "agg_string_concat" -> ((s, d) => Aggs.stringConcat(Tables.nation(s, d))),
     // --- sorts / limits / set ops ---
     "sort_limit_topk" -> ((s, d) => SortsSets.topk(Tables.orders(s, d))),
     "topk_per_group" -> ((s, d) => Windows.topkPerGroup(Tables.orders(s, d))),
@@ -391,6 +393,20 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
+
+    "agg_string_concat" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "window_first_last" ->
+      """SELECT o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_ok,
+        |  last_value(o_orderkey) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "window_percent_cume" ->
       """SELECT o_orderkey, o_orderpriority,

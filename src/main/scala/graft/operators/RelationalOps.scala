@@ -403,6 +403,17 @@ object Aggs {
       round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
       count(lit(1)).as("cnt"))
 
+  /** `agg_string_concat`: ordered string aggregation (LISTAGG shape) —
+    * `collect_list` + `array_sort` + `array_join` gives a deterministic
+    * concatenation regardless of partitioning (a bare collect_list order
+    * is partition-dependent; the sort makes it reproducible, which is
+    * the only safe form at scale). */
+  def stringConcat(nation: DataFrame): DataFrame =
+    nation
+      .groupBy("n_regionkey")
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+      .orderBy("n_regionkey")
+
   /** `split_train_test`: reproducible dataset split by key modulo — the
     * content-defined assignment a training pipeline needs (same row →
     * same split on every run, any cluster, any partitioning; unlike
@@ -501,6 +512,22 @@ object Windows {
     Skew.distributedNtileDense(customer, 8, 4, "c_acctbal", "c_custkey")
       .select(col("c_custkey"), col("c_acctbal"), col("tile"), col("drank"))
       .orderBy("c_custkey")
+
+  /** `window_first_last`: first/last value per group — note last_value
+    * REQUIRES the unbounded-following frame (the default frame ends at
+    * CURRENT ROW, silently returning the current row's value — a classic
+    * correctness trap both engines share). */
+  def firstLast(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .select(col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_ok"),
+        last(col("o_orderkey"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          .as("last_ok"))
+      .orderBy("o_orderkey")
+  }
 
   /** `window_percent_cume`: relative-position analytics — percent_rank +
     * cume_dist per order priority. Same one-shuffle window shape as the
