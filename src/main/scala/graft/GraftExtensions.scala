@@ -39,6 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
       (args: Seq[Expression]) => SimHash64Expr(args.head)))
+    // band-join → interval-bucket equi-join rewrite (two-large-sides
+    // scale path; see graft.plans.RangeJoinToBucket)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinToBucket())
   }
 }
 
