@@ -37,15 +37,42 @@ case class RangeJoinToBucket(width: Double = 100.0) extends Rule[LogicalPlan] {
   private def bucketOf(e: Expression): Expression =
     Cast(Floor(Divide(Cast(e, DoubleType), Literal(width))), LongType)
 
+  /** Either strict or inclusive lower bound: `a > bound` / `a >= bound`. */
+  private object LowerBound {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case GreaterThan(a, b)        => Some((a, b))
+      case GreaterThanOrEqual(a, b) => Some((a, b))
+      case _                        => None
+    }
+  }
+
+  /** Either strict or inclusive upper bound: `a < bound` / `a <= bound`. */
+  private object UpperBound {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case LessThan(a, b)        => Some((a, b))
+      case LessThanOrEqual(a, b) => Some((a, b))
+      case _                     => None
+    }
+  }
+
+  /** A bound of the supported shape `x * literal` (factor of a
+    * right-side expression) — the scaled-band pattern. */
+  private def scaledBand(e: Expression): Option[Expression] = e match {
+    case Multiply(x, Literal(_, _), _) => Some(x)
+    case _                             => None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond @ And(
-          GreaterThan(a1, lo @ Multiply(x1, Literal(_, _), _)),
-          LessThan(a2, hi @ Multiply(x2, Literal(_, _), _)))), hint)
-        if a1.semanticEquals(a2) && x1.semanticEquals(x2) &&
+          LowerBound(a1, lo), UpperBound(a2, hi))), hint)
+        if a1.semanticEquals(a2) &&
+          scaledBand(lo).isDefined && scaledBand(hi).isDefined &&
+          scaledBand(lo).get.semanticEquals(scaledBand(hi).get) &&
           a1.dataType.isInstanceOf[NumericType] &&
-          x1.dataType.isInstanceOf[NumericType] &&
+          scaledBand(lo).get.dataType.isInstanceOf[NumericType] &&
           a1.references.nonEmpty && a1.references.subsetOf(left.outputSet) &&
-          x1.references.nonEmpty && x1.references.subsetOf(right.outputSet) &&
+          scaledBand(lo).get.references.nonEmpty &&
+          scaledBand(lo).get.references.subsetOf(right.outputSet) &&
           cond.deterministic =>
       // left: one bucket per row
       val lBucket = Alias(bucketOf(a1), "__bucket_l")()
@@ -60,7 +87,8 @@ case class RangeJoinToBucket(width: Double = 100.0) extends Rule[LogicalPlan] {
         qualifier = None, generatorOutput = Seq(rBucket), right)
       val bucketJoin =
         Join(newLeft, newRight, Inner, Some(EqualTo(lBucket.toAttribute, rBucket)), hint)
-      // residual exact band predicate, then drop the helper columns
+      // residual exact band predicate (strict vs inclusive preserved
+      // verbatim), then drop the helper columns
       Project(j.output, Filter(cond, bucketJoin))
   }
 }

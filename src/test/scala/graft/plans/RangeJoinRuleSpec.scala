@@ -34,6 +34,26 @@ class RangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("inclusive bounds (BETWEEN shape) rewrite too, preserving boundary semantics") {
+    def inclusiveJoin() = Tables.part(spark, sf("sf0.01"))
+      .join(Tables.supplier(spark, sf("sf0.01")),
+        col("p_retailprice") >= col("s_acctbal") * 0.1 &&
+          col("p_retailprice") <= col("s_acctbal") * 0.11)
+      .select("p_partkey", "s_suppkey")
+    val expected = inclusiveJoin().collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ RangeJoinToBucket()
+    try {
+      val rewritten = inclusiveJoin()
+      assert(rewritten.queryExecution.optimizedPlan.treeString.contains("__bucket_l"))
+      val got = rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.toSeq === expected.toSeq)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_.isInstanceOf[RangeJoinToBucket])
+    }
+  }
+
   test("rule leaves equi joins and one-sided inequalities untouched") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ RangeJoinToBucket()
