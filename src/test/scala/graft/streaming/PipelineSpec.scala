@@ -331,6 +331,41 @@ class PipelineSpec extends SparkSpec {
     assert(InMemoryBus.payloads(outSubF).isEmpty)
   }
 
+  test("idempotent parquet sink: a replayed batch replaces its partition, no duplicates") {
+    val (inTopic, inSub, _, _) = fresh("c18")
+    (1 to 3).foreach(i => InMemoryBus.publish(inTopic,
+      s"""{"data":"m$i","nested":{"nestedData":"x"}}""".getBytes(UTF_8)))
+    val outDir = Files.createTempDirectory("graft-sink").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt")
+    def run(): Unit = {
+      val q = spark.readStream
+        .format(graft.sources.BusProvider.format)
+        .option("subscription", inSub)
+        .load()
+        .withColumn("payload", JsonSerde(payloadSchema).deserialize(col("value")))
+        .select(col("payload.data").as("data"))
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(Sinks.idempotentParquet(outDir) _)
+        .start()
+      q.awaitTermination(60000)
+    }
+    run()
+    assert(spark.read.parquet(outDir).count() === 3)
+    // crash after write, before the epoch commit → batch 0 replays
+    java.nio.file.Files.delete(ckpt.resolve("commits").resolve("0"))
+    java.nio.file.Files.deleteIfExists(ckpt.resolve("commits").resolve(".0.crc"))
+    InMemoryBus.rewindCommitted(inSub, 0)
+    Thread.sleep(250)
+    run()
+    // dynamic partition overwrite replaced batch_id=0 — still exactly 3 rows
+    val out = spark.read.parquet(outDir)
+    assert(out.count() === 3)
+    assert(out.select("data").collect().map(_.getString(0)).sorted.toSeq
+      === Seq("m1", "m2", "m3"))
+  }
+
   test("two concurrent pipelines stay isolated: no cross-acks, no cross-publishes") {
     val (inA, subA, outA, outSubA) = fresh("c17a")
     val (inB, subB, outB, outSubB) = fresh("c17b")
