@@ -114,6 +114,7 @@ object SparkEntry {
       DedupOps.clusters(DedupOps.ngramJaccard(Tables.documents(s, d)))),
     "dedup_minhash_clusters" -> ((s, d) =>
       DedupOps.clusters(DedupOps.nearMinhash(Tables.documents(s, d)))),
+    "pipeline_dedup_full" -> ((s, d) => DedupOps.dedupFull(Tables.documents(s, d))),
     "dedup_near_embedding" -> ((s, d) => VectorOps.nearDupEmbedding(Tables.embeddings(s, d))),
     // --- similarity search (LLM-pipeline) ---
     "sim_cosine_topk" -> ((s, d) => VectorOps.cosineTopK(Tables.embeddings(s, d))),
@@ -626,6 +627,57 @@ object SparkEntry {
         |)
         |SELECT a AS doc_id, least(a, min(b)) AS cluster
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    // the flagship composition: quality gate → exact dedup → near-dup
+    // clusters → keeper selection, one oracle end to end
+    "pipeline_dedup_full" ->
+      """WITH RECURSIVE quality AS (
+        |  SELECT doc_id, text, lang, n_chars
+        |  FROM documents
+        |  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 20
+        |),
+        |kept AS (
+        |  SELECT doc_id, text, lang, n_chars FROM (
+        |    SELECT doc_id, text, lang, n_chars,
+        |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM quality) t
+        |  WHERE rn = 1
+        |),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |  FROM kept
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        |        FROM toks WHERE len(w) >= 3) u
+        |),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b USING (sh)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM cand
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
+        |),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |),
+        |clusters AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a
+        |)
+        |SELECT k.doc_id, k.lang, k.n_chars
+        |FROM kept k LEFT JOIN clusters c ON k.doc_id = c.doc_id
+        |WHERE c.cluster IS NULL OR c.cluster = k.doc_id
+        |ORDER BY k.doc_id""".stripMargin,
 
     // maxDf skew knob, oracle-checked: shingles with df > 3 are dropped
     // from BOTH candidate generation and the per-doc sizes, so jaccard is

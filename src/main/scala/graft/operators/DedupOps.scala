@@ -201,6 +201,37 @@ object DedupOps {
     labels.orderBy("doc_id")
   }
 
+  /** `pipeline_dedup_full`: the engine's purpose in ONE deterministic,
+    * oracle-checked flow — what actually runs over a training corpus:
+    *
+    *   quality gate (cheap, pushes below everything)
+    *   → exact dedup (keep lowest doc_id per text)
+    *   → n-gram Jaccard near-dup pairs over the surviving docs
+    *   → connected components
+    *   → keeper selection (cluster representative = lowest doc_id;
+    *     unclustered docs keep themselves)
+    *
+    * Every stage is an operator verified in isolation elsewhere; this
+    * asserts the COMPOSITION end to end against a single DuckDB oracle
+    * (recursive-CTE closure on the SQL side). */
+  def dedupFull(documents: DataFrame, minWords: Int = 20,
+                tau: Double = 0.2): DataFrame = {
+    val words = filter(split(col("text"), " "), t => t =!= "")
+    val w = Window.partitionBy("text").orderBy("doc_id")
+    val kept = documents
+      .withColumn("n_words", size(words))
+      .filter(col("n_words") >= minWords)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "text", "lang", "n_chars")
+    val cl = clusters(ngramJaccard(kept, tau = tau))
+    kept
+      .join(cl, Seq("doc_id"), "left")
+      .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** `dedup_ngram_jaccard`: exact n-gram Jaccard similarity for all pairs
     * sharing at least one shingle — the inverted-index formulation:
     * explode shingles → group by shingle → per-pair intersection count
