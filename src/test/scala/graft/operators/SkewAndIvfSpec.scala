@@ -65,6 +65,21 @@ class SkewAndIvfSpec extends SparkSpec {
     assert(viaWindow === viaDistributed)
   }
 
+  test("distributedNtileDense handles fewer rows than tiles (q=0 branch)") {
+    import org.apache.spark.sql.expressions.Window
+    val tiny = Tables.orders(spark, sf()).orderBy("o_orderkey").limit(3)
+    val viaWindow = tiny
+      .select(col("o_orderkey"),
+        ntile(7).over(Window.orderBy(col("o_totalprice"), col("o_orderkey"))).as("tile"),
+        dense_rank().over(Window.orderBy(col("o_totalprice").desc)).as("drank"))
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getInt(2)))).toMap
+    val viaDistributed = Skew.distributedNtileDense(
+        tiny, 4, 7, "o_totalprice", "o_orderkey")
+      .select("o_orderkey", "tile", "drank")
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getInt(2)))).toMap
+    assert(viaWindow === viaDistributed)
+  }
+
   test("sim_ann_ivf recall@10 vs exact brute force") {
     val emb = Tables.embeddings(spark, sf())
     val exact = VectorOps.cosineTopK(emb, probeId = 0, k = 10)
