@@ -80,6 +80,13 @@ object SparkEntry {
     "window_percent_cume" -> ((s, d) => Windows.percentCume(Tables.orders(s, d))),
     "window_first_last" -> ((s, d) => Windows.firstLast(Tables.orders(s, d))),
     "agg_string_concat" -> ((s, d) => Aggs.stringConcat(Tables.nation(s, d))),
+    "agg_conditional" -> ((s, d) => Aggs.conditional(Tables.orders(s, d))),
+    "fn_greatest_least" -> ((s, d) => ScalarFns.fnGreatestLeast(Tables.part(s, d))),
+    "window_nth_value" -> ((s, d) => Windows.nthValue(Tables.orders(s, d))),
+    "set_intersect_all" -> ((s, d) =>
+      SortsSets.intersectAllNations(Tables.customer(s, d), Tables.supplier(s, d))),
+    "set_except_all" -> ((s, d) =>
+      SortsSets.exceptAllNations(Tables.customer(s, d), Tables.supplier(s, d))),
     // --- sorts / limits / set ops ---
     "sort_limit_topk" -> ((s, d) => SortsSets.topk(Tables.orders(s, d))),
     "topk_per_group" -> ((s, d) => Windows.topkPerGroup(Tables.orders(s, d))),
@@ -398,6 +405,34 @@ object SparkEntry {
     "agg_string_concat" ->
       """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "agg_conditional" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS rev_f
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "fn_greatest_least" ->
+      """SELECT p_partkey,
+        |  greatest(p_retailprice, p_size * 100.0) AS g,
+        |  least(p_retailprice, p_size * 100.0) AS l
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "window_nth_value" ->
+      """SELECT o_orderkey,
+        |  nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS second_best
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "set_intersect_all" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT ALL SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "set_except_all" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT ALL SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
 
     "window_first_last" ->
       """SELECT o_orderkey,

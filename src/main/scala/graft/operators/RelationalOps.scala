@@ -403,6 +403,19 @@ object Aggs {
       round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
       count(lit(1)).as("cnt"))
 
+  /** `agg_conditional`: filtered aggregation (`FILTER (WHERE ...)` /
+    * count_if shape) — one pass computing per-group metrics over
+    * different predicates, instead of N self-joins. */
+  def conditional(orders: DataFrame): DataFrame =
+    orders
+      .groupBy("o_orderpriority")
+      .agg(
+        count_if(col("o_orderstatus") === "F").as("n_f"),
+        sum(when(col("o_orderstatus") === "F",
+          col("o_totalprice").cast(DecimalType(18, 2))))
+          .cast("double").as("rev_f"))
+      .orderBy("o_orderpriority")
+
   /** `agg_string_concat`: ordered string aggregation (LISTAGG shape) —
     * `collect_list` + `array_sort` + `array_join` gives a deterministic
     * concatenation regardless of partitioning (a bare collect_list order
@@ -529,6 +542,18 @@ object Windows {
       .orderBy("o_orderkey")
   }
 
+  /** `window_nth_value`: nth value per group under the DEFAULT frame
+    * (unbounded-preceding..current-row), so rows before the nth see NULL
+    * — identical default-frame semantics on both engines. */
+  def nthValue(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .select(col("o_orderkey"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_best"))
+      .orderBy("o_orderkey")
+  }
+
   /** `window_percent_cume`: relative-position analytics — percent_rank +
     * cume_dist per order priority. Same one-shuffle window shape as the
     * rank family; rounded to 6 decimals (both engines compute the same
@@ -565,6 +590,19 @@ object SortsSets {
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(10)
+
+  /** `set_intersect_all` / `set_except_all`: MULTISET set operations —
+    * multiplicities follow bag semantics (min for intersect, difference
+    * for except), unlike the distinct variants. */
+  def intersectAllNations(customer: DataFrame, supplier: DataFrame): DataFrame =
+    customer.select(col("c_nationkey").as("nationkey"))
+      .intersectAll(supplier.select(col("s_nationkey")))
+      .orderBy("nationkey")
+
+  def exceptAllNations(customer: DataFrame, supplier: DataFrame): DataFrame =
+    customer.select(col("c_nationkey").as("nationkey"))
+      .exceptAll(supplier.select(col("s_nationkey")))
+      .orderBy("nationkey")
 
   /** `set_union`: nation keys of customers ∪ suppliers (distinct). */
   def unionNations(customer: DataFrame, supplier: DataFrame): DataFrame =
@@ -687,6 +725,15 @@ object ScalarFns {
         add_months(col("o_orderdate"), 3).as("plus3m"),
         weekofyear(col("o_orderdate")).as("woy"))
       .orderBy("o_orderkey")
+
+  /** `fn_greatest_least`: n-ary extrema across columns (not rows). */
+  def fnGreatestLeast(part: DataFrame): DataFrame =
+    part
+      .select(
+        col("p_partkey"),
+        greatest(col("p_retailprice"), col("p_size") * 100.0).as("g"),
+        least(col("p_retailprice"), col("p_size") * 100.0).as("l"))
+      .orderBy("p_partkey")
 
   /** `fn_bitwise`: bitwise scalar functions over integer keys — popcount,
     * shifts, xor, masking. The primitives sketch/partitioner code is built
