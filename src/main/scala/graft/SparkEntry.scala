@@ -83,6 +83,8 @@ object SparkEntry {
     "agg_conditional" -> ((s, d) => Aggs.conditional(Tables.orders(s, d))),
     "fn_greatest_least" -> ((s, d) => ScalarFns.fnGreatestLeast(Tables.part(s, d))),
     "window_nth_value" -> ((s, d) => Windows.nthValue(Tables.orders(s, d))),
+    "window_range_frame" -> ((s, d) => Windows.rangeFrame(Tables.lineitem(s, d))),
+    "fn_trim_pad" -> ((s, d) => ScalarFns.fnTrimPad(Tables.part(s, d))),
     "set_intersect_all" -> ((s, d) =>
       SortsSets.intersectAllNations(Tables.customer(s, d), Tables.supplier(s, d))),
     "set_except_all" -> ((s, d) =>
@@ -416,6 +418,20 @@ object SparkEntry {
       """SELECT p_partkey,
         |  greatest(p_retailprice, p_size * 100.0) AS g,
         |  least(p_retailprice, p_size * 100.0) AS l
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "window_range_frame" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_extendedprice
+        |    RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW) AS DOUBLE) AS qty_near
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, qty_near""".stripMargin,
+
+    "fn_trim_pad" ->
+      """SELECT p_partkey,
+        |  lpad(p_brand, 12, '*') AS padded,
+        |  rpad(p_type, 14, '.') AS rpadded,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS tr
         |FROM part ORDER BY p_partkey""".stripMargin,
 
     "window_nth_value" ->

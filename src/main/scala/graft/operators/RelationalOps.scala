@@ -542,6 +542,21 @@ object Windows {
       .orderBy("o_orderkey")
   }
 
+  /** `window_range_frame`: VALUE-based window frame (RANGE BETWEEN n
+    * PRECEDING) — the frame is defined by the ORDER BY value's distance,
+    * not row positions, and peers (ties) are always included together,
+    * which keeps it deterministic without a tiebreak. Fractional range
+    * offsets need the SQL form (the Column-based rangeBetween API is
+    * gone); the decimal sum keeps results partition-independent. */
+  def rangeFrame(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("""CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+                |  PARTITION BY l_suppkey ORDER BY l_extendedprice
+                |  RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW) AS DOUBLE)"""
+          .stripMargin).as("qty_near"))
+      .orderBy("l_orderkey", "l_linenumber", "qty_near")
+
   /** `window_nth_value`: nth value per group under the DEFAULT frame
     * (unbounded-preceding..current-row), so rows before the nth see NULL
     * — identical default-frame semantics on both engines. */
@@ -725,6 +740,16 @@ object ScalarFns {
         add_months(col("o_orderdate"), 3).as("plus3m"),
         weekofyear(col("o_orderdate")).as("woy"))
       .orderBy("o_orderkey")
+
+  /** `fn_trim_pad`: fixed-width formatting + character mapping. */
+  def fnTrimPad(part: DataFrame): DataFrame =
+    part
+      .select(
+        col("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("padded"),
+        rpad(col("p_type"), 14, ".").as("rpadded"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("tr"))
+      .orderBy("p_partkey")
 
   /** `fn_greatest_least`: n-ary extrema across columns (not rows). */
   def fnGreatestLeast(part: DataFrame): DataFrame =
