@@ -25,6 +25,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- scans / ingestion ---
     "scan_project" -> ((s, d) => Scans.scanProject(Tables.lineitem(s, d))),
+    "scan_count" -> ((s, d) => Scans.scanCount(Tables.lineitem(s, d))),
+    "fn_split_part" -> ((s, d) => ScalarFns.fnSplitPart(Tables.part(s, d))),
     "scan_json_lines" -> ((s, d) => Scans.scanJsonLines(Tables.events(s, d))),
     // --- filter / project / predicates ---
     "filter_pred" -> ((s, d) => Filters.filterPred(Tables.lineitem(s, d))),
@@ -164,6 +166,14 @@ object SparkEntry {
     "scan_json_lines" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "scan_count" -> "SELECT COUNT(*) AS n FROM lineitem",
+
+    "fn_split_part" ->
+      """SELECT p_partkey,
+        |  split_part(p_name, ' ', 2) AS second,
+        |  split_part(p_name, ' ', 9) AS missing
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "filter_pred" ->
       """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

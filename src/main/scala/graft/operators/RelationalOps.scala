@@ -30,6 +30,12 @@ object Num {
   * projection pushdown.
   */
 object Scans {
+  /** `scan_count`: bare COUNT(*) — the scan reads ZERO columns (empty
+    * ReadSchema; only row-group row counts flow), the cheapest possible
+    * full-table pass and the shape every cardinality check takes. */
+  def scanCount(lineitem: DataFrame): DataFrame =
+    lineitem.agg(count(lit(1)).as("n"))
+
   /** `scan_project`: projection narrow enough that the parquet reader only
     * materializes 4 of 11 lineitem columns (check `ReadSchema` in explain). */
   def scanProject(lineitem: DataFrame): DataFrame =
@@ -740,6 +746,16 @@ object ScalarFns {
         add_months(col("o_orderdate"), 3).as("plus3m"),
         weekofyear(col("o_orderdate")).as("woy"))
       .orderBy("o_orderkey")
+
+  /** `fn_split_part`: delimited-field extraction (1-based; empty string
+    * past the end — same out-of-range contract on both engines). */
+  def fnSplitPart(part: DataFrame): DataFrame =
+    part
+      .select(
+        col("p_partkey"),
+        split_part(col("p_name"), lit(" "), lit(2)).as("second"),
+        split_part(col("p_name"), lit(" "), lit(9)).as("missing"))
+      .orderBy("p_partkey")
 
   /** `fn_trim_pad`: fixed-width formatting + character mapping. */
   def fnTrimPad(part: DataFrame): DataFrame =

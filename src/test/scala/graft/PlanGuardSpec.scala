@@ -66,6 +66,12 @@ class PlanGuardSpec extends SparkSpec {
       .queryExecution.executedPlan.treeString
     assert(q6Plan.contains("PushedFilters: [IsNotNull"),
       s"no predicates pushed into the parquet scan:\n$q6Plan")
+
+    // COUNT(*) must read ZERO columns — only row-group counts flow
+    val countPlan = Scans.scanCount(Tables.lineitem(spark, sf()))
+      .queryExecution.executedPlan.treeString
+    assert(countPlan.contains("ReadSchema: struct<>"),
+      s"count(*) scan reads columns:\n$countPlan")
   }
 
   test("composed TPC-H shapes push every selective filter into the scans") {
