@@ -21,9 +21,13 @@ object Bench {
     // IVF index build is the offline path (KMeans fit + cell-bucketed
     // assignment, done once and persisted); warm it here so the timed
     // sim_ann_ivf entry measures what a user of a built index pays: the
-    // probe (nprobe cell scans).
+    // probe (nprobe cell scans). The build itself is reported as its own
+    // top-level field (ivf_build_sec) so readers comparing against
+    // engines that time build+probe see both numbers.
+    val tIvf = System.nanoTime()
     try operators.VectorOps.annIvf(Tables.embeddings(spark, sfDir)).count()
     catch { case _: Throwable => }
+    val ivfBuildSec = (System.nanoTime() - tIvf) / 1e9
     // fixed name order: run-to-run and round-to-round comparability
     // (Map iteration order is hash-dependent)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -35,11 +39,16 @@ object Bench {
       // a broken query must not masquerade as a fast one: -1 sentinel
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Compact per-query values to 2 decimals: the driver captures only a
+    // bounded stdout tail, and round 2's full-precision line (~4 KB for
+    // 98 queries) overflowed it → BENCH_r02.json parsed:null. 10 ms
+    // resolution is below this box's run-to-run noise anyway.
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","ivf_build_sec":${fmt(ivfBuildSec)},"queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -446,17 +446,33 @@ object Aggs {
       .agg(count(lit(1)).as("n"), sum(col("p_partkey")).as("key_sum"))
       .orderBy("split")
 
-  /** `sample_bottomk`: deterministic uniform sample of suppliers per
-    * returnflag via the bottom-k-by-hash sketch
-    * ([[graft.functions.BottomKSample]]) — reproducible on any cluster /
-    * partitioning, constant memory per group, map-side combinable. No
-    * oracle (hash-based); ScalaTest proves equality with the exact
-    * "k smallest hashes per group" formulation. */
-  def sampleBottomK(lineitem: DataFrame, k: Int = 8): DataFrame =
+  /** Raw bottom-k sketch per returnflag (array column) — the form the
+    * ScalaTest equality proof consumes. */
+  def sampleBottomKSketch(lineitem: DataFrame, k: Int = 8): DataFrame =
     lineitem
       .groupBy("l_returnflag")
       .agg(graft.functions.BottomKSample.bottomK(
         xxhash64(col("l_suppkey")), k).as("sample_hashes"))
+
+  /** `sample_bottomk`: deterministic uniform sample of suppliers per
+    * returnflag via the bottom-k-by-hash sketch
+    * ([[graft.functions.BottomKSample]]) — reproducible on any cluster /
+    * partitioning, constant memory per group, map-side combinable. The
+    * query surface reduces the sample array to scalar columns (size,
+    * first/k-th hash, XOR fold) because the driver gate compares cells
+    * with `==` and array cells break its sort — scalar-checksum rule.
+    * No oracle (hash-based); ScalaTest proves sketch equality with the
+    * exact "k smallest hashes per group" formulation. */
+  def sampleBottomK(lineitem: DataFrame, k: Int = 8): DataFrame =
+    sampleBottomKSketch(lineitem, k)
+      .select(
+        col("l_returnflag"),
+        size(col("sample_hashes")).as("n_sampled"),
+        element_at(col("sample_hashes"), 1).as("min_hash"),
+        element_at(col("sample_hashes"), -1).as("kth_hash"),
+        // XOR fold, not SUM: 8 longs can overflow and ANSI mode throws
+        aggregate(col("sample_hashes"), lit(0L),
+          (acc, x) => acc.bitwiseXOR(x)).as("xor_checksum"))
       .orderBy("l_returnflag")
 
   /** `agg_stats_approx`: the 100 TB form of [[stats]] — `percentile_approx`

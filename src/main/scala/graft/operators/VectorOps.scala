@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -254,12 +252,42 @@ object VectorOps {
       .select(col("vec_id"), round(col("rawcos"), 6).as("cos"))
   }
 
-  // Index registry keyed by (corpus plan, nlist): the driver-side analog
-  // of a persisted index — repeated probes against the same corpus reuse
-  // the fitted quantizer + cached cell-bucketed assignment instead of
+  // Index registry keyed by (session, corpus plan, nlist): the driver-side
+  // analog of a persisted index — repeated probes against the same corpus
+  // reuse the fitted quantizer + cached cell-bucketed assignment instead of
   // re-fitting KMeans inside every query (round-1's single most expensive
-  // bench entry).
-  private val ivfIndexes = new ConcurrentHashMap[String, IvfIndex]()
+  // bench entry). Bounded LRU (advisor finding: an unbounded registry keyed
+  // by identityHashCode grows driver+executor memory across sessions and
+  // corpora): at capacity the least-recently-probed index is evicted and
+  // its cached assignment unpersisted. STALENESS CAVEAT: the key is the
+  // semantic hash of the PLAN — if the underlying files change in place
+  // under the same path, a cached index silently serves the old data; call
+  // [[clearIvfIndexes]] (or rebuild via [[buildIvfIndex]]) after rewriting
+  // a corpus.
+  private val maxIvfIndexes = 8
+  private val ivfIndexes =
+    new java.util.LinkedHashMap[String, IvfIndex](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, IvfIndex]): Boolean = {
+        val evict = size() > maxIvfIndexes
+        if (evict) {
+          try e.getValue.assigned.unpersist(blocking = false)
+          catch { case _: Throwable => } // session may already be stopped
+        }
+        evict
+      }
+    }
+
+  /** Drop every cached IVF index and unpersist their assignment tables.
+    * Call after overwriting corpus files in place (see staleness caveat
+    * on the registry) or when tearing down a session. */
+  def clearIvfIndexes(): Unit = ivfIndexes.synchronized {
+    ivfIndexes.values.forEach { idx =>
+      try idx.assigned.unpersist(blocking = false)
+      catch { case _: Throwable => }
+    }
+    ivfIndexes.clear()
+  }
 
   /** `sim_ann_ivf`: IVF-style approximate top-k = cached [[buildIvfIndex]]
     * + [[ivfProbe]]. No oracle (approximate); ScalaTest asserts recall vs
@@ -270,7 +298,13 @@ object VectorOps {
     // the SparkSession whose cache block it lives in
     val key = s"${System.identityHashCode(embeddings.sparkSession)}:" +
       s"${embeddings.queryExecution.analyzed.semanticHash()}:$nlist"
-    val index = ivfIndexes.computeIfAbsent(key, _ => buildIvfIndex(embeddings, nlist))
+    val index = ivfIndexes.synchronized {
+      Option(ivfIndexes.get(key)).getOrElse {
+        val built = buildIvfIndex(embeddings, nlist)
+        ivfIndexes.put(key, built)
+        built
+      }
+    }
     val probe = embeddings.filter(col("vec_id") === probeId)
       .select(col("embedding").as("probe"))
     ivfProbe(index, probe, k, nprobe)

@@ -31,6 +31,11 @@ trait Serde {
   * malformed payload, so no offset commits and the poison message stays
   * unacked. */
 final case class JsonSerde(schema: DataType, failFast: Boolean = false) extends Serde {
+  // failFast routes through the StructType overload of from_json; fail at
+  // construction with a clear message instead of a ClassCastException at
+  // first deserialize (advisor finding)
+  require(!failFast || schema.isInstanceOf[org.apache.spark.sql.types.StructType],
+    s"JsonSerde(failFast = true) requires a StructType schema, got: $schema")
   override def deserialize(value: Column): Column =
     if (failFast)
       from_json(value.cast("string"), schema.asInstanceOf[org.apache.spark.sql.types.StructType],
@@ -152,10 +157,14 @@ final class Pipeline(
             // loss). Fix: repartition + sort by CONTENT, so (pid, idx) is
             // a pure function of the batch's row multiset — equal-content
             // rows are interchangeable, everything else has a stable slot.
-            // Costs one extra shuffle per batch in idempotent mode.
+            // The partition count is PINNED (not spark.sql.shuffle
+            // .partitions): a replay after restart under a different
+            // shuffle-partition setting must rebind every (pid, i) to the
+            // same row, or the whole batch re-publishes under new keys
+            // (advisor finding). Costs one extra shuffle per batch.
             batch
               .withColumn("__h", xxhash64(col("data")))
-              .repartition(col("__h"))
+              .repartition(Pipeline.IdempotentKeyPartitions, col("__h"))
               .sortWithinPartitions(col("__h"), col("data"))
               .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
                 val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -188,4 +197,11 @@ final class Pipeline(
     sys.addShutdownHook { if (q.isActive) q.stop() }
     q
   }
+}
+
+object Pipeline {
+  /** Fixed partition count for idempotence-key derivation — deliberately
+    * NOT `spark.sql.shuffle.partitions`, which can change between a run
+    * and its replay-after-restart and would rebind every (pid, i) key. */
+  val IdempotentKeyPartitions = 64
 }

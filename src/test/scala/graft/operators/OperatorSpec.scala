@@ -185,7 +185,7 @@ class OperatorSpec extends SparkSpec {
 
   test("sample_bottomk equals the exact k-smallest-hashes per group") {
     val li = Tables.lineitem(spark, sf())
-    val sketch = Aggs.sampleBottomK(li, k = 8).collect()
+    val sketch = Aggs.sampleBottomKSketch(li, k = 8).collect()
       .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
     val exact = li
       .select(col("l_returnflag"), xxhash64(col("l_suppkey")).as("h"))
