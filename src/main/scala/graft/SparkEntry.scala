@@ -851,6 +851,39 @@ object SparkEntry {
         |  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 20) t
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
+    "text_pii_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\d{9,}', '<NUM>', 'g'),
+        |    '\+?\d{0,3}[-. ]*\(?\d{3}\)?[-. ]*\d{3}[-. ]*\d{4}', '<PHONE>', 'g') AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the Spark side splits on lookaround boundaries (not expressible in
+    // RE2); the resulting piece count equals |alnum runs| + |non-alnum
+    // non-space chars|, which RE2 can count directly
+    "text_tokens_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[\p{L}\p{N}]+')) +
+        |       len(regexp_extract_all(text, '[^\p{L}\p{N} ]')) AS INTEGER) AS n_pieces
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // generated from TextOps.langProfiles: same word lists, same argmax,
+    // same reverse-lexicographic tie-break as the Spark struct sort
+    "text_langid" -> langIdOracleSql,
+
+    "fn_map" ->
+      """WITH m AS (
+        |  SELECT event_id,
+        |    MAP(['type','k'], [event_type, json_extract_string(props, '$.k')]) AS m
+        |  FROM events)
+        |SELECT event_id,
+        |  m['type'][1] AS m_type,
+        |  CAST(m['k'][1] AS BIGINT) AS m_k,
+        |  CAST(cardinality(m) AS INTEGER) AS n_keys
+        |FROM m ORDER BY event_id""".stripMargin,
+
     "stream_tumbling_batch" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start_s,
         |  COUNT(*) AS cnt,
@@ -886,4 +919,34 @@ object SparkEntry {
         |  COUNT(*) AS n_events
         |FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
   )
+
+  /** DuckDB oracle for `text_langid`, generated from
+    * [[graft.operators.TextOps.langProfiles]] so the two engines score
+    * identical word lists. Argmax tie-break: Spark sorts
+    * struct(score, lang) descending, so ties go to the lexicographically
+    * LARGEST language code — mirrored here by CASE arms in descending
+    * code order. */
+  private def langIdOracleSql: String = {
+    val profiles = operators.TextOps.langProfiles
+    val scoreCols = profiles.map { case (l, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      s"  len(list_filter(w, x -> x IN ($inList))) AS s_$l"
+    }.mkString(",\n")
+    val allScores = profiles.map("s_" + _._1).mkString(", ")
+    val caseArms = profiles.map(_._1).sorted.reverse
+      .map(l => s"       WHEN s_$l = g THEN '$l'").mkString("\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |$scoreCols
+       |  FROM toks),
+       |best AS (SELECT *, greatest($allScores) AS g FROM s)
+       |SELECT doc_id,
+       |  CASE WHEN g = 0 THEN 'und'
+       |$caseArms
+       |  END AS pred_lang,
+       |  CAST(g AS INTEGER) AS marker_hits
+       |FROM best ORDER BY doc_id""".stripMargin
+  }
 }

@@ -214,7 +214,11 @@ object Joins {
     * to exactly one bucket; equi-join on bucket, then apply the exact
     * band predicate as a residual filter. ONE hash shuffle on an 8-byte
     * bucket key replaces the nested-loop — semantics-preserving by
-    * construction (verified: same oracle as the BNLJ formulation). */
+    * construction (verified: same oracle as the BNLJ formulation).
+    * The linear `width` is sized to THIS query's known acctbal domain
+    * (intervals span 1-2 buckets); the general-purpose optimizer rule
+    * ([[graft.plans.RangeJoinToBucket]]) buckets in log space instead,
+    * which bounds the per-row span statically for any factor spread. */
   def rangeBucketJoin(part: DataFrame, supplier: DataFrame,
                       width: Double = 100.0): DataFrame = {
     val s = supplier

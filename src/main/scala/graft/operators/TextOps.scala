@@ -66,8 +66,10 @@ object TextOps {
   }
 
   /** Token counting with a BPE-ish regex split (word pieces + punctuation +
-    * whitespace runs), the usual pre-tokenizer shape. No oracle (regex
-    * semantics differ cross-engine); ScalaTest-covered. */
+    * whitespace runs), the usual pre-tokenizer shape. Oracled: the split
+    * uses lookarounds (not RE2-expressible), but the piece COUNT it
+    * produces equals |alnum runs| + |non-alnum non-space chars|, which
+    * DuckDB computes with two regexp_extract_all calls. */
   def tokensBpe(documents: DataFrame): DataFrame = {
     val pieces = filter(
       split(col("text"), """(?=[^\p{L}\p{N}])|(?<=[^\p{L}\p{N}])"""),
@@ -98,6 +100,35 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-language high-frequency-word profiles — the single source of
+    * truth for BOTH the Spark scoring expressions and the generated
+    * DuckDB oracle SQL (SparkEntry builds the oracle from this val, so
+    * the two engines score identical word lists by construction). */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "in", "to", "it", "that", "was",
+      "for", "on", "are", "as", "with", "they", "at", "be", "this", "have",
+      "from", "or", "had", "not", "but", "what"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los",
+      "las", "por", "con", "no", "para", "es", "al", "lo", "como", "pero",
+      "sus", "le", "ya", "este", "cuando", "muy"),
+    "de" -> Seq("der", "die", "und", "ist", "das", "nicht", "von", "sie",
+      "mit", "dem", "den", "ein", "eine", "zu", "auf", "für", "im", "es",
+      "an", "auch", "als", "war", "bei", "um", "aus"),
+    "fr" -> Seq("le", "la", "et", "est", "les", "des", "un", "une", "du",
+      "en", "que", "qui", "dans", "pour", "ce", "il", "au", "sur", "se",
+      "ne", "pas", "par", "plus", "avec", "son"),
+    "it" -> Seq("il", "di", "che", "è", "un", "una", "per", "in", "non",
+      "sono", "con", "si", "da", "come", "le", "dei", "del", "al", "lo",
+      "ma", "più", "anche", "su", "della", "questo"),
+    "pt" -> Seq("o", "a", "de", "que", "e", "do", "da", "em", "um",
+      "para", "é", "com", "não", "uma", "os", "no", "se", "na", "por",
+      "mais", "as", "dos", "como", "mas", "foi"),
+    "nl" -> Seq("de", "het", "een", "en", "van", "is", "dat", "op", "te",
+      "zijn", "met", "voor", "niet", "aan", "er", "om", "ook", "als",
+      "dan", "maar", "bij", "uit", "nog", "naar", "wat"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "他", "这", "中",
+      "大", "来", "上", "到", "说", "们", "为", "和", "你", "地", "也"))
+
   /** `text_langid`: stopword-profile language ID. Scores each doc
     * against per-language high-frequency-word profiles (the standard
     * stopword-profile heuristic — top function words are the most
@@ -107,33 +138,11 @@ object TextOps {
     * — score vectors per doc, argmax, no shuffle, no UDF — so the pass
     * stays map-only at any corpus size. Assumes space-tokenized text
     * (true of the corpus; CJK docs must be pre-segmented, which is why
-    * the zh profile is single characters). No oracle (heuristic);
-    * ScalaTest asserts predictions over an 8-language fixture set. */
+    * the zh profile is single characters). Oracled via the generated
+    * [[langProfiles]] SQL; ScalaTest additionally asserts predictions
+    * over an 8-language fixture set. */
   def langId(documents: DataFrame): DataFrame = {
-    val markers: Seq[(String, Seq[String])] = Seq(
-      "en" -> Seq("the", "and", "of", "is", "in", "to", "it", "that", "was",
-        "for", "on", "are", "as", "with", "they", "at", "be", "this", "have",
-        "from", "or", "had", "not", "but", "what"),
-      "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los",
-        "las", "por", "con", "no", "para", "es", "al", "lo", "como", "pero",
-        "sus", "le", "ya", "este", "cuando", "muy"),
-      "de" -> Seq("der", "die", "und", "ist", "das", "nicht", "von", "sie",
-        "mit", "dem", "den", "ein", "eine", "zu", "auf", "für", "im", "es",
-        "an", "auch", "als", "war", "bei", "um", "aus"),
-      "fr" -> Seq("le", "la", "et", "est", "les", "des", "un", "une", "du",
-        "en", "que", "qui", "dans", "pour", "ce", "il", "au", "sur", "se",
-        "ne", "pas", "par", "plus", "avec", "son"),
-      "it" -> Seq("il", "di", "che", "è", "un", "una", "per", "in", "non",
-        "sono", "con", "si", "da", "come", "le", "dei", "del", "al", "lo",
-        "ma", "più", "anche", "su", "della", "questo"),
-      "pt" -> Seq("o", "a", "de", "que", "e", "do", "da", "em", "um",
-        "para", "é", "com", "não", "uma", "os", "no", "se", "na", "por",
-        "mais", "as", "dos", "como", "mas", "foi"),
-      "nl" -> Seq("de", "het", "een", "en", "van", "is", "dat", "op", "te",
-        "zijn", "met", "voor", "niet", "aan", "er", "om", "ook", "als",
-        "dan", "maar", "bij", "uit", "nog", "naar", "wat"),
-      "zh" -> Seq("的", "是", "了", "在", "我", "有", "他", "这", "中",
-        "大", "来", "上", "到", "说", "们", "为", "和", "你", "地", "也"))
+    val markers = langProfiles
     val words = split(lower(col("text")), " ")
     val scored = markers.foldLeft(documents.select(col("doc_id"), col("text"))) {
       case (df, (lang, ms)) =>
@@ -159,9 +168,11 @@ object TextOps {
     * phone-shaped digit groups, then long digit runs (ids/cards). The
     * patterns are the standard first-line regex tier — a production pass
     * layers NER on top; the *shape* (pure column rewrite at scan speed)
-    * is the part that must hold at 100 TB. No oracle (regex dialects
-    * differ across engines); ScalaTest asserts each category on planted
-    * fixtures and that clean text passes through byte-identical. */
+    * is the part that must hold at 100 TB. Oracled: the patterns avoid
+    * lookarounds/backrefs, so Java regex and DuckDB's RE2 agree on them
+    * (both leftmost-first); ScalaTest additionally asserts each category
+    * on planted fixtures and that clean text passes through
+    * byte-identical. */
   def scrubPii(documents: DataFrame): DataFrame = {
     val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
     val phone = """\+?\d{0,3}[-. ]*\(?\d{3}\)?[-. ]*\d{3}[-. ]*\d{4}"""
