@@ -148,6 +148,15 @@ object SparkEntry {
     "multimodal_features" -> ((s, d) => MultimodalOps.features(Tables.documents(s, d))),
     "multimodal_frames" -> ((s, d) => MultimodalOps.frames(Tables.documents(s, d))),
     "multimodal_resize" -> ((s, d) => MultimodalOps.resized(Tables.documents(s, d))),
+    // --- corpus-preparation passes (LLM-pipeline) ---
+    "pipeline_decontaminate" -> ((s, d) => CorpusOps.decontaminate(Tables.documents(s, d))),
+    "pipeline_pack_chunks" -> ((s, d) => CorpusOps.packChunks(Tables.documents(s, d))),
+    "sample_stratified" -> ((s, d) => CorpusOps.sampleStratified(Tables.documents(s, d))),
+    "text_lm_score" -> ((s, d) => CorpusOps.lmScore(Tables.documents(s, d))),
+    "filter_quality_quantile" -> ((s, d) =>
+      CorpusOps.qualityQuantileFilter(Tables.documents(s, d))),
+    "join_skew_salted" -> ((s, d) =>
+      Joins.skewSalted(Tables.lineitem(s, d), Tables.orders(s, d))),
     // --- streaming batch-equivalents ---
     "stream_tumbling_batch" -> ((s, d) => StreamBatchOps.tumbling(Tables.events(s, d))),
     "stream_sliding_batch" -> ((s, d) => StreamBatchOps.sliding(Tables.events(s, d))),
@@ -872,6 +881,92 @@ object SparkEntry {
     // generated from TextOps.langProfiles: same word lists, same argmax,
     // same reverse-lexicographic tie-break as the Spark struct sort
     "text_langid" -> langIdOracleSql,
+
+    // eval set = doc_id % 50 == 0; a train doc survives iff it shares NO
+    // word trigram with any eval doc (Spark joins xxhash64(gram), the
+    // oracle joins the gram strings — identical modulo hash collisions)
+    "pipeline_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        |        FROM toks WHERE len(w) >= 3) u
+        |),
+        |eval_grams AS (
+        |  SELECT DISTINCT gram FROM sh WHERE doc_id % 50 = 0
+        |),
+        |contaminated AS (
+        |  SELECT DISTINCT doc_id FROM sh
+        |  WHERE doc_id % 50 <> 0 AND gram IN (SELECT gram FROM eval_grams)
+        |)
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 50 <> 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |ORDER BY doc_id""".stripMargin,
+
+    // concat-and-chunk packing: a doc belongs to the chunk its FIRST
+    // token lands in ((cum - n) // budget over the doc_id order)
+    "pipeline_pack_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n,
+        |    CAST(SUM(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT (cum - n) // 512 AS chunk,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n) AS BIGINT) AS chunk_tokens
+        |FROM c GROUP BY 1 ORDER BY chunk""".stripMargin,
+
+    // md5-prefix stratified sampling: 25% for en, 50% otherwise
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substring(md5(text), 1, 2) <=
+        |  CASE WHEN lang = 'en' THEN '3f' ELSE '7f' END
+        |ORDER BY doc_id""".stripMargin,
+
+    // all-integer bigram-frequency scoring; the single division is the
+    // only floating-point op (deterministic operands on both engines)
+    "text_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |  FROM documents
+        |),
+        |grams AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        |        FROM toks WHERE len(w) >= 2) u
+        |),
+        |counts AS (SELECT gram, COUNT(*) AS cnt FROM grams GROUP BY gram)
+        |SELECT doc_id,
+        |  COUNT(*) AS n_bigrams,
+        |  CAST(SUM(cnt) AS BIGINT) AS freq_sum,
+        |  CAST(CAST(SUM(cnt) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_freq
+        |FROM grams JOIN counts USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the gate: strictly above the exact interpolated median word count
+    "filter_quality_quantile" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER) AS n_words
+        |  FROM documents),
+        |m AS (SELECT quantile_cont(n_words, 0.5) AS med FROM t)
+        |SELECT doc_id, n_words FROM t, m
+        |WHERE n_words > med ORDER BY doc_id""".stripMargin,
+
+    // the oracle is the PLAIN join: salting must not change the result
+    "join_skew_salted" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "fn_map" ->
       """WITH m AS (

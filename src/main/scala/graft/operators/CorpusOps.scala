@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a large-scale training-data pipeline
+  * runs between raw ingestion and tokenization: eval-set decontamination,
+  * sequence packing, stratified sampling, n-gram LM scoring, and
+  * quantile-gated quality filtering. The reference's capability category
+  * is "enrichment pipelines" (`setup.py:8-9`); these are the corpus-level
+  * passes that category implies at 100 TB, each expressed as a
+  * declarative Spark plan with an exact DuckDB oracle.
+  */
+object CorpusOps {
+
+  private def words(c: org.apache.spark.sql.Column) =
+    filter(split(c, " "), t => t =!= "")
+
+  /** `pipeline_decontaminate`: drop every training document that shares
+    * ANY word trigram with the eval set (the standard n-gram-overlap
+    * decontamination pass run before a training corpus ships; real
+    * pipelines use 8-13-grams — k is a parameter, 3 here so the small
+    * test corpus actually overlaps). The eval set stands in as
+    * `doc_id % evalMod == 0`.
+    *
+    * Scale shape: both sides reduce to (id, 8-byte gram hash) pairs
+    * before the join — never full text — so the semi-join shuffles only
+    * hashes; eval-gram tables are typically tiny and AQE broadcasts
+    * them. Candidate generation is one shuffle; no O(n²) pass. The
+    * oracle joins the gram STRINGS (DuckDB lacks xxhash64); identical
+    * results modulo 64-bit hash collisions (~none at any realistic
+    * gram-set size). */
+  def decontaminate(documents: DataFrame, evalMod: Int = 50, k: Int = 3): DataFrame = {
+    val isEval = pmod(col("doc_id"), lit(evalMod)) === 0
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(graft.functions.ShingleExpressions.ngrams(lower(col("text")), k)).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+    val evalGrams = grams(documents.filter(isEval)).select("gh").distinct()
+    val contaminated = grams(documents.filter(!isEval))
+      .join(evalGrams, Seq("gh"), "left_semi")
+      .select("doc_id").distinct()
+    documents.filter(!isEval)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** `pipeline_pack_chunks`: concatenation packing — assign documents (in
+    * doc_id order) to fixed-token-budget chunks by the running token
+    * count, the concat-and-chunk sequence-packing shape (a document whose
+    * tokens straddle a budget boundary belongs to the chunk its FIRST
+    * token lands in). Emits per-chunk document and token counts.
+    *
+    * Scale shape: the global running sum goes through
+    * [[Skew.distributedPrefixSum]] (range repartition + local cumsum +
+    * broadcast offsets), not a single-task `Window.orderBy` — packing a
+    * 100 TB corpus is exactly the case where the naive window dies. At
+    * cluster scale you'd pack per shard (salt the sort key) and accept
+    * shard-boundary waste; the oracle checks the exact global form. */
+  def packChunks(documents: DataFrame, budget: Int = 512,
+                 numPartitions: Int = 8): DataFrame = {
+    val withTokens = documents
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).as("n_tokens"))
+    Skew.distributedPrefixSum(withTokens, numPartitions, "n_tokens", col("doc_id"))
+      // integer DIV, not double divide+cast: exact at any corpus size
+      .withColumn("chunk", expr(s"(cum - n_tokens) DIV $budget"))
+      .groupBy("chunk")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("chunk_tokens"))
+      .orderBy("chunk")
+  }
+
+  /** `sample_stratified`: deterministic per-stratum sampling by hash
+    * prefix — keep a document iff the first byte of md5(text) falls under
+    * the stratum's threshold (25% for `en`, the majority class; 50%
+    * otherwise). Unlike `df.sample`, reproducible under any partitioning
+    * or cluster size, and exactly mirrored in SQL (md5 is one of the few
+    * hashes both engines share). Map-only: the filter runs at scan speed;
+    * the output is the sampled rows themselves. */
+  def sampleStratified(documents: DataFrame): DataFrame = {
+    val prefix = substring(md5(col("text")), 1, 2)
+    val threshold = when(col("lang") === "en", lit("3f")).otherwise(lit("7f"))
+    documents
+      .filter(prefix <= threshold)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  /** `text_lm_score`: corpus-frequency language-model scoring — for each
+    * document, the mean corpus frequency of its word bigrams (a
+    * perplexity-shaped fluency signal: rare-bigram documents score low,
+    * boilerplate scores high). All-integer accumulation (counts, not log
+    * probs) so cross-engine results are EXACT — the one final division is
+    * a single double op with deterministic operands.
+    *
+    * Scale shape: two shuffles — one to count bigrams (partial agg
+    * applies map-side), one to re-join counts to (doc_id, gram) pairs;
+    * both keyed on the gram (hash it at 100 TB). Documents with fewer
+    * than two words have no bigrams and drop out (inner join), matching
+    * the SQL. */
+  def lmScore(documents: DataFrame): DataFrame = {
+    val grams = documents.select(col("doc_id"),
+      explode(graft.functions.ShingleExpressions.ngrams(lower(col("text")), 2)).as("gram"))
+    val counts = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+    grams.join(counts, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("cnt")).as("freq_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("freq_sum"),
+        (col("freq_sum").cast("double") / col("n_bigrams")).as("avg_freq"))
+      .orderBy("doc_id")
+  }
+
+  /** `filter_quality_quantile`: keep documents whose word count exceeds
+    * the corpus median — the data-driven version of `pipeline_enrich`'s
+    * fixed `minWords` gate (thresholds in real pipelines are set from
+    * corpus quantiles, not constants). The median is an exact
+    * interpolated percentile (matches DuckDB `quantile_cont`), computed
+    * once and broadcast; the filter itself is map-only. At 100 TB the
+    * exact percentile becomes `agg_stats_approx`'s mergeable-sketch
+    * percentile — same plan shape, sketch instead of sort. */
+  def qualityQuantileFilter(documents: DataFrame, q: Double = 0.5): DataFrame = {
+    val withWords = documents.select(col("doc_id"), size(words(col("text"))).as("n_words"))
+    val med = withWords.agg(
+      percentile(col("n_words"), lit(q)).as("med"))
+    withWords
+      .crossJoin(broadcast(med))
+      .filter(col("n_words") > col("med"))
+      .select("doc_id", "n_words")
+      .orderBy("doc_id")
+  }
+}

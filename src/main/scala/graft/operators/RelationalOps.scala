@@ -237,6 +237,25 @@ object Joins {
       .orderBy("s_suppkey")
   }
 
+  /** `join_skew_salted`: the [[Skew.saltedJoin]] spread demonstrated as
+    * an oracled query — lineitem (the skewed fact) joins orders with each
+    * order key spread over 4 salt buckets, then aggregates revenue per
+    * order status. The oracle is the PLAIN join's SQL: salting must be
+    * invisible in the result, only in the shuffle layout (each hot key's
+    * rows land on `salt` reducers instead of one). This is the manual
+    * fallback for skew AQE can't split — a skewed key feeding a shuffled
+    * hash join against a dimension too big to broadcast. */
+  def skewSalted(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val o = orders.select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    Skew.saltedJoin(lineitem, o, "l_orderkey", salt = 4)
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
   /** `join_asof_event`: each event matched to the latest order of the same
     * user with o_orderdate <= ts (reference has no joins at all — this is
     * the engine's hardest relational addition, SURVEY §7 known-hard #2).

@@ -140,6 +140,38 @@ object Skew {
       .drop("__pid", "__lrn", "__ldr", "__roff", "__doff")
   }
 
+  /** Scalable global running sum of `sumCol` in `sortCols` order — the
+    * prefix-sum sibling of [[distributedRowNumber]] (an unpartitioned
+    * `Window.orderBy` cumsum is a single task). Range repartition on the
+    * sort key, local cumsum per partition, add broadcasted per-partition
+    * totals. Adds a `cum` LongType column; `sortCols` must be a total
+    * order for a deterministic result. */
+  def distributedPrefixSum(df: DataFrame, numPartitions: Int, sumCol: String,
+                           sortCols: org.apache.spark.sql.Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // localCheckpoint pins the partitioning (repartitionByRange samples
+    // boundaries per execution — same hazard as distributedRowNumber)
+    val parted = df
+      .repartitionByRange(numPartitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val local = parted.withColumn("__lcum",
+      sum(col(sumCol).cast("long")).over(
+        Window.partitionBy("__pid").orderBy(sortCols: _*)))
+    // per-partition totals -> prefix offsets (O(partitions), driver-safe)
+    val totals = parted.groupBy("__pid")
+      .agg(sum(col(sumCol).cast("long")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) => (pid, acc + t) }
+      .sliding(2).collect { case Array((_, off), (pid, _)) => (pid, off) }.toSeq
+    val offDf = df.sparkSession.createDataFrame(offsets).toDF("__pid", "__off")
+    local
+      .join(broadcast(offDf), Seq("__pid"), "left")
+      .withColumn("cum", col("__lcum") + coalesce(col("__off"), lit(0L)))
+      .drop("__pid", "__lcum", "__off")
+  }
+
   /** Two-phase skewed aggregation: count per (key, salt) map-side-style,
     * then merge per key — the classic fix when one group holds most rows
     * and a single reducer would own it. */
