@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.VectorOps
+
+/** Generated DuckDB oracle SQL for the sign-LSH queries.
+  *
+  * These queries are "approximate" only in the recall sense — their
+  * RESULTS are fully deterministic, because the LSH hyperplanes are pure
+  * functions of (plane, dimension) indices
+  * ([[VectorOps.planeCoefficients]]). Inlining the same coefficients
+  * into SQL makes DuckDB compute bit-identical band buckets (double
+  * literals round-trip exactly; `list_dot_product` on DOUBLE[] matches
+  * the compiled sequential-fold DotProductExpr), so the whole
+  * candidate-generation + scoring pipeline is exactly oracle-checkable.
+  * The price is ~30 KB of SQL per query — all constants.
+  */
+object OracleGen {
+
+  /** SQL for one band bucket: sum of sign bits over `bits` planes. `e`
+    * names a DOUBLE[] column in scope. */
+  private def bucketSql(e: String, bits: Int, seed: Int, dim: Int): String =
+    (0 until bits).map { p =>
+      val arr = VectorOps.planeCoefficients(p, seed, dim).mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product($e, $arr) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private def bandCols(nBands: Int, bitsPerBand: Int, dim: Int): String =
+    (0 until nBands)
+      .map(b => s"(${bucketSql("e", bitsPerBand, b * 7919, dim)}) AS bk_$b")
+      .mkString(",\n    ")
+
+  private def anyBandEq(nBands: Int, l: String, r: String): String =
+    (0 until nBands).map(b => s"$l.bk_$b = $r.bk_$b").mkString(" OR ")
+
+  private val cosSql =
+    "list_dot_product(e.e, pv.pe) / " +
+      "(sqrt(list_dot_product(e.e, e.e)) * sqrt(list_dot_product(pv.pe, pv.pe)))"
+
+  /** Oracle for `sim_ann_lsh` (probe vec_id = 0, k = 10, 6 bands × 4
+    * bits — must track the VectorOps.annLsh defaults). */
+  def simAnnLshSql(nBands: Int = 6, bitsPerBand: Int = 4, dim: Int = 64): String =
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |bands AS (
+       |  SELECT vec_id,
+       |    ${bandCols(nBands, bitsPerBand, dim)}
+       |  FROM emb),
+       |probe AS (SELECT * FROM bands WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT DISTINCT b.vec_id FROM bands b, probe p
+       |  WHERE ${anyBandEq(nBands, "b", "p")}),
+       |pv AS (SELECT e AS pe FROM emb WHERE vec_id = 0),
+       |scored AS (
+       |  SELECT c.vec_id, $cosSql AS rawcos
+       |  FROM cand c JOIN emb e USING (vec_id), pv)
+       |SELECT vec_id, round(rawcos, 6) AS cos FROM scored
+       |ORDER BY rawcos DESC, vec_id LIMIT 10""".stripMargin
+
+  /** Oracle for `sim_ann_lsh_batch` (probes vec_id < 5, k = 10, 8 bands
+    * × 3 bits — must track the VectorOps.annLshBatch defaults). */
+  def simAnnLshBatchSql(nBands: Int = 8, bitsPerBand: Int = 3, dim: Int = 64): String =
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |bands AS (
+       |  SELECT vec_id,
+       |    ${bandCols(nBands, bitsPerBand, dim)}
+       |  FROM emb),
+       |probes AS (SELECT * FROM bands WHERE vec_id < 5),
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id AS probe_id, b.vec_id FROM bands b, probes p
+       |  WHERE ${anyBandEq(nBands, "b", "p")}),
+       |pv AS (SELECT vec_id AS probe_id, e AS pe FROM emb WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT c.probe_id, c.vec_id, $cosSql AS rawcos
+       |  FROM cand c JOIN emb e USING (vec_id) JOIN pv USING (probe_id)),
+       |r AS (
+       |  SELECT probe_id, vec_id, rawcos,
+       |    CAST(row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY rawcos DESC, vec_id) AS INTEGER) AS rn
+       |  FROM scored)
+       |SELECT probe_id, vec_id, round(rawcos, 6) AS cos, rn
+       |FROM r WHERE rn <= 10 ORDER BY probe_id, rn""".stripMargin
+
+  /** Oracle for `dedup_near_embedding` (τ = 0.95 on the ROUNDED cosine,
+    * single 6-bit bucket, seed 0 — must track VectorOps.nearDupEmbedding
+    * defaults). */
+  def nearDupEmbeddingSql(nBits: Int = 6, dim: Int = 64, tau: Double = 0.95): String =
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |b AS (
+       |  SELECT vec_id, e,
+       |    (${bucketSql("e", nBits, 0, dim)}) AS bucket
+       |  FROM emb)
+       |SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       |  round(list_dot_product(a.e, b2.e) /
+       |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b2.e, b2.e))), 6) AS cos
+       |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       |WHERE round(list_dot_product(a.e, b2.e) /
+       |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b2.e, b2.e))), 6) >= $tau
+       |ORDER BY id_a, id_b""".stripMargin
+}

@@ -961,6 +961,13 @@ object SparkEntry {
         |SELECT doc_id, n_words FROM t, m
         |WHERE n_words > med ORDER BY doc_id""".stripMargin,
 
+    // sign-LSH queries: "approximate" only in recall — results are fully
+    // deterministic (pure-function hyperplanes), so the generated SQL
+    // (same inlined coefficients, OracleGen) checks them exactly
+    "sim_ann_lsh" -> OracleGen.simAnnLshSql(),
+    "sim_ann_lsh_batch" -> OracleGen.simAnnLshBatchSql(),
+    "dedup_near_embedding" -> OracleGen.nearDupEmbeddingSql(),
+
     // the oracle is the PLAIN join: salting must not change the result
     "join_skew_salted" ->
       """SELECT o_orderstatus, COUNT(*) AS n_items,

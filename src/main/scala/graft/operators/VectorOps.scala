@@ -99,25 +99,30 @@ object VectorOps {
       .orderBy("probe_id", "rn")
   }
 
-  /** Random-hyperplane (sign) LSH bucketing: `nBits` fixed pseudo-random
-    * hyperplanes → one integer bucket per vector. Deterministic planes are
-    * derived from a hash of (plane index, dimension index) — no RNG state,
-    * so executors regenerate identical planes with no driver broadcast. */
-  private def signBucket(v: Column, dim: Int, nBits: Int, seed: Int = 0): Column = {
-    // plane(p)[d] = a deterministic pseudo-random value in [-1, 1);
-    // materialized as ONE array literal per plane (typedlit) and folded
-    // with the compiled dot product so codegen stays compact — an unrolled
-    // 64-term sum per plane overflows the JVM's 64KB method limit.
-    def plane(p: Int): Column = {
-      val coeffs: Seq[Double] = (0 until dim).map { d =>
-        val h = (((p + seed) * 1315423911L) ^ (d * 2654435761L)) * 40503L
-        // floorMod, not %: h can be negative and a signed remainder would
-        // skew coefficients into (-3, 1) — negatively biased hyperplanes
-        // degrade bucket uniformity and recall
-        (math.floorMod(h, 2000003L).toDouble / 1000001.5) - 1.0 // [-1,1)
-      }
-      dot(v, typedlit(coeffs))
+  /** Deterministic pseudo-random hyperplane coefficients in [-1, 1),
+    * derived from a hash of (plane index, dimension index) — no RNG
+    * state, so executors regenerate identical planes with no driver
+    * broadcast. floorMod, not %: h can be negative and a signed
+    * remainder would skew coefficients into (-3, 1) — negatively biased
+    * hyperplanes degrade bucket uniformity and recall.
+    *
+    * PUBLIC single source of truth: [[signBucket]] builds its Column
+    * expressions from this, and [[graft.OracleGen]] inlines the same
+    * values into generated DuckDB SQL — which is what makes the sign-LSH
+    * queries exactly oracle-checkable despite being "approximate". */
+  def planeCoefficients(p: Int, seed: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { d =>
+      val h = (((p + seed) * 1315423911L) ^ (d * 2654435761L)) * 40503L
+      (math.floorMod(h, 2000003L).toDouble / 1000001.5) - 1.0 // [-1,1)
     }
+
+  /** Random-hyperplane (sign) LSH bucketing: `nBits` fixed pseudo-random
+    * hyperplanes → one integer bucket per vector. Each plane is ONE array
+    * literal (typedlit) folded with the compiled dot product so codegen
+    * stays compact — an unrolled 64-term sum per plane overflows the
+    * JVM's 64KB method limit. */
+  private def signBucket(v: Column, dim: Int, nBits: Int, seed: Int = 0): Column = {
+    def plane(p: Int): Column = dot(v, typedlit(planeCoefficients(p, seed, dim)))
     (0 until nBits)
       .map(p => when(plane(p) >= 0, lit(1L << p)).otherwise(lit(0L)))
       .reduce(_ + _)
@@ -140,8 +145,10 @@ object VectorOps {
     * Shuffle hygiene: band rows and the candidate dedup carry ONLY
     * (vec_id, band-key) — 16 bytes — never the 64-float embedding;
     * embeddings are re-attached to the (small) deduped candidate set
-    * afterwards. No oracle (approximate); ScalaTest asserts recall
-    * against the exact baseline. */
+    * afterwards. Oracled exactly despite being "approximate": the planes
+    * are deterministic, so [[graft.OracleGen.simAnnLshSql]] reproduces
+    * the identical candidate set + scores in DuckDB; ScalaTest
+    * additionally asserts recall against the exact baseline. */
   def annLsh(embeddings: DataFrame, probeId: Long = 0L, k: Int = 10,
              dim: Int = 64, nBands: Int = 6, bitsPerBand: Int = 4): DataFrame = {
     def bands(v: Column): Column = lshBands(v, dim, nBands, bitsPerBand)
@@ -172,8 +179,9 @@ object VectorOps {
     * bucket-equi join of two (id, band-key) tables — when the probe set
     * is itself large, this is a plain shuffle join on the band key, no
     * broadcast required; embeddings re-attach to the deduped (probe_id,
-    * vec_id) candidates afterwards. No oracle (approximate); ScalaTest
-    * asserts per-probe recall vs the exact batch sweep. */
+    * vec_id) candidates afterwards. Oracled exactly via the generated
+    * coefficient SQL ([[graft.OracleGen.simAnnLshBatchSql]]); ScalaTest
+    * additionally asserts per-probe recall vs the exact batch sweep. */
   def annLshBatch(embeddings: DataFrame, nProbes: Int = 5, k: Int = 10,
                   dim: Int = 64, nBands: Int = 8, bitsPerBand: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -313,8 +321,10 @@ object VectorOps {
   /** `dedup_near_embedding`: embedding-cosine near-duplicate pairs via LSH
     * blocking — candidate pairs share a bucket, then exact cosine filters.
     * Avoids the O(n²) crossJoin: the join is bucket-equi, so at scale it
-    * shuffles on bucket and each bucket joins locally. No oracle
-    * (approximate recall); ScalaTest checks precision of emitted pairs. */
+    * shuffles on bucket and each bucket joins locally. Oracled exactly
+    * via the generated coefficient SQL
+    * ([[graft.OracleGen.nearDupEmbeddingSql]]); ScalaTest checks
+    * precision of emitted pairs on planted near-duplicates. */
   def nearDupEmbedding(embeddings: DataFrame, tau: Double = 0.95,
                        dim: Int = 64, nBits: Int = 6): DataFrame = {
     val b = embeddings.withColumn("bucket", signBucket(col("embedding"), dim, nBits))
