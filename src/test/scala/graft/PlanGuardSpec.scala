@@ -97,6 +97,45 @@ class PlanGuardSpec extends SparkSpec {
       s"interval-bucket rewrite degenerated to a nested loop:\n$plan")
   }
 
+  test("decontaminate joins carry only 8-byte gram hashes, never text") {
+    // the semi/anti join inputs must not include the text column: both
+    // sides reduce to (doc_id, xxhash64(gram)) before any exchange
+    val plan = CorpusOps.decontaminate(docs).queryExecution.executedPlan.treeString
+    val exchanges = plan.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text#")),
+      s"full text flows through a decontamination shuffle:\n$plan")
+    val hinted = CorpusOps.decontaminate(docs).queryExecution.analyzed
+      .collect { case h: ResolvedHint => h }
+    assert(hinted.isEmpty, s"corpus-sized broadcast hint present: $hinted")
+  }
+
+  test("packChunks has no single-task global window") {
+    // the distributed prefix sum must not plan Exchange SinglePartition
+    // anywhere under a Window operator (the naive global-orderBy cumsum
+    // shape); offsets arrive via a broadcast join instead
+    val plan = CorpusOps.packChunks(docs).queryExecution.executedPlan.treeString
+    val windowIdx = plan.indexOf("Window")
+    assert(windowIdx >= 0, plan)
+    val beforeWindow = plan.substring(windowIdx)
+    assert(!beforeWindow.contains("Exchange SinglePartition"),
+      s"global window funnels through one task:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"per-partition offsets should broadcast:\n$plan")
+  }
+
+  test("stratified sample and quantile filter stay map-only over the scan") {
+    // sample: a Filter directly over the file scan, no exchange before it
+    val samplePlan = CorpusOps.sampleStratified(docs)
+      .queryExecution.executedPlan.treeString
+    assert(samplePlan.contains("Filter"), samplePlan)
+    // quantile gate: the median reduces to one row and must broadcast
+    val qPlan = CorpusOps.qualityQuantileFilter(docs)
+      .queryExecution.executedPlan.treeString
+    assert(qPlan.contains("BroadcastNestedLoopJoin") || qPlan.contains("BroadcastExchange"),
+      s"median should broadcast to the filter pass:\n$qPlan")
+  }
+
   test("star join broadcasts all dims — zero shuffles of the fact table") {
     val plan = Joins.multiway(Tables.region(spark, sf()), Tables.nation(spark, sf()),
         Tables.customer(spark, sf()), Tables.orders(spark, sf()))
