@@ -94,15 +94,18 @@ object CorpusOps {
     * a single double op with deterministic operands.
     *
     * Scale shape: two shuffles — one to count bigrams (partial agg
-    * applies map-side), one to re-join counts to (doc_id, gram) pairs;
-    * both keyed on the gram (hash it at 100 TB). Documents with fewer
-    * than two words have no bigrams and drop out (inner join), matching
-    * the SQL. */
+    * applies map-side), one to re-join counts to the per-doc gram rows —
+    * and BOTH are keyed on xxhash64(gram), so only (id, 8-byte hash)
+    * pairs ever cross the wire, never gram strings (the oracle joins the
+    * strings; identical results modulo 64-bit collisions). Documents
+    * with fewer than two words have no bigrams and drop out (inner
+    * join), matching the SQL. */
   def lmScore(documents: DataFrame): DataFrame = {
     val grams = documents.select(col("doc_id"),
       explode(graft.functions.ShingleExpressions.ngrams(lower(col("text")), 2)).as("gram"))
-    val counts = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
-    grams.join(counts, "gram")
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+    val counts = grams.groupBy("gh").agg(count(lit(1)).as("cnt"))
+    grams.join(counts, "gh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("cnt")).as("freq_sum"))
       .select(col("doc_id"), col("n_bigrams"), col("freq_sum"),
