@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProductExpr, MinHashSignatureExpr, ShingleHashesExpr, SimHash64Expr}
+import graft.functions.{DotProductExpr, MinHashSignatureExpr, RabinFingerprintExpr, ShingleHashesExpr, SimHash64Expr}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so `spark.sql` users get the
@@ -18,7 +18,7 @@ import graft.functions.{DotProductExpr, MinHashSignatureExpr, ShingleHashesExpr,
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  import GraftExtensions.intArg
+  import GraftExtensions.{boolArg, intArg}
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -39,6 +39,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
       (args: Seq[Expression]) => SimHash64Expr(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("rabin_fingerprint"),
+      new ExpressionInfo(classOf[RabinFingerprintExpr].getName, "rabin_fingerprint"),
+      (args: Seq[Expression]) =>
+        RabinFingerprintExpr(args.head, boolArg(args(1), "wordLevel"))))
     // band-join → interval-bucket equi-join rewrite (two-large-sides
     // scale path; see graft.plans.RangeJoinToBucket)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinToBucket())
@@ -53,6 +58,12 @@ object GraftExtensions {
       s"$what must be an integer literal, got: $other")
   }
 
+  private[graft] def boolArg(e: Expression, what: String): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a boolean literal, got: $other")
+  }
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("shingle_hashes",
@@ -65,5 +76,8 @@ object GraftExtensions {
       args => DotProductExpr(args.head, args(1)), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       args => SimHash64Expr(args.head), "built-in")
+    reg.createOrReplaceTempFunction("rabin_fingerprint",
+      args => RabinFingerprintExpr(args.head, boolArg(args(1), "wordLevel")),
+      "built-in")
   }
 }

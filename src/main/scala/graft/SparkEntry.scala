@@ -961,6 +961,22 @@ object SparkEntry {
         |SELECT doc_id, n_words FROM t, m
         |WHERE n_words > med ORDER BY doc_id""".stripMargin,
 
+    // Rabin-Karp fingerprints are plain codepoint arithmetic: the SQL
+    // fold (ord + list_reduce, same 31/33/P constants) replays the
+    // compiled kernel exactly
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(5381 AS BIGINT),
+        |    list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+        |      wd -> list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |              list_transform(string_split_regex(wd, ''), c -> CAST(ord(c) AS BIGINT))),
+        |            (a, c) -> (a * 31 + c) % 2147483647))),
+        |    (h, wh) -> (h * 33 + wh) % 2147483647) AS fingerprint,
+        |  list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |    list_transform(string_split_regex(text, ''), c2 -> CAST(ord(c2) AS BIGINT))),
+        |    (a2, c3) -> (a2 * 31 + c3) % 2147483647) AS content_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // sign-LSH queries: "approximate" only in recall — results are fully
     // deterministic (pure-function hyperplanes), so the generated SQL
     // (same inlined coefficients, OracleGen) checks them exactly

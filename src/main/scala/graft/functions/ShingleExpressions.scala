@@ -68,6 +68,11 @@ object ShingleExpressions {
     * space-tokenized text column → array<string>. */
   def ngrams(text: Column, k: Int): Column =
     column(NgramsExpr(expression(text), k))
+
+  /** Column API: Rabin-Karp polynomial fingerprint — word-level rolling
+    * hash (`wordLevel = true`) or raw codepoint rolling hash. */
+  def rabinFingerprint(text: Column, wordLevel: Boolean): Column =
+    column(RabinFingerprintExpr(expression(text), wordLevel))
 }
 
 /** Static kernels shared by the interpreted (`nullSafeEval`) and generated
@@ -167,6 +172,50 @@ object ShingleKernels {
     out
   }
 
+  /** Rabin-Karp rolling fingerprint over the space-tokenized word stream:
+    * per word a = 7, a = (a*31 + codepoint) mod P; per document h = 5381,
+    * h = (h*33 + wordHash) mod P. Modular at every step so the fold can
+    * never overflow under ANSI arithmetic — and, deliberately, every
+    * operation is plain integer arithmetic on Unicode CODEPOINTS, so the
+    * DuckDB oracle reproduces it exactly with ord() + list_reduce (unlike
+    * the round-2 crc32 formulation, which no other engine shares). */
+  def rabinWords(input: UTF8String): Long = {
+    val P = ShingleExpressions.P
+    val s = input.toString
+    var h = 5381L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && s.charAt(i) == ' ') i += 1
+      if (i < n) {
+        var a = 7L
+        while (i < n && s.charAt(i) != ' ') {
+          val cp = s.codePointAt(i)
+          a = (a * 31L + cp) % P
+          i += Character.charCount(cp)
+        }
+        h = (h * 33L + a) % P
+      }
+    }
+    h
+  }
+
+  /** Rabin-Karp rolling hash over ALL codepoints (spaces included) — the
+    * content-hash sibling of [[rabinWords]]. */
+  def rabinChars(input: UTF8String): Long = {
+    val P = ShingleExpressions.P
+    val s = input.toString
+    var a = 7L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      a = (a * 31L + cp) % P
+      i += Character.charCount(cp)
+    }
+    a
+  }
+
   /** All k-grams of the space-tokenized input as strings, WITH
     * multiplicity (frequency statistics need every occurrence; dedup
     * signatures use the distinct hashed variant above). */
@@ -207,6 +256,27 @@ case class ShingleHashesExpr(child: Expression, k: Int) extends UnaryExpression 
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernels.shingleHashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `rabin_fingerprint(text, wordLevel)` — see
+  * [[ShingleKernels.rabinWords]] / [[ShingleKernels.rabinChars]]. */
+case class RabinFingerprintExpr(child: Expression, wordLevel: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rabin_fingerprint"
+
+  override protected def nullSafeEval(input: Any): Any =
+    if (wordLevel) ShingleKernels.rabinWords(input.asInstanceOf[UTF8String])
+    else ShingleKernels.rabinChars(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = if (wordLevel) "rabinWords" else "rabinChars"
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernels.$kernel($c)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

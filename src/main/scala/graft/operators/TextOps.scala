@@ -208,25 +208,21 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** `text_fingerprint`: 64-bit polynomial rolling hash over the token
-    * stream (document fingerprint), plus a content hash. Pure column
-    * arithmetic via `aggregate` — deterministic, partition-independent.
-    * No oracle (DuckDB lacks the same hash); ScalaTest-covered. */
-  def fingerprint(documents: DataFrame): DataFrame = {
-    val words = filter(split(col("text"), " "), t => t =!= "")
-    // fold: h = (h*31 + crc32(word)) mod p — modular so the fold can never
-    // overflow under Spark 4's default ANSI arithmetic (h < 2^31, crc32 <
-    // 2^32, so h*31 + crc32 < 2^37).
-    val p = 2147483647L // 2^31 - 1
-    val rolling = aggregate(
-      words,
-      lit(1125899906842597L % 2147483647L),
-      (h, w) => (h * lit(31L) + crc32(w)) % lit(p))
+  /** `text_fingerprint`: Rabin-Karp polynomial rolling hash over the
+    * token stream (document fingerprint) plus a codepoint-level content
+    * hash — ONE compiled pass per document
+    * ([[graft.functions.ShingleExpressions.rabinFingerprint]], inside
+    * whole-stage codegen). Round-2 shape was an interpreted `aggregate`
+    * HOF over crc32 — per-element lambda cost AND uncheckable (no other
+    * engine shares crc32); the kernel is pure codepoint arithmetic, so
+    * the DuckDB oracle replays it exactly with ord() + list_reduce. */
+  def fingerprint(documents: DataFrame): DataFrame =
     documents
       .select(
         col("doc_id"),
-        rolling.as("fingerprint"),
-        xxhash64(col("text")).as("content_hash"))
+        graft.functions.ShingleExpressions
+          .rabinFingerprint(col("text"), wordLevel = true).as("fingerprint"),
+        graft.functions.ShingleExpressions
+          .rabinFingerprint(col("text"), wordLevel = false).as("content_hash"))
       .orderBy("doc_id")
-  }
 }

@@ -44,6 +44,11 @@ class PlanGuardSpec extends SparkSpec {
       "minhash_signature not in generated code")
     assert(code.contains("ShingleKernels.simHash64"),
       "simhash64 not in generated code")
+    val fp = docs.select(graft.functions.ShingleExpressions
+      .rabinFingerprint(col("text"), wordLevel = true).as("fp"))
+    assert(codegenString(fp.queryExecution.executedPlan)
+      .contains("ShingleKernels.rabinWords"),
+      "rabin_fingerprint not in generated code")
 
     val emb = Tables.embeddings(spark, sf())
     val dotted = emb.select(

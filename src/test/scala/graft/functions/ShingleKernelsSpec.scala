@@ -45,6 +45,36 @@ class ShingleKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("rabin fingerprints: hand-computed values, space normalization, order sensitivity") {
+    val P = 2147483647L
+    def rw(s: String): Long = {
+      var h = 5381L
+      s.split(' ').filter(_.nonEmpty).foreach { w =>
+        var a = 7L
+        w.codePoints().forEach(cp => a = (a * 31L + cp) % P)
+        h = (h * 33L + a) % P
+      }
+      h
+    }
+    texts(100).foreach { t =>
+      assert(ShingleKernels.rabinWords(UTF8String.fromString(t)) === rw(t), s"'$t'")
+    }
+    val ab = ShingleKernels.rabinWords(UTF8String.fromString("alpha beta"))
+    // word-level hash ignores the amount of whitespace between words...
+    assert(ShingleKernels.rabinWords(UTF8String.fromString(" alpha  beta ")) === ab)
+    // ...but is order-sensitive
+    assert(ShingleKernels.rabinWords(UTF8String.fromString("beta alpha")) !== ab)
+    // char-level hash sees every codepoint, including spaces
+    assert(ShingleKernels.rabinChars(UTF8String.fromString("ab")) ===
+      (((7L * 31 + 'a') % P) * 31 + 'b') % P)
+    assert(ShingleKernels.rabinChars(UTF8String.fromString("a b")) !==
+      ShingleKernels.rabinChars(UTF8String.fromString("ab")))
+    // non-BMP codepoints count once (surrogate pair = one codepoint)
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(ShingleKernels.rabinChars(UTF8String.fromString(emoji)) ===
+      (7L * 31 + 0x1F600) % P)
+  }
+
   test("simhash is deterministic and insensitive to leading/trailing/multiple spaces") {
     texts(100).foreach { t =>
       val h1 = ShingleKernels.simHash64(UTF8String.fromString(t))
