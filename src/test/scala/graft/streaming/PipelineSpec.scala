@@ -179,6 +179,39 @@ class PipelineSpec extends SparkSpec {
     assert(replayScenario(idempotent = true) === 3)
   }
 
+  test("idempotent replay absorbed under a CHANGED shuffle-partition setting") {
+    // advisor finding: keys derived via repartition(col) bind to
+    // spark.sql.shuffle.partitions — a replay after restart under a
+    // different setting would rebind (pid, i) and re-publish the whole
+    // batch under new keys. The pinned Pipeline.IdempotentKeyPartitions
+    // makes keys independent of session config; this replays batch 0
+    // with the setting changed 32 -> 5 and expects zero duplicates.
+    val (inTopic, inSub, outTopic, outSub) = fresh("c7-conf")
+    (1 to 20).foreach(i => InMemoryBus.publish(inTopic,
+      s"""{"data":"m$i","nested":{"nestedData":"x"}}""".getBytes(UTF_8)))
+    val ckpt = Files.createTempDirectory("graft-ckpt")
+    def pipe() = new Pipeline(spark, inSub, outTopic, JsonSerde(payloadSchema),
+      df => df.select(col("payload.*")), ckpt.toString, 20, idempotent = true)
+    val q1 = pipe().start(availableNow = true)
+    q1.awaitTermination(60000)
+    assert(InMemoryBus.payloads(outSub).size === 20)
+    InMemoryBus.rewindCommitted(inSub, 0)
+    java.nio.file.Files.delete(ckpt.resolve("commits").resolve("0"))
+    java.nio.file.Files.deleteIfExists(ckpt.resolve("commits").resolve(".0.crc"))
+    val deadline = System.currentTimeMillis + 20000
+    while (System.currentTimeMillis < deadline &&
+      spark.streams.active.exists(_.runId == q1.runId)) Thread.sleep(50)
+    Thread.sleep(250)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try {
+      val q2 = pipe().start(availableNow = true)
+      q2.awaitTermination(60000)
+      assert(InMemoryBus.payloads(outSub).size === 20,
+        "replay under a different shuffle-partition setting produced duplicates")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("a large micro-batch is read by multiple source partitions; output and acks unchanged") {
     val (inTopic, inSub, outTopic, outSub) = fresh("c8")
     (1 to 40).foreach(i => InMemoryBus.publish(inTopic,
