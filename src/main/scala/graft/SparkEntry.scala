@@ -153,6 +153,8 @@ object SparkEntry {
     "pipeline_pack_chunks" -> ((s, d) => CorpusOps.packChunks(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) => CorpusOps.sampleStratified(Tables.documents(s, d))),
     "text_lm_score" -> ((s, d) => CorpusOps.lmScore(Tables.documents(s, d))),
+    "text_repetition" -> ((s, d) => CorpusOps.repetition(Tables.documents(s, d))),
+    "sample_mixture" -> ((s, d) => CorpusOps.sampleMixture(Tables.documents(s, d))),
     "filter_quality_quantile" -> ((s, d) =>
       CorpusOps.qualityQuantileFilter(Tables.documents(s, d))),
     "join_skew_salted" -> ((s, d) =>
@@ -950,6 +952,32 @@ object SparkEntry {
         |  CAST(CAST(SUM(cnt) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_freq
         |FROM grams JOIN counts USING (gram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // duplicate-trigram ratio; trigram multiset matches the ngrams expr
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |  FROM documents
+        |),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS grams
+        |  FROM toks WHERE len(w) >= 3)
+        |SELECT doc_id,
+        |  CAST(len(grams) AS INTEGER) AS n_grams,
+        |  CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct,
+        |  1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) AS dup_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // mixture tiers: src0-4 at 75%, src5-9 at 50%, tail at 25%; 4-char
+    // lower-hex comparison is numeric comparison
+    "sample_mixture" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substring(md5(text), 1, 4) <
+        |  CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 'c000'
+        |       WHEN source IN ('src5','src6','src7','src8','src9') THEN '8000'
+        |       ELSE '4000' END
+        |ORDER BY doc_id""".stripMargin,
 
     // the gate: strictly above the exact interpolated median word count
     "filter_quality_quantile" ->

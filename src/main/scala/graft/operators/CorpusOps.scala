@@ -113,6 +113,44 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** `text_repetition`: within-document repetition scoring — the
+    * duplicate-trigram ratio (1 − distinct/total), the standard
+    * boilerplate/template-detection signal (docs that repeat their own
+    * n-grams are listings, spam, or generated filler). One compiled
+    * n-gram pass + array ops, map-only, no shuffle; the ratio is a
+    * single exact division. Docs with <3 words have no trigrams and are
+    * excluded (NULL-ratio rows carry no signal). */
+  def repetition(documents: DataFrame, k: Int = 3): DataFrame = {
+    val grams = graft.functions.ShingleExpressions.ngrams(lower(col("text")), k)
+    documents
+      .select(col("doc_id"), size(grams).as("n_grams"),
+        size(array_distinct(grams)).as("n_distinct"))
+      .filter(col("n_grams") > 0)
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_grams"))
+          .as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** `sample_mixture`: domain-mixture reweighting — per-source keep
+    * rates (curated sources kept at 75%, mid-tier at 50%, the long tail
+    * at 25%) applied via the same deterministic md5-prefix mechanism as
+    * [[sampleStratified]], with 4 hex chars of resolution (1/65536).
+    * This is the mixture-weighting pass a pretraining corpus runs to
+    * hit a target domain distribution; rates are a CASE over the source
+    * column, the filter is map-only at scan speed, and lexicographic
+    * hex-string comparison equals numeric comparison so the SQL oracle
+    * is exact. */
+  def sampleMixture(documents: DataFrame): DataFrame = {
+    val tier = when(col("source").isin("src0", "src1", "src2", "src3", "src4"), lit("c000"))
+      .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), lit("8000"))
+      .otherwise(lit("4000"))
+    documents
+      .filter(substring(md5(col("text")), 1, 4) < tier)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
   /** `filter_quality_quantile`: keep documents whose word count exceeds
     * the corpus median — the data-driven version of `pipeline_enrich`'s
     * fixed `minWords` gate (thresholds in real pipelines are set from

@@ -86,6 +86,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(2L) === ((2L, 3L)))
   }
 
+  test("repetition: repeated trigrams raise dup_ratio; unique docs score 0") {
+    val rep = "spam spam spam spam spam"       // 3 trigrams, all identical
+    val uniq = "one two three four five"       // 3 trigrams, all distinct
+    val out = CorpusOps.repetition(docs(1L -> rep, 2L -> uniq, 3L -> "too short"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(out(1L) === ((3, 1, 1.0 - 1.0 / 3)))
+    assert(out(2L) === ((3, 3, 0.0)))
+    assert(!out.contains(3L)) // 2 words -> no trigram -> excluded
+  }
+
+  test("sampleMixture keeps tiers at ~75/50/25 percent") {
+    val df = Tables.documents(spark, sf())
+    val kept = CorpusOps.sampleMixture(df).withColumnRenamed("source", "src")
+    val rates = df.select(col("doc_id"), col("source"))
+      .join(kept, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg((count(col("src")).cast("double") / count(lit(1))).as("rate"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def tierRate(srcs: Seq[String]): Double =
+      srcs.map(rates).sum / srcs.size
+    // 25 docs/source at sf0.01 — tolerate sampling noise per tier
+    assert(math.abs(tierRate((0 to 4).map("src" + _)) - 0.75) < 0.15)
+    assert(math.abs(tierRate((5 to 9).map("src" + _)) - 0.5) < 0.15)
+    assert(math.abs(tierRate((10 to 19).map("src" + _)) - 0.25) < 0.15)
+  }
+
   test("qualityQuantileFilter keeps strictly-above-median docs") {
     val df = Tables.documents(spark, sf())
     val kept = CorpusOps.qualityQuantileFilter(df)
