@@ -18,6 +18,23 @@ import graft.functions.ShingleExpressions
   */
 object DedupOps {
 
+  /** Re-attach join strategy knob — `spark.graft.dedup.reattach`:
+    * `auto` (default: no hint; AQE picks broadcast vs shuffle from
+    * runtime sizes), `broadcast` (force the candidate/pair side to
+    * broadcast — for operators who KNOW their candidate set is tiny and
+    * want the exchange gone), `shuffle` (force sort-merge — safe at any
+    * candidate volume, e.g. a boilerplate-heavy corpus whose candidate
+    * set explodes past executor memory). The hint only ever lands on
+    * the candidate side; corpus-sized relations are never broadcast
+    * under any mode. */
+  private def reattachHint(candidateSide: DataFrame): DataFrame =
+    candidateSide.sparkSession.conf
+      .get("spark.graft.dedup.reattach", "auto") match {
+      case "broadcast" => candidateSide.hint("broadcast")
+      case "shuffle"   => candidateSide.hint("shuffle_merge")
+      case _           => candidateSide
+    }
+
   /** `dedup_exact`: exact dedup on text, keeping the lowest doc_id.
     * `row_number` over a hash-partitioned window — deterministic keeper,
     * unlike `dropDuplicates` (which keeps an arbitrary first-seen row and
@@ -98,13 +115,16 @@ object DedupOps {
       .join(banded.select(col("bk"), col("doc_id").as("id_b")), Seq("bk"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // verification re-attaches shingle sets via plain shuffle joins keyed
-    // on doc_id. The corpus-sized `sh` relation is deliberately NOT
-    // broadcast (at 100 TB that materializes the corpus on the driver and
-    // every executor — OOM); the candidate-pair side is the small one, and
-    // AQE is free to broadcast IT at runtime if it fits.
-    cand
-      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+    // verification re-attaches shingle sets via joins keyed on doc_id.
+    // The corpus-sized `sh` relation is deliberately NOT broadcast (at
+    // 100 TB that materializes the corpus on the driver and every
+    // executor — OOM); the candidate-pair side is the small one — by
+    // default AQE decides its strategy at runtime, and the
+    // spark.graft.dedup.reattach knob (see [[reattachHint]]) can force
+    // either way at the 100 TB margin.
+    reattachHint(
+      reattachHint(cand)
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a"))
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
@@ -279,11 +299,13 @@ object DedupOps {
       .select(col("id_a"), explode(col("ds")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    // size re-attach: shuffle joins on doc_id — `sizes` is corpus-sized
-    // (one row per document) and must never be broadcast; the pairs side
-    // is the small one and AQE may broadcast it at runtime.
-    pairs
-      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+    // size re-attach: joins on doc_id — `sizes` is corpus-sized (one row
+    // per document) and must never be broadcast; the pairs side is the
+    // small one — AQE decides at runtime by default, and the
+    // spark.graft.dedup.reattach knob can force broadcast or sort-merge.
+    reattachHint(
+      reattachHint(pairs)
+        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a"))
       .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") /

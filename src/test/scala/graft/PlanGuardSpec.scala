@@ -102,6 +102,26 @@ class PlanGuardSpec extends SparkSpec {
       s"interval-bucket rewrite degenerated to a nested loop:\n$plan")
   }
 
+  test("spark.graft.dedup.reattach knob: identical results, forced strategies") {
+    def run() = DedupOps.ngramJaccard(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val auto = run()
+    try {
+      spark.conf.set("spark.graft.dedup.reattach", "shuffle")
+      val shufflePlan = DedupOps.ngramJaccard(docs)
+        .queryExecution.executedPlan.treeString
+      assert(shufflePlan.contains("SortMergeJoin"),
+        s"shuffle mode should force sort-merge re-attach:\n$shufflePlan")
+      assert(run() === auto)
+      spark.conf.set("spark.graft.dedup.reattach", "broadcast")
+      val bPlan = DedupOps.ngramJaccard(docs)
+        .queryExecution.executedPlan.treeString
+      assert(bPlan.contains("BroadcastHashJoin"),
+        s"broadcast mode should force broadcast re-attach:\n$bPlan")
+      assert(run() === auto)
+    } finally spark.conf.unset("spark.graft.dedup.reattach")
+  }
+
   test("decontaminate joins carry only 8-byte gram hashes, never text") {
     // the semi/anti join inputs must not include the text column: both
     // sides reduce to (doc_id, xxhash64(gram)) before any exchange
