@@ -13,7 +13,10 @@ object PlanAudit {
       "join_theta_range", "join_range_bucket", "agg_hash_group",
       "join_multiway", "sim_cosine_topk", "sort_limit_topk",
       "q3_shipping_priority", "q5_local_supplier", "dedup_exact_hash",
-      "dedup_ngram_jaccard", "sim_batch_topk")
+      "dedup_ngram_jaccard", "sim_batch_topk",
+      // round 3: corpus-preparation passes
+      "pipeline_decontaminate", "pipeline_pack_chunks", "text_lm_score",
+      "join_skew_salted", "sample_mixture", "filter_quality_quantile")
     names.foreach { n =>
       println(s"\n================ $n ================")
       println(SparkEntry.queries(n)(spark, d).queryExecution.executedPlan
