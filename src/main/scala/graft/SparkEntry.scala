@@ -159,6 +159,7 @@ object SparkEntry {
       CorpusOps.qualityQuantileFilter(Tables.documents(s, d))),
     "join_skew_salted" -> ((s, d) =>
       Joins.skewSalted(Tables.lineitem(s, d), Tables.orders(s, d))),
+    "pipeline_corpus_full" -> ((s, d) => CorpusOps.corpusFull(Tables.documents(s, d))),
     // --- streaming batch-equivalents ---
     "stream_tumbling_batch" -> ((s, d) => StreamBatchOps.tumbling(Tables.events(s, d))),
     "stream_sliding_batch" -> ((s, d) => StreamBatchOps.sliding(Tables.events(s, d))),
@@ -978,6 +979,60 @@ object SparkEntry {
         |       WHEN source IN ('src5','src6','src7','src8','src9') THEN '8000'
         |       ELSE '4000' END
         |ORDER BY doc_id""".stripMargin,
+
+    // the corpus-preparation flagship: quality -> exact dedup ->
+    // decontaminate (eval grams from the RAW corpus) -> pack, one oracle
+    "pipeline_corpus_full" ->
+      """WITH q AS (
+        |  SELECT doc_id, text
+        |  FROM documents
+        |  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 20
+        |),
+        |kept AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM q) t
+        |  WHERE rn = 1
+        |),
+        |eval_toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |  FROM documents WHERE doc_id % 50 = 0
+        |),
+        |eval_grams AS (
+        |  SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+        |  FROM (SELECT w, unnest(range(1, len(w) - 1)) AS i
+        |        FROM eval_toks WHERE len(w) >= 3) u
+        |),
+        |train_toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |  FROM kept WHERE doc_id % 50 <> 0
+        |),
+        |train_grams AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        |        FROM train_toks WHERE len(w) >= 3) u
+        |),
+        |contaminated AS (
+        |  SELECT DISTINCT doc_id FROM train_grams
+        |  WHERE gram IN (SELECT gram FROM eval_grams)
+        |),
+        |survivors AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n
+        |  FROM kept
+        |  WHERE doc_id % 50 <> 0
+        |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |),
+        |c AS (
+        |  SELECT doc_id, n,
+        |    CAST(SUM(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM survivors)
+        |SELECT (cum - n) // 512 AS chunk,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n) AS BIGINT) AS chunk_tokens
+        |FROM c GROUP BY 1 ORDER BY chunk""".stripMargin,
 
     // the gate: strictly above the exact interpolated median word count
     "filter_quality_quantile" ->

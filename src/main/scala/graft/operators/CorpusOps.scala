@@ -151,6 +151,52 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** `pipeline_corpus_full`: the corpus-preparation flagship — the whole
+    * pre-tokenization flow as ONE declarative plan Catalyst optimizes
+    * end to end:
+    *
+    *   quality gate (word count ≥ minWords; cheap, pushes below all)
+    *   → exact dedup (keep lowest doc_id per text)
+    *   → eval-set decontamination (drop eval docs and any train doc
+    *     sharing a trigram with the eval set — eval grams come from the
+    *     RAW corpus, the realistic direction: the eval set isn't
+    *     quality-filtered)
+    *   → sequence packing (concat-and-chunk over the survivors, in
+    *     doc_id order, via the distributed prefix sum)
+    *
+    * Output is per-chunk (n_docs, token sum) — the corpus a trainer
+    * would actually consume. Every stage is verified in isolation
+    * elsewhere; this asserts the COMPOSITION against one DuckDB
+    * oracle, the same pattern as `pipeline_dedup_full`. */
+  def corpusFull(documents: DataFrame, minWords: Int = 20, evalMod: Int = 50,
+                 k: Int = 3, budget: Int = 512,
+                 numPartitions: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isEval = pmod(col("doc_id"), lit(evalMod)) === 0
+    val w = Window.partitionBy("text").orderBy("doc_id")
+    val kept = documents
+      .withColumn("n_words", size(words(col("text"))))
+      .filter(col("n_words") >= minWords)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "text")
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(graft.functions.ShingleExpressions.ngrams(lower(col("text")), k)).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+    val evalGrams = grams(documents.filter(isEval)).select("gh").distinct()
+    val contaminated = grams(kept.filter(!isEval))
+      .join(evalGrams, Seq("gh"), "left_semi")
+      .select("doc_id").distinct()
+    val survivors = kept.filter(!isEval)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), size(words(col("text"))).as("n_tokens"))
+    Skew.distributedPrefixSum(survivors, numPartitions, "n_tokens", col("doc_id"))
+      .withColumn("chunk", expr(s"(cum - n_tokens) DIV $budget"))
+      .groupBy("chunk")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("chunk_tokens"))
+      .orderBy("chunk")
+  }
+
   /** `filter_quality_quantile`: keep documents whose word count exceeds
     * the corpus median — the data-driven version of `pipeline_enrich`'s
     * fixed `minWords` gate (thresholds in real pipelines are set from

@@ -128,6 +128,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(minKept > med)
   }
 
+  test("corpusFull composition is consistent with its independent stages") {
+    val df = Tables.documents(spark, sf())
+    val chunks = CorpusOps.corpusFull(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(chunks.nonEmpty)
+    // chunk ids are contiguous from 0 (no gaps: packing is dense)
+    assert(chunks.map(_._1).toSeq === chunks.indices.map(_.toLong))
+    // independently recompute the survivor set: quality gate + exact
+    // dedup (via the verified operators) minus eval + contaminated
+    val minWords = size(filter(split(col("text"), " "), t => t =!= ""))
+    val kept = DedupOps.exact(df.filter(minWords >= 20))
+      .select("doc_id")
+    val evalOrContaminated = CorpusOps.decontaminate(df)  // survivors of decon on RAW corpus
+    // corpusFull's survivors = kept ∩ decontaminate(df)'s survivors
+    // (decontaminate uses raw-corpus eval grams, same as corpusFull)
+    val survivors = kept.join(evalOrContaminated.select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(df, Seq("doc_id"))
+      .select(col("doc_id"), minWords.cast("long").as("n"))
+    val (nDocs, nTokens) = survivors.agg(count(lit(1)), sum("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).head
+    assert(chunks.map(_._2).sum === nDocs)
+    assert(chunks.map(_._3).sum === nTokens)
+  }
+
   test("skewSalted join result is identical to the plain join") {
     val li = Tables.lineitem(spark, sf())
     val o = Tables.orders(spark, sf())
