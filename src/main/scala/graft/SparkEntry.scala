@@ -47,6 +47,8 @@ object SparkEntry {
     "join_theta_range" -> ((s, d) => Joins.thetaRange(Tables.part(s, d), Tables.supplier(s, d))),
     "join_range_bucket" -> ((s, d) =>
       Joins.rangeBucketJoin(Tables.part(s, d), Tables.supplier(s, d))),
+    "join_interval_overlap" -> ((s, d) =>
+      Joins.intervalOverlap(Tables.events(s, d))),
     "join_asof_event" -> ((s, d) => Joins.asofEvent(Tables.events(s, d), Tables.orders(s, d))),
     "join_asof_tolerance" -> ((s, d) =>
       Joins.asofEventTolerance(Tables.events(s, d), Tables.orders(s, d))),
@@ -281,6 +283,21 @@ object SparkEntry {
         |FROM part JOIN supplier
         |  ON p_retailprice > s_acctbal * 0.1 AND p_retailprice < s_acctbal * 0.11
         |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+
+    // overlap counted directly (DuckDB plans the range join natively);
+    // the Spark side's bucket explode + dedup + residual produces the
+    // same pair set by construction
+    "join_interval_overlap" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s
+        |  FROM events)
+        |SELECT a.event_type AS et_a, b.event_type AS et_b,
+        |  COUNT(*) AS n_pairs
+        |FROM e a JOIN e b
+        |  ON a.event_id < b.event_id
+        | AND a.s < b.s + 600 AND b.s < a.s + 600
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "join_asof_event" ->
       """SELECT e.event_id, e.user_id,

@@ -256,6 +256,39 @@ object Joins {
       .orderBy("o_orderstatus")
   }
 
+  /** `join_interval_overlap`: TWO-SIDED interval join — concurrency
+    * analysis over event activity windows [ts, ts+10min), counting
+    * overlapping pairs per (type, type) combination. The general form of
+    * the band join: BOTH sides are intervals, so the bucket trick
+    * explodes both over the window-width buckets they cover (≤ 2 each),
+    * equi-joins on the bucket, dedups the pairs that met in several
+    * buckets (16-byte id pairs), and re-applies the exact overlap
+    * predicate `sa < eb AND sb < ea` as a residual. Three bounded
+    * shuffles replace the quadratic nested loop — the plan survives when
+    * both sides are fact-sized, unlike a BNLJ. Second-floored epochs
+    * match the DuckDB oracle exactly. */
+  def intervalOverlap(events: DataFrame, windowSecs: Int = 600): DataFrame = {
+    val e = events
+      .select(col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("s"))
+      .withColumn("en", col("s") + windowSecs)
+    // integer DIV: `/` on Columns is double division, which Sequence rejects
+    val b = e.withColumn("bucket",
+      explode(sequence(expr(s"s DIV $windowSecs"), expr(s"en DIV $windowSecs"))))
+    val l = b.select(col("bucket"), col("event_id").as("id_a"),
+      col("event_type").as("et_a"), col("s").as("sa"), col("en").as("ea"))
+    val r = b.select(col("bucket"), col("event_id").as("id_b"),
+      col("event_type").as("et_b"), col("s").as("sb"), col("en").as("eb"))
+    l.join(r, "bucket")
+      .filter(col("id_a") < col("id_b") &&
+        col("sa") < col("eb") && col("sb") < col("ea"))
+      .select("id_a", "id_b", "et_a", "et_b")
+      .distinct()
+      .groupBy("et_a", "et_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("et_a", "et_b")
+  }
+
   /** `join_asof_event`: each event matched to the latest order of the same
     * user with o_orderdate <= ts (reference has no joins at all — this is
     * the engine's hardest relational addition, SURVEY §7 known-hard #2).
