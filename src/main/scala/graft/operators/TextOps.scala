@@ -173,21 +173,28 @@ object TextOps {
     * (both leftmost-first); ScalaTest additionally asserts each category
     * on planted fixtures and that clean text passes through
     * byte-identical. */
-  def scrubPii(documents: DataFrame): DataFrame = {
+  /** Column form of the PII scrub — the STREAMING-safe surface: the
+    * DataFrame operators end in `orderBy` (cross-engine oracle
+    * determinism), which append-mode streaming forbids, so streaming
+    * pipelines compose the column rewriters directly into the transform
+    * slot (PipelineSpec proves it end to end). */
+  def scrubPiiCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
     val phone = """\+?\d{0,3}[-. ]*\(?\d{3}\)?[-. ]*\d{3}[-. ]*\d{4}"""
     val longDigits = """\d{9,}"""
-    documents
-      .select(col("doc_id"),
-        // order matters: long unbroken digit runs (ids/cards) must be
-        // taken before the phone pattern can bite off their prefix
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col("text"), email, "<EMAIL>"),
-            longDigits, "<NUM>"),
-          phone, "<PHONE>").as("text"))
-      .orderBy("doc_id")
+    // order matters: long unbroken digit runs (ids/cards) must be
+    // taken before the phone pattern can bite off their prefix
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, email, "<EMAIL>"),
+        longDigits, "<NUM>"),
+      phone, "<PHONE>")
   }
+
+  def scrubPii(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), scrubPiiCol(col("text")).as("text"))
+      .orderBy("doc_id")
 
   /** `pipeline_enrich`: an end-to-end enrichment composition — the
     * engine's raison d'être (the reference exists to run enrichment

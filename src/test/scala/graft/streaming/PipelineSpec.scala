@@ -492,4 +492,34 @@ class PipelineSpec extends SparkSpec {
     assert(out.size === 4)
     assert(out.head === """{"u":"VALUE 1","len":7}""")
   }
+
+  test("corpus text ops (PII scrub + quality gate) run in the streaming slot") {
+    val (inTopic, inSub, outTopic, outSub) = fresh("c10")
+    InMemoryBus.publish(inTopic,
+      """{"data":"contact bob@example.com or 555-123-4567 for details on the launch plan","nested":{"nestedData":"n"}}"""
+        .getBytes(UTF_8))
+    InMemoryBus.publish(inTopic,
+      """{"data":"too short","nested":{"nestedData":"n"}}""".getBytes(UTF_8))
+
+    // the batch library's COLUMN forms compose into streaming unchanged
+    // (the DataFrame operators end in orderBy for oracle determinism,
+    // which append-mode streaming forbids — scrubPiiCol is the
+    // streaming-safe surface); quality gate = a plain filter
+    val q = new Pipeline(
+      spark, inSub, outTopic, JsonSerde(payloadSchema),
+      df => df
+        .filter(size(filter(split(col("payload.data"), " "), t => t =!= "")) >= 5)
+        .select(graft.operators.TextOps.scrubPiiCol(col("payload.data")).as("data")),
+      Files.createTempDirectory("graft-ckpt").toString)
+      .start(availableNow = true)
+    q.awaitTermination(60000)
+
+    val out = InMemoryBus.payloads(outSub).map(new String(_, UTF_8))
+    assert(out.size === 1) // the short doc was gated out
+    assert(out.head.contains("<EMAIL>") && out.head.contains("<PHONE>"),
+      out.head)
+    assert(!out.head.contains("bob@example.com") && !out.head.contains("555-123-4567"))
+    // the batch still acks fully: gating drops rows, not messages
+    assert(awaitCommitted(inSub, 2) === 2)
+  }
 }
