@@ -162,6 +162,9 @@ object SparkEntry {
     "join_skew_salted" -> ((s, d) =>
       Joins.skewSalted(Tables.lineitem(s, d), Tables.orders(s, d))),
     "pipeline_corpus_full" -> ((s, d) => CorpusOps.corpusFull(Tables.documents(s, d))),
+    // --- retrieval (LLM-pipeline) ---
+    "retrieval_bm25" -> ((s, d) => RetrievalOps.bm25(Tables.documents(s, d))),
+    "pipeline_chunk_overlap" -> ((s, d) => RetrievalOps.chunkOverlap(Tables.documents(s, d))),
     // --- streaming batch-equivalents ---
     "stream_tumbling_batch" -> ((s, d) => StreamBatchOps.tumbling(Tables.events(s, d))),
     "stream_sliding_batch" -> ((s, d) => StreamBatchOps.sliding(Tables.events(s, d))),
@@ -1060,6 +1063,55 @@ object SparkEntry {
         |m AS (SELECT quantile_cont(n_words, 0.5) AS med FROM t)
         |SELECT doc_id, n_words FROM t, m
         |WHERE n_words > med ORDER BY doc_id""".stripMargin,
+
+    // BM25: identical literal constants + expression tree in both
+    // engines; per-term contribution rounds to integer micro-units
+    // before the per-doc sum (order-free), ln behind the 1e-6 rounding
+    // per the fn_math precedent
+    "retrieval_bm25" ->
+      """WITH dls AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        |  FROM dls),
+        |toks AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS dl,
+        |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, dl, COUNT(*) AS tf FROM toks
+        |  WHERE term IN ('spark', 'join', 'vector', 'stream', 'window')
+        |  GROUP BY 1, 2, 3),
+        |dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |contrib AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round(ln(1.0 + ((n - df) + 0.5) / (df + 0.5)) *
+        |      ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))) *
+        |      1000000.0) AS BIGINT) AS contrib_u
+        |  FROM tf JOIN dfs USING (term) CROSS JOIN stats)
+        |SELECT doc_id, COUNT(*) AS n_terms,
+        |  CAST(SUM(contrib_u) AS BIGINT) AS score_micro
+        |FROM contrib GROUP BY doc_id
+        |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
+
+    // sliding-window chunker: md5 content-addresses each chunk's joined
+    // text, so the oracle checks chunk CONTENT, not just counts
+    "pipeline_chunk_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks, len(toks) AS n, unnest(range(0, len(toks), 48)) AS start
+        |  FROM t WHERE len(toks) > 0)
+        |SELECT doc_id,
+        |  start // 48 AS chunk_id,
+        |  start,
+        |  least(64, n - start) AS chunk_tokens,
+        |  md5(array_to_string(list_slice(toks, start + 1, start + 64), ' ')) AS chunk_md5
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
 
     // Rabin-Karp fingerprints are plain codepoint arithmetic: the SQL
     // fold (ord + list_reduce, same 31/33/P constants) replays the

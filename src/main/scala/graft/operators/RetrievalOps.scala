@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Retrieval-side operators a training-data platform runs next to the
+  * corpus passes: BM25 term scoring over an inverted-index-shaped plan,
+  * and sliding-window chunking (the context-window splitter that feeds
+  * both retrieval indexing and long-document training). The reference's
+  * capability category is "enrichment pipelines" (`setup.py:8-9`); these
+  * are the retrieval enrichments that category implies, expressed as
+  * declarative Spark plans with exact DuckDB oracles.
+  */
+object RetrievalOps {
+
+  private def words(c: org.apache.spark.sql.Column) =
+    filter(split(c, " "), t => t =!= "")
+
+  /** Default query — terms drawn from the synthetic corpus vocabulary so
+    * the small-SF gate exercises real df spread. */
+  val defaultQuery: Seq[String] = Seq("spark", "join", "vector", "stream", "window")
+
+  /** `retrieval_bm25`: Lucene-form BM25 top-k over the corpus for a term
+    * query — idf = ln(1 + (N − df + 0.5)/(df + 0.5)), the tf saturation
+    * term with k1 = 1.2, b = 0.75.
+    *
+    * Scale shape (the part that must hold at 100 TB): the corpus-wide
+    * work is ONE map-only pass — tokenize, explode, and filter to query
+    * terms at scan speed — so the only data that ever shuffles is the
+    * matched postings (|docs containing a query term| rows of 8-byte
+    * ids), aggregated with map-side partial counts. Everything downstream
+    * of that is small by construction: df has ≤ |query| rows and the
+    * corpus stats are a 1-row scalar agg, both broadcast; the final top-k
+    * is TakeOrderedAndProject, never a global sort.
+    *
+    * Cross-engine exactness: every constant is written as the same
+    * decimal literal in both engines (never pre-folded differently), the
+    * score expression tree is identical, and the per-term contribution is
+    * rounded to integer MICRO-units before the per-doc sum — integer
+    * summation is order-free, so the aggregate is exact under any
+    * partitioning (the lone libm call, ln, sits behind the same 1e-6
+    * rounding that `fn_math` established for cross-engine ulp noise). */
+  def bm25(documents: DataFrame, terms: Seq[String] = defaultQuery,
+           k: Int = 20): DataFrame = {
+    val toks = words(lower(col("text")))
+    val dls = documents.select(col("doc_id"), size(toks).as("dl"))
+    val stats = dls.agg(
+      count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val matched = documents
+      .select(col("doc_id"), size(toks).as("dl"), explode(toks).as("term"))
+      .filter(col("term").isin(terms: _*))
+    val tf = matched.groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val sat = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))
+    tf.join(broadcast(dfs), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(idf * sat * lit(1000000.0)).cast("long").as("contrib_u"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("contrib_u")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** `pipeline_chunk_overlap`: sliding-window token chunking — split each
+    * document into `win`-token chunks every `stride` tokens (overlap =
+    * win − stride), the standard context-window splitter for long-doc
+    * training and retrieval indexing. Emits per-chunk position, token
+    * count (the tail chunk is short), and a content-addressing md5 of the
+    * chunk text (md5 is one of the few hashes both engines share).
+    *
+    * Scale shape: map-only — `sequence` generates the ≤ ⌈n/stride⌉ chunk
+    * starts per document, posexplode fans them out, and the slice+join+md5
+    * all run inside the same stage; no shuffle anywhere, so the pass
+    * scales linearly with input splits. The fan-out is bounded per row
+    * (documents, not events, are the unit), unlike an unbounded
+    * explode-join. */
+  def chunkOverlap(documents: DataFrame, win: Int = 64, stride: Int = 48): DataFrame =
+    documents
+      .select(col("doc_id"), words(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("toks"), col("n"),
+        posexplode(sequence(lit(0), col("n") - 1, lit(stride))))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("chunk_id"),
+        col("col").cast("long").as("start"),
+        least(lit(win), col("n") - col("col")).cast("long").as("chunk_tokens"),
+        md5(array_join(slice(col("toks"), col("col") + 1, lit(win)), " ")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Retrieval operators: BM25 semantics re-derived naively in plain Scala
+  * on the real corpus (the oracle gate checks DuckDB equivalence; this
+  * pins the math itself), chunker coverage/overlap properties, and the
+  * plan shapes SCALE.md claims for both.
+  */
+class RetrievalOpsSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sf())
+
+  test("bm25 matches a naive driver-side recomputation on the real corpus") {
+    val corpus = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase
+        .split(" ").filter(_.nonEmpty).toSeq).toMap
+    val n = corpus.size
+    val avgdl = corpus.values.map(_.size).sum.toDouble / n
+    val terms = RetrievalOps.defaultQuery
+    val dfCount = terms.map(t => t -> corpus.count(_._2.contains(t))).toMap
+    val scored = corpus.toSeq.flatMap { case (id, toks) =>
+      val contribs = terms.flatMap { t =>
+        val tf = toks.count(_ == t)
+        if (tf == 0) None
+        else {
+          val idf = math.log(1.0 + ((n - dfCount(t)) + 0.5) / (dfCount(t) + 0.5))
+          val sat = (tf * 2.2) /
+            (tf + 1.2 * (0.25 + 0.75 * (toks.size / avgdl)))
+          Some(math.round(idf * sat * 1000000.0))
+        }
+      }
+      if (contribs.isEmpty) None
+      else Some((id, contribs.size.toLong, contribs.sum))
+    }
+    val want = scored.sortBy { case (id, _, s) => (-s, id) }.take(20)
+    val got = RetrievalOps.bm25(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want)
+  }
+
+  test("bm25 ranks a term-stuffed doc above a single-mention doc") {
+    val sess = spark
+    import sess.implicits._
+    val fixture = Seq(
+      (1L, "spark join vector stream window spark join vector stream window"),
+      (2L, "spark appears once here amid plenty of other filler words content"),
+      (3L, "no query words at all in this entirely unrelated document text"))
+      .toDF("doc_id", "text")
+    val got = RetrievalOps.bm25(fixture, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // doc 3 matches nothing and must not appear; doc 1 outranks doc 2
+    assert(got.map(_._1) === Seq(1L, 2L))
+    assert(got.head._2 === 5L) // all five query terms matched
+  }
+
+  test("chunkOverlap emits the exact sliding windows, tail chunk short") {
+    val sess = spark
+    import sess.implicits._
+    val toks = (0 until 10).map(i => s"t$i")
+    val fixture = Seq((7L, toks.mkString(" "))).toDF("doc_id", "text")
+    val got = RetrievalOps.chunkOverlap(fixture, win = 4, stride = 3).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    // starts 0,3,6,9; window 4; the last chunk has only 1 token left
+    assert(got.map(c => (c._1, c._2, c._3)).toSeq ===
+      Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L), (3L, 9L, 1L)))
+    def md5hex(s: String) = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    got.foreach { case (_, start, len, hash) =>
+      val expect = toks.slice(start.toInt, start.toInt + 4).mkString(" ")
+      assert(len === math.min(4, 10 - start))
+      assert(hash === md5hex(expect))
+    }
+    // consecutive chunks overlap by win - stride = 1 token; union covers
+    // the whole document with no gaps
+    val covered = got.flatMap(c => c._2.toInt until (c._2 + c._3).toInt).toSet
+    assert(covered === (0 until 10).toSet)
+  }
+
+  test("chunkOverlap skips empty documents") {
+    val sess = spark
+    import sess.implicits._
+    val fixture = Seq((1L, ""), (2L, "  "), (3L, "one two")).toDF("doc_id", "text")
+    val got = RetrievalOps.chunkOverlap(fixture, win = 4, stride = 3).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(3L))
+  }
+
+  test("bm25 plan: text never crosses an exchange; top-k is TakeOrdered") {
+    val plan = RetrievalOps.bm25(docs).queryExecution.executedPlan.treeString
+    // the corpus-wide pass reduces to matched (doc_id, term, dl) postings
+    // BEFORE the tf shuffle — full text must stay map-side
+    val exchanges = plan.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.nonEmpty, plan)
+    assert(!exchanges.exists(_.contains("text#")),
+      s"full text flows through a bm25 shuffle:\n$plan")
+    // df (<= |query| rows) and the 1-row stats broadcast; the final top-k
+    // must be TakeOrdered, never a global sort
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("chunkOverlap plan: map-only — no hash exchange anywhere") {
+    // one Generate stage over the scan; the only exchange allowed is the
+    // final range partitioning for the deterministic output order
+    val plan = RetrievalOps.chunkOverlap(docs).queryExecution.executedPlan.treeString
+    assert(plan.contains("Generate"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"chunker should not shuffle:\n$plan")
+  }
+}
