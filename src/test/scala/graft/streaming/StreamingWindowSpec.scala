@@ -214,4 +214,91 @@ class StreamingWindowSpec extends SparkSpec {
       assert(last === Map(1L -> 5L, 2L -> 5L))
     } finally q.stop()
   }
+
+  test("stream-stream inner join: time-bounded attribution, late rows dropped") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val impIn = MemoryStream[(Long, Timestamp)]
+    val clickIn = MemoryStream[(Long, Timestamp)]
+    // the canonical attribution join: click matches an impression of the
+    // same ad within [imp_ts, imp_ts + 10min]; BOTH watermarks bound the
+    // buffered state, so at scale neither side's join buffer grows past
+    // the watermark horizon
+    val imps = impIn.toDF().toDF("ad_id", "imp_ts")
+      .withWatermark("imp_ts", "10 minutes")
+    val clicks = clickIn.toDF().toDF("c_ad_id", "click_ts")
+      .withWatermark("click_ts", "10 minutes")
+    val joined = imps.join(clicks,
+      col("ad_id") === col("c_ad_id") &&
+        col("click_ts") >= col("imp_ts") &&
+        col("click_ts") <= col("imp_ts") + expr("INTERVAL 10 MINUTES"))
+
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append).start()
+    try {
+      impIn.addData((1L, ts("2024-01-01 00:00:00")))
+      clickIn.addData((1L, ts("2024-01-01 00:05:00"))) // in-window click
+      clickIn.addData((2L, ts("2024-01-01 00:06:00"))) // no impression
+      q.processAllAvailable()
+      assert(spark.table("attrib").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(3))).toSeq ===
+        Seq((1L, ts("2024-01-01 00:05:00"))))
+
+      // a click OUTSIDE the 10-minute window never matches
+      clickIn.addData((1L, ts("2024-01-01 00:30:00")))
+      q.processAllAvailable()
+      assert(spark.table("attrib").count() === 1)
+
+      // advance both watermarks past 00:10, then replay an in-window
+      // click: the row is older than the watermark and is dropped, not
+      // joined (bounded state, the scale-critical property)
+      impIn.addData((91L, ts("2024-01-01 01:00:00")))
+      clickIn.addData((92L, ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      clickIn.addData((1L, ts("2024-01-01 00:07:00")))
+      q.processAllAvailable()
+      assert(spark.table("attrib").count() === 1)
+    } finally q.stop()
+  }
+
+  test("stream-stream left-outer join emits unmatched rows after watermark expiry") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val impIn = MemoryStream[(Long, Timestamp)]
+    val clickIn = MemoryStream[(Long, Timestamp)]
+    val imps = impIn.toDF().toDF("ad_id", "imp_ts")
+      .withWatermark("imp_ts", "10 minutes")
+    val clicks = clickIn.toDF().toDF("c_ad_id", "click_ts")
+      .withWatermark("click_ts", "10 minutes")
+    val joined = imps.join(clicks,
+      col("ad_id") === col("c_ad_id") &&
+        col("click_ts") >= col("imp_ts") &&
+        col("click_ts") <= col("imp_ts") + expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+
+    val q = joined.writeStream.format("memory").queryName("attribouter")
+      .outputMode(OutputMode.Append).start()
+    try {
+      impIn.addData((5L, ts("2024-01-01 00:00:00"))) // never clicked
+      q.processAllAvailable()
+      // not emitted yet: a matching click could still arrive
+      assert(spark.table("attribouter").count() === 0)
+
+      // push both watermarks well past the join window's upper bound,
+      // then nudge another batch so the expired state flushes
+      impIn.addData((101L, ts("2024-01-01 02:00:00")))
+      clickIn.addData((102L, ts("2024-01-01 02:00:00")))
+      q.processAllAvailable()
+      impIn.addData((103L, ts("2024-01-01 02:30:00")))
+      clickIn.addData((104L, ts("2024-01-01 02:30:00")))
+      q.processAllAvailable()
+      val outer = spark.table("attribouter").collect()
+        .filter(r => r.getLong(0) == 5L)
+        .map(r => (r.getLong(0), r.isNullAt(2), r.isNullAt(3)))
+      assert(outer.toSeq === Seq((5L, true, true)),
+        "unmatched impression should emit with null click side after expiry")
+    } finally q.stop()
+  }
 }
