@@ -114,6 +114,7 @@ object SparkEntry {
     "fn_hash" -> ((s, d) => ScalarFns.fnHash(Tables.part(s, d))),
     "fn_date_arith" -> ((s, d) => ScalarFns.fnDateArith(Tables.orders(s, d))),
     "split_train_test" -> ((s, d) => Aggs.splitTrainTest(Tables.part(s, d))),
+    "agg_histogram" -> ((s, d) => Aggs.histogram(Tables.orders(s, d))),
     // --- dedup (LLM-pipeline) ---
     "dedup_exact" -> ((s, d) => DedupOps.exact(Tables.documents(s, d))),
     "dedup_exact_hash" -> ((s, d) => DedupOps.exactByHash(Tables.documents(s, d))),
@@ -543,6 +544,14 @@ object SparkEntry {
         |  COUNT(*) AS n,
         |  CAST(SUM(p_partkey) AS BIGINT) AS key_sum
         |FROM part GROUP BY 1 ORDER BY split""".stripMargin,
+
+    // count/min/max only: a double SUM would be addition-order-dependent
+    "agg_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n,
+        |  MIN(o_totalprice) AS lo,
+        |  MAX(o_totalprice) AS hi
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "window_ntile_dense" ->
       """SELECT c_custkey, c_acctbal,

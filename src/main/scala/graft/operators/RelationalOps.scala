@@ -502,6 +502,24 @@ object Aggs {
       .agg(count(lit(1)).as("n"), sum(col("p_partkey")).as("key_sum"))
       .orderBy("split")
 
+  /** `agg_histogram`: fixed-width value histogram over order totals —
+    * the distribution profile every corpus/feature audit starts with.
+    * Bucket id is `floor(x / width)` (double division + floor, exact
+    * across engines); per-bucket stats are count/min/max — order-free
+    * selections, so results are partitioning-independent (a double SUM
+    * here would be order-dependent and is deliberately absent). One
+    * map-side bucket computation + one partial-agg shuffle on the bucket
+    * id: the same plan at any scale, ~O(range/width) result rows. */
+  def histogram(orders: DataFrame, width: Double = 25000.0): DataFrame =
+    orders
+      .select(floor(col("o_totalprice") / lit(width)).cast("long").as("bucket"),
+        col("o_totalprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy("bucket")
+
   /** Raw bottom-k sketch per returnflag (array column) — the form the
     * ScalaTest equality proof consumes. */
   def sampleBottomKSketch(lineitem: DataFrame, k: Int = 8): DataFrame =

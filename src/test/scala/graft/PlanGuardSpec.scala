@@ -172,4 +172,38 @@ class PlanGuardSpec extends SparkSpec {
     assert(!joinSection.contains("Exchange hashpartitioning"),
       s"fact table shuffled before a dim join:\n$plan")
   }
+
+  test("runtime bloom filter injects on a selective shuffle join") {
+    // the 100 TB shuffle-join saver: when the dim side is filtered hard
+    // but too big to broadcast, Catalyst's InjectRuntimeFilter plants a
+    // bloom_filter_might_contain probe on the fact scan so non-matching
+    // fact rows die before the exchange. Local thresholds are tuned for
+    // terabyte inputs, so the test lowers them to demonstrate the plan
+    // shape — production keeps the defaults.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled"
+    ).map(k => k -> util.Try(conf.get(k)).toOption)
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val li = Tables.lineitem(spark, sf())
+      val ords = Tables.orders(spark, sf())
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ords, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.treeString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"runtime bloom filter not injected on the fact side:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }

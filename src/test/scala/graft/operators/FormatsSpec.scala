@@ -17,6 +17,25 @@ class FormatsSpec extends SparkSpec {
     .filter(year(col("o_orderdate")) === 1996)
     .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
 
+  test("partitioned parquet sink: a partition-key filter prunes at the source") {
+    // at 100 TB the corpus is laid out partitioned (by lang/source/date);
+    // a predicate on the partition key must become a PartitionFilter on
+    // the scan — directory pruning, zero I/O on other partitions — not a
+    // post-scan row filter
+    val dir = Files.createTempDirectory("graft-partby").toString
+    val docs = Tables.documents(spark, sf())
+    docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val back = spark.read.parquet(dir).filter(col("lang") === "en")
+    assert(back.count() === docs.filter(col("lang") === "en").count())
+    val plan = back.queryExecution.executedPlan.treeString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      s"lang filter did not reach PartitionFilters:\n$plan")
+    // the row-level PushedFilters must NOT re-check lang — it is fully
+    // satisfied by pruning
+    assert(!plan.replaceAll("(?s).*PushedFilters", "").contains("lang"),
+      s"partition key leaked into row-level pushdown:\n$plan")
+  }
+
   test("JSON-lines sink + source round-trip") {
     val dir = Files.createTempDirectory("graft-jsonl").toString
     val src = orders1996
