@@ -16,7 +16,9 @@ object PlanAudit {
       "dedup_ngram_jaccard", "sim_batch_topk",
       // round 3: corpus-preparation passes
       "pipeline_decontaminate", "pipeline_pack_chunks", "text_lm_score",
-      "join_skew_salted", "sample_mixture", "filter_quality_quantile")
+      "join_skew_salted", "sample_mixture", "filter_quality_quantile",
+      // round 3 late: retrieval + histogram
+      "retrieval_bm25", "pipeline_chunk_overlap", "agg_histogram")
     names.foreach { n =>
       println(s"\n================ $n ================")
       println(SparkEntry.queries(n)(spark, d).queryExecution.executedPlan

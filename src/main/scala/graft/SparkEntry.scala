@@ -73,6 +73,7 @@ object SparkEntry {
     "agg_grouping_sets" -> ((s, d) =>
       Aggs.groupingSetsRegionNation(Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "agg_pivot" -> ((s, d) => Aggs.pivotStatus(Tables.orders(s, d))),
+    "agg_unpivot" -> ((s, d) => Aggs.unpivotMetrics(Tables.documents(s, d))),
     "agg_stats" -> ((s, d) => Aggs.stats(Tables.orders(s, d))),
     "agg_stats_approx" -> ((s, d) => Aggs.statsApprox(Tables.orders(s, d))),
     "sample_bottomk" -> ((s, d) => Aggs.sampleBottomK(Tables.lineitem(s, d))),
@@ -413,6 +414,19 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // UNPIVOT melt; UNION ALL form keeps the oracle portable and makes
+    // the row multiset explicit
+    "agg_unpivot" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_words
+        |  FROM documents)
+        |SELECT doc_id, metric, value FROM (
+        |  SELECT doc_id, 'n_chars' AS metric, n_chars AS value FROM t
+        |  UNION ALL
+        |  SELECT doc_id, 'n_words' AS metric, n_words AS value FROM t)
+        |ORDER BY doc_id, metric""".stripMargin,
 
     "agg_stats" ->
       """SELECT min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,

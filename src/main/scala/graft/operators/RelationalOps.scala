@@ -453,6 +453,21 @@ object Aggs {
         coalesce(col("P"), lit(0L)).as("n_p"))
       .orderBy("o_orderpriority")
 
+  /** `agg_unpivot`: wide→long reshape (melt) — the inverse of
+    * [[pivotStatus]], via the native `unpivot` operator: per-document
+    * metrics become (doc_id, metric, value) rows. Map-only (the reshape
+    * is a local Expand, no shuffle); value columns must share a type, so
+    * both are cast long before melting. */
+  def unpivotMetrics(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        col("n_chars").cast("long").as("n_chars"),
+        size(filter(split(col("text"), " "), t => t =!= ""))
+          .cast("long").as("n_words"))
+      .unpivot(Array(col("doc_id")),
+        Array(col("n_chars"), col("n_words")), "metric", "value")
+      .orderBy("doc_id", "metric")
+
   /** `agg_stats`: min/max/stddev/exact interpolated percentiles. The exact
     * `percentile` needs a per-group sort — fine here (single group); at
     * 100 TB swap to [[statsApprox]] (fixed-size sketch, mergeable). */
