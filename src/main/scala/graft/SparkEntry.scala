@@ -171,6 +171,7 @@ object SparkEntry {
     "stream_tumbling_batch" -> ((s, d) => StreamBatchOps.tumbling(Tables.events(s, d))),
     "stream_sliding_batch" -> ((s, d) => StreamBatchOps.sliding(Tables.events(s, d))),
     "stream_session_batch" -> ((s, d) => StreamBatchOps.sessions(Tables.events(s, d))),
+    "ts_gapfill" -> ((s, d) => StreamBatchOps.gapfill(Tables.events(s, d))),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -1176,6 +1177,24 @@ object SparkEntry {
         |  CAST(m['k'][1] AS BIGINT) AS m_k,
         |  CAST(cardinality(m) AS INTEGER) AS n_keys
         |FROM m ORDER BY event_id""".stripMargin,
+
+    // dense hour spine per type + LOCF; casts to µs TIMESTAMP so
+    // generate_series and epoch agree with Spark's truncation
+    "ts_gapfill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, COUNT(*) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT event_type, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        |  FROM r),
+        |j AS (
+        |  SELECT s.event_type, s.h, hourly.n
+        |  FROM spine s LEFT JOIN hourly ON s.event_type = hourly.event_type AND s.h = hourly.h)
+        |SELECT event_type, CAST(epoch(h) AS BIGINT) AS hour_s, n,
+        |  last_value(n IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_filled
+        |FROM j ORDER BY event_type, hour_s""".stripMargin,
 
     "stream_tumbling_batch" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start_s,

@@ -62,4 +62,39 @@ object StreamBatchOps {
         count(lit(1)).as("n_events"))
       .orderBy("user_id", "sess_id")
   }
+
+  /** `ts_gapfill`: calendar gap-fill + last-observation-carried-forward —
+    * the regularization pass every time-series consumer (dashboards,
+    * anomaly detectors, feature windows) needs over sparse event data.
+    * Per event type: hourly counts, a dense hour spine spanning the
+    * type's [min, max] range (gap hours get NULL), and an LOCF column
+    * carrying the last observed count forward.
+    *
+    * Scale shape: the hourly pre-agg is one partial+final shuffle; the
+    * per-type ranges are a tiny agg; the spine is GENERATED distributed
+    * (`sequence` + explode — fan-out bounded by range-hours per type,
+    * never a driver loop); the fill join is keyed (type, hour) against
+    * the already-aggregated hourly table (not raw events); and the LOCF
+    * window partitions by type — parallel across types, which is the
+    * shape's inherent parallelism (per-type carry-forward is a
+    * sequential scan by definition; an entity-keyed series at higher
+    * cardinality parallelizes the same way, per key). All-integer
+    * values, so results are partitioning-independent. */
+  def gapfill(events: DataFrame): DataFrame = {
+    val hourly = events.filter(col("ts").isNotNull)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val ranges = hourly.groupBy("event_type")
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+    val spine = ranges.select(col("event_type"),
+      explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "h"), "left_outer")
+      .withColumn("n_filled", last(col("n"), ignoreNulls = true).over(w))
+      .select(col("event_type"),
+        unix_timestamp(col("h")).as("hour_s"),
+        col("n"), col("n_filled"))
+      .orderBy("event_type", "hour_s")
+  }
 }
