@@ -172,6 +172,7 @@ object SparkEntry {
     "stream_sliding_batch" -> ((s, d) => StreamBatchOps.sliding(Tables.events(s, d))),
     "stream_session_batch" -> ((s, d) => StreamBatchOps.sessions(Tables.events(s, d))),
     "ts_gapfill" -> ((s, d) => StreamBatchOps.gapfill(Tables.events(s, d))),
+    "ts_rolling" -> ((s, d) => StreamBatchOps.rolling(Tables.events(s, d))),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -1195,6 +1196,21 @@ object SparkEntry {
         |  last_value(n IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_filled
         |FROM j ORDER BY event_type, hour_s""".stripMargin,
+
+    // trailing 24h RANGE frame on epoch seconds over the hourly pre-agg
+    "ts_rolling" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s,
+        |    COUNT(*) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, hour_s, n,
+        |  CAST(SUM(n) OVER w AS BIGINT) AS n_24h,
+        |  COUNT(n) OVER w AS hours_present_24h
+        |FROM hourly
+        |WINDOW w AS (PARTITION BY event_type ORDER BY hour_s
+        |  RANGE BETWEEN 82800 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, hour_s""".stripMargin,
 
     "stream_tumbling_batch" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start_s,

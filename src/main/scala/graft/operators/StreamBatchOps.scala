@@ -97,4 +97,29 @@ object StreamBatchOps {
         col("n"), col("n_filled"))
       .orderBy("event_type", "hour_s")
   }
+
+  /** `ts_rolling`: trailing 24-hour rolling statistics per event type —
+    * the moving-window rate signal layered on the hourly series (alert
+    * thresholds, rate-of-change features). A value-based RANGE frame
+    * over epoch seconds (23·3600 preceding through current row = 24
+    * hour slots), so missing hours genuinely shrink the observed-hours
+    * count — row-based frames would silently span gaps.
+    *
+    * Scale shape: the window runs over the hourly PRE-AGG (≤ 24·365·
+    * |types| rows/year), not raw events — the one corpus-sized shuffle
+    * is the pre-agg's partial+final count; all-integer sums keep results
+    * partitioning-independent. */
+  def rolling(events: DataFrame): DataFrame = {
+    val hourly = events.filter(col("ts").isNotNull)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), unix_timestamp(col("h")).as("hour_s"), col("n"))
+    val w = Window.partitionBy("event_type").orderBy("hour_s")
+      .rangeBetween(-23L * 3600L, 0L)
+    hourly
+      .select(col("event_type"), col("hour_s"), col("n"),
+        sum(col("n")).over(w).as("n_24h"),
+        count(col("n")).over(w).as("hours_present_24h"))
+      .orderBy("event_type", "hour_s")
+  }
 }
