@@ -58,6 +58,21 @@ class FormatsSpec extends SparkSpec {
       src.orderBy("o_orderkey").collect().map(_.toString).toSeq)
   }
 
+  test("ORC sink + source round-trip (typed columnar alternative to parquet)") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val src = orders1996
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema === src.schema) // ORC is self-describing, no schema opt
+    assert(back.orderBy("o_orderkey").collect().map(_.toString).toSeq ===
+      src.orderBy("o_orderkey").collect().map(_.toString).toSeq)
+    // pushdown parity with parquet: predicates reach the ORC scan too
+    val plan = back.filter(col("o_totalprice") > 100000.0)
+      .queryExecution.executedPlan.treeString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,100000.0)]"),
+      s"filter not pushed into ORC scan:\n$plan")
+  }
+
   test("CSV schema inference parses numerics; explicit schema remains the contract") {
     val dir = Files.createTempDirectory("graft-csv-inf").toString
     orders1996.write.mode("overwrite").option("header", "true").csv(dir)
