@@ -47,6 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // band-join → interval-bucket equi-join rewrite (two-large-sides
     // scale path; see graft.plans.RangeJoinToBucket)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinToBucket())
+    // strip BROADCAST hints from relations estimated past the cap
+    // (explicit hints bypass autoBroadcastJoinThreshold; see
+    // graft.plans.BroadcastGuardrail)
+    ext.injectOptimizerRule(_ => graft.plans.BroadcastGuardrail())
   }
 }
 
