@@ -159,6 +159,8 @@ object SparkEntry {
     "text_lm_score" -> ((s, d) => CorpusOps.lmScore(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => CorpusOps.repetition(Tables.documents(s, d))),
     "sample_mixture" -> ((s, d) => CorpusOps.sampleMixture(Tables.documents(s, d))),
+    "text_vocab" -> ((s, d) => CorpusOps.vocab(Tables.documents(s, d))),
+    "dedup_incremental" -> ((s, d) => CorpusOps.incrementalDedup(Tables.documents(s, d))),
     "filter_quality_quantile" -> ((s, d) =>
       CorpusOps.qualityQuantileFilter(Tables.documents(s, d))),
     "join_skew_salted" -> ((s, d) =>
@@ -1014,6 +1016,30 @@ object SparkEntry {
         |  CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct,
         |  1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) AS dup_ratio
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // top-N vocabulary; the cumsum window runs over the LIMITed rows
+    "text_vocab" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+        |  FROM documents),
+        |counts AS (SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word),
+        |total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts),
+        |top AS (SELECT word, cnt FROM counts ORDER BY cnt DESC, word LIMIT 200)
+        |SELECT word, cnt,
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, word) AS INTEGER) AS rank,
+        |  CAST(SUM(cnt) OVER (ORDER BY cnt DESC, word
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt,
+        |  total
+        |FROM top, total ORDER BY rank""".stripMargin,
+
+    // snapshot membership by text equality (engine side: xxhash64 keys)
+    "dedup_incremental" ->
+      """SELECT doc_id, lang, n_chars FROM documents d
+        |WHERE doc_id % 10 >= 7
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM documents s
+        |    WHERE s.doc_id % 10 < 7 AND s.text = d.text)
+        |ORDER BY doc_id""".stripMargin,
 
     // mixture tiers: src0-4 at 75%, src5-9 at 50%, tail at 25%; 4-char
     // lower-hex comparison is numeric comparison

@@ -197,6 +197,57 @@ object CorpusOps {
       .orderBy("chunk")
   }
 
+  /** `text_vocab`: vocabulary construction for tokenizer training — the
+    * top-N words by corpus frequency with exact cumulative-coverage
+    * accounting (`cum_cnt / total` tells you what fraction of all tokens
+    * the first k vocabulary entries cover — the curve that sets vocab
+    * size). Counting is explode → partial+final agg (one shuffle); the
+    * top-N is a TakeOrdered; the cumulative sum runs AFTER the limit, so
+    * the window sorts N rows, not the vocabulary (all-integer — exact
+    * under any partitioning). Ties break by word for determinism. */
+  def vocab(documents: DataFrame, n: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = documents
+      .select(explode(words(lower(col("text")))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val w = Window.orderBy(col("cnt").desc, col("word"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .orderBy(col("cnt").desc, col("word")).limit(n)
+      .crossJoin(broadcast(total))
+      .select(col("word"), col("cnt"),
+        row_number().over(w).as("rank"),
+        sum(col("cnt")).over(w).as("cum_cnt"),
+        col("total"))
+      .orderBy("rank")
+  }
+
+  /** `dedup_incremental`: incremental-ingestion dedup — drop every NEW
+    * document whose text already exists in the reference snapshot (the
+    * shape every continuously-ingesting corpus runs: dedup the day's
+    * shard against the accumulated corpus, not the corpus against
+    * itself). The snapshot stands in as `doc_id % 10 < 7` (70% of the
+    * corpus, scale-independent).
+    *
+    * Scale shape: one left-anti join keyed on xxhash64(text) — 8-byte
+    * keys, never full text, and only the (tiny) new shard re-attaches
+    * its payload. The snapshot side is count-distinct-reduced before the
+    * join; at 100 TB the snapshot hash set lives as its own compact
+    * table maintained incrementally, which is exactly this plan with the
+    * first aggregation pre-materialized. The oracle joins text equality
+    * (DuckDB lacks xxhash64) — identical modulo 64-bit collisions. */
+  def incrementalDedup(documents: DataFrame): DataFrame = {
+    val isSnapshot = pmod(col("doc_id"), lit(10)) < 7
+    val snapshotHashes = documents.filter(isSnapshot)
+      .select(xxhash64(col("text")).as("th")).distinct()
+    documents.filter(!isSnapshot)
+      .withColumn("th", xxhash64(col("text")))
+      .join(snapshotHashes, Seq("th"), "left_anti")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** `filter_quality_quantile`: keep documents whose word count exceeds
     * the corpus median — the data-driven version of `pipeline_enrich`'s
     * fixed `minWords` gate (thresholds in real pipelines are set from

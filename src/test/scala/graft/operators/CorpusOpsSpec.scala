@@ -33,6 +33,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept === Seq(101L, 102L))
   }
 
+  test("incrementalDedup drops exactly the new docs whose text exists in the snapshot") {
+    // ids 0-6 land in the snapshot (id%10<7), 17/27 are the "new shard":
+    // 17 repeats doc 3's text (dropped), 27 is novel (kept)
+    val df = docs(
+      0L -> "snapshot doc zero",
+      3L -> "a duplicated body of text",
+      17L -> "a duplicated body of text",
+      27L -> "a genuinely new document")
+    val kept = CorpusOps.incrementalDedup(df).collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(27L))
+  }
+
   test("packChunks equals the naive single-task window formulation") {
     val df = Tables.documents(spark, sf())
     val got = CorpusOps.packChunks(df, budget = 512).collect()
