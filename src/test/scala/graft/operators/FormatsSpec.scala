@@ -73,6 +73,51 @@ class FormatsSpec extends SparkSpec {
       s"filter not pushed into ORC scan:\n$plan")
   }
 
+  test("malformed JSON rows quarantine into _corrupt_record, not a job abort") {
+    // at 100 TB malformed rows are a certainty, and one bad byte must
+    // never kill the pipeline: PERMISSIVE mode (the default) nulls the
+    // failed row and captures the raw text in the corrupt-record column
+    // so a quarantine sink can keep it
+    val dir = Files.createTempDirectory("graft-badjson").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/part-0.json"),
+      java.util.Arrays.asList(
+        """{"id": 1, "v": "ok"}""",
+        """{"id": 2, "v": }""", // malformed
+        """{"id": 3, "v": "fine"}"""))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, v STRING, _corrupt_record STRING")
+    val back = spark.read.schema(schema).json(dir).cache()
+    try {
+      assert(back.count() === 3)
+      assert(back.filter(col("_corrupt_record").isNotNull).count() === 1)
+      assert(back.filter(col("_corrupt_record").isNull)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+      // FAILFAST is the opt-in strict mode for curated inputs
+      val strict = spark.read.schema(
+          org.apache.spark.sql.types.StructType(schema.fields.dropRight(1)))
+        .option("mode", "FAILFAST").json(dir)
+      intercept[org.apache.spark.SparkException](strict.collect())
+    } finally back.unpersist()
+  }
+
+  test("parquet schema evolution: shards with added columns merge, old rows null") {
+    // corpus shards gain columns over time (a new quality score, a new
+    // tag); mergeSchema unions shard schemas and back-fills nulls —
+    // no rewrite of historical shards
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    val sess = spark
+    import sess.implicits._
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/shard=a")
+    Seq((3L, "gamma", 0.9)).toDF("doc_id", "text", "quality")
+      .write.parquet(s"$dir/shard=b")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("doc_id", "quality", "shard", "text"))
+    val rows = merged.orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.isNullAt(r.fieldIndex("quality"))))
+    assert(rows.toSeq === Seq((1L, true), (2L, true), (3L, false)))
+  }
+
   test("CSV schema inference parses numerics; explicit schema remains the contract") {
     val dir = Files.createTempDirectory("graft-csv-inf").toString
     orders1996.write.mode("overwrite").option("header", "true").csv(dir)
