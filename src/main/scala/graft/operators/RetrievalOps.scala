@@ -24,14 +24,17 @@ object RetrievalOps {
     * query — idf = ln(1 + (N − df + 0.5)/(df + 0.5)), the tf saturation
     * term with k1 = 1.2, b = 0.75.
     *
-    * Scale shape (the part that must hold at 100 TB): the corpus-wide
-    * work is ONE map-only pass — tokenize, explode, and filter to query
-    * terms at scan speed — so the only data that ever shuffles is the
+    * Scale shape (the part that must hold at 100 TB): the corpus is
+    * scanned exactly twice — a map-only pass into the 1-row stats agg
+    * (N, avgdl), and the postings pass (tokenize → explode → query-term
+    * filter at scan speed), so the only data that ever shuffles is the
     * matched postings (|docs containing a query term| rows of 8-byte
-    * ids), aggregated with map-side partial counts. Everything downstream
-    * of that is small by construction: df has ≤ |query| rows and the
-    * corpus stats are a 1-row scalar agg, both broadcast; the final top-k
-    * is TakeOrderedAndProject, never a global sort.
+    * ids), aggregated with map-side partial counts. df comes from a
+    * window over that SAME postings aggregate (count per term — a
+    * re-shuffle of the small tf table, NOT a third corpus pass, which is
+    * what a naive `tf.groupBy(term)` + re-join would recompute without
+    * caching); the corpus stats broadcast; the final top-k is
+    * TakeOrderedAndProject, never a global sort.
     *
     * Cross-engine exactness: every constant is written as the same
     * decimal literal in both engines (never pre-folded differently), the
@@ -51,11 +54,11 @@ object RetrievalOps {
       .select(col("doc_id"), size(toks).as("dl"), explode(toks).as("term"))
       .filter(col("term").isin(terms: _*))
     val tf = matched.groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
-    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
     val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val sat = (col("tf") * lit(2.2)) /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))
-    tf.join(broadcast(dfs), "term")
+    tf.withColumn("df", count(lit(1)).over(wTerm))
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
         round(idf * sat * lit(1000000.0)).cast("long").as("contrib_u"))
