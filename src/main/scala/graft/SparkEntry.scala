@@ -137,6 +137,7 @@ object SparkEntry {
     "sim_ann_lsh" -> ((s, d) => VectorOps.annLsh(Tables.embeddings(s, d))),
     "sim_ann_lsh_batch" -> ((s, d) => VectorOps.annLshBatch(Tables.embeddings(s, d))),
     "sim_ann_ivf" -> ((s, d) => VectorOps.annIvf(Tables.embeddings(s, d))),
+    "sim_ann_ivf_batch" -> ((s, d) => VectorOps.annIvfBatch(Tables.embeddings(s, d))),
     // --- text analysis (LLM-pipeline) ---
     "text_wordcount" -> ((s, d) => TextOps.wordcount(Tables.documents(s, d))),
     "text_ngram_stats" -> ((s, d) => TextOps.ngramStats(Tables.documents(s, d))),

@@ -318,6 +318,57 @@ object VectorOps {
     ivfProbe(index, probe, k, nprobe)
   }
 
+  /** Batch probe (query path, N probes at once): rank every centroid per
+    * probe in one tiny cross join (nlist × |probes| rows), keep the top
+    * `nprobe` cells per probe, then hit the cell-bucketed assignment
+    * table with the (probe_id, cell) pairs in a single pass — one scan
+    * of the touched cells serves ALL probes, instead of |probes|
+    * corpus-semi-joins. The pair table and the probe vectors broadcast
+    * (both bounded by |probes|); a probe set too large to broadcast
+    * becomes an equi-join on the same keys, same plan otherwise. */
+  def ivfProbeBatch(index: IvfIndex, probes: DataFrame, k: Int = 10,
+                    nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wCell = Window.partitionBy("probe_id").orderBy(col("ccos").desc, col("cell"))
+    val probeCells = index.centroids
+      .crossJoin(probes)
+      .select(col("probe_id"), col("cell"),
+        cosine(col("centroid"), col("probe")).as("ccos"))
+      .withColumn("crn", row_number().over(wCell))
+      .filter(col("crn") <= nprobe)
+      .select("probe_id", "cell")
+    val wK = Window.partitionBy("probe_id").orderBy(col("rawcos").desc, col("vec_id"))
+    index.assigned
+      .join(broadcast(probeCells), Seq("cell"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosine(col("embedding"), col("probe")).as("rawcos"))
+      .withColumn("rn", row_number().over(wK))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("vec_id"),
+        round(col("rawcos"), 6).as("cos"), col("rn"))
+      .orderBy("probe_id", "rn")
+  }
+
+  /** `sim_ann_ivf_batch`: the IVF analog of [[annLshBatch]] — cached
+    * index, one batched probe pass. No oracle (KMeans cells); ScalaTest
+    * asserts per-probe recall vs the exact batch baseline. */
+  def annIvfBatch(embeddings: DataFrame, nProbes: Int = 5, k: Int = 10,
+                  nlist: Int = 8, nprobe: Int = 4): DataFrame = {
+    val key = s"${System.identityHashCode(embeddings.sparkSession)}:" +
+      s"${embeddings.queryExecution.analyzed.semanticHash()}:$nlist"
+    val index = ivfIndexes.synchronized {
+      Option(ivfIndexes.get(key)).getOrElse {
+        val built = buildIvfIndex(embeddings, nlist)
+        ivfIndexes.put(key, built)
+        built
+      }
+    }
+    val probes = embeddings.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+    ivfProbeBatch(index, probes, k, nprobe)
+  }
+
   /** `dedup_near_embedding`: embedding-cosine near-duplicate pairs via LSH
     * blocking — candidate pairs share a bucket, then exact cosine filters.
     * Avoids the O(n²) crossJoin: the join is bucket-equi, so at scale it

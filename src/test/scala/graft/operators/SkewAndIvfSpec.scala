@@ -89,4 +89,23 @@ class SkewAndIvfSpec extends SparkSpec {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"recall@10 = $recall")
   }
+
+  test("sim_ann_ivf_batch: per-probe recall vs the exact batch baseline") {
+    val emb = Tables.embeddings(spark, sf())
+    def byProbe(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (p, vs) => p -> vs.map(_._2).toSet }
+    val exact = byProbe(VectorOps.batchCosineTopK(emb, nProbes = 5, k = 10).collect())
+    val approx = byProbe(VectorOps.annIvfBatch(emb, nProbes = 5, k = 10).collect())
+    assert(approx.keySet === exact.keySet, "every probe must return results")
+    val recalls = exact.map { case (p, ex) =>
+      (ex intersect approx(p)).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall@10 = $mean (${recalls.toSeq.sorted})")
+    // single-probe path and batch path agree on the shared probe 0
+    val single = VectorOps.annIvf(emb, probeId = 0, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(approx(0L) === single)
+  }
 }
