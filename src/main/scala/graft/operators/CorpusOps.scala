@@ -170,31 +170,49 @@ object CorpusOps {
     * oracle, the same pattern as `pipeline_dedup_full`. */
   def corpusFull(documents: DataFrame, minWords: Int = 20, evalMod: Int = 50,
                  k: Int = 3, budget: Int = 512,
-                 numPartitions: Int = 8): DataFrame = {
+                 numPartitions: Int = 8): DataFrame =
+    corpusPrepPipeline(documents, minWords, evalMod, k, budget, numPartitions)
+      .run(documents)
+
+  /** The flagship as a [[BatchPipeline]] of named stages — the batch
+    * analog of the reference's processor pipeline. `documents` appears
+    * twice deliberately: the decontamination stage draws eval grams from
+    * the RAW corpus (side input — the eval set is not quality-filtered),
+    * while the flowing DataFrame carries the survivors. Stages compose
+    * into ONE logical plan; nothing materializes between them. */
+  def corpusPrepPipeline(raw: DataFrame, minWords: Int = 20, evalMod: Int = 50,
+                         k: Int = 3, budget: Int = 512,
+                         numPartitions: Int = 8): BatchPipeline = {
     import org.apache.spark.sql.expressions.Window
     val isEval = pmod(col("doc_id"), lit(evalMod)) === 0
-    val w = Window.partitionBy("text").orderBy("doc_id")
-    val kept = documents
-      .withColumn("n_words", size(words(col("text"))))
-      .filter(col("n_words") >= minWords)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("doc_id", "text")
     def grams(df: DataFrame) = df.select(col("doc_id"),
       explode(graft.functions.ShingleExpressions.ngrams(lower(col("text")), k)).as("gram"))
       .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
-    val evalGrams = grams(documents.filter(isEval)).select("gh").distinct()
-    val contaminated = grams(kept.filter(!isEval))
-      .join(evalGrams, Seq("gh"), "left_semi")
-      .select("doc_id").distinct()
-    val survivors = kept.filter(!isEval)
-      .join(contaminated, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), size(words(col("text"))).as("n_tokens"))
-    Skew.distributedPrefixSum(survivors, numPartitions, "n_tokens", col("doc_id"))
-      .withColumn("chunk", expr(s"(cum - n_tokens) DIV $budget"))
-      .groupBy("chunk")
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("chunk_tokens"))
-      .orderBy("chunk")
+    BatchPipeline(Seq[(String, DataFrame => DataFrame)](
+      "quality_gate" -> (df => df
+        .withColumn("n_words", size(words(col("text"))))
+        .filter(col("n_words") >= minWords)),
+      "exact_dedup" -> { df =>
+        val w = Window.partitionBy("text").orderBy("doc_id")
+        df.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("doc_id", "text")
+      },
+      "decontaminate" -> { df =>
+        val evalGrams = grams(raw.filter(isEval)).select("gh").distinct()
+        val contaminated = grams(df.filter(!isEval))
+          .join(evalGrams, Seq("gh"), "left_semi")
+          .select("doc_id").distinct()
+        df.filter(!isEval).join(contaminated, Seq("doc_id"), "left_anti")
+      },
+      "pack_chunks" -> { df =>
+        val survivors = df.select(col("doc_id"), size(words(col("text"))).as("n_tokens"))
+        Skew.distributedPrefixSum(survivors, numPartitions, "n_tokens", col("doc_id"))
+          .withColumn("chunk", expr(s"(cum - n_tokens) DIV $budget"))
+          .groupBy("chunk")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("chunk_tokens"))
+          .orderBy("chunk")
+      }))
   }
 
   /** `text_vocab`: vocabulary construction for tokenizer training — the

@@ -45,6 +45,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept === Seq(27L))
   }
 
+  test("BatchPipeline: corpus prep is four named stages, one composed plan") {
+    val df = Tables.documents(spark, sf())
+    val pipe = CorpusOps.corpusPrepPipeline(df)
+    assert(pipe.describe === Seq("quality_gate", "exact_dedup", "decontaminate", "pack_chunks"))
+    // the staged run IS pipeline_corpus_full (same oracle-checked result)
+    assert(pipe.run(df).collect().toSeq === CorpusOps.corpusFull(df).collect().toSeq)
+    // andThen appends a stage that sees the composed output
+    val counted = pipe.andThen("count_chunks",
+      d => d.agg(count(lit(1)).as("n_chunks")))
+    assert(counted.describe.last === "count_chunks")
+    assert(counted.run(df).collect().head.getLong(0) ===
+      CorpusOps.corpusFull(df).count())
+  }
+
   test("packChunks equals the naive single-task window formulation") {
     val df = Tables.documents(spark, sf())
     val got = CorpusOps.packChunks(df, budget = 512).collect()
