@@ -156,6 +156,8 @@ object SparkEntry {
     // --- corpus-preparation passes (LLM-pipeline) ---
     "pipeline_decontaminate" -> ((s, d) => CorpusOps.decontaminate(Tables.documents(s, d))),
     "pipeline_pack_chunks" -> ((s, d) => CorpusOps.packChunks(Tables.documents(s, d))),
+    "pipeline_pack_text" -> ((s, d) => CorpusOps.packText(Tables.documents(s, d))),
+    "corpus_stats" -> ((s, d) => CorpusOps.corpusStats(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) => CorpusOps.sampleStratified(Tables.documents(s, d))),
     "text_lm_score" -> ((s, d) => CorpusOps.lmScore(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => CorpusOps.repetition(Tables.documents(s, d))),
@@ -1105,6 +1107,43 @@ object SparkEntry {
         |  COUNT(*) AS n_docs,
         |  CAST(SUM(n) AS BIGINT) AS chunk_tokens
         |FROM c GROUP BY 1 ORDER BY chunk""".stripMargin,
+
+    // materializing pack: md5 pins the packed BYTES (in-doc_id-order,
+    // EOS-joined), so the oracle checks the real trainer payload
+    "pipeline_pack_text" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text, n,
+        |    CAST(SUM(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM t),
+        |p AS (
+        |  SELECT (cum - n) // 512 AS chunk,
+        |    COUNT(*) AS n_docs,
+        |    CAST(SUM(n) AS BIGINT) AS chunk_tokens,
+        |    string_agg(text, '<|eos|>' ORDER BY doc_id) AS packed
+        |  FROM c GROUP BY 1)
+        |SELECT chunk, n_docs, chunk_tokens,
+        |  CAST(length(packed) AS INTEGER) AS packed_len,
+        |  md5(packed) AS packed_md5
+        |FROM p ORDER BY chunk""".stripMargin,
+
+    "corpus_stats" ->
+      """SELECT COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT text) AS n_unique_texts,
+        |  COUNT(*) - COUNT(DISTINCT text) AS n_exact_dups,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  COUNT(DISTINCT source) AS n_sources,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS total_tokens,
+        |  CAST(MIN(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS INTEGER) AS min_tokens,
+        |  CAST(MAX(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS INTEGER) AS max_tokens,
+        |  CAST(SUM(CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+        |FROM documents""".stripMargin,
 
     // the gate: strictly above the exact interpolated median word count
     "filter_quality_quantile" ->

@@ -266,6 +266,61 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** `pipeline_pack_text`: the materializing form of [[packChunks]] —
+    * emit each training chunk's actual packed text: member documents in
+    * doc_id order joined with an EOS separator (what a trainer's data
+    * loader consumes). The query outputs md5 + length of the packed
+    * string rather than the string itself (the gate stays light; the
+    * hash pins the BYTES, so the oracle checks the real payload).
+    *
+    * Scale shape: identical to packChunks until the final agg, which
+    * now carries text — unavoidable for materialization (the packed
+    * corpus ≈ the input corpus in bytes, shuffled once on chunk id).
+    * In-chunk order comes from `sort_array` over (doc_id, text) structs
+    * — deterministic under any partitioning, same guarantee as
+    * `agg_string_concat`. At 100 TB this is the job you write OUT
+    * (partitionBy(chunk range)), not collect. */
+  def packText(documents: DataFrame, budget: Int = 512,
+               numPartitions: Int = 8, eos: String = "<|eos|>"): DataFrame = {
+    val withTokens = documents
+      .select(col("doc_id"), col("text"), size(words(col("text"))).as("n_tokens"))
+    val chunked = Skew.distributedPrefixSum(
+        withTokens, numPartitions, "n_tokens", col("doc_id"))
+      .withColumn("chunk", expr(s"(cum - n_tokens) DIV $budget"))
+    chunked
+      .groupBy("chunk")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("chunk_tokens"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("doc_id"), col("text")))),
+            s => s.getField("text")),
+          eos).as("packed"))
+      .select(col("chunk"), col("n_docs"), col("chunk_tokens"),
+        length(col("packed")).as("packed_len"), md5(col("packed")).as("packed_md5"))
+      .orderBy("chunk")
+  }
+
+  /** `corpus_stats`: the one-stop corpus health summary every pipeline
+    * run logs before and after its passes — sizes, vocabulary breadth
+    * proxies, duplication and emptiness rates. One scan, one aggregate
+    * (count-distincts expand map-side), all-integer: cheap enough to run
+    * per ingest batch at any corpus size. */
+  def corpusStats(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        size(words(col("text"))).as("n_tokens"), col("text"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_unique_texts"),
+        (count(lit(1)) - countDistinct(col("text"))).as("n_exact_dups"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(when(col("n_tokens") === 0, 1L).otherwise(0L)).as("n_empty"))
+
   /** `filter_quality_quantile`: keep documents whose word count exceeds
     * the corpus median — the data-driven version of `pipeline_enrich`'s
     * fixed `minWords` gate (thresholds in real pipelines are set from
