@@ -153,6 +153,7 @@ object SparkEntry {
     "multimodal_features" -> ((s, d) => MultimodalOps.features(Tables.documents(s, d))),
     "multimodal_frames" -> ((s, d) => MultimodalOps.frames(Tables.documents(s, d))),
     "multimodal_resize" -> ((s, d) => MultimodalOps.resized(Tables.documents(s, d))),
+    "multimodal_stats" -> ((s, d) => MultimodalOps.mediaStats(Tables.documents(s, d))),
     // --- corpus-preparation passes (LLM-pipeline) ---
     "pipeline_decontaminate" -> ((s, d) => CorpusOps.decontaminate(Tables.documents(s, d))),
     "pipeline_pack_chunks" -> ((s, d) => CorpusOps.packChunks(Tables.documents(s, d))),
@@ -1233,6 +1234,16 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the synthetic payload ("IMG0" + text, UTF-8) is column-expressible,
+    // so the byte accounting oracles exactly; strlen = UTF-8 bytes
+    "multimodal_stats" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(4 + strlen(text)) AS BIGINT) AS total_bytes,
+        |  CAST(SUM(n_chars % 640 + 32) AS BIGINT) AS sum_width,
+        |  CAST(SUM(n_chars % 480 + 32) AS BIGINT) AS sum_height
+        |FROM documents GROUP BY 1 ORDER BY format""".stripMargin,
 
     "fn_map" ->
       """WITH m AS (

@@ -86,6 +86,25 @@ object MultimodalOps {
       }
   }
 
+  /** `multimodal_stats`: per-format media inventory — counts, payload
+    * bytes, dimension sums — the audit every media corpus run logs. The
+    * first multimodal query with an EXACT oracle: binary payloads flow
+    * through plain relational aggregation (`length` on binary = byte
+    * count), and the synthetic payload is column-expressible so DuckDB
+    * replays it. One scan, one partial+final agg — no decode on this
+    * path, which is the point: inventory must not pay codec cost. */
+  def mediaStats(documents: DataFrame): DataFrame =
+    attachMedia(documents)
+      .select(col("meta.format").as("format"),
+        length(col("payload")).as("bytes"),
+        col("meta.width").as("w"), col("meta.height").as("h"))
+      .groupBy("format")
+      .agg(count(lit(1)).as("n"),
+        sum(col("bytes")).as("total_bytes"),
+        sum(col("w")).as("sum_width"),
+        sum(col("h")).as("sum_height"))
+      .orderBy("format")
+
   /** `multimodal_features` query surface: stable projection of the
     * feature extraction (rows-only check; ScalaTest asserts values). */
   def features(documents: DataFrame): DataFrame =
