@@ -50,6 +50,8 @@ object SparkEntry {
     "join_interval_overlap" -> ((s, d) =>
       Joins.intervalOverlap(Tables.events(s, d))),
     "join_asof_event" -> ((s, d) => Joins.asofEvent(Tables.events(s, d), Tables.orders(s, d))),
+    "join_asof_forward" -> ((s, d) =>
+      Joins.asofOrderForward(Tables.orders(s, d), Tables.events(s, d))),
     "join_asof_tolerance" -> ((s, d) =>
       Joins.asofEventTolerance(Tables.events(s, d), Tables.orders(s, d))),
     // --- composed TPC-H-shaped analytics ---
@@ -318,6 +320,13 @@ object SparkEntry {
         |    (SELECT max(o.o_orderdate) FROM orders o
         |     WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts))) AS BIGINT) AS last_order_s
         |FROM events e ORDER BY e.event_id""".stripMargin,
+
+    "join_asof_forward" ->
+      """SELECT o.o_orderkey, o.o_custkey AS user_id,
+        |  CAST(epoch(date_trunc('second',
+        |    (SELECT min(e.ts) FROM events e
+        |     WHERE e.user_id = o.o_custkey AND e.ts >= o.o_orderdate))) AS BIGINT) AS next_event_s
+        |FROM orders o ORDER BY o.o_orderkey, user_id, next_event_s""".stripMargin,
 
     "q3_shipping_priority" ->
       """SELECT o_orderkey,

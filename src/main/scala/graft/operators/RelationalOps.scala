@@ -320,6 +320,36 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** `join_asof_forward`: the forward as-of — for each order, the FIRST
+    * event at-or-after it per user (the feature-engineering direction:
+    * "what happened next" — e.g. first site activity after a purchase).
+    * Same one-shuffle union+window plan as [[asofEvent]] with the frame
+    * reversed (currentRow → unboundedFollowing) and tags arranged so an
+    * equal-timestamp event sorts after its order and lands inside the
+    * inclusive frame. Null-timestamp events sort LAST (asc_nulls_last),
+    * where the forward frame of every real row has already closed —
+    * they can never be claimed as a match. */
+  def asofOrderForward(orders: DataFrame, events: DataFrame): DataFrame = {
+    val os = orders.select(
+      col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+      lit(0).as("tag"), lit(null).cast("timestamp").as("ets"),
+      col("o_orderkey"))
+    val ev = events.select(
+      col("user_id"), col("ts"), lit(1).as("tag"),
+      col("ts").as("ets"), lit(null).cast("long").as("o_orderkey"))
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts").asc_nulls_last, col("tag"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    os.unionByName(ev)
+      .withColumn("next_event_ts", first(col("ets"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 0)
+      .select(
+        col("o_orderkey"), col("user_id"),
+        unix_timestamp(col("next_event_ts")).as("next_event_s"))
+      .orderBy("o_orderkey", "user_id", "next_event_s")
+  }
+
   /** `join_asof_tolerance`: as-of join with a max-staleness bound — the
     * standard time-series form (`ASOF JOIN ... TOLERANCE`). Same
     * one-shuffle union+window plan as [[asofEvent]]; the tolerance is a
