@@ -101,6 +101,7 @@ object SparkEntry {
     "topk_per_group" -> ((s, d) => Windows.topkPerGroup(Tables.orders(s, d))),
     "set_union" -> ((s, d) => SortsSets.unionNations(Tables.customer(s, d), Tables.supplier(s, d))),
     "set_union_all" -> ((s, d) => SortsSets.unionAllNations(Tables.customer(s, d), Tables.supplier(s, d))),
+    "set_union_byname" -> ((s, d) => SortsSets.unionByNameDrift(Tables.part(s, d))),
     "set_intersect" -> ((s, d) => SortsSets.intersectNations(Tables.customer(s, d), Tables.supplier(s, d))),
     "set_except" -> ((s, d) => SortsSets.exceptNations(Tables.customer(s, d), Tables.supplier(s, d))),
     // --- scalar functions ---
@@ -611,6 +612,15 @@ object SparkEntry {
       """SELECT c_nationkey AS nationkey FROM customer
         |UNION ALL SELECT s_nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
+
+    // name-resolved union with NULL back-fill for drifted shard schemas
+    "set_union_byname" ->
+      """SELECT p_partkey, p_name, p_size, NULL::DOUBLE AS p_retailprice
+        |FROM part WHERE p_size <= 10
+        |UNION ALL
+        |SELECT p_partkey, NULL, NULL, p_retailprice
+        |FROM part WHERE p_size >= 45
+        |ORDER BY p_partkey""".stripMargin,
 
     "set_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer

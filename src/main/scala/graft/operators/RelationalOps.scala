@@ -774,6 +774,21 @@ object SortsSets {
       .union(supplier.select(col("s_nationkey")))
       .orderBy("nationkey")
 
+  /** `set_union_byname`: schema-drift-tolerant union — shards written at
+    * different pipeline epochs carry different column sets; `unionByName
+    * (allowMissingColumns = true)` resolves by NAME (a positional union
+    * would silently misalign) and back-fills absent columns with NULL.
+    * The disjoint size filters make membership deterministic. Map-only:
+    * union is a plan concatenation, no shuffle before the output sort. */
+  def unionByNameDrift(part: DataFrame): DataFrame =
+    part.filter(col("p_size") <= 10)
+      .select(col("p_partkey"), col("p_name"), col("p_size"))
+      .unionByName(
+        part.filter(col("p_size") >= 45)
+          .select(col("p_partkey"), col("p_retailprice")),
+        allowMissingColumns = true)
+      .orderBy("p_partkey")
+
   /** `set_intersect`: nations having both customers and suppliers. */
   def intersectNations(customer: DataFrame, supplier: DataFrame): DataFrame =
     customer.select(col("c_nationkey").as("nationkey"))
