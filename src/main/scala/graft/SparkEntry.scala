@@ -76,6 +76,8 @@ object SparkEntry {
       Aggs.groupingSetsRegionNation(Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "agg_pivot" -> ((s, d) => Aggs.pivotStatus(Tables.orders(s, d))),
     "agg_unpivot" -> ((s, d) => Aggs.unpivotMetrics(Tables.documents(s, d))),
+    "agg_mode" -> ((s, d) => Aggs.modePerGroup(Tables.orders(s, d))),
+    "text_quality_rank" -> ((s, d) => CorpusOps.qualityRank(Tables.documents(s, d))),
     "agg_stats" -> ((s, d) => Aggs.stats(Tables.orders(s, d))),
     "agg_stats_approx" -> ((s, d) => Aggs.statsApprox(Tables.orders(s, d))),
     "sample_bottomk" -> ((s, d) => Aggs.sampleBottomK(Tables.lineitem(s, d))),
@@ -445,6 +447,30 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id, 'n_words' AS metric, n_words AS value FROM t)
         |ORDER BY doc_id, metric""".stripMargin,
+
+    // tie-broken mode: neither engine's mode() builtin defines ties
+    "agg_mode" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (
+        |  SELECT o_orderstatus, o_orderpriority, cnt,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY cnt DESC, o_orderpriority) AS rn
+        |  FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_count
+        |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+
+    // rank-unique percent_rank: the doc_id tie-break makes the division
+    // operands identical in both engines
+    "text_quality_rank" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER) AS n_words
+        |  FROM documents)
+        |SELECT doc_id, lang, n_words,
+        |  percent_rank() OVER (PARTITION BY lang ORDER BY n_words, doc_id) AS q_rank
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "agg_stats" ->
       """SELECT min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,

@@ -321,6 +321,29 @@ object CorpusOps {
         max(col("n_tokens")).as("max_tokens"),
         sum(when(col("n_tokens") === 0, 1L).otherwise(0L)).as("n_empty"))
 
+  /** `text_quality_rank`: per-language rank normalization of a quality
+    * signal — the cross-lingual comparability mechanic: a raw word-count
+    * (or LM-score) threshold means different things in different
+    * languages, so pipelines gate on the WITHIN-LANGUAGE percentile
+    * instead. `percent_rank` over (n_words, doc_id) — the doc_id
+    * tie-break makes every rank unique, so the value is deterministic
+    * and the single (rank−1)/(n−1) division is cross-engine exact.
+    *
+    * Scale shape: one shuffle on lang; within-language total order is
+    * the same single-partition-per-key window as any ranked
+    * normalization — at extreme per-language cardinality it reroutes
+    * through [[Skew.distributedRowNumber]] (rank = row_number here,
+    * ties broken) exactly like `window_ntile_dense` did. */
+  def qualityRank(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy(col("n_words"), col("doc_id"))
+    documents
+      .select(col("doc_id"), col("lang"),
+        size(words(col("text"))).as("n_words"))
+      .withColumn("q_rank", percent_rank().over(w))
+      .orderBy("doc_id")
+  }
+
   /** `filter_quality_quantile`: keep documents whose word count exceeds
     * the corpus median — the data-driven version of `pipeline_enrich`'s
     * fixed `minWords` gate (thresholds in real pipelines are set from

@@ -483,6 +483,25 @@ object Aggs {
         coalesce(col("P"), lit(0L)).as("n_p"))
       .orderBy("o_orderpriority")
 
+  /** `agg_mode`: deterministic statistical mode per group — most
+    * frequent value, ties broken by value (Spark's `mode` and DuckDB's
+    * differ on tie-breaks, so neither built-in is cross-engine safe;
+    * count + ranked window is, and it's the same two-aggregation shape
+    * either engine plans). */
+  def modePerGroup(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("cnt").desc, col("o_orderpriority"))
+    orders
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+        col("cnt").as("mode_count"))
+      .orderBy("o_orderstatus")
+  }
+
   /** `agg_unpivot`: wide→long reshape (melt) — the inverse of
     * [[pivotStatus]], via the native `unpivot` operator: per-document
     * metrics become (doc_id, metric, value) rows. Map-only (the reshape
