@@ -39,16 +39,46 @@ object Bench {
       // a broken query must not masquerade as a fast one: -1 sentinel
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    // Compact per-query values to 2 decimals: the driver captures only a
-    // bounded stdout tail, and round 2's full-precision line (~4 KB for
-    // 98 queries) overflowed it → BENCH_r02.json parsed:null. 10 ms
-    // resolution is below this box's run-to-run noise anyway.
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    // The driver captures only a bounded stdout TAIL (~1.9 KB): rounds 2
+    // and 3 proved a full-name per-query map (~3.3 KB at 124 queries) can
+    // NEVER fit — the line truncates and the driver records parsed:null.
+    // Fix (round 4): the COMPLETE full-precision result is written to a
+    // committed file (BENCH_FULL.json), and the stdout line keeps every
+    // per-query entry parseable by shortening keys with a deterministic,
+    // name-independent rule (stable across rounds): first 2 chars of each
+    // '_'-segment, 3 chars of the last. Values are integer centiseconds
+    // ("qunit"). Legend + rule are documented in BENCH_NOTES.md; full
+    // names live in BENCH_FULL.json.
+    def short(name: String): String = {
+      val segs = name.split('_')
+      segs.init.map(_.take(2)).mkString + segs.last.take(3)
+    }
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","ivf_build_sec":${fmt(ivfBuildSec)},"queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "/root/repo/BENCH_FULL.json")
+    val fullQs = results.map { case (k, v) =>
+      s"""    "$k": ${if (v < 0) "-1" else f"$v%.3f"}"""
+    }.mkString("{\n", ",\n", "\n  }")
+    val fullJson =
+      s"""{
+         |  "metric": "total",
+         |  "value": ${f"$total%.3f"},
+         |  "unit": "sec",
+         |  "ivf_build_sec": ${f"$ivfBuildSec%.3f"},
+         |  "sf": "$sfDir",
+         |  "failed": ${failed.mkString("[", ",", "]")},
+         |  "queries": $fullQs
+         |}
+         |""".stripMargin
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] full-result write failed: ${e.getMessage}")
+    }
+    val qs = results.map { case (k, v) =>
+      "\"" + short(k) + "\":" + (if (v < 0) "-1" else math.round(v * 100).toString)
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","ivf_build_sec":${f"$ivfBuildSec%.2f"},"qunit":"centisec","full":"BENCH_FULL.json","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -50,6 +50,8 @@ object SparkEntry {
     "join_interval_overlap" -> ((s, d) =>
       Joins.intervalOverlap(Tables.events(s, d))),
     "join_asof_event" -> ((s, d) => Joins.asofEvent(Tables.events(s, d), Tables.orders(s, d))),
+    "join_asof_salted" -> ((s, d) =>
+      Skew.saltedAsof(Tables.events(s, d), Tables.orders(s, d))),
     "join_asof_forward" -> ((s, d) =>
       Joins.asofOrderForward(Tables.orders(s, d), Tables.events(s, d))),
     "join_asof_tolerance" -> ((s, d) =>
@@ -318,6 +320,16 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "join_asof_event" ->
+      """SELECT e.event_id, e.user_id,
+        |  CAST(epoch(date_trunc('second',
+        |    (SELECT max(o.o_orderdate) FROM orders o
+        |     WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts))) AS BIGINT) AS last_order_s
+        |FROM events e ORDER BY e.event_id""".stripMargin,
+
+    // result-identical to join_asof_event by design: the salted variant
+    // splits each user's timeline into day sub-ranges and stitches
+    // boundaries — the oracle proves the rewrite is semantics-preserving
+    "join_asof_salted" ->
       """SELECT e.event_id, e.user_id,
         |  CAST(epoch(date_trunc('second',
         |    (SELECT max(o.o_orderdate) FROM orders o
@@ -737,6 +749,10 @@ object SparkEntry {
         |  FROM documents) t
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
+    // default df-cap (512) mirrored exactly: shingles with df > 512 are
+    // dropped from BOTH candidate generation and the per-doc sizes —
+    // semantics identical to DedupOps.ngramJaccard's finite default (a
+    // no-op at sf0.01's 500 docs, where df can never exceed 500).
     "dedup_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
@@ -747,10 +763,12 @@ object SparkEntry {
         |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
         |        FROM toks WHERE len(w) >= 3) u
         |),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |df AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+        |kept AS (SELECT s.doc_id, s.sh FROM sh s JOIN df USING (sh) WHERE df.df <= 512),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-        |  FROM sh a JOIN sh b USING (sh)
+        |  FROM kept a JOIN kept b USING (sh)
         |  WHERE a.doc_id < b.doc_id
         |  GROUP BY 1, 2
         |)
@@ -775,10 +793,12 @@ object SparkEntry {
         |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
         |        FROM toks WHERE len(w) >= 3) u
         |),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |dfc AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+        |keptsh AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfc USING (sh) WHERE dfc.df <= 512),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM keptsh GROUP BY doc_id),
         |cand AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-        |  FROM sh a JOIN sh b USING (sh)
+        |  FROM keptsh a JOIN keptsh b USING (sh)
         |  WHERE a.doc_id < b.doc_id
         |  GROUP BY 1, 2
         |),
@@ -821,10 +841,12 @@ object SparkEntry {
         |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
         |        FROM toks WHERE len(w) >= 3) u
         |),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |dfc AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+        |keptsh AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfc USING (sh) WHERE dfc.df <= 512),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM keptsh GROUP BY doc_id),
         |cand AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-        |  FROM sh a JOIN sh b USING (sh)
+        |  FROM keptsh a JOIN keptsh b USING (sh)
         |  WHERE a.doc_id < b.doc_id
         |  GROUP BY 1, 2
         |),

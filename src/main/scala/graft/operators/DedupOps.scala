@@ -52,25 +52,32 @@ object DedupOps {
 
   /** `dedup_exact_hash`: the 100 TB form of [[exact]] — identical result
     * (same oracle), but the wide shuffle carries (doc_id, xxhash64(text))
-    * = 16 bytes/row instead of full documents. Hash groups with one
-    * member are unique texts by construction; only multi-member groups
-    * (true duplicates plus the ~n²/2⁶⁴ collision tail) re-attach their
-    * text via a semi-join and settle exactly — so document bodies only
-    * ever shuffle for the duplicate candidates, a vanishing fraction of
-    * a deduped corpus. */
+    * = 16 bytes/row instead of full documents, and nothing in the plan
+    * materializes a per-group collection: duplicate groups are detected
+    * with a constant-state `count` aggregate (one (h, cnt) row per hash no
+    * matter how often a boilerplate page repeats), and the keeper per
+    * duplicate text is `min(doc_id)` — again constant aggregation state
+    * with map-side partial combine. A 10⁸-fold duplicated error page
+    * costs one accumulator, not one 10⁸-element array (the round-3
+    * design's `collect_list` cliff). Document bodies only ever shuffle
+    * for the duplicate candidates — a vanishing fraction of a deduped
+    * corpus — and the collision tail (~n²/2⁶⁴) settles exactly via the
+    * text-keyed min. */
   def exactByHash(documents: DataFrame): DataFrame = {
-    val groups = documents
+    val hashed = documents
       .select(col("doc_id"), xxhash64(col("text")).as("h"))
-      .groupBy("h").agg(collect_list(col("doc_id")).as("ds"))
-    val singles = groups.filter(size(col("ds")) === 1)
-      .select(explode(col("ds")).as("doc_id"))
-    val multiIds = groups.filter(size(col("ds")) > 1)
-      .select(explode(col("ds")).as("doc_id"))
-    val w = Window.partitionBy("text").orderBy("doc_id")
+    // hashes held by >1 doc, as row-shaped (h) keys — never an id list
+    val multiH = hashed.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("h")
+    // unique-text docs pass through on the 8-byte hash key alone
+    val singles = hashed.join(multiH, Seq("h"), "left_anti").select("doc_id")
+    // duplicate candidates re-attach text; keeper = min(doc_id) per exact
+    // text — partial-agg combine collapses a mega-duplicated text inside
+    // each map task before the shuffle, so no task ever buffers a group
     val multiKeepers = documents
-      .join(multiIds, Seq("doc_id"), "left_semi")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .join(hashed.join(multiH, Seq("h"), "left_semi").select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .groupBy("text").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
     documents
       .join(singles.union(multiKeepers), Seq("doc_id"), "left_semi")
@@ -192,7 +199,15 @@ object DedupOps {
     * bounded at 50). `localCheckpoint` per round truncates the lineage so
     * the plan doesn't grow with iterations — the same iterative-algorithm
     * shape as MLlib's KMeans. The driver sees only the convergence
-    * counter, never the data. */
+    * counter, never the data.
+    *
+    * ONE job per round: the changed-label count rides the checkpoint's
+    * materialization as an observed metric (`Dataset.observe`) instead of
+    * a second count job per round (the round-3 shape — a join + count
+    * doubling every round's latency). If the metric hasn't landed by the
+    * time the action returns (listener delivery is async), the fallback
+    * is a count over the already-cached diff — a scan of in-memory
+    * partitions, not a recompute. */
   def clusters(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -207,15 +222,26 @@ object DedupOps {
         .join(labels.select(col("doc_id").as("dst"), col("cluster").as("nc")), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nc")).as("nmin"))
-      val updated = labels
+      val obs = org.apache.spark.sql.Observation()
+      val cp = labels
         .join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
+          col("cluster").as("old"))
+        .observe(obs, coalesce(
+          sum(when(col("cluster") =!= col("old"), 1L).otherwise(0L)),
+          lit(0L)).as("changed"))
         .localCheckpoint()
-      changed = updated
-        .join(labels.withColumnRenamed("cluster", "old"), "doc_id")
-        .filter(col("cluster") =!= col("old")).count()
-      labels = updated
+      changed = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.DurationInt
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val m = try Await.result(Future(obs.get), 5.seconds)
+        catch { case _: java.util.concurrent.TimeoutException => Map.empty[String, Any] }
+        m.get("changed").map(_.asInstanceOf[Long])
+          .getOrElse(cp.filter(col("cluster") =!= col("old")).count())
+      }
+      labels = cp.drop("old")
       rounds += 1
     }
     labels.orderBy("doc_id")
@@ -235,7 +261,7 @@ object DedupOps {
     * asserts the COMPOSITION end to end against a single DuckDB oracle
     * (recursive-CTE closure on the SQL side). */
   def dedupFull(documents: DataFrame, minWords: Int = 20,
-                tau: Double = 0.2): DataFrame = {
+                tau: Double = 0.2, maxDf: Int = 512): DataFrame = {
     val words = filter(split(col("text"), " "), t => t =!= "")
     val w = Window.partitionBy("text").orderBy("doc_id")
     val kept = documents
@@ -244,7 +270,9 @@ object DedupOps {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("doc_id", "text", "lang", "n_chars")
-    val cl = clusters(ngramJaccard(kept, tau = tau))
+    // the flagship inherits the FINITE df-cap — a boilerplate-heavy crawl
+    // cannot blow up the near-dup stage through this entry point
+    val cl = clusters(ngramJaccard(kept, tau = tau, maxDf = maxDf))
     kept
       .join(cl, Seq("doc_id"), "left")
       .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
@@ -263,38 +291,51 @@ object DedupOps {
     * from candidate generation AND from the per-doc size counts, so the
     * reported jaccard is exact WITHIN the reduced shingle universe (no
     * systematic underestimate near tau; pairs that only share ultra-common
-    * shingles are missed, which is usually the point). Default
-    * (`Int.MaxValue`) keeps exact full-universe semantics with map-side
-    * size counting (no extra shuffle). */
+    * shingles are missed, which is usually the point). The default is
+    * FINITE (512): with it, no aggregation buffer in the plan ever holds
+    * more than maxDf elements and candidate pairs per shingle are bounded
+    * by maxDf²/2 — one boilerplate trigram with df = 10⁶ is dropped
+    * map-side after a constant-state count instead of materializing a
+    * 10⁶-element array and ~5·10¹¹ pairs (the round-3 default's cliff).
+    * Full-universe semantics (every shared shingle counts, unbounded
+    * group state) is an explicit opt-in via `maxDf = Int.MaxValue`. */
   def ngramJaccard(documents: DataFrame, k: Int = 3, tau: Double = 0.2,
-                   maxDf: Int = Int.MaxValue): DataFrame = {
+                   maxDf: Int = 512): DataFrame = {
     // 64-bit-hashed shingles: the inverted index shuffles longs, not
     // strings. Collisions would need ~2^32 distinct shingles to matter
     // (corpus has ~10^5); result is semantically identical to raw shingles.
     val sh = documents
       .select(col("doc_id"),
         explode(ShingleExpressions.shingleHashes(lower(col("text")), k)).as("sh"))
-    // inverted index in ONE shuffle: doc list per shingle. `capped` is the
-    // df-filtered universe (everything, when maxDf is off).
-    val byShingle = sh.groupBy("sh").agg(collect_list(col("doc_id")).as("ds"))
-    val capped =
-      if (maxDf == Int.MaxValue) byShingle
-      else byShingle.filter(size(col("ds")) <= maxDf)
-    // |shingles(doc)|: default = map-side from the array length (no
+    // df per shingle FIRST, as a constant-state count — the id lists are
+    // only collected after the universe is df-bounded, so no aggregation
+    // buffer ever exceeds maxDf elements.
+    val dfCounts = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val inUniverse =
+      if (maxDf == Int.MaxValue) dfCounts
+      else dfCounts.filter(col("df") <= maxDf)
+    // singleton shingles (df=1) can't produce pairs — dropped exactly.
+    val pairable = inUniverse.filter(col("df") > 1).select("sh")
+    // bounded inverted index: semi-join keeps 16-byte (sh, doc_id) rows,
+    // then the doc list per surviving shingle is ≤ maxDf elements by
+    // construction. Pairs come from a double explode of that list, so
+    // there is no self-join and no second shuffle of the shingle table
+    // (the join output is already hash-partitioned on sh).
+    val byShingle = sh.join(pairable, Seq("sh"), "left_semi")
+      .groupBy("sh").agg(collect_list(col("doc_id")).as("ds"))
+    // |shingles(doc)|: full universe = map-side from the array length (no
     // shuffle); with maxDf active, counted over the SAME reduced universe
-    // the pairs come from, keeping the jaccard internally consistent.
+    // the pairs come from (INCLUDING df=1 shingles), keeping the jaccard
+    // internally consistent.
     val sizes =
       if (maxDf == Int.MaxValue)
         documents.select(col("doc_id"),
           size(ShingleExpressions.shingleHashes(lower(col("text")), k))
             .cast("long").as("n"))
       else
-        capped.select(explode(col("ds")).as("doc_id"))
+        sh.join(inUniverse.select("sh"), Seq("sh"), "left_semi")
           .groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // singleton shingles (df=1) can't produce pairs — dropped exactly.
-    // Pairs come from a double explode of the doc list, so there is no
-    // self-join and no second shuffle of the shingle table.
-    val pairs = capped.filter(size(col("ds")) > 1)
+    val pairs = byShingle
       .select(explode(col("ds")).as("id_a"), col("ds"))
       .select(col("id_a"), explode(col("ds")).as("id_b"))
       .filter(col("id_a") < col("id_b"))

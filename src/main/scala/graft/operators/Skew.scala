@@ -172,6 +172,58 @@ object Skew {
       .drop("__pid", "__lcum", "__off")
   }
 
+  /** Skew-safe backward as-of join (events ← latest order at-or-before,
+    * per user) — result-identical to `RelationalOps.asofEvent`, but the
+    * hot-user hazard SCALE.md names is gone: the plain union+window plan
+    * partitions by `user_id` alone, so a bot account holding 50% of all
+    * events serializes through ONE window task. Here each user's timeline
+    * is salted into CONTIGUOUS time sub-ranges (`floor(ts / windowSecs)`)
+    * and the heavy window runs per (user, sub-range) — the hot user
+    * spreads over as many tasks as it has active sub-ranges (asserted by
+    * SkewAndIvfSpec on a 50%-skew fixture).
+    *
+    * Boundary stitching: an event whose latest order lies in an EARLIER
+    * sub-range can't see it locally. A per-(user, sub-range) summary
+    * (max order ts — constant aggregation state) is prefix-scanned per
+    * user (`last(..., ignoreNulls)` over sub-range order, frame ending at
+    * -1) to give each sub-range the latest order of all PRIOR sub-ranges;
+    * the final match is `coalesce(local, carried)`. Any local order is
+    * more recent than every prior-range order by construction (earlier
+    * range ⟹ strictly earlier ts), so the coalesce is exact. The stitch
+    * window is per-user over O(sub-ranges) summary rows, not events —
+    * the hot key's serial work drops from O(its events) to
+    * O(its active days). */
+  def saltedAsof(events: DataFrame, orders: DataFrame,
+                 windowSecs: Long = 86400L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events.select(col("user_id"), col("ts"), lit(1).as("tag"),
+      lit(null).cast("timestamp").as("ots"), col("event_id"))
+    val os = orders.select(col("o_custkey").as("user_id"),
+      col("o_orderdate").as("ts"), lit(0).as("tag"),
+      col("o_orderdate").as("ots"), lit(null).cast("long").as("event_id"))
+    val u = ev.unionByName(os)
+      .withColumn("__w", floor(unix_timestamp(col("ts")) / windowSecs))
+    // heavy pass: as-of WITHIN each (user, sub-range) — the skew-split key
+    val wLocal = Window.partitionBy("user_id", "__w")
+      .orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = u.withColumn("__local_last",
+      last(col("ots"), ignoreNulls = true).over(wLocal))
+    // stitch pass: O(sub-ranges) summary rows per user
+    val wCarry = Window.partitionBy("user_id").orderBy("__w")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = u.groupBy("user_id", "__w")
+      .agg(max(col("ots")).as("__wmax"))
+      .withColumn("__carry", last(col("__wmax"), ignoreNulls = true).over(wCarry))
+      .select("user_id", "__w", "__carry")
+    local.filter(col("tag") === 1)
+      .join(carry, Seq("user_id", "__w"), "left")
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(coalesce(col("__local_last"), col("__carry")))
+          .as("last_order_s"))
+      .orderBy("event_id")
+  }
+
   /** Two-phase skewed aggregation: count per (key, salt) map-side-style,
     * then merge per key — the classic fix when one group holds most rows
     * and a single reducer would own it. */

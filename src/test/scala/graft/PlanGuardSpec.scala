@@ -32,6 +32,29 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("exactByHash plans NO collect aggregate — duplicate groups stay row-shaped") {
+    // round-3 defect: collect_list(doc_id) per hash group OOMs on a
+    // 10⁸-fold duplicated boilerplate page. The rewrite must detect
+    // duplicate groups and pick keepers with constant-state aggregates
+    // (count / min) only.
+    val plan = DedupOps.exactByHash(docs).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("collect_list") && !plan.contains("collect_set"),
+      s"per-group collection aggregate in exactByHash plan:\n$plan")
+  }
+
+  test("ngramJaccard df-counts BEFORE collecting id lists (bounded index arrays)") {
+    // the inverted index may only collect doc ids AFTER the df filter, so
+    // every collected array is ≤ maxDf elements. In the optimized plan the
+    // df-count aggregate and its filter must sit BELOW the collect_list
+    // aggregate (appear after it in the top-down tree string).
+    val plan = DedupOps.ngramJaccard(docs).queryExecution.optimizedPlan.toString
+    val collectIdx = plan.indexOf("collect_list")
+    assert(collectIdx >= 0, s"inverted index missing:\n$plan")
+    val below = plan.substring(collectIdx)
+    assert(below.contains("count(1)"),
+      s"no df-count aggregate below the collect_list — index arrays unbounded:\n$plan")
+  }
+
   test("custom expressions run inside whole-stage codegen, not interpreted fallback") {
     val scored = docs.select(
       ShingleExpressions.minHashSignature(

@@ -32,6 +32,46 @@ class OperatorSpec extends SparkSpec {
     assert(viaHash === Seq(2L, 9L))
   }
 
+  test("dedup_exact_hash survives a mega-duplicated boilerplate text (1e5 copies)") {
+    // the round-3 design built one collect_list array per hash group — a
+    // 10⁵-fold duplicate would hold a 10⁵-element array in one aggregation
+    // buffer. The row-shaped rewrite must (a) return the right answer and
+    // (b) never plan a collect aggregate at all.
+    val sess = spark
+    import sess.implicits._
+    val boiler = sess.range(10L, 100010L)
+      .select(col("id").as("doc_id"), lit("error page not found").as("text"))
+    val unique = Seq(1L -> "alpha beta gamma", 2L -> "delta epsilon zeta")
+      .toDF("doc_id", "text")
+    val df = boiler.unionByName(unique)
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("test"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val kept = DedupOps.exactByHash(df).collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(1L, 2L, 10L))
+  }
+
+  test("ngramJaccard cap bounds boilerplate candidates without losing true near-dups") {
+    // 60 unrelated docs all ending in the same boilerplate sentence, plus
+    // one planted near-dup pair sharing many RARE shingles. Full-universe
+    // semantics pairs every boilerplate doc with every other (1770
+    // quadratic candidates — the 100 TB cliff in miniature); a df cap
+    // below 60 drops the boilerplate shingles from the universe while the
+    // rare-shingle pair still surfaces.
+    val boilerTail = "all rights reserved contact us for details"
+    val planted = (1 to 30).map(i => s"rare$i").mkString(" ")
+    val rows =
+      (1L to 60L).map(i => i -> s"unique${i}a unique${i}b unique${i}c $boilerTail") ++
+        Seq(100L -> planted, 101L -> (planted + " tail"))
+    val d = docs(rows: _*)
+    // uncapped: boilerplate jaccard = 5/11 ≈ 0.45 ≥ tau → quadratic blowup
+    assert(DedupOps.ngramJaccard(d, tau = 0.4, maxDf = Int.MaxValue).count() === 1771)
+    // capped: only the true near-dup pair remains
+    val out = DedupOps.ngramJaccard(d, tau = 0.4, maxDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((100L, 101L)))
+  }
+
   test("dedup_near_minhash finds planted near-duplicates, skips unrelated docs") {
     val base = (1 to 40).map(i => s"token$i").mkString(" ")
     val nearDup = (1 to 40).map(i => if (i == 7) "CHANGED" else s"token$i").mkString(" ")
@@ -41,11 +81,11 @@ class OperatorSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L)))
   }
 
-  test("ngramJaccard maxDf caps hot shingles; default is exact") {
+  test("ngramJaccard maxDf caps hot shingles; finite default finds real pairs") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val dup = base + " extra"
     val df = docs(1L -> base, 2L -> dup)
-    // near-dup pair found with exact semantics
+    // near-dup pair found under the (finite) default cap
     assert(DedupOps.ngramJaccard(df, tau = 0.5).count() === 1)
     // every shared shingle has df=2 — a df cap of 1 suppresses the pair
     assert(DedupOps.ngramJaccard(df, tau = 0.5, maxDf = 1).count() === 0)

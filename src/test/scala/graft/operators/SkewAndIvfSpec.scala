@@ -30,6 +30,65 @@ class SkewAndIvfSpec extends SparkSpec {
     assert(plain === salted)
   }
 
+  test("saltedAsof equals asofEvent on the real tables") {
+    val ev = Tables.events(spark, sf())
+    val os = Tables.orders(spark, sf())
+    val plain = Joins.asofEvent(ev, os)
+      .collect().map(_.toString).toSeq
+    val salted = Skew.saltedAsof(ev, os)
+      .collect().map(_.toString).toSeq
+    assert(plain.nonEmpty)
+    assert(plain === salted)
+  }
+
+  test("saltedAsof spreads a hot user over >1 task and stitches boundaries") {
+    val sess = spark
+    import sess.implicits._
+    // one bot user (id 1) holds 50% of all events, spread over 40 days;
+    // a quiet user (id 2) holds the rest. Orders are sparse: user 1
+    // orders on days 0 and 20 only — so most of user 1's events must
+    // take their match from an EARLIER day sub-range (the stitch path).
+    val day = 86400L
+    val hotEvents = (0 until 400).map { i =>
+      (1000L + i, 1L, new java.sql.Timestamp(((i % 40) * day + (i / 40) * 3600 + 1) * 1000L))
+    }
+    val coldEvents = (0 until 400).map { i =>
+      (5000L + i, 2L, new java.sql.Timestamp(((i % 40) * day + (i / 40) * 3600 + 1) * 1000L))
+    }
+    val events = (hotEvents ++ coldEvents).toDF("event_id", "user_id", "ts")
+    val orders = Seq(
+      (10L, 1L, new java.sql.Timestamp(0L)),
+      (11L, 1L, new java.sql.Timestamp(20 * day * 1000L)),
+      (12L, 2L, new java.sql.Timestamp(5 * day * 1000L))
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate")
+
+    // correctness incl. boundary stitch: match the plain-plan result
+    val plain = Joins.asofEvent(events, orders).collect().map(_.toString).toSeq
+    val salted = Skew.saltedAsof(events, orders).collect().map(_.toString).toSeq
+    assert(plain === salted)
+    // an event on day 19 (no local order that day) must carry day 0's
+    // order across 19 sub-range boundaries
+    val day19 = Skew.saltedAsof(events, orders)
+      .filter(col("event_id") === 1019L).collect().head
+    assert(day19.getLong(2) === 0L)
+
+    // skew spread: under the salted partitioning key (user, sub-range)
+    // the hot user's rows land in >1 shuffle partition; under the plain
+    // key (user) they collapse into one
+    val withW = events.withColumn("__w", floor(unix_timestamp(col("ts")) / day))
+    // explicit partition count: an un-numbered repartition is AQE-
+    // coalescable and collapses this tiny fixture back into one partition
+    val saltedPids = withW.repartition(4, col("user_id"), col("__w"))
+      .select(col("user_id"), spark_partition_id().as("pid"))
+      .filter(col("user_id") === 1L).select("pid").distinct().count()
+    val plainPids = events.repartition(4, col("user_id"))
+      .select(col("user_id"), spark_partition_id().as("pid"))
+      .filter(col("user_id") === 1L).select("pid").distinct().count()
+    assert(plainPids === 1L)
+    assert(saltedPids > 1L,
+      s"hot user still funnels through one task ($saltedPids partitions)")
+  }
+
   test("distributedRowNumber equals the single-task global window") {
     import org.apache.spark.sql.expressions.Window
     val orders = Tables.orders(spark, sf())
