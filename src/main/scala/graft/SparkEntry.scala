@@ -126,6 +126,7 @@ object SparkEntry {
     // --- dedup (LLM-pipeline) ---
     "dedup_exact" -> ((s, d) => DedupOps.exact(Tables.documents(s, d))),
     "dedup_exact_hash" -> ((s, d) => DedupOps.exactByHash(Tables.documents(s, d))),
+    "dedup_exact_normalized" -> ((s, d) => DedupOps.exactNormalized(Tables.documents(s, d))),
     "dedup_near_minhash" -> ((s, d) => DedupOps.nearMinhash(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => DedupOps.simhash(Tables.documents(s, d))),
     "dedup_simhash_pairs" -> ((s, d) => DedupOps.simhashPairs(Tables.documents(s, d))),
@@ -753,6 +754,17 @@ object SparkEntry {
     // dropped from BOTH candidate generation and the per-doc sizes —
     // semantics identical to DedupOps.ngramJaccard's finite default (a
     // no-op at sf0.01's 500 docs, where df can never exceed 500).
+    // keeper = lowest doc_id per NORMALIZED text (lower + whitespace
+    // collapse + trim), mirroring DedupOps.exactNormalized
+    "dedup_exact_normalized" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (
+        |      PARTITION BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        |      ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
     "dedup_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w

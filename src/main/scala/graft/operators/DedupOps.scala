@@ -85,6 +85,32 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** `dedup_exact_normalized`: the normalized-exact tier between raw
+    * exact dedup and near-dup — two documents differing only in case,
+    * whitespace runs, or leading/trailing space are duplicates (the
+    * standard first pass on web text, where boilerplate re-renders with
+    * cosmetic whitespace/case drift). Same row-shaped plan as
+    * [[exactByHash]] — constant-state count per normalized-text hash,
+    * min(doc_id) keeper per normalized text, nothing per-group ever
+    * materializes — with the normalization fused map-side into the hash
+    * input (one scan, no extra pass). */
+  def exactNormalized(documents: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val hashed = documents.select(col("doc_id"), xxhash64(norm).as("h"))
+    val multiH = hashed.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("h")
+    val singles = hashed.join(multiH, Seq("h"), "left_anti").select("doc_id")
+    val multiKeepers = documents
+      .join(hashed.join(multiH, Seq("h"), "left_semi").select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .groupBy(norm.as("norm")).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    documents
+      .join(singles.union(multiKeepers), Seq("doc_id"), "left_semi")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** `dedup_near_minhash`: near-duplicate clustering via shingling →
     * MinHash → banded LSH. Signature: `nHashes` minhashes over word
     * 3-shingles; bands of `rowsPerBand` hashes are hashed to a band key;

@@ -65,19 +65,23 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** Token counting with a BPE-ish regex split (word pieces + punctuation +
-    * whitespace runs), the usual pre-tokenizer shape. Oracled: the split
-    * uses lookarounds (not RE2-expressible), but the piece COUNT it
-    * produces equals |alnum runs| + |non-alnum non-space chars|, which
-    * DuckDB computes with two regexp_extract_all calls. */
-  def tokensBpe(documents: DataFrame): DataFrame = {
-    val pieces = filter(
-      split(col("text"), """(?=[^\p{L}\p{N}])|(?<=[^\p{L}\p{N}])"""),
-      t => t =!= "" && t =!= " ")
+  /** Token counting with BPE-pre-tokenizer piece semantics: a piece is an
+    * alnum run OR a single non-alnum non-space code point — so
+    * `n_pieces = |alnum runs| + |non-alnum non-space chars|`, computed
+    * with two `regexp_extract_all` counts. Earlier rounds used a
+    * lookaround `split` for the same count; that form splits non-BMP
+    * code points (emoji) BETWEEN their surrogate halves — two pieces
+    * where the oracle (RE2, code-point-based) counts one. The ASCII-ish
+    * sf0.01 corpus never exposed the divergence; the unicode fixture
+    * spec (OperatorSpec) now pins the code-point-correct behavior, and
+    * both engines literally run the same two-regex formula. */
+  def tokensBpe(documents: DataFrame): DataFrame =
     documents
-      .select(col("doc_id"), size(pieces).as("n_pieces"))
+      .select(col("doc_id"),
+        (size(regexp_extract_all(col("text"), lit("""[\p{L}\p{N}]+"""), lit(0))) +
+          size(regexp_extract_all(col("text"), lit("""[^\p{L}\p{N} ]"""), lit(0))))
+          .cast("int").as("n_pieces"))
       .orderBy("doc_id")
-  }
 
   /** `text_quality`: heuristic quality scoring — length, mean word length,
     * stopword ratio, alpha ratio. These are the standard cheap filters a

@@ -195,9 +195,17 @@ private class BusMicroBatchStream(subscription: String, bulkLimit: Int,
   override def createReaderFactory(): PartitionReaderFactory = new BusReaderFactory
 
   /** Engine calls this after the sink epoch is durable → ack the prefix.
-    * This IS the Acknowledger (`pubsub_pipeline.py:31-52`) with a WAL. */
+    * This IS the Acknowledger (`pubsub_pipeline.py:31-52`) with a WAL.
+    * A lost ack RPC must NOT fail the query: the source is at-least-once
+    * by contract, acks are monotone-cumulative, and the next successful
+    * commit covers the lost prefix (PipelineSpec "lost ack RPC" contract)
+    * — unlike the reference, whose bare-except swallow at the same spot
+    * leaves the message to redeliver as a duplicate. */
   override def commit(end: Offset): Unit =
-    InMemoryBus.commit(subscription, end.asInstanceOf[BusOffset].offset)
+    try InMemoryBus.commit(subscription, end.asInstanceOf[BusOffset].offset)
+    catch { case e: InMemoryBus.AckRpcError =>
+      System.err.println(s"[bus] ack lost on $subscription (will heal): ${e.getMessage}")
+    }
 
   override def stop(): Unit = ()
 }

@@ -41,10 +41,17 @@ object InMemoryBus {
   /** Transient, retryable pull failure (models DeadlineExceeded). */
   final class TransientPullError(msg: String) extends RuntimeException(msg)
 
+  /** Lost ack RPC (models the reference's bare-except swallow window,
+    * `pubsub_pipeline.py:48-52`: publish succeeded, ack never landed). */
+  final class AckRpcError(msg: String) extends RuntimeException(msg)
+
   private final class Subscription(val topic: String, val name: String) {
     val log = new ArrayBuffer[BusMessage]()
     var committed: Long = 0L
     var failPulls: Int = 0
+    var capPulls: Int = 0
+    var capPerPull: Long = Long.MaxValue
+    var failCommits: Int = 0
   }
 
   /** Non-transient publish failure (models a failed publish future —
@@ -53,6 +60,7 @@ object InMemoryBus {
 
   private val topics = new ConcurrentHashMap[String, ArrayBuffer[Subscription]]()
   private val failPublishes = new ConcurrentHashMap[String, Integer]()
+  private val publishGrace = new ConcurrentHashMap[String, Integer]()
   private val subs = new ConcurrentHashMap[String, Subscription]()
   private val idGen = new java.util.concurrent.atomic.AtomicLong(0L)
   // Deterministic logical clock for publishTime (no wall clock in tests).
@@ -76,10 +84,14 @@ object InMemoryBus {
   def publish(topic: String, data: Array[Byte],
               attributes: Map[String, String] = Map.empty): String = synchronized {
     createTopic(topic)
-    val remaining = failPublishes.getOrDefault(topic, 0)
-    if (remaining > 0) {
-      failPublishes.put(topic, remaining - 1)
-      throw new PublishError(s"injected publish failure on $topic")
+    val grace = publishGrace.getOrDefault(topic, 0)
+    if (grace > 0) publishGrace.put(topic, grace - 1)
+    else {
+      val remaining = failPublishes.getOrDefault(topic, 0)
+      if (remaining > 0) {
+        failPublishes.put(topic, remaining - 1)
+        throw new PublishError(s"injected publish failure on $topic")
+      }
     }
     val id = s"m-${idGen.incrementAndGet()}"
     val msg = BusMessage(data, id, clock.addAndGet(1000L), attributes)
@@ -100,7 +112,13 @@ object InMemoryBus {
       s.failPulls -= 1
       throw new TransientPullError(s"injected deadline-exceeded on $name")
     }
-    s.log.size.toLong
+    if (s.capPulls > 0) {
+      // partial pull: the service under-reports the backlog — fewer
+      // messages come back than are available (real Pub/Sub does this
+      // routinely; a correct client must keep pulling, not assume drained)
+      s.capPulls -= 1
+      math.min(s.log.size.toLong, s.committed + s.capPerPull)
+    } else s.log.size.toLong
   }
 
   /** Committed (acked) prefix offset. */
@@ -114,7 +132,28 @@ object InMemoryBus {
   /** Ack every message below `upTo` (idempotent, monotone). */
   def commit(name: String, upTo: Long): Unit = synchronized {
     val s = sub(name)
+    if (s.failCommits > 0) {
+      s.failCommits -= 1
+      throw new AckRpcError(s"injected ack-RPC loss on $name")
+    }
     s.committed = math.max(s.committed, upTo)
+  }
+
+  /** Inject `times` partial pulls: the next `times` backlog reads report
+    * at most `maxPerPull` messages past the acked prefix even when more
+    * are available (test hook, models a service-side partial response). */
+  def capNextPulls(name: String, maxPerPull: Long, times: Int): Unit = synchronized {
+    val s = sub(name)
+    s.capPerPull = maxPerPull
+    s.capPulls = times
+  }
+
+  /** Inject `n` ack-RPC failures: publish succeeded, the ack never lands —
+    * the reference's silent-swallow window (`pubsub_pipeline.py:48-52`).
+    * Because acks here are CUMULATIVE (monotone prefix), any later
+    * successful ack heals the lost one. */
+  def failNextCommits(name: String, n: Int): Unit = synchronized {
+    sub(name).failCommits = n
   }
 
   /** Test support: rewind a subscription's acked prefix — models "publish
@@ -154,6 +193,16 @@ object InMemoryBus {
     * publish future of reference test 2). */
   def failNextPublishes(topic: String, n: Int): Unit = synchronized {
     failPublishes.put(topic, n)
+    publishGrace.remove(topic)
+  }
+
+  /** Inject a MID-BATCH publish failure: the next `after` publishes
+    * succeed, then the following `n` fail — a batch dies with part of its
+    * output already in the log (test hook; the partial prefix is the
+    * §2-D duplicate window a replay must absorb). */
+  def failPublishesAfter(topic: String, after: Int, n: Int): Unit = synchronized {
+    publishGrace.put(topic, after)
+    failPublishes.put(topic, n)
   }
 
   /** All payloads currently in a subscription's log (test support). */
@@ -163,6 +212,7 @@ object InMemoryBus {
 
   /** Test support: drop all topics/subscriptions. */
   def reset(): Unit = synchronized {
-    topics.clear(); subs.clear(); failPublishes.clear(); publishedKeys.clear()
+    topics.clear(); subs.clear(); failPublishes.clear()
+    publishGrace.clear(); publishedKeys.clear()
   }
 }

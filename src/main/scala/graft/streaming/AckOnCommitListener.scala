@@ -37,6 +37,14 @@ private[streaming] final class AckOnCommitListener(
   private def ack(p: StreamingQueryProgress): Unit =
     p.sources.headOption.foreach { s =>
       Option(s.endOffset).map(_.trim).filter(_.nonEmpty)
-        .foreach(o => InMemoryBus.commit(sub, o.toLong))
+        .foreach { o =>
+          // a lost ack RPC is non-fatal by design: acks are cumulative,
+          // so the next batch's ack covers this prefix (the data itself
+          // is WAL-protected — no redelivery, no duplicate)
+          try InMemoryBus.commit(sub, o.toLong)
+          catch { case e: InMemoryBus.AckRpcError =>
+            System.err.println(s"[bus] ack lost on $sub (will heal): ${e.getMessage}")
+          }
+        }
     }
 }

@@ -59,6 +59,47 @@ class MultimodalSpec extends SparkSpec {
     r1.foreach(r => assert(small(r.media_id) <= r.byte_len))
   }
 
+  // Golden fixture: three tiny documents with every determinism-relevant
+  // property pinned (ids, text bytes, n_chars). The goldens below are md5
+  // hex digests of a canonical serialization of each op's FULL output on
+  // this fixture — a future real-codec swap (replacing fakeDecode) must
+  // change these in a reviewed commit, never silently.
+  private def goldenDocs = {
+    val sess = spark
+    import sess.implicits._
+    Seq(
+      (1L, "alpha bravo charlie delta echo", "en"),
+      (2L, "foxtrot golf hotel india juliet kilo", "en"),
+      (3L, "lima mike november oscar papa quebec romeo", "de"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("golden"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  private def md5(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  test("golden: features/resize/frames outputs are byte-pinned on the fixture") {
+    val media = MultimodalOps.attachMedia(goldenDocs)
+    val featStr = MultimodalOps.extractFeatures(media).collect().sortBy(_.media_id)
+      .map(f => s"${f.media_id}|${f.format}|${f.byte_len}|" +
+        f.features.map(v => f"$v%.6f").mkString(","))
+      .mkString("\n")
+    val resizeStr = MultimodalOps.resize(media, 8, 8).collect().sortBy(_.media_id)
+      .map(r => s"${r.media_id}|${r.width}|${r.height}|${r.byte_len}|${r.checksum}")
+      .mkString("\n")
+    val frameStr = MultimodalOps.sampleFrames(media, frameBytes = 8, stride = 2)
+      .collect().sortBy(r => (r.getLong(0), r.getInt(1)))
+      .map(r => s"${r.getLong(0)}|${r.getInt(1)}|" +
+        r.getAs[Array[Byte]](2).map("%02x".format(_)).mkString)
+      .mkString("\n")
+    assert(md5(featStr) === "f6d3560be623137cf26ce62e11209ac5")
+    assert(md5(resizeStr) === "426238f3ec812205bbf53903635bd94d")
+    assert(md5(frameStr) === "f79ee66e166f7c77d67b0ca2b782d91a")
+  }
+
   test("query surfaces return rows") {
     val docs = Tables.documents(spark, sf())
     assert(MultimodalOps.features(docs).count() === 500)

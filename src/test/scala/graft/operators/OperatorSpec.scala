@@ -24,6 +24,18 @@ class OperatorSpec extends SparkSpec {
     assert(out.toSeq === Seq(2L, 9L))
   }
 
+  test("dedup_exact_normalized collapses case/whitespace variants, keeps lowest id") {
+    val df = docs(
+      5L -> "Hello  World",
+      2L -> "hello world",
+      3L -> " hello\tworld ",
+      9L -> "different text")
+    val out = DedupOps.exactNormalized(df).collect().map(_.getLong(0))
+    assert(out.toSeq === Seq(2L, 9L))
+    // plain exact keeps all four — the normalization is what merges them
+    assert(DedupOps.exact(df).count() === 4)
+  }
+
   test("dedup_exact_hash matches exact() on planted duplicates") {
     val df = docs(5L -> "a b c", 2L -> "a b c", 9L -> "x y z", 4L -> "a b c")
     val viaHash = DedupOps.exactByHash(df).collect().map(_.getLong(0)).toSeq
@@ -89,6 +101,40 @@ class OperatorSpec extends SparkSpec {
     assert(DedupOps.ngramJaccard(df, tau = 0.5).count() === 1)
     // every shared shingle has df=2 — a df cap of 1 suppresses the pair
     assert(DedupOps.ngramJaccard(df, tau = 0.5, maxDf = 1).count() === 0)
+  }
+
+  test("tokensBpe agrees with the oracle formula beyond ASCII (CJK/emoji/accents/marks)") {
+    // the oracle re-expresses the lookaround split's piece count as
+    // |alnum runs| + |non-alnum non-space chars|. At sf0.01 the corpus is
+    // ASCII-ish; this pins the agreement on the unicode classes where the
+    // two formulations could diverge: CJK (letters — a run with no spaces
+    // is ONE piece), non-BMP emoji (one CODE POINT each, not two
+    // surrogates), precomposed vs combining accents (combining marks are
+    // \p{M}, not \p{L} — their own piece in both engines).
+    val rows = Seq(
+      1L -> "café naïve",          // precomposed accents: 2 runs
+      2L -> "café latte",              // combining mark: cafe + ́ + latte = 3
+      3L -> "日本語のテキスト", // CJK run, no spaces: 1
+      4L -> "hello 👋 world 🌍!", // 2 runs + 👋 🌍 ! = 5
+      5L -> "C'était 中文 test", // C + ' + était + 中文 + test = 5
+      6L -> "１２３ abc")         // fullwidth digits are \p{N}: 2 runs
+    val expectedByHand = Map(1L -> 2, 2L -> 3, 3L -> 1, 4L -> 5, 5L -> 5, 6L -> 2)
+    // independent recomputation of the ORACLE's two-regex formula
+    val runRe = java.util.regex.Pattern.compile("""[\p{L}\p{N}]+""")
+    val loneRe = java.util.regex.Pattern.compile("""[^\p{L}\p{N} ]""")
+    def oracleCount(s: String): Int = {
+      def n(p: java.util.regex.Pattern) = {
+        val m = p.matcher(s); var c = 0; while (m.find()) c += 1; c
+      }
+      n(runRe) + n(loneRe)
+    }
+    rows.foreach { case (id, s) =>
+      assert(oracleCount(s) === expectedByHand(id),
+        s"oracle formula disagrees with hand count for doc $id: '$s'")
+    }
+    val spark_ = TextOps.tokensBpe(docs(rows: _*))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(spark_ === expectedByHand)
   }
 
   test("dedup_simhash: identical texts get identical fingerprints, disjoint texts differ") {

@@ -522,4 +522,89 @@ class PipelineSpec extends SparkSpec {
     // the batch still acks fully: gating drops rows, not messages
     assert(awaitCommitted(inSub, 2) === 2)
   }
+
+  test("fault: partial pull under-reports the backlog — drain what was reported, pick up the rest, no loss") {
+    val (inTopic, inSub, outTopic, outSub) = fresh("f1")
+    (1 to 10).foreach(i => InMemoryBus.publish(inTopic,
+      s"""{"data":"m$i","nested":{"nestedData":"x"}}""".getBytes(UTF_8)))
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    def pipe() = new Pipeline(spark, inSub, outTopic, JsonSerde(payloadSchema),
+      df => df.select(col("payload.*")), ckpt)
+    // the service answers the next pull with only 3 messages past the
+    // acked prefix, though 10 are available (real Pub/Sub behavior); the
+    // bounded run snapshots its end from that one partial answer
+    InMemoryBus.capNextPulls(inSub, 3, 1)
+    val q1 = pipe().start(availableNow = true)
+    q1.awaitTermination(60000)
+    // the bounded run drains exactly what the service reported and acks
+    // exactly that — never more than was seen, never a phantom ack
+    val afterFirst = awaitCommitted(inSub, 3)
+    assert(afterFirst >= 3 && afterFirst < 10)
+    assert(InMemoryBus.payloads(outSub).size === afterFirst)
+    // the next run picks up the remainder: no loss, no duplicates
+    val q2 = pipe().start(availableNow = true)
+    q2.awaitTermination(60000)
+    assert(InMemoryBus.payloads(outSub).map(new String(_, UTF_8)).sorted
+      === (1 to 10).map(i => s"""{"data":"m$i","nested":{"nestedData":"x"}}""").sorted)
+    assert(awaitCommitted(inSub, 10) === 10)
+  }
+
+  test("fault: publish dies mid-batch — partial prefix is the §2-D window; idempotent keys absorb it") {
+    val (inTopic, inSub, outTopic, outSub) = fresh("f2")
+    (1 to 6).foreach(i => InMemoryBus.publish(inTopic,
+      s"""{"data":"m$i","nested":{"nestedData":"x"}}""".getBytes(UTF_8)))
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    def pipe() = new Pipeline(spark, inSub, outTopic, JsonSerde(payloadSchema),
+      df => df.select(col("payload.*")), ckpt, 20, idempotent = true)
+    // 3 publishes land, then the publisher dies: the batch fails with a
+    // partial prefix already in the output log
+    InMemoryBus.failPublishesAfter(outTopic, after = 3, n = 100)
+    val q1 = pipe().start(availableNow = true)
+    intercept[Exception] { q1.awaitTermination(60000) }
+    Thread.sleep(500)
+    // no ack for a failed batch, whatever got published before the death
+    assert(InMemoryBus.committedOffset(inSub) === 0)
+    val partial = InMemoryBus.payloads(outSub).size
+    assert(partial <= 3, s"more than the injected grace published: $partial")
+    // bus recovers; restart replays the batch — the already-published
+    // prefix is absorbed by its idempotence keys, the rest lands once
+    InMemoryBus.failNextPublishes(outTopic, 0)
+    val q2 = pipe().start(availableNow = true)
+    q2.awaitTermination(60000)
+    assert(InMemoryBus.payloads(outSub).map(new String(_, UTF_8)).sorted
+      === (1 to 6).map(i => s"""{"data":"m$i","nested":{"nestedData":"x"}}""").sorted,
+      "mid-batch replay lost or duplicated rows")
+    assert(awaitCommitted(inSub, 6) === 6)
+  }
+
+  test("fault: lost ack RPC after successful publish — healed by the next batch's cumulative ack") {
+    // the reference swallows ack errors in a bare except
+    // (pubsub_pipeline.py:48-52): the message redelivers later and the
+    // pipeline emits a duplicate. Here the checkpoint WAL prevents the
+    // redelivery and the MONOTONE prefix ack heals the lost RPC on the
+    // next batch — no duplicate, no permanently-unacked prefix.
+    val (inTopic, inSub, outTopic, outSub) = fresh("f3")
+    (1 to 4).foreach(i => InMemoryBus.publish(inTopic,
+      s"""{"data":"m$i","nested":{"nestedData":"x"}}""".getBytes(UTF_8)))
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    def pipe() = new Pipeline(spark, inSub, outTopic, JsonSerde(payloadSchema),
+      df => df.select(col("payload.*")), ckpt)
+    InMemoryBus.failNextCommits(inSub, 1)
+    val q1 = pipe().start(availableNow = true)
+    q1.awaitTermination(60000)
+    Thread.sleep(1000) // let the async listener hit the injected failure
+    // published, but the ack RPC was lost
+    assert(InMemoryBus.payloads(outSub).size === 4)
+    assert(InMemoryBus.committedOffset(inSub) === 0)
+    // next traffic + next run: batch 0 is NOT re-published (WAL), and the
+    // new batch's cumulative ack covers the lost prefix
+    (5 to 6).foreach(i => InMemoryBus.publish(inTopic,
+      s"""{"data":"m$i","nested":{"nestedData":"x"}}""".getBytes(UTF_8)))
+    val q2 = pipe().start(availableNow = true)
+    q2.awaitTermination(60000)
+    assert(InMemoryBus.payloads(outSub).map(new String(_, UTF_8)).sorted
+      === (1 to 6).map(i => s"""{"data":"m$i","nested":{"nestedData":"x"}}""").sorted,
+      "lost-ack recovery duplicated or dropped rows")
+    assert(awaitCommitted(inSub, 6) === 6)
+  }
 }

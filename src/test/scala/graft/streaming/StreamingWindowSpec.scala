@@ -301,4 +301,73 @@ class StreamingWindowSpec extends SparkSpec {
         "unmatched impression should emit with null click side after expiry")
     } finally q.stop()
   }
+
+  test("two watermarked bus streams join end to end; expiry survives checkpoint resume") {
+    import graft.sources.{BusProvider, InMemoryBus}
+    val id = java.util.UUID.randomUUID().toString.take(8)
+    val impTopic = s"ss-imp-$id"; val impSub = s"ss-impsub-$id"
+    val clkTopic = s"ss-clk-$id"; val clkSub = s"ss-clksub-$id"
+    val outTopic = s"ss-out-$id"; val outSub = s"ss-outsub-$id"
+    Seq(impTopic -> impSub, clkTopic -> clkSub, outTopic -> outSub).foreach {
+      case (t, s) => InMemoryBus.createTopic(t); InMemoryBus.createSubscription(t, s)
+    }
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("ad", "long").add("ts", "string")
+    def msg(ad: Long, t: String) = s"""{"ad":$ad,"ts":"$t"}""".getBytes("UTF-8")
+    def busStream(sub: String) = spark.readStream.format(BusProvider.format)
+      .option("subscription", sub).load()
+      .select(from_json(col("value").cast("string"), schema).as("p"))
+    val ckpt = java.nio.file.Files.createTempDirectory("ssjoin-ckpt").toString
+
+    def runDrain(): Unit = {
+      val imps = busStream(impSub)
+        .select(col("p.ad").as("ad_id"), col("p.ts").cast("timestamp").as("imp_ts"))
+        .withWatermark("imp_ts", "10 minutes")
+      val clicks = busStream(clkSub)
+        .select(col("p.ad").as("c_ad_id"), col("p.ts").cast("timestamp").as("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+      val q = imps.join(clicks,
+          col("ad_id") === col("c_ad_id") &&
+            col("click_ts") >= col("imp_ts") &&
+            col("click_ts") <= col("imp_ts") + expr("INTERVAL 10 MINUTES"))
+        .select(to_json(struct(col("ad_id"),
+          date_format(col("click_ts"), "HH:mm").as("click"))).as("j"))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val topic = outTopic
+          batch.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+            rows.foreach(r => InMemoryBus.publish(topic, r.getString(0).getBytes("UTF-8")))
+          }
+        }
+        .start()
+      q.awaitTermination(60000)
+    }
+
+    // run 1: one in-window match, one no-impression click, then traffic
+    // that pushes BOTH watermarks past 00:10 (state for ad 1 expires)
+    InMemoryBus.publish(impTopic, msg(1L, "2024-01-01 00:00:00"))
+    InMemoryBus.publish(clkTopic, msg(1L, "2024-01-01 00:05:00"))
+    InMemoryBus.publish(clkTopic, msg(2L, "2024-01-01 00:06:00"))
+    InMemoryBus.publish(impTopic, msg(91L, "2024-01-01 01:00:00"))
+    InMemoryBus.publish(clkTopic, msg(92L, "2024-01-01 01:00:00"))
+    runDrain()
+    assert(InMemoryBus.payloads(outSub).map(new String(_, "UTF-8"))
+      === Seq("""{"ad_id":1,"click":"00:05"}"""))
+
+    // run 2 (same checkpoint): the restored watermark is past 00:10, so a
+    // replayed in-window click for ad 1 is older than the watermark —
+    // dropped on input, NOT joined (its partner's state already expired);
+    // a fresh in-window pair proves the join is live after the resume
+    InMemoryBus.publish(clkTopic, msg(1L, "2024-01-01 00:07:00"))
+    InMemoryBus.publish(impTopic, msg(7L, "2024-01-01 01:02:00"))
+    InMemoryBus.publish(clkTopic, msg(7L, "2024-01-01 01:06:00"))
+    runDrain()
+    val out2 = InMemoryBus.payloads(outSub).map(new String(_, "UTF-8"))
+    assert(out2.sorted === Seq(
+      """{"ad_id":1,"click":"00:05"}""",
+      """{"ad_id":7,"click":"01:06"}""").sorted,
+      s"late click must expire, fresh pair must join: $out2")
+  }
 }
