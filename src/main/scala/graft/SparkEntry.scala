@@ -178,6 +178,11 @@ object SparkEntry {
     "join_skew_salted" -> ((s, d) =>
       Joins.skewSalted(Tables.lineitem(s, d), Tables.orders(s, d))),
     "pipeline_corpus_full" -> ((s, d) => CorpusOps.corpusFull(Tables.documents(s, d))),
+    "text_dup_spans" -> ((s, d) => CorpusOps.dupSpans(Tables.documents(s, d))),
+    "filter_dup_spans" -> ((s, d) => CorpusOps.filterDupSpans(Tables.documents(s, d))),
+    "sample_temperature" -> ((s, d) => CorpusOps.sampleTemperature(Tables.documents(s, d))),
+    "text_ppl_buckets" -> ((s, d) => CorpusOps.pplBuckets(Tables.documents(s, d))),
+    "corpus_funnel" -> ((s, d) => CorpusOps.corpusFunnel(Tables.documents(s, d))),
     // --- retrieval (LLM-pipeline) ---
     "retrieval_bm25" -> ((s, d) => RetrievalOps.bm25(Tables.documents(s, d))),
     "pipeline_chunk_overlap" -> ((s, d) => RetrievalOps.chunkOverlap(Tables.documents(s, d))),
@@ -1083,6 +1088,131 @@ object SparkEntry {
         |  CAST(CAST(SUM(cnt) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_freq
         |FROM grams JOIN counts USING (gram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // inter-document duplicated-span profile; distinct trigram STRINGS
+    // mirror the Spark side's distinct trigram hashes (collision-free at
+    // any realistic span-set size)
+    "text_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        |        FROM toks WHERE len(w) >= 3) u
+        |),
+        |df AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh)
+        |SELECT s.doc_id, COUNT(*) AS n_spans,
+        |  CAST(SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+        |  CAST(CAST(SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |    / COUNT(*) AS dup_frac
+        |FROM sh s JOIN df USING (sh)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    "filter_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        |        FROM toks WHERE len(w) >= 3) u
+        |),
+        |df AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+        |per AS (
+        |  SELECT s.doc_id,
+        |    CAST(SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS f
+        |  FROM sh s JOIN df USING (sh) GROUP BY s.doc_id
+        |)
+        |SELECT d.doc_id, d.lang, d.source FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM per WHERE f > 0.5)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // byte-weighted temperature rebalancing: sqrt is IEEE-correctly
+    // rounded in both engines and 65536 is a power of two, so the hex
+    // threshold string is cross-engine exact; the min-bytes source
+    // compares against 'zzzz' (keep-all)
+    "sample_temperature" ->
+      """WITH c AS (
+        |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS b_s
+        |  FROM documents GROUP BY source
+        |),
+        |m AS (SELECT MIN(b_s) AS b_min FROM c),
+        |r AS (
+        |  SELECT source,
+        |    CASE WHEN b_s = (SELECT b_min FROM m) THEN 'zzzz'
+        |         ELSE printf('%04x', CAST(floor(
+        |           sqrt(CAST((SELECT b_min FROM m) AS DOUBLE) / b_s) * 65536)
+        |           AS INTEGER)) END AS thr
+        |  FROM c
+        |)
+        |SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+        |WHERE substring(md5(d.text), 1, 4) < r.thr
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // CCNet-style head/middle/tail split over the bigram LM score;
+    // (score DESC, doc_id) order makes ntile ties cross-engine stable
+    "text_ppl_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |  FROM documents
+        |),
+        |grams AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        |        FROM toks WHERE len(w) >= 2) u
+        |),
+        |counts AS (SELECT gram, COUNT(*) AS cnt FROM grams GROUP BY gram),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(SUM(cnt) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_freq
+        |  FROM grams JOIN counts USING (gram) GROUP BY doc_id
+        |)
+        |SELECT s.doc_id, d.lang, s.avg_freq,
+        |  CAST(ntile(3) OVER (PARTITION BY d.lang ORDER BY s.avg_freq DESC, s.doc_id)
+        |    AS INTEGER) AS ppl_bucket
+        |FROM scored s JOIN documents d USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
+
+    // sequential quality-rule attrition report; rule booleans mirror the
+    // Spark expressions term for term
+    "corpus_funnel" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS wl
+        |  FROM documents
+        |),
+        |g AS (
+        |  SELECT doc_id, wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] AS g
+        |  FROM (SELECT doc_id, wl, unnest(range(1, len(wl) - 1)) AS i
+        |        FROM toks WHERE len(wl) >= 3) u
+        |),
+        |rep AS (SELECT doc_id, COUNT(*) > COUNT(DISTINCT g) AS r FROM g GROUP BY doc_id),
+        |t AS (
+        |  SELECT
+        |    len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS nw,
+        |    d.n_chars AS nc,
+        |    CAST(length(replace(d.text, ' ', '')) AS DOUBLE) AS nsp,
+        |    COALESCE(rep.r, FALSE) AS r
+        |  FROM documents d LEFT JOIN rep USING (doc_id)
+        |),
+        |f AS (
+        |  SELECT COUNT(*) AS total,
+        |    CAST(SUM(CASE WHEN NOT (nw >= 15) THEN 1 ELSE 0 END) AS BIGINT) AS rm1,
+        |    CAST(SUM(CASE WHEN nw >= 15 AND NOT (nc >= 100) THEN 1 ELSE 0 END) AS BIGINT) AS rm2,
+        |    CAST(SUM(CASE WHEN nw >= 15 AND nc >= 100 AND NOT (nsp / nw < 4.75)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS rm3,
+        |    CAST(SUM(CASE WHEN nw >= 15 AND nc >= 100 AND nsp / nw < 4.75 AND r
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS rm4
+        |  FROM t
+        |)
+        |SELECT 0 AS stage, 'input' AS rule, CAST(0 AS BIGINT) AS removed, total AS remaining FROM f
+        |UNION ALL SELECT 1, 'min_words', rm1, total - rm1 FROM f
+        |UNION ALL SELECT 2, 'min_chars', rm2, total - rm1 - rm2 FROM f
+        |UNION ALL SELECT 3, 'avg_word_len', rm3, total - rm1 - rm2 - rm3 FROM f
+        |UNION ALL SELECT 4, 'no_repetition', rm4, total - rm1 - rm2 - rm3 - rm4 FROM f
+        |ORDER BY stage""".stripMargin,
 
     // duplicate-trigram ratio; trigram multiset matches the ngrams expr
     "text_repetition" ->

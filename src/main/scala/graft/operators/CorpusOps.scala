@@ -362,4 +362,156 @@ object CorpusOps {
       .select("doc_id", "n_words")
       .orderBy("doc_id")
   }
+
+  /** `text_dup_spans`: the inter-document duplicated-span profile — for
+    * each document, how many of its distinct word k-grams appear in at
+    * least one OTHER document, and the resulting duplicated fraction.
+    * This is the span-level duplication signal (the doc-level
+    * complement of `text_repetition`'s within-doc ratio): a document
+    * whose spans are mostly shared is boilerplate even when no single
+    * whole-text duplicate exists.
+    *
+    * Scale shape: per-doc `array_distinct` happens map-side BEFORE the
+    * explode, so each document contributes each span hash once; the
+    * only shuffled rows are (8-byte span hash, 8-byte doc_id) pairs and
+    * the df aggregation is constant-state count — no id lists, no
+    * arrays, no text on the wire. Two hash-partitioned shuffles total
+    * (df count + count re-join), the same shape `text_lm_score` uses.
+    * The oracle counts gram STRINGS (DuckDB lacks xxhash64); identical
+    * modulo 64-bit collisions. */
+  def dupSpans(documents: DataFrame, k: Int = 3): DataFrame = {
+    val sh = documents.select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.ShingleExpressions.shingleHashes(lower(col("text")), k))).as("sh"))
+    val dfCounts = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.join(dfCounts, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum((col("df") > 1).cast("long")).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        (col("n_dup_spans").cast("double") / col("n_spans")).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** `filter_dup_spans`: drop documents whose duplicated-span fraction
+    * (from [[dupSpans]]) exceeds `maxFrac` — the filter form of the
+    * span profile, the pass a crawl pipeline runs to shed
+    * boilerplate-heavy pages that survive whole-document dedup.
+    * Documents too short to have any k-gram carry no signal and are
+    * kept. The over-threshold set is doc_id-only (8 bytes/row), so the
+    * final anti-join never moves text. */
+  def filterDupSpans(documents: DataFrame, maxFrac: Double = 0.5, k: Int = 3): DataFrame = {
+    val heavy = dupSpans(documents, k)
+      .filter(col("dup_frac") > maxFrac)
+      .select("doc_id")
+    documents.join(heavy, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  /** `sample_temperature`: temperature-based source rebalancing — the
+    * multilingual/multi-domain pass that flattens a skewed corpus
+    * toward uniform before training. Target weights follow
+    * p_s ∝ bytes_s^α (α = 0.5 here); realized by downsampling each
+    * source at rate √(bytes_min / bytes_s), so the smallest source is
+    * kept whole and every other source is shrunk toward it. Weights are
+    * BYTE-weighted (sum of n_chars), the unit corpus mixtures are
+    * actually specified in — doc counts hide document-length skew.
+    *
+    * Determinism/scale: per-source rates come from one tiny aggregate
+    * (|sources| rows, broadcast back); the keep decision is the same
+    * md5-prefix mechanism as `sample_mixture` — map-only at scan speed,
+    * no shuffle of the corpus itself. √ is IEEE-correctly-rounded in
+    * both engines and 65536 is a power of two, so the hex threshold is
+    * cross-engine exact; the smallest source compares against 'zzzz'
+    * (> every hex digit), i.e. keep-all. */
+  def sampleTemperature(documents: DataFrame): DataFrame = {
+    val counts = documents.groupBy("source").agg(sum(col("n_chars")).as("b_s"))
+    val bMin = counts.agg(min(col("b_s")).as("b_min"))
+    val rates = counts.crossJoin(broadcast(bMin))
+      .withColumn("thr",
+        when(col("b_s") === col("b_min"), lit("zzzz"))
+          .otherwise(format_string("%04x",
+            floor(sqrt(col("b_min").cast("double") / col("b_s")) * 65536).cast("int"))))
+      .select("source", "thr")
+    documents.join(broadcast(rates), "source")
+      .filter(substring(md5(col("text")), 1, 4) < col("thr"))
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
+  /** `text_ppl_buckets`: head/middle/tail corpus partitioning by LM
+    * score — the CCNet-style split that routes the most-fluent third of
+    * each language to training and quarantines the tail. Score is
+    * [[lmScore]]'s corpus-bigram average frequency (higher = more
+    * typical); bucket 1 = head. Bucketing is per-language ntile with a
+    * deterministic (score, doc_id) order so ties are stable cross-engine.
+    *
+    * Scale shape: the scoring passes are `text_lm_score`'s (hash-only
+    * shuffles); the final window shuffles one (doc_id, lang, double)
+    * row per doc partitioned by language. Languages are few and large —
+    * at extreme per-language cardinality this reroutes through
+    * [[Skew.distributedNtileDense]] exactly like `window_ntile_dense`;
+    * the declarative form here IS the oracle-checked semantics. */
+  def pplBuckets(documents: DataFrame, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = lmScore(documents).select("doc_id", "avg_freq")
+    val w = Window.partitionBy("lang").orderBy(col("avg_freq").desc, col("doc_id"))
+    scored.join(documents.select("doc_id", "lang"), "doc_id")
+      .withColumn("ppl_bucket", ntile(n).over(w))
+      .select("doc_id", "lang", "avg_freq", "ppl_bucket")
+      .orderBy("doc_id")
+  }
+
+  /** `corpus_funnel`: the per-rule attrition report every production
+    * quality pipeline logs — rules applied in sequence, one output row
+    * per stage with how many documents that stage removed and how many
+    * remain. Stages: minimum word count → minimum length → average
+    * word length band → zero within-doc trigram repetition. The report
+    * is what makes a filter cascade debuggable (which rule ate the
+    * corpus?) and is the shape quality-filter papers publish.
+    *
+    * Scale shape: every rule is a map-side boolean over one scan (word
+    * counts and lengths are expressions; the repetition ratio is the
+    * compiled n-gram kernel — no shuffle), folded into ONE global
+    * aggregate of conditional counts; the 5-row funnel is exploded from
+    * that single row driver-side. One pass over the corpus, one
+    * all-integer aggregation row on the wire. */
+  def corpusFunnel(documents: DataFrame, minWords: Int = 15, minChars: Int = 100,
+                   maxAvgWordLen: Double = 4.75): DataFrame = {
+    val nWords = size(words(col("text")))
+    val grams = graft.functions.ShingleExpressions.ngrams(lower(col("text")), 3)
+    val rep = size(col("__g")) > size(array_distinct(col("__g")))
+    val staged = documents
+      .select(col("n_chars"), nWords.as("__nw"), grams.as("__g"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double")).as("__nsp"))
+      .select(
+        col("__nw") >= minWords,
+        col("n_chars") >= minChars,
+        col("__nsp") / col("__nw") < maxAvgWordLen,
+        !rep)
+      .toDF("s1", "s2", "s3", "s4")
+    val agg = staged.agg(
+      count(lit(1)).as("total"),
+      sum((!col("s1")).cast("long")).as("rm1"),
+      sum((col("s1") && !col("s2")).cast("long")).as("rm2"),
+      sum((col("s1") && col("s2") && !col("s3")).cast("long")).as("rm3"),
+      sum((col("s1") && col("s2") && col("s3") && !col("s4")).cast("long")).as("rm4"))
+    agg.select(explode(array(
+        struct(lit(0).as("stage"), lit("input").as("rule"),
+          lit(0L).as("removed"), col("total").as("remaining")),
+        struct(lit(1).as("stage"), lit("min_words").as("rule"),
+          col("rm1").as("removed"), (col("total") - col("rm1")).as("remaining")),
+        struct(lit(2).as("stage"), lit("min_chars").as("rule"),
+          col("rm2").as("removed"), (col("total") - col("rm1") - col("rm2")).as("remaining")),
+        struct(lit(3).as("stage"), lit("avg_word_len").as("rule"),
+          col("rm3").as("removed"),
+          (col("total") - col("rm1") - col("rm2") - col("rm3")).as("remaining")),
+        struct(lit(4).as("stage"), lit("no_repetition").as("rule"),
+          col("rm4").as("removed"),
+          (col("total") - col("rm1") - col("rm2") - col("rm3") - col("rm4")).as("remaining"))
+      )).as("f"))
+      .select(col("f.stage"), col("f.rule"), col("f.removed"), col("f.remaining"))
+      .orderBy("stage")
+  }
 }

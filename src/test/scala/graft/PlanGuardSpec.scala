@@ -55,6 +55,29 @@ class PlanGuardSpec extends SparkSpec {
       s"no df-count aggregate below the collect_list — index arrays unbounded:\n$plan")
   }
 
+  test("dupSpans stays row-shaped: distinct spans map-side, no id lists, no text re-shuffle") {
+    // the span profile must shuffle only (span hash, doc_id) pairs: the
+    // per-doc distinct happens in the array BEFORE the explode, and both
+    // aggregates (df count, per-doc counts) are constant-state.
+    val plan = CorpusOps.dupSpans(docs).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("collect_list") && !plan.contains("collect_set"),
+      s"per-group collection aggregate in dupSpans plan:\n$plan")
+    assert(plan.contains("array_distinct"),
+      s"per-doc span dedup must happen map-side (array_distinct before explode):\n$plan")
+    // the filter form only ever joins doc_id-keyed relations back
+    val fPlan = CorpusOps.filterDupSpans(docs).queryExecution.optimizedPlan.toString
+    assert(fPlan.contains("LeftAnti"), s"filter form must anti-join on doc_id:\n$fPlan")
+  }
+
+  test("sampleTemperature is map-only over the corpus scan plus a broadcast rate table") {
+    // the corpus never shuffles: rates come from one tiny per-source
+    // aggregate joined back by broadcast; the keep decision is a scan
+    // filter.
+    val plan = CorpusOps.sampleTemperature(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rate table must broadcast back, not shuffle the corpus:\n$plan")
+  }
+
   test("custom expressions run inside whole-stage codegen, not interpreted fallback") {
     val scored = docs.select(
       ShingleExpressions.minHashSignature(

@@ -301,4 +301,69 @@ class OperatorSpec extends SparkSpec {
     // hello , world ! a - b → 7 pieces
     assert(n === 7)
   }
+
+  test("text_dup_spans counts spans shared across documents, filter drops boilerplate") {
+    val df = docs(
+      1L -> "the quick brown fox jumps",   // trigrams: 3, shares "the quick brown" with doc 2
+      2L -> "the quick brown cat sits",    // 3 trigrams, 1 shared
+      3L -> "completely unrelated words here now") // 3 trigrams, 0 shared
+    val prof = CorpusOps.dupSpans(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(prof(1L) === (3L, 1L))
+    assert(prof(2L) === (3L, 1L))
+    assert(prof(3L) === (3L, 0L))
+    // maxFrac 0.3 drops the two docs with 1/3 of spans shared
+    val kept = CorpusOps.filterDupSpans(df, maxFrac = 0.3).collect().map(_.getLong(0))
+    assert(kept.toSeq === Seq(3L))
+    // short docs (no trigram) carry no signal and are kept
+    val short = docs(7L -> "one two", 8L -> "one two")
+    assert(CorpusOps.filterDupSpans(short).count() === 2)
+  }
+
+  test("sample_temperature keeps the smallest source whole and downsamples larger ones") {
+    val sess = spark
+    import sess.implicits._
+    val rows =
+      (1L to 10L).map(i => (i, s"small doc $i", "en", "tiny")) ++
+      (100L to 400L).map(i => (i, s"big corpus document number $i with more text", "en", "huge"))
+    val df = rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = CorpusOps.sampleTemperature(df)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("tiny") === 10L) // min-bytes source: kept whole
+    // rate for huge ≈ sqrt(b_tiny/b_huge) ≪ 1; allow sampling noise but
+    // require a real reduction
+    assert(out("huge") < 150L && out("huge") > 0L)
+  }
+
+  test("text_ppl_buckets is balanced per language and head-scores dominate tail-scores") {
+    val df = Tables.documents(spark, sf())
+    val out = CorpusOps.pplBuckets(df).cache()
+    val sizes = out.groupBy("lang", "ppl_bucket").count().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2))).toMap
+    sizes.values.foreach { s =>
+      assert(s.max - s.min <= 1, s"ntile buckets must be balanced, got ${s.toSeq}")
+    }
+    val byBucket = out.groupBy("ppl_bucket").agg(avg("avg_freq")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(byBucket(1) > byBucket(3), "head bucket must out-score the tail")
+    out.unpersist()
+  }
+
+  test("corpus_funnel stages are sequential: removed counts sum, remaining is monotone") {
+    // one doc per failure mode, in stage order, plus one clean survivor
+    val df = docs(
+      1L -> "too short",                                        // fails min_words
+      2L -> Seq.fill(20)("a").mkString(" "),                    // 20 words, 39 chars: fails min_chars
+      3L -> Seq.fill(16)("extraordinarily").mkString(" "),      // avg word len 15: fails band
+      4L -> ("x y z " * 8 + "x y z"),                           // repeated trigrams
+      5L -> (1 to 20).map(i => s"w$i").mkString(" "))           // clean survivor
+    val rows = CorpusOps.corpusFunnel(df, minWords = 15, minChars = 50, maxAvgWordLen = 8.0)
+      .collect()
+    val remaining = rows.map(_.getLong(3))
+    assert(rows.map(_.getInt(0)).toSeq === Seq(0, 1, 2, 3, 4))
+    assert(remaining.zip(remaining.tail).forall { case (a, b) => b <= a })
+    assert(rows.map(_.getLong(2)).sum === 5L - remaining.last)
+  }
 }
