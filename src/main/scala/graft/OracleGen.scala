@@ -95,4 +95,69 @@ object OracleGen {
        |WHERE round(list_dot_product(a.e, b2.e) /
        |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b2.e, b2.e))), 6) >= $tau
        |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- simhash oracles ------------------------------------------------
+  // The simhash token hash is a codepoint polynomial mod 2³¹−1 expanded
+  // to 64 bits by four pinned multiplicative mixers
+  // (ShingleKernels.simHash64 — designed so this SQL can exist). `ths`
+  // below is the per-document list of token polynomial hashes; each
+  // fingerprint bit is an independent ±1 vote sum over that list.
+
+  /** Per-document token-hash list over `lower(text)` — tracks
+    * ShingleKernels.simHash64's tokenization (split on single spaces,
+    * empty tokens dropped) and polynomial (a₀=7, ×31 mod 2147483647 over
+    * codepoints). */
+  private val tokenHashes: String =
+    """list_transform(
+      |    list_filter(string_split(lower(text), ' '), x -> x <> ''),
+      |    wd -> list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |            list_transform(string_split_regex(wd, ''), c -> CAST(ord(c) AS BIGINT))),
+      |          (a, c) -> (a * 31 + c) % 2147483647))""".stripMargin
+
+  /** The signed-64-bit fingerprint from a token-hash list column `ths`:
+    * bit b set iff the vote sum over tokens of (bit (b mod 16) of
+    * (hash · mixer(b div 16)) mod P) is positive. Bit 63 contributes
+    * −2⁶³ (two's complement) so the BIGINT equals Spark's Long exactly. */
+  private def fingerprintSql(ths: String): String =
+    (0 until 64).map { b =>
+      val m = graft.functions.ShingleKernels.SimMixers(b / 16)
+      val pow = 1L << (b % 16)
+      val vote = s"list_sum(list_transform($ths, a -> " +
+        s"CASE WHEN (((((a * a) % 2147483647) * $m) % 2147483647 // $pow) % 2) = 1 " +
+        "THEN 1 ELSE -1 END))"
+      val bitVal = if (b == 63) "-9223372036854775808" else (1L << b).toString
+      s"(CASE WHEN $vote > 0 THEN CAST($bitVal AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("(", "\n  + ", ")")
+
+  /** Oracle for `dedup_simhash` — exact fingerprint equality. */
+  def simhashSql(): String =
+    s"""WITH th AS (SELECT doc_id, $tokenHashes AS ths FROM documents)
+       |SELECT doc_id, ${fingerprintSql("ths")} AS simhash
+       |FROM th ORDER BY doc_id""".stripMargin
+
+  /** Oracle for `dedup_simhash_pairs` (4 bands × 16 bits, maxHamming 8 —
+    * must track DedupOps.simhashPairs defaults). Banding works on the
+    * UNSIGNED view of the fingerprint (HUGEINT + 2⁶⁴ when negative),
+    * matching Spark's `shiftrightunsigned`. */
+  def simhashPairsSql(bands: Int = 4, maxHamming: Int = 8): String = {
+    val bandBits = 64 / bands
+    val width = 1L << bandBits
+    s"""WITH th AS (SELECT doc_id, $tokenHashes AS ths FROM documents),
+       |fp AS (SELECT doc_id, ${fingerprintSql("ths")} AS fp FROM th),
+       |ufp AS (SELECT doc_id, fp,
+       |  CAST(fp AS HUGEINT) + CASE WHEN fp < 0
+       |    THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END AS u FROM fp),
+       |banded AS (
+       |  SELECT doc_id, fp, band,
+       |    CAST((u // CAST(POWER($width, band) AS HUGEINT)) % $width AS BIGINT) AS slice
+       |  FROM ufp CROSS JOIN
+       |    (SELECT UNNEST(${(0 until bands).mkString("[", ",", "]")}) AS band) bs),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fa, b.fp AS fb
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.slice = b.slice AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(fa, fb)) <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 }

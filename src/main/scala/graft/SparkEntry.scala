@@ -1433,6 +1433,11 @@ object SparkEntry {
     // sign-LSH queries: "approximate" only in recall — results are fully
     // deterministic (pure-function hyperplanes), so the generated SQL
     // (same inlined coefficients, OracleGen) checks them exactly
+    // simhash queries: the token hash is a codepoint polynomial chosen so
+    // the generated SQL (same pinned mixer constants, OracleGen) checks
+    // fingerprints and banded Hamming pairs exactly
+    "dedup_simhash" -> OracleGen.simhashSql(),
+    "dedup_simhash_pairs" -> OracleGen.simhashPairsSql(),
     "sim_ann_lsh" -> OracleGen.simAnnLshSql(),
     "sim_ann_lsh_batch" -> OracleGen.simAnnLshBatchSql(),
     "dedup_near_embedding" -> OracleGen.nearDupEmbeddingSql(),

@@ -142,26 +142,60 @@ object ShingleKernels {
     new GenericArrayData(mins)
   }
 
+  /** Per-16-bit-lane multiplicative mixers for [[simHash64]]'s token
+    * hash (the four xxhash/Knuth 32-bit primes — any odd well-mixed
+    * constants < 2³² work; these are pinned because the generated DuckDB
+    * oracle inlines them). */
+  val SimMixers: Array[Long] =
+    Array(2654435761L, 1597334677L, 2246822519L, 3266489917L)
+
   /** 64-bit SimHash: every token occurrence (NOT deduped — frequency is
-    * signal here, unlike shingles) votes ±1 on each bit of its XXH64
-    * (seed 42, same as Spark's `xxhash64`); the packed sign vector is the
-    * fingerprint. One pass, 64 accumulators — replaces the round-1
-    * formulation of 64 interpreted `aggregate` HOF passes per document. */
+    * signal here, unlike shingles) votes ±1 on each bit of its 64-bit
+    * token hash; the packed sign vector is the fingerprint. The token
+    * hash is DELIBERATELY not XXH64 (the round-4 form): it is the same
+    * codepoint polynomial as [[rabinWords]] — `a = (a·31 + cp) mod P`,
+    * a₀ = 7, P = 2³¹−1 — expanded to 64 bits by the four multiplicative
+    * mixes `h_j = (a · SimMixers(j)) mod P`, with bit b of the token hash
+    * = bit (b mod 16) of `h_(b div 16)`. Every step is plain integer
+    * arithmetic on Unicode codepoints (nothing exceeds 2⁶³), so the
+    * DuckDB oracle reproduces the fingerprint EXACTLY via ord() +
+    * list_reduce ([[graft.OracleGen.simhashSql]]) — which upgrades
+    * `dedup_simhash` / `dedup_simhash_pairs` from spec-only to
+    * hash-oracled. One pass, 64 accumulators. */
   def simHash64(input: UTF8String): Long = {
-    val toks = input.toString.split(' ')
+    val P = ShingleExpressions.P
+    val s = input.toString
     val votes = new Array[Int](64)
     var i = 0
-    while (i < toks.length) {
-      if (toks(i).nonEmpty) {
-        val u = UTF8String.fromString(toks(i))
-        val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
+    val n = s.length
+    while (i < n) {
+      while (i < n && s.charAt(i) == ' ') i += 1
+      if (i < n) {
+        var a = 7L
+        while (i < n && s.charAt(i) != ' ') {
+          val cp = s.codePointAt(i)
+          a = (a * 31L + cp) % P
+          i += Character.charCount(cp)
+        }
+        // nonlinear scramble before the per-lane mixes: squaring mod P
+        // kills the linear differentials of the polynomial (similar
+        // tokens — shared prefixes, digit suffixes — otherwise leave
+        // vote margins correlated and near zero, doubling bit flips per
+        // token change); still plain 63-bit-safe integer arithmetic the
+        // SQL oracle reproduces
+        val sq = (a * a) % P
+        var j = 0
+        while (j < 4) {
+          val h = (sq * SimMixers(j)) % P
+          var k = 0
+          while (k < 16) {
+            if (((h >>> k) & 1L) == 1L) votes(j * 16 + k) += 1
+            else votes(j * 16 + k) -= 1
+            k += 1
+          }
+          j += 1
         }
       }
-      i += 1
     }
     var out = 0L
     var b = 0

@@ -89,24 +89,29 @@ object DedupOps {
     * exact dedup and near-dup — two documents differing only in case,
     * whitespace runs, or leading/trailing space are duplicates (the
     * standard first pass on web text, where boilerplate re-renders with
-    * cosmetic whitespace/case drift). Same row-shaped plan as
-    * [[exactByHash]] — constant-state count per normalized-text hash,
-    * min(doc_id) keeper per normalized text, nothing per-group ever
-    * materializes — with the normalization fused map-side into the hash
-    * input (one scan, no extra pass). */
+    * cosmetic whitespace/case drift).
+    *
+    * The normalization regexp runs ONCE per document (the round-4 plan
+    * instantiated the hashed subplan three times plus a text-keyed keeper
+    * groupBy — four regexp passes over full text). One pass computes a
+    * 128-bit key (two independently-seeded xxhash64 halves); the keeper
+    * per normalized text is a single constant-state `min(doc_id)`
+    * aggregation on that 24-byte (k1, k2, doc_id) row — map-side partial
+    * combine collapses mega-duplicated texts inside each task, nothing
+    * per-group ever materializes, and no text or normalized text ever
+    * shuffles. The 128-bit key replaces [[exactByHash]]'s text-keyed
+    * collision settle: a false merge needs an xxhash64 collision on BOTH
+    * seeds (~n²/2¹²⁸ — beyond 10¹² docs this is < 10⁻¹⁴, vs ~n²/2⁶⁴ for
+    * a single 64-bit key, which at corpus scale is a real hazard). */
   def exactNormalized(documents: DataFrame): DataFrame = {
     val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
-    val hashed = documents.select(col("doc_id"), xxhash64(norm).as("h"))
-    val multiH = hashed.groupBy("h").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") > 1).select("h")
-    val singles = hashed.join(multiH, Seq("h"), "left_anti").select("doc_id")
-    val multiKeepers = documents
-      .join(hashed.join(multiH, Seq("h"), "left_semi").select("doc_id"),
-        Seq("doc_id"), "left_semi")
-      .groupBy(norm.as("norm")).agg(min(col("doc_id")).as("doc_id"))
+    val keepers = documents
+      .select(col("doc_id"),
+        xxhash64(norm).as("k1"), xxhash64(lit(0x9E3779B9L), norm).as("k2"))
+      .groupBy("k1", "k2").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
     documents
-      .join(singles.union(multiKeepers), Seq("doc_id"), "left_semi")
+      .join(keepers, Seq("doc_id"), "left_semi")
       .select("doc_id", "lang", "n_chars")
       .orderBy("doc_id")
   }
@@ -172,7 +177,10 @@ object DedupOps {
     * identical simhash (or small Hamming distance via band-rotation at
     * scale) are near-dups. One compiled pass per document
     * ([[graft.functions.SimHash64Expr]] — replaces the round-1 version's
-    * 64 interpreted `aggregate` HOF passes per doc), no shuffle. */
+    * 64 interpreted `aggregate` HOF passes per doc), no shuffle. The
+    * fingerprint formula is SQL-reproducible by design, so this is
+    * oracled EXACTLY against generated DuckDB SQL
+    * ([[graft.OracleGen.simhashSql]]). */
   def simhash(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"),
@@ -188,8 +196,9 @@ object DedupOps {
     * distance in [bands, maxHamming] are found with LSH probability —
     * the standard recall tradeoff). Candidate rows carry only
     * (band-key, doc_id, 8-byte fingerprint); verification is a popcount
-    * of the XOR — no re-attach join at all. No oracle (hash-based);
-    * ScalaTest planted-pair test. */
+    * of the XOR — no re-attach join at all. Oracled exactly via generated
+    * SQL ([[graft.OracleGen.simhashPairsSql]]) plus the ScalaTest
+    * planted-pair test. */
   def simhashPairs(documents: DataFrame, bands: Int = 4,
                    maxHamming: Int = 8): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")

@@ -267,11 +267,12 @@ object VectorOps {
   // bench entry). Bounded LRU (advisor finding: an unbounded registry keyed
   // by identityHashCode grows driver+executor memory across sessions and
   // corpora): at capacity the least-recently-probed index is evicted and
-  // its cached assignment unpersisted. STALENESS CAVEAT: the key is the
-  // semantic hash of the PLAN — if the underlying files change in place
-  // under the same path, a cached index silently serves the old data; call
-  // [[clearIvfIndexes]] (or rebuild via [[buildIvfIndex]]) after rewriting
-  // a corpus.
+  // its cached assignment unpersisted. Staleness: the key combines the
+  // PLAN's semantic hash with a modification snapshot of the plan's input
+  // files ([[inputSnapshot]]), so a corpus rewritten in place under the
+  // same path misses the cache and rebuilds instead of silently serving
+  // the old index (SkewAndIvfSpec overwrites a corpus and asserts the
+  // rebuild).
   private val maxIvfIndexes = 8
   private val ivfIndexes =
     new java.util.LinkedHashMap[String, IvfIndex](16, 0.75f, true) {
@@ -297,15 +298,47 @@ object VectorOps {
     ivfIndexes.clear()
   }
 
+  /** Modification snapshot of a plan's input files, folded into the IVF
+    * cache key so an in-place rewrite of the corpus (same path, new data)
+    * cannot serve a stale index. One `listStatus` per distinct parent
+    * directory — O(directories) namenode RPCs, not O(files) — which at
+    * real table layouts (few partition dirs, many files each) is cheap;
+    * a table format with its own snapshot id would key on that instead.
+    * Plans with no file inputs (in-memory relations, which are immutable)
+    * snapshot to a constant. */
+  private def inputSnapshot(df: DataFrame): Long = {
+    import org.apache.hadoop.fs.Path
+    val files = df.inputFiles
+    if (files.isEmpty) return 0L
+    val hconf = df.sparkSession.sessionState.newHadoopConf()
+    val wanted = files.toSet
+    files.map(new Path(_)).groupBy(_.getParent).toSeq
+      .flatMap { case (parent, _) =>
+        val fs = parent.getFileSystem(hconf)
+        try fs.listStatus(parent).toSeq
+          .filter(s => wanted.contains(s.getPath.toString))
+        catch { case _: java.io.IOException => Seq.empty }
+      }
+      .map(s => (s.getPath.toString, s.getModificationTime, s.getLen))
+      .sortBy(_._1)
+      .foldLeft(17L) { case (acc, (p, m, l)) =>
+        ((acc * 31 + p.hashCode) * 31 + m) * 31 + l }
+  }
+
+  // key includes the session identity (a cached index must not outlive
+  // the SparkSession whose cache blocks it lives in), the plan's semantic
+  // hash, and the input-file modification snapshot (staleness guard)
+  private def ivfKey(embeddings: DataFrame, nlist: Int): String =
+    s"${System.identityHashCode(embeddings.sparkSession)}:" +
+      s"${embeddings.queryExecution.analyzed.semanticHash()}:" +
+      s"${inputSnapshot(embeddings)}:$nlist"
+
   /** `sim_ann_ivf`: IVF-style approximate top-k = cached [[buildIvfIndex]]
     * + [[ivfProbe]]. No oracle (approximate); ScalaTest asserts recall vs
     * the exact baseline. */
   def annIvf(embeddings: DataFrame, probeId: Long = 0L, k: Int = 10,
              nlist: Int = 8, nprobe: Int = 4): DataFrame = {
-    // key includes the session identity: a cached index must not outlive
-    // the SparkSession whose cache block it lives in
-    val key = s"${System.identityHashCode(embeddings.sparkSession)}:" +
-      s"${embeddings.queryExecution.analyzed.semanticHash()}:$nlist"
+    val key = ivfKey(embeddings, nlist)
     val index = ivfIndexes.synchronized {
       Option(ivfIndexes.get(key)).getOrElse {
         val built = buildIvfIndex(embeddings, nlist)
@@ -355,8 +388,7 @@ object VectorOps {
     * asserts per-probe recall vs the exact batch baseline. */
   def annIvfBatch(embeddings: DataFrame, nProbes: Int = 5, k: Int = 10,
                   nlist: Int = 8, nprobe: Int = 4): DataFrame = {
-    val key = s"${System.identityHashCode(embeddings.sparkSession)}:" +
-      s"${embeddings.queryExecution.analyzed.semanticHash()}:$nlist"
+    val key = ivfKey(embeddings, nlist)
     val index = ivfIndexes.synchronized {
       Option(ivfIndexes.get(key)).getOrElse {
         val built = buildIvfIndex(embeddings, nlist)

@@ -167,4 +167,27 @@ class SkewAndIvfSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(approx(0L) === single)
   }
+
+  test("IVF cache rebuilds when the corpus is overwritten in place") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-stale")
+      .toFile.getAbsolutePath
+    val sess = spark
+    import sess.implicits._
+    def mk(ids: Seq[Long]) = ids.map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 31 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    mk(0L until 32L)
+      .write.mode("overwrite").parquet(dir)
+    val r1 = VectorOps.annIvf(spark.read.parquet(dir), probeId = 0L, k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(r1.nonEmpty && r1.forall(_ < 100L))
+    // same path, new data: the snapshot component of the cache key must
+    // miss, so the probe sees ONLY new vec_ids — a stale index would
+    // return ids from the first corpus
+    mk(100L until 132L)
+      .write.mode("overwrite").parquet(dir)
+    val r2 = VectorOps.annIvf(spark.read.parquet(dir), probeId = 100L, k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(r2.nonEmpty && r2.forall(_ >= 100L), s"stale index served: $r2")
+  }
 }
