@@ -157,7 +157,8 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
     "text_pii_scrub" -> ((s, d) => TextOps.scrubPii(Tables.documents(s, d))),
     "pipeline_enrich" -> ((s, d) => TextOps.enrich(Tables.documents(s, d))),
-    // --- multimodal columns (LLM-pipeline; decode stubbed, see MultimodalOps) ---
+    // --- multimodal columns (LLM-pipeline; real JDK ImageIO codec — see
+    // MultimodalOps; stats keeps the column-expressible exact-oracle path) ---
     "multimodal_features" -> ((s, d) => MultimodalOps.features(Tables.documents(s, d))),
     "multimodal_frames" -> ((s, d) => MultimodalOps.frames(Tables.documents(s, d))),
     "multimodal_resize" -> ((s, d) => MultimodalOps.resized(Tables.documents(s, d))),

@@ -4,22 +4,32 @@ import org.apache.spark.sql.functions._
 
 import graft.{SparkSpec, Tables}
 
-/** Multimodal plumbing: schema, batch shape, determinism of the stubbed
-  * decode + feature extraction (the codec itself is faked — see
-  * MultimodalOps).
+/** Multimodal stages over a REAL codec (JDK ImageIO, round 5): payloads
+  * are genuine encoded PNG/JPEG bytes, and features/resize/frames all
+  * decode them for real — the round-4 fakeDecode stub is gone. Goldens
+  * below were re-pinned in the same commit that introduced the codec
+  * (the reviewed-diff procedure the round-4 goldens were set up for).
   */
 class MultimodalSpec extends SparkSpec {
 
-  test("media table has the binary+metadata schema") {
-    val media = MultimodalOps.attachMedia(Tables.documents(spark, sf()))
+  test("media table has the binary+metadata schema and decodable payloads") {
+    val media = MultimodalOps.attachImages(Tables.documents(spark, sf()).limit(6))
     assert(media.schema.fieldNames.toSeq === Seq("media_id", "payload", "meta"))
     assert(media.schema("payload").dataType.typeName === "binary")
-    val m = media.limit(1).collect()(0)
-    assert(m.getStruct(2).getString(0).nonEmpty) // format
+    media.collect().foreach { r =>
+      val payload = r.getAs[Array[Byte]]("payload")
+      val meta = r.getStruct(2)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      assert(img != null, "payload must be a real decodable image")
+      // decoded dimensions equal the metadata claims (PNG and JPEG both
+      // preserve dimensions exactly; only pixel values are lossy in JPEG)
+      assert(img.getWidth === meta.getInt(1))
+      assert(img.getHeight === meta.getInt(2))
+    }
   }
 
-  test("feature extraction is deterministic, L1-normalized, fixed width") {
-    val media = MultimodalOps.attachMedia(Tables.documents(spark, sf()).limit(20))
+  test("feature extraction decodes real images: deterministic, L1-normalized, real dims") {
+    val media = MultimodalOps.attachImages(Tables.documents(spark, sf()).limit(20))
     val f1 = MultimodalOps.extractFeatures(media).collect().sortBy(_.media_id)
     val f2 = MultimodalOps.extractFeatures(media).collect().sortBy(_.media_id)
     assert(f1.length === 20)
@@ -27,34 +37,40 @@ class MultimodalSpec extends SparkSpec {
       assert(a.features.toSeq === b.features.toSeq)
       assert(a.features.length === 32)
       assert(math.abs(a.features.sum - 1f) < 1e-3)
+      assert(a.width >= 24 && a.height >= 16) // real decoded dims
     }
   }
 
-  test("frame sampling emits every stride-th fixed-size frame") {
-    val media = MultimodalOps.attachMedia(Tables.documents(spark, sf()).limit(5))
-    val frames = MultimodalOps.sampleFrames(media, frameBytes = 64, stride = 4)
-      .collect()
-    assert(frames.nonEmpty)
-    assert(frames.forall(_.getInt(1) % 4 === 0))
-    // all but possibly the tail frame are exactly frameBytes long
-    val lens = frames.map(r => r.getAs[Array[Byte]](2).length)
-    assert(lens.count(_ === 64) >= lens.length - 5)
+  test("frame sampling decodes every stride-th real frame of the container") {
+    val docs = Tables.documents(spark, sf()).limit(5)
+    val media = MultimodalOps.attachVideos(docs, nFrames = 6, frameW = 20, frameH = 14)
+    val frames = MultimodalOps.sampleFrames(media, stride = 2).collect()
+    // 6 frames, stride 2 → indices 0, 2, 4 per video
+    assert(frames.length === 5 * 3)
+    assert(frames.forall(_.getInt(1) % 2 === 0))
+    frames.foreach { r =>
+      assert(r.getInt(3) === 20 && r.getInt(4) === 14) // decoded dims
+      assert(r.getInt(2) > 8) // a real PNG is never 8 bytes
+    }
+    // distinct frames of the same video have distinct pixel CRCs
+    val byVideo = frames.groupBy(_.getLong(0))
+    byVideo.values.foreach { vs =>
+      assert(vs.map(_.getLong(5)).distinct.length === vs.length)
+    }
   }
 
-  test("resize hits target dims deterministically and never grows payloads") {
-    val media = MultimodalOps.attachMedia(Tables.documents(spark, sf()).limit(20))
-    val srcLens = media.select(col("media_id"), length(col("payload")).as("n"))
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    val r1 = MultimodalOps.resize(media, 64, 64).collect().sortBy(_.media_id)
-    val r2 = MultimodalOps.resize(media, 64, 64).collect().sortBy(_.media_id)
+  test("resize area-averages real pixels: deterministic, target dims, monotone bytes") {
+    val media = MultimodalOps.attachImages(Tables.documents(spark, sf()).limit(20))
+    val r1 = MultimodalOps.resize(media, 16, 16).collect().sortBy(_.media_id)
+    val r2 = MultimodalOps.resize(media, 16, 16).collect().sortBy(_.media_id)
     assert(r1.length === 20)
     r1.zip(r2).foreach { case (a, b) => assert(a === b) } // deterministic
     r1.foreach { r =>
-      assert(r.width === 64 && r.height === 64)
-      assert(r.byte_len <= srcLens(r.media_id))
+      assert(r.width === 16 && r.height === 16)
+      assert(r.byte_len > 8) // real re-encoded PNG
     }
-    // smaller target → at most as many bytes kept
-    val small = MultimodalOps.resize(media, 16, 16).collect()
+    // smaller target → no more re-encoded bytes than the larger target
+    val small = MultimodalOps.resize(media, 8, 8).collect()
       .map(r => r.media_id -> r.byte_len).toMap
     r1.foreach(r => assert(small(r.media_id) <= r.byte_len))
   }
@@ -62,8 +78,10 @@ class MultimodalSpec extends SparkSpec {
   // Golden fixture: three tiny documents with every determinism-relevant
   // property pinned (ids, text bytes, n_chars). The goldens below are md5
   // hex digests of a canonical serialization of each op's FULL output on
-  // this fixture — a future real-codec swap (replacing fakeDecode) must
-  // change these in a reviewed commit, never silently.
+  // this fixture — they pin REAL codec output (JDK ImageIO decode →
+  // arithmetic feature/resample/CRC values; resize checksum and frame CRC
+  // are over decoded pixels, so they are stable across PNG writer
+  // variations). A codec change must re-pin these in a reviewed commit.
   private def goldenDocs = {
     val sess = spark
     import sess.implicits._
@@ -82,28 +100,33 @@ class MultimodalSpec extends SparkSpec {
       .map("%02x".format(_)).mkString
 
   test("golden: features/resize/frames outputs are byte-pinned on the fixture") {
-    val media = MultimodalOps.attachMedia(goldenDocs)
+    val media = MultimodalOps.attachImages(goldenDocs)
     val featStr = MultimodalOps.extractFeatures(media).collect().sortBy(_.media_id)
-      .map(f => s"${f.media_id}|${f.format}|${f.byte_len}|" +
+      .map(f => s"${f.media_id}|${f.format}|${f.width}|${f.height}|" +
         f.features.map(v => f"$v%.6f").mkString(","))
       .mkString("\n")
     val resizeStr = MultimodalOps.resize(media, 8, 8).collect().sortBy(_.media_id)
-      .map(r => s"${r.media_id}|${r.width}|${r.height}|${r.byte_len}|${r.checksum}")
+      .map(r => s"${r.media_id}|${r.width}|${r.height}|${r.checksum}")
       .mkString("\n")
-    val frameStr = MultimodalOps.sampleFrames(media, frameBytes = 8, stride = 2)
+    val frameStr = MultimodalOps.sampleFrames(
+        MultimodalOps.attachVideos(goldenDocs, nFrames = 4, frameW = 12, frameH = 10),
+        stride = 2)
       .collect().sortBy(r => (r.getLong(0), r.getInt(1)))
-      .map(r => s"${r.getLong(0)}|${r.getInt(1)}|" +
-        r.getAs[Array[Byte]](2).map("%02x".format(_)).mkString)
+      .map(r => s"${r.getLong(0)}|${r.getInt(1)}|${r.getInt(3)}x${r.getInt(4)}|" +
+        r.getLong(5))
       .mkString("\n")
-    assert(md5(featStr) === "f6d3560be623137cf26ce62e11209ac5")
-    assert(md5(resizeStr) === "426238f3ec812205bbf53903635bd94d")
-    assert(md5(frameStr) === "f79ee66e166f7c77d67b0ca2b782d91a")
+    val actual = Seq(md5(featStr), md5(resizeStr), md5(frameStr))
+    assert(actual === Seq(
+      "05fd43fbd7580079b57050c0439734d0",  // features (real decode)
+      "a55f9d75a3f24977d2c2444d7526742c",  // resize (pixel checksums)
+      "94b04ad8b2f42221251eb853c1fbba83"), // frames (pixel CRCs)
+      s"actual md5s = $actual")
   }
 
   test("query surfaces return rows") {
     val docs = Tables.documents(spark, sf())
     assert(MultimodalOps.features(docs).count() === 500)
-    assert(MultimodalOps.frames(docs).count() > 0)
+    assert(MultimodalOps.frames(docs).count() === 500 * 3)
     assert(MultimodalOps.resized(docs).count() === 500)
   }
 }
