@@ -491,11 +491,14 @@ object SparkEntry {
         |  percent_rank() OVER (PARTITION BY lang ORDER BY n_words, doc_id) AS q_rank
         |FROM t ORDER BY doc_id""".stripMargin,
 
+    // discrete (not interpolated) percentiles: both engines return the
+    // same actual data value — interpolated midpoints differ in the last
+    // ulp and can round differently at half-cent boundaries
     "agg_stats" ->
       """SELECT min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
         |  round(stddev_samp(o_totalprice), 2) AS stddev_price,
-        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
-        |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+        |  quantile_disc(o_totalprice, 0.5) AS p50,
+        |  quantile_disc(o_totalprice, 0.9) AS p90,
         |  COUNT(*) AS cnt
         |FROM orders""".stripMargin,
 

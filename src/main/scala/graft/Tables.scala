@@ -30,9 +30,16 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    val df = apply(s, d, "events")
+    // driver testdata: ts is TIMESTAMP(NANOS), surfacing as LongType under
+    // nanosAsLong → truncate to µs. DataGen scale data: ts is already a
+    // µs TimestampType → pass through.
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

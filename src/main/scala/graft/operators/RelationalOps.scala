@@ -517,16 +517,23 @@ object Aggs {
         Array(col("n_chars"), col("n_words")), "metric", "value")
       .orderBy("doc_id", "metric")
 
-  /** `agg_stats`: min/max/stddev/exact interpolated percentiles. The exact
-    * `percentile` needs a per-group sort — fine here (single group); at
-    * 100 TB swap to [[statsApprox]] (fixed-size sketch, mergeable). */
+  /** `agg_stats`: min/max/stddev/exact DISCRETE percentiles. The exact
+    * percentile needs a per-group sort — fine here (single group); at
+    * 100 TB swap to [[statsApprox]] (fixed-size sketch, mergeable).
+    * `percentile_disc` (not the round-4 interpolated `percentile`):
+    * discrete quantiles return an ACTUAL data value, so the oracle
+    * compares exact decimals — interpolation produces a midpoint double
+    * whose last ulp depends on each engine's evaluation order, and a
+    * round(x, 2) at an exact half-cent midpoint then diverges (hit on
+    * DataGen sf data; both engines' discrete index conventions coincide
+    * at every (n, p)). */
   def stats(orders: DataFrame): DataFrame =
     orders.agg(
       min(col("o_totalprice")).as("min_price"),
       max(col("o_totalprice")).as("max_price"),
       round(stddev_samp(col("o_totalprice")), 2).as("stddev_price"),
-      round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
-      round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50"),
+      expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("p90"),
       count(lit(1)).as("cnt"))
 
   /** `agg_conditional`: filtered aggregation (`FILTER (WHERE ...)` /

@@ -38,19 +38,22 @@ object Skew {
   def distributedRowNumber(df: DataFrame, numPartitions: Int,
                            sortCols: org.apache.spark.sql.Column*): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // localCheckpoint pins the partitioning: repartitionByRange SAMPLES
-    // its boundaries per execution, so running the counts action and the
-    // ranking action over un-materialized lineage would rank against
-    // offsets from a DIFFERENT partitioning (verified: two executions of
-    // the same lineage produced different partition sizes)
+    // LAZY localCheckpoint pins the partitioning (repartitionByRange
+    // SAMPLES its boundaries per execution, so un-materialized lineage
+    // would rank against offsets from a DIFFERENT partitioning) — and
+    // with eager=false the STATS action below is what materializes the
+    // checkpoint: one job computes the partitions, persists them, and
+    // returns the per-partition counts, instead of the round-4 shape
+    // (one job to materialize + a second to scan for stats)
     val parted = df
       .repartitionByRange(numPartitions, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val local = parted.withColumn("__local_rn",
       row_number().over(Window.partitionBy("__pid").orderBy(sortCols: _*)))
-    // pass 1: per-partition counts -> prefix offsets (tiny, driver-safe)
+    // fused pass: per-partition counts -> prefix offsets (tiny,
+    // driver-safe) + checkpoint materialization in the same job
     val counts = parted.groupBy("__pid").agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }
@@ -87,13 +90,15 @@ object Skew {
   def distributedNtileDense(df: DataFrame, numPartitions: Int, n: Int,
                             value: String, tieBreak: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // localCheckpoint pins the partitioning (repartitionByRange samples
-    // boundaries per execution — same hazard as distributedRowNumber)
+    // LAZY localCheckpoint (same pattern as distributedRowNumber): the
+    // stats aggregation below doubles as the checkpoint materialization —
+    // one job for partitioning + stats instead of two (round-5 fusion,
+    // VERDICT r4 item 3)
     val parted = df
       .repartitionByRange(numPartitions, col(value), col(tieBreak))
       .sortWithinPartitions(value, tieBreak)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val wRow = Window.partitionBy("__pid").orderBy(col(value), col(tieBreak))
     val wVal = Window.partitionBy("__pid").orderBy(col(value))
     val local = parted
@@ -149,13 +154,13 @@ object Skew {
   def distributedPrefixSum(df: DataFrame, numPartitions: Int, sumCol: String,
                            sortCols: org.apache.spark.sql.Column*): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // localCheckpoint pins the partitioning (repartitionByRange samples
-    // boundaries per execution — same hazard as distributedRowNumber)
+    // LAZY localCheckpoint: the totals aggregation below materializes the
+    // checkpoint in the same job (see distributedRowNumber)
     val parted = df
       .repartitionByRange(numPartitions, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val local = parted.withColumn("__lcum",
       sum(col(sumCol).cast("long")).over(
         Window.partitionBy("__pid").orderBy(sortCols: _*)))

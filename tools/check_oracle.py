@@ -8,6 +8,7 @@ float drift). Usage: check_oracle.py <sfDir> <verifyOutDir>
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -19,8 +20,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # driver testdata is a single file; DataGen output is a Spark
+        # directory of part files — accept both
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
