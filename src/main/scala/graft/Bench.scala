@@ -6,9 +6,15 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // SPARK_GRAFT_MASTER=local-cluster[…] benches with real executor JVMs
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    // shuffle partitions default to the core count but scale with DATA,
+    // not cores (the brief's "size shuffle partitions so partitions fit
+    // in executor memory at the target SF") — sf ≥ 10 runs set this
+    // higher so a 500k-doc inverted-index partition stays heap-sized
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val builder = SparkSession.builder()
       .master(master)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false")
     if (master.startsWith("local-cluster")) {
       builder.config("spark.executor.extraClassPath",

@@ -49,16 +49,31 @@ object DataGen {
     "supplier", "dedup", "token", "text", "corpus", "sample", "cluster",
     "embed", "media")
 
+  /** One Zipf-ish token: head ranks map to the 40 theme words, the tail
+    * to synthetic rare words. The u³ transform concentrates mass at low
+    * ranks (frequent head) with a long rare tail — the df distribution
+    * real shingling sees. A FIXED small vocabulary does not survive
+    * scale-up: at 500k docs every 3-shingle lands in hundreds of
+    * documents and any exact pair-generation dedup (Σ df² candidate
+    * pairs) explodes combinatorially — found empirically by the sf10
+    * shakeout; the driver's own sf ≤ 0.1 corpus has only 31 distinct
+    * words, which is harmless at 5k docs and catastrophic at 500k. */
+  private def wordFor(rnd: java.util.Random, vocabSize: Int): String = {
+    val u = rnd.nextDouble()
+    val r = math.min(vocabSize - 1, (u * u * u * vocabSize).toInt)
+    if (r < vocab.size) vocab(r) else "w" + r
+  }
+
   /** Canonical text of a document id — regenerable from any row, which is
     * how duplicate planting references another document without a join. */
-  private def textOf(id: Long): String = {
+  private def textOf(id: Long, vocabSize: Int): String = {
     val rnd = new java.util.Random(id * 0x9E3779B97F4A7C15L + 7L)
     val n = 8 + rnd.nextInt(92)
     val sb = new StringBuilder
     var i = 0
     while (i < n) {
       if (i > 0) sb.append(' ')
-      sb.append(vocab(rnd.nextInt(vocab.size)))
+      sb.append(wordFor(rnd, vocabSize))
       i += 1
     }
     sb.toString
@@ -186,32 +201,51 @@ object DataGen {
       format_string("{\"k\": %d}", h(34, col("id")) % 100).as("props")), "events")
 
     // documents: planted exact / normalized / near duplicates (~1% each);
-    // mapPartitions so a duplicate can REGENERATE its source row's text
+    // mapPartitions so a duplicate can REGENERATE its source row's text.
+    // Vocabulary scales with the corpus (Zipf head+tail, see wordFor) so
+    // shingle document-frequencies stay scale-realistic.
     val langs = Vector("en", "en", "en", "en", "de", "zh", "fr", "es")
+    val vocabSize = math.max(vocab.size, nDocs / 5)
     save(spark.range(nDocs).as[Long].mapPartitions { it =>
       it.map { id =>
         val text =
-          if (id % 101 == 100 && id >= 50) textOf(id - 50)
-          else if (id % 97 == 96 && id >= 30) "  " + textOf(id - 30).toUpperCase + "  "
+          if (id % 101 == 100 && id >= 50) textOf(id - 50, vocabSize)
+          else if (id % 97 == 96 && id >= 30)
+            "  " + textOf(id - 30, vocabSize).toUpperCase + "  "
           else if (id % 89 == 88 && id >= 20) {
-            val t = textOf(id - 20).split(' '); t(t.length / 2) = "changed"
+            val t = textOf(id - 20, vocabSize).split(' ')
+            t(t.length / 2) = "changed"
             t.mkString(" ")
-          } else textOf(id)
+          } else textOf(id, vocabSize)
         val rnd = new java.util.Random(id * 2654435761L + 13L)
         (id, text, langs(rnd.nextInt(langs.size)), s"src${id % 20}",
           text.length.toLong)
       }
     }.toDF("doc_id", "text", "lang", "source", "n_chars"), "documents")
 
-    // embeddings: 10 Gaussian clusters in 64-d (labels = ground truth)
+    // embeddings: 10 loose Gaussian clusters in 64-d (labels = ground
+    // truth for KMeans/IVF) with ~1% PLANTED near-duplicate pairs. Noise
+    // 0.8 keeps within-cluster cosine ≈ 0.45 — mild locality, no
+    // accidental near-dups (the driver corpus has none either: max pair
+    // cosine 0.479) — because near-dup detection presumes dup pairs are
+    // RARE; a tight-cluster corpus makes every pair a candidate and any
+    // LSH bucketing degenerates (sf10 shakeout finding).
+    def vecOf(id: Long): Array[Float] = {
+      val label = (id % 10).toInt
+      val rnd = new java.util.Random(id * 6364136223846793005L + 17L)
+      Array.tabulate(64) { d =>
+        (math.sin(label * 37.0 + d) + rnd.nextGaussian() * 0.8).toFloat
+      }
+    }
     save(spark.range(nVecs).as[Long].mapPartitions { it =>
       it.map { id =>
-        val label = (id % 10).toInt
-        val rnd = new java.util.Random(id * 6364136223846793005L + 17L)
-        val emb = Array.tabulate(64) { d =>
-          (math.sin(label * 37.0 + d) + rnd.nextGaussian() * 0.25).toFloat
-        }
-        (id, emb, label)
+        val emb =
+          if (id % 97 == 96 && id >= 30) {
+            // near-dup of vec (id-30): tiny perturbation, cosine ≈ 0.999
+            val rnd = new java.util.Random(id * 31L + 23L)
+            vecOf(id - 30).map(v => v + rnd.nextGaussian().toFloat * 0.05f)
+          } else vecOf(id)
+        (id, emb, (id % 10).toInt)
       }
     }.toDF("vec_id", "embedding", "label")
       .select(col("vec_id"), col("embedding"), col("label").cast("int")),

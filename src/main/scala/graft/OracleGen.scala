@@ -80,21 +80,28 @@ object OracleGen {
        |FROM r WHERE rn <= 10 ORDER BY probe_id, rn""".stripMargin
 
   /** Oracle for `dedup_near_embedding` (τ = 0.95 on the ROUNDED cosine,
-    * single 6-bit bucket, seed 0 — must track VectorOps.nearDupEmbedding
-    * defaults). */
-  def nearDupEmbeddingSql(nBits: Int = 6, dim: Int = 64, tau: Double = 0.95): String =
+    * BANDED as of round 5: 4 bands × 6 bits, band seeds b·7919 — must
+    * track the explicit params SparkEntry pins in the registration). */
+  def nearDupEmbeddingSql(nBands: Int = 4, bitsPerBand: Int = 6,
+                          dim: Int = 64, tau: Double = 0.95): String =
     s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-       |b AS (
-       |  SELECT vec_id, e,
-       |    (${bucketSql("e", nBits, 0, dim)}) AS bucket
-       |  FROM emb)
-       |SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
-       |  round(list_dot_product(a.e, b2.e) /
-       |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b2.e, b2.e))), 6) AS cos
-       |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-       |WHERE round(list_dot_product(a.e, b2.e) /
-       |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b2.e, b2.e))), 6) >= $tau
-       |ORDER BY id_a, id_b""".stripMargin
+       |bands AS (
+       |  SELECT vec_id,
+       |    ${bandCols(nBands, bitsPerBand, dim)}
+       |  FROM emb),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.vec_id < b.vec_id AND (${anyBandEq(nBands, "a", "b")})),
+       |scored AS (
+       |  SELECT c.id_a, c.id_b,
+       |    round(list_dot_product(ea.e, eb.e) /
+       |      (sqrt(list_dot_product(ea.e, ea.e)) * sqrt(list_dot_product(eb.e, eb.e))), 6) AS cos
+       |  FROM cand c
+       |  JOIN emb ea ON ea.vec_id = c.id_a
+       |  JOIN emb eb ON eb.vec_id = c.id_b)
+       |SELECT id_a, id_b, cos FROM scored
+       |WHERE cos >= $tau ORDER BY id_a, id_b""".stripMargin
 
   // ---- simhash oracles ------------------------------------------------
   // The simhash token hash is a codepoint polynomial mod 2³¹−1 expanded

@@ -138,7 +138,10 @@ object SparkEntry {
     "dedup_minhash_clusters" -> ((s, d) =>
       DedupOps.clusters(DedupOps.nearMinhash(Tables.documents(s, d)))),
     "pipeline_dedup_full" -> ((s, d) => DedupOps.dedupFull(Tables.documents(s, d))),
-    "dedup_near_embedding" -> ((s, d) => VectorOps.nearDupEmbedding(Tables.embeddings(s, d))),
+    // explicit (nBands, bitsPerBand) so the generated oracle SQL is
+    // corpus-independent; the API default autoscales bits from the count
+    "dedup_near_embedding" -> ((s, d) =>
+      VectorOps.nearDupEmbedding(Tables.embeddings(s, d), nBands = 4, bitsPerBand = 6)),
     // --- similarity search (LLM-pipeline) ---
     "sim_cosine_topk" -> ((s, d) => VectorOps.cosineTopK(Tables.embeddings(s, d))),
     "sim_batch_topk" -> ((s, d) => VectorOps.batchCosineTopK(Tables.embeddings(s, d))),

@@ -333,7 +333,20 @@ object DedupOps {
     * map-side after a constant-state count instead of materializing a
     * 10⁶-element array and ~5·10¹¹ pairs (the round-3 default's cliff).
     * Full-universe semantics (every shared shingle counts, unbounded
-    * group state) is an explicit opt-in via `maxDf = Int.MaxValue`. */
+    * group state) is an explicit opt-in via `maxDf = Int.MaxValue`.
+    *
+    * DENSITY bound (sf10 shakeout finding): total candidate pairs are
+    * Σ_shingles min(df, maxDf)²/2 — the per-shingle cap bounds each term
+    * but NOT the sum. On a corpus whose shingle universe is small
+    * relative to the corpus (every shingle df in the hundreds — tiny
+    * synthetic vocabularies, or heavily templated text), exact
+    * pair-generation explodes combinatorially no matter the engine; a
+    * 500k-doc corpus over a 31-word vocabulary produces ~10⁹ pairs at
+    * maxDf = 512. That corpus shape is what [[nearMinhash]] is FOR: its
+    * candidate volume is nBands per document (constant), independent of
+    * df density. Rule of thumb: exact jaccard when df is Zipf with a
+    * thin head (real deduped web text after the cap), minhash-LSH when
+    * density is unknown or high. */
   def ngramJaccard(documents: DataFrame, k: Int = 3, tau: Double = 0.2,
                    maxDf: Int = 512): DataFrame = {
     // 64-bit-hashed shingles: the inverted index shuffles longs, not

@@ -401,24 +401,72 @@ object VectorOps {
     ivfProbeBatch(index, probes, k, nprobe)
   }
 
-  /** `dedup_near_embedding`: embedding-cosine near-duplicate pairs via LSH
-    * blocking — candidate pairs share a bucket, then exact cosine filters.
-    * Avoids the O(n²) crossJoin: the join is bucket-equi, so at scale it
-    * shuffles on bucket and each bucket joins locally. Oracled exactly
-    * via the generated coefficient SQL
-    * ([[graft.OracleGen.nearDupEmbeddingSql]]); ScalaTest checks
-    * precision of emitted pairs on planted near-duplicates. */
+  /** `dedup_near_embedding`: embedding-cosine near-duplicate pairs via
+    * BANDED sign-LSH blocking — candidate pairs share a (band, bucket)
+    * key in ANY of `nBands` independent projections, then exact cosine
+    * verifies. Avoids the O(n²) crossJoin: the join is bucket-equi per
+    * band; candidate rows carry only (band-key, vec_id) longs and the
+    * embeddings re-attach to the DEDUPED candidate set.
+    *
+    * Why banded + corpus-scaled bits (sf10 shakeout finding): a single
+    * fixed-width bucket makes candidate volume n²/2^bits — linear bucket
+    * population, quadratic pairs; at 200k vectors and 6 bits that is
+    * ~3·10⁸ pairs in one straggler task. `bitsPerBand < 0` (the default)
+    * derives the width from the corpus count so the EXPECTED bucket
+    * population stays ~64 (`bits = ceil(log2(n/64))`, clamped [6, 24] —
+    * pairs ≈ 32n per band), and the `nBands` OR-amplification restores
+    * the recall that narrower buckets cost. The oracled registration
+    * pins explicit (nBands = 4, bitsPerBand = 6) so the generated SQL
+    * is corpus-independent.
+    *
+    * HOT-BUCKET cap (`maxBucket`, the [[graft.operators.DedupOps
+    * .ngramJaccard]] maxDf analog): sign-LSH over CLUSTERED embeddings —
+    * the realistic case; semantic corpora cluster by topic — is NOT
+    * uniform: a topical cluster can agree on every plane of a band and
+    * land 10⁴+ members in ONE bucket, i.e. ~10⁸ pairs in one task (the
+    * sf10 shakeout hit a 4 GB page request + spill-to-disk-full exactly
+    * this way). Buckets holding more than `maxBucket` vectors are dense
+    * topical regions, not duplicate groups, and are dropped from pair
+    * enumeration — bounding pairs per bucket at maxBucket²/2 and per-task
+    * state at a constant, at the recall cost that a dup pair hiding in a
+    * dense region in EVERY band is missed (same trade as maxDf; raise
+    * maxBucket or nBands to trade compute for recall). The cap cannot
+    * bind at the oracle gate's scale (500 vectors < maxBucket), so the
+    * generated SQL stays cap-free and exact there.
+    *
+    * Oracled exactly via the generated coefficient SQL
+    * ([[graft.OracleGen.nearDupEmbeddingSql]]); ScalaTest checks planted
+    * near-duplicate pairs are found. */
   def nearDupEmbedding(embeddings: DataFrame, tau: Double = 0.95,
-                       dim: Int = 64, nBits: Int = 6): DataFrame = {
-    val b = embeddings.withColumn("bucket", signBucket(col("embedding"), dim, nBits))
-    val l = b.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val r = b.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    l.join(r, Seq("bucket"))
+                       dim: Int = 64, nBands: Int = 4,
+                       bitsPerBand: Int = -1, maxBucket: Int = 1024): DataFrame = {
+    val bits =
+      if (bitsPerBand > 0) bitsPerBand
+      else {
+        // parquet metadata count: cheap, no data scan
+        val n = math.max(1L, embeddings.count())
+        math.min(24, math.max(6,
+          math.ceil(math.log(n / 64.0) / math.log(2)).toInt))
+      }
+    val banded = embeddings.select(col("vec_id"),
+      explode(lshBands(col("embedding"), dim, nBands, bits)).as("bk"))
+    // constant-state count per (band, bucket); dense buckets drop BEFORE
+    // any pair materializes
+    val smallBuckets = banded.groupBy("bk").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") <= maxBucket).select("bk")
+    val pruned = banded.join(smallBuckets, Seq("bk"), "left_semi")
+    val cand = pruned.select(col("bk"), col("vec_id").as("id_a"))
+      .join(pruned.select(col("bk"), col("vec_id").as("id_b")), Seq("bk"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(embeddings.select(col("vec_id").as("id_a"),
+        col("embedding").as("emb_a")), "id_a")
+      .join(embeddings.select(col("vec_id").as("id_b"),
+        col("embedding").as("emb_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(cosine(col("emb_a"), col("emb_b")), 6).as("cos"))
       .filter(col("cos") >= tau)
-      .distinct()
       .orderBy("id_a", "id_b")
   }
 }
