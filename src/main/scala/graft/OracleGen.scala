@@ -136,6 +136,94 @@ object OracleGen {
       s"(CASE WHEN $vote > 0 THEN CAST($bitVal AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString("(", "\n  + ", ")")
 
+  // ---- minhash oracles ------------------------------------------------
+  // The shingle hash is two packed codepoint polynomials (ShingleKernels
+  // .shingleHashes), the minhash lanes are affine mixes mod P with the
+  // SAME pinned (a_i, b_i) constants (ShingleExpressions.mixParams), and
+  // the band key is a polynomial fold of the lanes — every stage is plain
+  // integer arithmetic both engines compute bit-identically.
+
+  /** Packed 62-bit shingle hash of a string expression `s`:
+    * poly(7, 31)·2³¹ + poly(11, 131), each mod 2³¹−1 over codepoints. */
+  private def shingleHashSql(s: String): String = {
+    def poly(init: Int, mult: Int) =
+      s"list_reduce(list_prepend(CAST($init AS BIGINT), " +
+        s"list_transform(string_split_regex($s, ''), c -> CAST(ord(c) AS BIGINT))), " +
+        s"(a, c) -> (a * $mult + c) % 2147483647)"
+    s"(${poly(7, 31)} * 2147483648 + ${poly(11, 131)})"
+  }
+
+  /** Shared CTE prefix for the minhash oracles: tokenized docs → distinct
+    * packed shingle hashes → 32 minhash lanes → 8 banded fold keys →
+    * verified candidate pairs (tracks DedupOps.nearMinhash defaults:
+    * k = 3, nHashes = 32, rowsPerBand = 4, τ = 0.7). */
+  private def nearMinhashCtes(nHashes: Int, rowsPerBand: Int,
+                              tau: Double): String = {
+    val (as, bs) = graft.functions.ShingleExpressions.mixParams(nHashes)
+    val nBands = nHashes / rowsPerBand
+    val lanes = (0 until nHashes).map { i =>
+      s"list_min(list_transform(sh, h -> ((h % 2147483647) * ${as(i)} + ${bs(i)}) % 2147483647)) AS s_$i"
+    }.mkString(",\n    ")
+    def bandKey(b: Int): String =
+      (0 until rowsPerBand).foldLeft("CAST(17 AS BIGINT)") { (acc, j) =>
+        s"(($acc * 1009 + s_${b * rowsPerBand + j}) % 2147483647)"
+      }
+    val bands = (0 until nBands).map(b => s"${bandKey(b)} AS bk_$b")
+      .mkString(",\n    ")
+    val anyBand = (0 until nBands).map(b => s"a.bk_$b = b.bk_$b").mkString(" OR ")
+    s"""toks AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+       |    i -> ${shingleHashSql("(w[i] || ' ' || w[i+1] || ' ' || w[i+2])")})) AS sh
+       |  FROM toks WHERE len(w) >= 3),
+       |sig AS (
+       |  SELECT doc_id, sh,
+       |    $lanes
+       |  FROM sh),
+       |bands AS (
+       |  SELECT doc_id, sh,
+       |    $bands
+       |  FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.doc_id < b.doc_id AND ($anyBand)),
+       |pairs AS (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.id_a
+       |  JOIN sh sb ON sb.doc_id = c.id_b)""".stripMargin
+  }
+
+  /** Oracle for `dedup_near_minhash` — exact verified pairs + jaccard. */
+  def nearMinhashSql(nHashes: Int = 32, rowsPerBand: Int = 4,
+                     tau: Double = 0.7): String =
+    s"""WITH ${nearMinhashCtes(nHashes, rowsPerBand, tau)}
+       |SELECT id_a, id_b, round(jac, 6) AS jaccard
+       |FROM pairs WHERE jac >= $tau ORDER BY id_a, id_b""".stripMargin
+
+  /** Oracle for `dedup_minhash_clusters` — transitive closure over the
+    * verified minhash pairs (same recursive-CTE shape as
+    * dedup_jaccard_clusters' oracle). */
+  def minhashClustersSql(nHashes: Int = 32, rowsPerBand: Int = 4,
+                         tau: Double = 0.7): String =
+    s"""WITH RECURSIVE ${nearMinhashCtes(nHashes, rowsPerBand, tau)},
+       |vpairs AS (SELECT id_a, id_b FROM pairs WHERE jac >= $tau),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM vpairs
+       |  UNION SELECT id_b, id_a FROM vpairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |)
+       |SELECT a AS doc_id, least(a, min(b)) AS cluster
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
   /** Oracle for `dedup_simhash` — exact fingerprint equality. */
   def simhashSql(): String =
     s"""WITH th AS (SELECT doc_id, $tokenHashes AS ths FROM documents)

@@ -1444,6 +1444,12 @@ object SparkEntry {
     // the generated SQL (same pinned mixer constants, OracleGen) checks
     // fingerprints and banded Hamming pairs exactly
     "dedup_simhash" -> OracleGen.simhashSql(),
+    // minhash queries: shingle hash, lane mixes, and band keys are all
+    // mod-P integer arithmetic with pinned constants — generated SQL
+    // replays the full LSH pipeline exactly (round 5: 2 more of the
+    // no-oracle family flip to hash-oracled)
+    "dedup_near_minhash" -> OracleGen.nearMinhashSql(),
+    "dedup_minhash_clusters" -> OracleGen.minhashClustersSql(),
     "dedup_simhash_pairs" -> OracleGen.simhashPairsSql(),
     "sim_ann_lsh" -> OracleGen.simAnnLshSql(),
     "sim_ann_lsh_batch" -> OracleGen.simAnnLshBatchSql(),

@@ -30,10 +30,12 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ShingleExpressions {
 
-  private[functions] val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+  val P = 2147483647L // 2^31 - 1 (Mersenne prime)
 
-  /** Affine mix parameters for the MinHash family, fixed seed. */
-  private[functions] def mixParams(n: Int): (Array[Long], Array[Long]) = {
+  /** Affine mix parameters for the MinHash family, fixed seed. PUBLIC:
+    * [[graft.OracleGen.nearMinhashSql]] inlines these constants into
+    * generated DuckDB SQL — single source of truth for both engines. */
+  def mixParams(n: Int): (Array[Long], Array[Long]) = {
     var s = 0x9e3779b97f4a7c15L
     def next(): Long = { // splitmix64 step
       s += 0x9e3779b97f4a7c15L
@@ -81,9 +83,36 @@ object ShingleExpressions {
   * reference-object indirection. */
 object ShingleKernels {
 
+  /** Codepoint polynomial over a string: a₀ = init, a = (a·mult + cp)
+    * mod P — the SQL-reproducible hash primitive shared by the shingle,
+    * fingerprint, and simhash kernels (ord() + list_reduce replays it
+    * exactly in DuckDB). */
+  private def polyHash(s: CharSequence, init: Long, mult: Long): Long = {
+    val P = ShingleExpressions.P
+    var a = init
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = Character.codePointAt(s, i)
+      a = (a * mult + cp) % P
+      i += Character.charCount(cp)
+    }
+    a
+  }
+
   /** Split on single spaces, drop empty tokens, hash each k-gram (joined
-    * with one space) with XXH64 seed 42, return the DISTINCT hash values.
-    * One pass; no intermediate shingle strings survive the row. */
+    * with one space), return the DISTINCT hash values. One pass; no
+    * intermediate shingle strings survive the row.
+    *
+    * The hash is DELIBERATELY not XXH64 (the round-4 form): two
+    * independent codepoint polynomials mod P = 2³¹−1 (inits 7/11, mults
+    * 31/131) packed as `h₁·2³¹ + h₂` — a 62-bit value DuckDB reproduces
+    * exactly with ord() + list_reduce, which is what lets
+    * `dedup_near_minhash` / `dedup_minhash_clusters` be hash-oracled
+    * ([[graft.OracleGen.nearMinhashSql]]). 62 bits keep the collision
+    * tail ~n²/2⁶² — indistinguishable from the old 64-bit XXH64 in
+    * practice (a single 31-bit polynomial would collide ~500× at a
+    * 1.5M-shingle corpus and silently merge distinct shingles). */
   def shingleHashes(input: UTF8String, k: Int): ArrayData = {
     val toks0 = input.toString.split(' ')
     val toks = new java.util.ArrayList[String](toks0.length)
@@ -103,8 +132,8 @@ object ShingleKernels {
         if (j > 0) sb.append(' ')
         sb.append(toks.get(i + j)); j += 1
       }
-      val u = UTF8String.fromString(sb.toString)
-      seen.add(XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L))
+      val h = (polyHash(sb, 7L, 31L) << 31) | polyHash(sb, 11L, 131L)
+      seen.add(h)
       i += 1
     }
     val out = new Array[Long](seen.size)

@@ -125,8 +125,11 @@ object DedupOps {
     * Pipeline = map (signatures) → explode bands → shuffle on band key →
     * bucket-local pairs → verify. The only shuffle key in candidate
     * generation is (band, bandHash); skewed mega-buckets (boilerplate
-    * docs) would be salted at scale. No oracle (LSH is sampling-based);
-    * ScalaTest asserts the known near-dup pairs are found. */
+    * docs) would be salted at scale. "Approximate" only in recall — the
+    * RESULT is a pure function of the pinned hash/mix/fold constants, so
+    * it is oracled EXACTLY against generated full-pipeline SQL
+    * ([[graft.OracleGen.nearMinhashSql]]); ScalaTest additionally asserts
+    * the planted near-dup pairs are found. */
   def nearMinhash(documents: DataFrame, shingleK: Int = 3, nHashes: Int = 32,
                   rowsPerBand: Int = 4, jaccardTau: Double = 0.7): DataFrame = {
     val nBands = nHashes / rowsPerBand
@@ -141,14 +144,21 @@ object DedupOps {
       col("doc_id"),
       ShingleExpressions.minHashSignature(col("sh"), nHashes).as("sig"))
     // banded rows carry ONLY (band-key, doc_id): the candidate self-join
-    // shuffles two longs per row, never the shingle arrays
+    // shuffles two longs per row, never the shingle arrays. The band key
+    // is a polynomial fold of the band's lanes mod P (not the round-4
+    // xxhash64, which no other engine reproduces) — the piece that makes
+    // the whole pipeline SQL-oracleable (OracleGen.nearMinhashSql).
+    val P = graft.functions.ShingleExpressions.P
+    def bandKey(b: Int): Column =
+      (0 until rowsPerBand).foldLeft(lit(17L): Column) { (acc, j) =>
+        pmod(acc * lit(1009L) +
+          element_at(col("sig"), b * rowsPerBand + j + 1), lit(P))
+      }
     val banded = sig.select(
       col("doc_id"),
       explode(
         array((0 until nBands).map(b =>
-          struct(lit(b).as("band"),
-            xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
-              .as("bh"))): _*)).as("bk"))
+          struct(lit(b).as("band"), bandKey(b).as("bh"))): _*)).as("bk"))
     val cand = banded.select(col("bk"), col("doc_id").as("id_a"))
       .join(banded.select(col("bk"), col("doc_id").as("id_b")), Seq("bk"))
       .filter(col("id_a") < col("id_b"))
