@@ -56,6 +56,8 @@ object SparkEntry {
       Joins.asofOrderForward(Tables.orders(s, d), Tables.events(s, d))),
     "join_asof_tolerance" -> ((s, d) =>
       Joins.asofEventTolerance(Tables.events(s, d), Tables.orders(s, d))),
+    "join_asof_nearest" -> ((s, d) =>
+      Joins.asofNearest(Tables.events(s, d), Tables.orders(s, d))),
     // --- composed TPC-H-shaped analytics ---
     "q3_shipping_priority" -> ((s, d) =>
       ComposedOps.q3ShippingPriority(Tables.customer(s, d), Tables.orders(s, d),
@@ -149,6 +151,7 @@ object SparkEntry {
     "sim_ann_lsh_batch" -> ((s, d) => VectorOps.annLshBatch(Tables.embeddings(s, d))),
     "sim_ann_ivf" -> ((s, d) => VectorOps.annIvf(Tables.embeddings(s, d))),
     "sim_ann_ivf_batch" -> ((s, d) => VectorOps.annIvfBatch(Tables.embeddings(s, d))),
+    "vec_quantize_int8" -> ((s, d) => VectorOps.quantizeInt8(Tables.embeddings(s, d))),
     // --- text analysis (LLM-pipeline) ---
     "text_wordcount" -> ((s, d) => TextOps.wordcount(Tables.documents(s, d))),
     "text_ngram_stats" -> ((s, d) => TextOps.ngramStats(Tables.documents(s, d))),
@@ -159,6 +162,8 @@ object SparkEntry {
     "text_langid" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
     "text_pii_scrub" -> ((s, d) => TextOps.scrubPii(Tables.documents(s, d))),
+    "text_entropy" -> ((s, d) => TextOps.entropy(Tables.documents(s, d))),
+    "text_html_strip" -> ((s, d) => TextOps.htmlStrip(Tables.documents(s, d))),
     "pipeline_enrich" -> ((s, d) => TextOps.enrich(Tables.documents(s, d))),
     // --- multimodal columns (LLM-pipeline; real JDK ImageIO codec — see
     // MultimodalOps; stats keeps the column-expressible exact-oracle path) ---
@@ -187,6 +192,7 @@ object SparkEntry {
     "sample_temperature" -> ((s, d) => CorpusOps.sampleTemperature(Tables.documents(s, d))),
     "text_ppl_buckets" -> ((s, d) => CorpusOps.pplBuckets(Tables.documents(s, d))),
     "corpus_funnel" -> ((s, d) => CorpusOps.corpusFunnel(Tables.documents(s, d))),
+    "pipeline_shard_output" -> ((s, d) => CorpusOps.shardOutput(Tables.documents(s, d))),
     // --- retrieval (LLM-pipeline) ---
     "retrieval_bm25" -> ((s, d) => RetrievalOps.bm25(Tables.documents(s, d))),
     "pipeline_chunk_overlap" -> ((s, d) => RetrievalOps.chunkOverlap(Tables.documents(s, d))),
@@ -352,6 +358,18 @@ object SparkEntry {
         |    (SELECT min(e.ts) FROM events e
         |     WHERE e.user_id = o.o_custkey AND e.ts >= o.o_orderdate))) AS BIGINT) AS next_event_s
         |FROM orders o ORDER BY o.o_orderkey, user_id, next_event_s""".stripMargin,
+
+    // distances compare at second resolution (matching Spark's
+    // unix_timestamp truncation); ties prefer the earlier order
+    "join_asof_nearest" ->
+      """SELECT e.event_id, e.user_id,
+        |  CASE WHEN e.ts IS NULL THEN NULL ELSE
+        |    (SELECT CAST(epoch(date_trunc('second', o.o_orderdate)) AS BIGINT)
+        |     FROM orders o WHERE o.o_custkey = e.user_id
+        |     ORDER BY abs(epoch(date_trunc('second', o.o_orderdate))
+        |                - epoch(date_trunc('second', e.ts))), o.o_orderdate
+        |     LIMIT 1) END AS nearest_order_s
+        |FROM events e ORDER BY e.event_id""".stripMargin,
 
     "q3_shipping_priority" ->
       """SELECT o_orderkey,
@@ -642,6 +660,25 @@ object SparkEntry {
         |  CAST(dense_rank() OVER (ORDER BY c_acctbal DESC) AS INTEGER) AS drank
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
+    // exact KMV replay: distinct md5-60bit hashes, k smallest per group,
+    // reduced to the same scalar checksums as the Spark Aggregator output
+    "sample_bottomk" ->
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag,
+        |    CAST(('0x' || substring(md5(CAST(l_suppkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM lineitem
+        |), r AS (
+        |  SELECT l_returnflag, hv,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn
+        |  FROM h)
+        |SELECT l_returnflag,
+        |  CAST(COUNT(*) AS INT) AS n_sampled,
+        |  MIN(hv) AS min_hash,
+        |  MAX(hv) AS kth_hash,
+        |  bit_xor(hv) AS xor_checksum
+        |FROM r WHERE rn <= 8
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "sort_limit_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
@@ -739,6 +776,28 @@ object SparkEntry {
         |  round(list_dot_product(emb, list_transform(emb, x -> CAST(1.0 AS DOUBLE))) / nullif(nrm, 0), 6) AS unit_sum,
         |  round(emb[1] / nullif(nrm, 0), 6) AS unit_first
         |FROM e ORDER BY vec_id""".stripMargin,
+
+    // float→double widening is exact and round() is half-away-from-zero
+    // on both engines, so the codes agree bit-for-bit; per-vector list
+    // sums reduce in index order (no order-sensitive float reduction)
+    "vec_quantize_int8" ->
+      """WITH t AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    CAST(len(embedding) AS INT) AS n_dims,
+        |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS max_abs
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id, n_dims, max_abs,
+        |    CASE WHEN max_abs > 0 THEN
+        |      list_transform(emb, x -> CAST(round(x / (max_abs / 127.0)) AS BIGINT))
+        |    END AS codes
+        |  FROM t)
+        |SELECT vec_id, n_dims,
+        |  round(max_abs / 127.0, 9) AS scale,
+        |  COALESCE(CAST(list_sum(codes) AS BIGINT), 0) AS code_sum,
+        |  COALESCE(CAST(list_sum(list_transform(codes, x -> abs(x))) AS BIGINT), 0) AS code_abs_sum,
+        |  COALESCE(CAST(list_max(codes) AS BIGINT), 0) AS code_max
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "fn_json" ->
       """SELECT event_id,
@@ -1014,6 +1073,51 @@ object SparkEntry {
         |    '\+?\d{0,3}[-. ]*\(?\d{3}\)?[-. ]*\d{3}[-. ]*\d{4}', '<PHONE>', 'g') AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // the order-sensitive float reduction (Σ cnt·ln cnt) is rounded per
+    // term and summed as DECIMAL on BOTH engines, so the sum is exact and
+    // partitioning-independent; ln(2) is the same literal on both sides
+    "text_entropy" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        |), c AS (
+        |  SELECT doc_id, word, COUNT(*) AS cnt FROM w WHERE word <> ''
+        |  GROUP BY doc_id, word
+        |), d AS (
+        |  SELECT doc_id, COUNT(*) AS n_distinct,
+        |    CAST(SUM(cnt) AS BIGINT) AS n_words,
+        |    SUM(CAST(round(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)), 6)
+        |        AS DECIMAL(28,6))) AS s
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_words, n_distinct,
+        |  round((ln(CAST(n_words AS DOUBLE)) - CAST(s AS DOUBLE) / n_words)
+        |        / 0.6931471805599453, 4) AS entropy_bits,
+        |  round(CAST(n_distinct AS DOUBLE) / n_words, 6) AS ttr
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // same wrap + strip chain as the Spark side; DuckDB regexp_replace
+    // needs the explicit 'g' flag (Spark replaces all matches by default)
+    "text_html_strip" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><body><h1>' || source || '</h1>' || chr(10) || '<p>' || text ||
+        |    '</p><script>var x = 1 &amp; 2;</script><!-- nav --></body></html>' AS html
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, trim(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(html, '<script>[^<]*</script>|<!--[^>]*-->', ' ', 'g'),
+        |            '<[^>]*>', ' ', 'g'),
+        |          '&lt;', '<', 'g'),
+        |        '&gt;', '>', 'g'),
+        |      '&amp;', '&', 'g'),
+        |    '[ \n\t]+', ' ', 'g')) AS clean_text
+        |  FROM h)
+        |SELECT doc_id, clean_text, CAST(length(clean_text) AS INT) AS clean_len
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     // the Spark side splits on lookaround boundaries (not expressible in
     // RE2); the resulting piece count equals |alnum runs| + |non-alnum
     // non-space chars|, which RE2 can count directly
@@ -1220,6 +1324,24 @@ object SparkEntry {
         |UNION ALL SELECT 3, 'avg_word_len', rm3, total - rm1 - rm2 - rm3 FROM f
         |UNION ALL SELECT 4, 'no_repetition', rm4, total - rm1 - rm2 - rm3 - rm4 FROM f
         |ORDER BY stage""".stripMargin,
+
+    // shard = md5 first two hex digits mod 8 (instr haystack-first on
+    // both engines); order checksum pins the (shard, hash, id) sequence
+    // the Spark side computes via Skew.distributedRowNumber
+    "pipeline_shard_output" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars, md5(text) AS h,
+        |    CAST(((instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 16
+        |       + (instr('0123456789abcdef', substring(md5(text), 2, 1)) - 1)) % 8 AS INT)
+        |      AS shard_id
+        |  FROM documents
+        |), r AS (
+        |  SELECT *, row_number() OVER (ORDER BY shard_id, h, doc_id) AS rn FROM t)
+        |SELECT shard_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+        |  CAST(SUM(rn * doc_id) AS BIGINT) AS order_checksum
+        |FROM r GROUP BY shard_id ORDER BY shard_id""".stripMargin,
 
     // duplicate-trigram ratio; trigram multiset matches the ngrams expr
     "text_repetition" ->

@@ -514,4 +514,42 @@ object CorpusOps {
       .select(col("f.stage"), col("f.rule"), col("f.removed"), col("f.remaining"))
       .orderBy("stage")
   }
+
+  /** `pipeline_shard_output`: deterministic output sharding — the final
+    * stage of a training-data pipeline, where the corpus is split into N
+    * reproducible shards with a stable within-shard order (so a rerun
+    * from the same inputs produces byte-identical shard files, and any
+    * shard can be regenerated independently). Shard assignment is a pure
+    * function of content (md5 first two hex digits → 0..255 → mod N, the
+    * same engine-neutral md5 mechanism as `sample_mixture`); within-shard
+    * order is (content-hash, doc_id) — content-random, so shard files are
+    * statistically uniform slices, not source-clustered.
+    *
+    * Scale shape: assignment is map-only at scan speed. The global
+    * sequence over (shard, hash, id) rides [[Skew.distributedRowNumber]]
+    * — a range repartition + broadcast offsets, NEVER a single-task
+    * window (with N shards ≪ partitions, `Window.partitionBy(shard)`
+    * would funnel the whole corpus through N tasks). The query emits the
+    * per-shard manifest (counts, byte totals, id range, an order
+    * checksum pinning the exact sequence) — one tiny agg over the ranked
+    * corpus; the full ranked listing is what a writer would
+    * `partitionBy("shard_id")` straight to parquet. */
+  def shardOutput(documents: DataFrame, nShards: Int = 8,
+                  rankPartitions: Int = 32): DataFrame = {
+    val hexVal = (pos: Int) =>
+      expr(s"instr('0123456789abcdef', substring(md5(text), $pos, 1))") - 1
+    val tagged = documents.select(
+      col("doc_id"), col("n_chars"), md5(col("text")).as("h"),
+      pmod(hexVal(1) * 16 + hexVal(2), lit(nShards)).cast("int").as("shard_id"))
+    Skew.distributedRowNumber(tagged, rankPartitions,
+        col("shard_id"), col("h"), col("doc_id"))
+      .groupBy("shard_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        sum(col("rn") * col("doc_id")).as("order_checksum"))
+      .orderBy("shard_id")
+  }
 }

@@ -237,12 +237,19 @@ object DedupOps {
     * in the component) — the step that turns any pair detector above into
     * an actual dedup decision ("keep the cluster representative").
     *
-    * Distributed min-label propagation: every node starts labeled with
-    * itself; each round every node takes the min of its own and its
-    * neighbors' labels — ONE shuffle per round, converging in
-    * O(component diameter) rounds (near-dup components are shallow;
-    * bounded at 50). `localCheckpoint` per round truncates the lineage so
-    * the plan doesn't grow with iterations — the same iterative-algorithm
+    * Distributed min-label propagation WITH pointer jumping: every node
+    * starts labeled with itself; each round every node takes the min of
+    * its own and its neighbors' labels, then dereferences once more
+    * through the previous round's label table (`label(label(u))` — the
+    * path-halving step of pointer-jumping union-find). Neighbor
+    * propagation alone moves a label one hop per round — O(component
+    * diameter) rounds, which the round cap of 50 would silently truncate
+    * on a >50-hop path component; the jump step contracts label chains
+    * geometrically, so convergence is O(log diameter) rounds
+    * (DedupSpec pins a 200-node path collapsing to one cluster well
+    * inside the cap). Both steps shuffle only (id, label) longs.
+    * `localCheckpoint` per round truncates the lineage so the plan
+    * doesn't grow with iterations — the same iterative-algorithm
     * shape as MLlib's KMeans. The driver sees only the convergence
     * counter, never the data.
     *
@@ -268,11 +275,22 @@ object DedupOps {
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nc")).as("nmin"))
       val obs = org.apache.spark.sql.Observation()
-      val cp = labels
+      val stepped = labels
         .join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
           col("cluster").as("old"))
+      // pointer jump: cluster := min(cluster, label(cluster)) against the
+      // PREVIOUS round's checkpointed table (so the lookup target is
+      // materialized, not recomputed). label values are always node ids of
+      // the same component, so the min preserves the invariant while
+      // halving label-chain length each round.
+      val cp = stepped
+        .join(labels.select(col("doc_id").as("cluster"), col("cluster").as("jump")),
+          Seq("cluster"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("jump"), col("cluster"))).as("cluster"),
+          col("old"))
         .observe(obs, coalesce(
           sum(when(col("cluster") =!= col("old"), 1L).otherwise(0L)),
           lit(0L)).as("changed"))

@@ -380,6 +380,48 @@ object Joins {
           .as("last_order_s"))
       .orderBy("event_id")
   }
+
+  /** `join_asof_nearest`: bidirectional as-of — each event matched to the
+    * CLOSEST order of the same user in either time direction (ties break
+    * to the earlier order), the standard sensor-alignment form
+    * (`ASOF NEAREST`). One union + ONE shuffle/sort on (user, time): both
+    * window frames (backward `last`, forward `first`) share the same
+    * partitioning and sort order, so Catalyst evaluates them in a single
+    * WindowExec pass — same O(n log n)-per-user scale shape as
+    * [[asofEvent]], no second exchange for the second direction.
+    * Distances compare at second resolution on both engines
+    * (unix_timestamp truncation ≡ the oracle's date_trunc('second')).
+    * Null-timestamp events yield NULL explicitly (the window would
+    * otherwise hand them the globally-first order). */
+  def asofNearest(events: DataFrame, orders: DataFrame): DataFrame = {
+    val ev = events.select(
+      col("user_id"), col("ts"), lit(1).as("tag"),
+      lit(null).cast("timestamp").as("ots"), col("event_id"))
+    val os = orders.select(
+      col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+      lit(0).as("tag"), col("o_orderdate").as("ots"),
+      lit(null).cast("long").as("event_id"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("tag"))
+    val back = last(col("ots"), ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val fwd = first(col("ots"), ignoreNulls = true)
+      .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    val distB = unix_timestamp(col("ts")) - unix_timestamp(col("b"))
+    val distF = unix_timestamp(col("f")) - unix_timestamp(col("ts"))
+    ev.unionByName(os)
+      .withColumn("b", back)
+      .withColumn("f", fwd)
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"),
+        when(col("ts").isNull, lit(null).cast("long"))
+          .otherwise(unix_timestamp(
+            when(col("b").isNull, col("f"))
+              .when(col("f").isNull, col("b"))
+              .when(distB <= distF, col("b"))
+              .otherwise(col("f"))))
+          .as("nearest_order_s"))
+      .orderBy("event_id")
+  }
 }
 
 /** Aggregations (SURVEY §2-B "Aggregations"). All use Catalyst's
@@ -593,11 +635,18 @@ object Aggs {
 
   /** Raw bottom-k sketch per returnflag (array column) — the form the
     * ScalaTest equality proof consumes. */
+  /** 60-bit engine-neutral uniform hash: md5 is the one hash both
+    * engines share (same rule as the md5-prefix samplers in CorpusOps),
+    * and 15 hex digits stay positive in a signed 64-bit parse on both
+    * sides (Spark `conv(…,16,10)`, DuckDB `('0x'||…)::BIGINT`). */
+  private def md5Hash60(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
   def sampleBottomKSketch(lineitem: DataFrame, k: Int = 8): DataFrame =
     lineitem
       .groupBy("l_returnflag")
       .agg(graft.functions.BottomKSample.bottomK(
-        xxhash64(col("l_suppkey")), k).as("sample_hashes"))
+        md5Hash60(col("l_suppkey")), k).as("sample_hashes"))
 
   /** `sample_bottomk`: deterministic uniform sample of suppliers per
     * returnflag via the bottom-k-by-hash sketch
@@ -606,8 +655,11 @@ object Aggs {
     * query surface reduces the sample array to scalar columns (size,
     * first/k-th hash, XOR fold) because the driver gate compares cells
     * with `==` and array cells break its sort — scalar-checksum rule.
-    * No oracle (hash-based); ScalaTest proves sketch equality with the
-    * exact "k smallest hashes per group" formulation. */
+    * Oracled as of round 5: hashing by [[md5Hash60]] (engine-neutral)
+    * instead of xxhash64 lets DuckDB replay the exact KMV selection
+    * (distinct → k smallest per group → min/max/bit_xor); ScalaTest
+    * additionally proves the Aggregator equals the exact
+    * "k smallest distinct hashes per group" formulation. */
   def sampleBottomK(lineitem: DataFrame, k: Int = 8): DataFrame =
     sampleBottomKSketch(lineitem, k)
       .select(

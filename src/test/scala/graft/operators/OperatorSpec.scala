@@ -274,7 +274,9 @@ class OperatorSpec extends SparkSpec {
     val sketch = Aggs.sampleBottomKSketch(li, k = 8).collect()
       .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
     val exact = li
-      .select(col("l_returnflag"), xxhash64(col("l_suppkey")).as("h"))
+      .select(col("l_returnflag"),
+        conv(substring(md5(col("l_suppkey").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
       .distinct()
       .collect().groupBy(_.getString(0))
       .view.mapValues(_.map(_.getLong(1)).distinct.sorted.take(8).toSeq).toMap
