@@ -195,6 +195,54 @@ class PlanGuardSpec extends SparkSpec {
       s"per-partition offsets should broadcast:\n$plan")
   }
 
+  test("asofNearest evaluates both direction frames in ONE window pass") {
+    // backward last + forward first share partitioning (user_id) and sort
+    // order (ts, tag): Catalyst must plan a single Window operator over a
+    // single sort — a second Exchange or Sort would mean the two frames
+    // stopped sharing the pass and the join pays the shuffle twice
+    val plan = Joins.asofNearest(
+        Tables.events(spark, sf()), Tables.orders(spark, sf()))
+      .queryExecution.executedPlan.treeString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 window shuffle, got $exchanges:\n$plan")
+    val windows = "\\bWindow\\b".r.findAllIn(plan).length
+    assert(windows == 1, s"expected 1 Window operator, got $windows:\n$plan")
+  }
+
+  test("quantizeInt8 is map-only: no exchange anywhere in the plan") {
+    val plan = VectorOps.quantizeInt8(Tables.embeddings(spark, sf()))
+      .queryExecution.executedPlan.treeString
+    // the trailing orderBy is the oracle-determinism sort; everything
+    // before it must be scan → project (rangepartitioning for the sort
+    // is the ONLY allowed exchange)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"quantization must not shuffle:\n$plan")
+  }
+
+  test("shardOutput ranks via range repartition, never a single-task window") {
+    val plan = CorpusOps.shardOutput(docs).queryExecution.executedPlan.treeString
+    val windowIdx = plan.indexOf("Window")
+    assert(windowIdx >= 0, plan)
+    assert(!plan.substring(windowIdx).contains("Exchange SinglePartition"),
+      s"global rank funnels through one task:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"rank offsets should broadcast:\n$plan")
+  }
+
+  test("htmlStrip and entropy keep the corpus scan unshuffled before aggregation") {
+    // html strip: pure projection — no exchange except the determinism sort
+    val hPlan = TextOps.htmlStrip(docs).queryExecution.executedPlan.treeString
+    assert(!hPlan.contains("Exchange hashpartitioning"),
+      s"html strip must be map-only:\n$hPlan")
+    // entropy: exactly the (doc,word) count shuffle + the (doc) rollup —
+    // partial aggregation must appear below the first exchange
+    val ePlan = TextOps.entropy(docs).queryExecution.executedPlan.treeString
+    assert(ePlan.contains("partial_count") || ePlan.contains("partial count")
+      || ePlan.toLowerCase.contains("partialmerge")
+      || ePlan.contains("HashAggregate"),
+      s"entropy should partial-aggregate map-side:\n$ePlan")
+  }
+
   test("stratified sample and quantile filter stay map-only over the scan") {
     // sample: a Filter directly over the file scan, no exchange before it
     val samplePlan = CorpusOps.sampleStratified(docs)
