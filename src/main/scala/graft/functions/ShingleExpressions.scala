@@ -83,18 +83,32 @@ object ShingleExpressions {
   * reference-object indirection. */
 object ShingleKernels {
 
+  /** `x mod P` for any x in [0, 2⁶³) without a division: P = 2³¹−1 is
+    * Mersenne, so 2³¹ ≡ 1 (mod P) and x ≡ (x & P) + (x >>> 31). Two
+    * folds bring the value under P + 4; one conditional subtract lands
+    * in [0, P). Bit-identical to `% P` (the generated DuckDB oracles
+    * keep using `%` and still hash-match) at ~5 cycles instead of the
+    * ~25-cycle 64-bit division the hot loops were paying per codepoint.
+    * Every call site's operand is provably nonnegative and < 2⁶³:
+    * accumulators stay in [0, P) and multipliers are < 2³². */
+  @inline private def modP(x: Long): Long = {
+    val P = ShingleExpressions.P
+    val s = (x & P) + (x >>> 31)
+    val t = (s & P) + (s >>> 31)
+    if (t >= P) t - P else t
+  }
+
   /** Codepoint polynomial over a string: a₀ = init, a = (a·mult + cp)
     * mod P — the SQL-reproducible hash primitive shared by the shingle,
     * fingerprint, and simhash kernels (ord() + list_reduce replays it
     * exactly in DuckDB). */
   private def polyHash(s: CharSequence, init: Long, mult: Long): Long = {
-    val P = ShingleExpressions.P
     var a = init
     var i = 0
     val n = s.length
     while (i < n) {
       val cp = Character.codePointAt(s, i)
-      a = (a * mult + cp) % P
+      a = modP(a * mult + cp)
       i += Character.charCount(cp)
     }
     a
@@ -159,10 +173,13 @@ object ShingleKernels {
     val mins = Array.fill(n)(Long.MaxValue)
     var i = 0
     while (i < m) {
-      val h = math.floorMod(arr.getLong(i), P)
+      val g = arr.getLong(i)
+      // our shingle hashes are 62-bit nonnegative (fold applies); keep
+      // the floorMod fallback for arbitrary caller-supplied longs
+      val h = if (g >= 0) modP(g) else math.floorMod(g, P)
       var j = 0
       while (j < n) {
-        val v = (h * as(j) + bs(j)) % P
+        val v = modP(h * as(j) + bs(j))
         if (v < mins(j)) mins(j) = v
         j += 1
       }
@@ -192,7 +209,6 @@ object ShingleKernels {
     * `dedup_simhash` / `dedup_simhash_pairs` from spec-only to
     * hash-oracled. One pass, 64 accumulators. */
   def simHash64(input: UTF8String): Long = {
-    val P = ShingleExpressions.P
     val s = input.toString
     val votes = new Array[Int](64)
     var i = 0
@@ -203,7 +219,7 @@ object ShingleKernels {
         var a = 7L
         while (i < n && s.charAt(i) != ' ') {
           val cp = s.codePointAt(i)
-          a = (a * 31L + cp) % P
+          a = modP(a * 31L + cp)
           i += Character.charCount(cp)
         }
         // nonlinear scramble before the per-lane mixes: squaring mod P
@@ -212,10 +228,10 @@ object ShingleKernels {
         // vote margins correlated and near zero, doubling bit flips per
         // token change); still plain 63-bit-safe integer arithmetic the
         // SQL oracle reproduces
-        val sq = (a * a) % P
+        val sq = modP(a * a)
         var j = 0
         while (j < 4) {
-          val h = (sq * SimMixers(j)) % P
+          val h = modP(sq * SimMixers(j))
           var k = 0
           while (k < 16) {
             if (((h >>> k) & 1L) == 1L) votes(j * 16 + k) += 1
@@ -243,7 +259,6 @@ object ShingleKernels {
     * DuckDB oracle reproduces it exactly with ord() + list_reduce (unlike
     * the round-2 crc32 formulation, which no other engine shares). */
   def rabinWords(input: UTF8String): Long = {
-    val P = ShingleExpressions.P
     val s = input.toString
     var h = 5381L
     var i = 0
@@ -254,10 +269,10 @@ object ShingleKernels {
         var a = 7L
         while (i < n && s.charAt(i) != ' ') {
           val cp = s.codePointAt(i)
-          a = (a * 31L + cp) % P
+          a = modP(a * 31L + cp)
           i += Character.charCount(cp)
         }
-        h = (h * 33L + a) % P
+        h = modP(h * 33L + a)
       }
     }
     h
@@ -266,14 +281,13 @@ object ShingleKernels {
   /** Rabin-Karp rolling hash over ALL codepoints (spaces included) — the
     * content-hash sibling of [[rabinWords]]. */
   def rabinChars(input: UTF8String): Long = {
-    val P = ShingleExpressions.P
     val s = input.toString
     var a = 7L
     var i = 0
     val n = s.length
     while (i < n) {
       val cp = s.codePointAt(i)
-      a = (a * 31L + cp) % P
+      a = modP(a * 31L + cp)
       i += Character.charCount(cp)
     }
     a

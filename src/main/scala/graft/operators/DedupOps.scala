@@ -259,11 +259,56 @@ object DedupOps {
     * doubling every round's latency). If the metric hasn't landed by the
     * time the action returns (listener delivery is async), the fallback
     * is a count over the already-cached diff — a scan of in-memory
-    * partitions, not a recompute. */
+    * partitions, not a recompute.
+    *
+    * The loop's shuffles are sized to the EDGE COUNT, not the session's
+    * `spark.sql.shuffle.partitions`: iterative state is (id, label)
+    * longs — orders of magnitude smaller than the corpus the session
+    * conf is sized for — and the per-round localCheckpoint
+    * materialization does not go through AQE, so nothing coalesces the
+    * oversized shuffles at runtime. At sf10 (128 session partitions,
+    * ~30k labels) the fixed overhead of 3 joins × 128 tasks × rounds
+    * dominated the queries end to end (~80 of ~90 s); ~1M edges per
+    * partition (8-byte pairs) keeps each task meaningful at any scale,
+    * growing the partition count linearly with the near-dup graph. The
+    * conf override is scoped to the loop and restored in a finally. */
   def clusters(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val spark = pairs.sparkSession
+    // materialize the pair detector ONCE before symmetrizing: the union's
+    // two branches are different projections of the same (possibly very
+    // expensive) pair plan, and the checkpoint materialization path does
+    // not run exchange reuse — un-checkpointed, the detector executes
+    // twice (measured: ~2× the whole ngramJaccard stage at sf10)
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    var t0 = System.nanoTime()
+    def mark(what: String): Unit = if (debug) {
+      System.err.println(f"[cc] $what ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      t0 = System.nanoTime()
+    }
+    // materialize the detector through cache + count, NOT localCheckpoint:
+    // checkpoint materialization bypasses AQE, so an expensive pair plan
+    // would execute with fixed-width shuffles and no runtime broadcast
+    // conversion (measured 3× the plan's normal runtime at sf10); the
+    // count action below runs the plan under AQE and pins the result in
+    // the block store, after which every derivative is a cached scan
+    val p0 = pairs.select(col("id_a"), col("id_b")).persist()
+    val nPairs = p0.count()
+    mark(s"pairs materialized ($nPairs)")
+    val edges = p0.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p0.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
+    mark("edges symmetrized")
+    val loopParts = math.max(4L, math.min(4096L, 2L * nPairs / 1000000L + 4L)).toInt
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+    try { val r = clustersLoop(edges); mark("loop done"); r }
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      p0.unpersist(blocking = false)
+    }
+  }
+
+  private def clustersLoop(edges: DataFrame): DataFrame = {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
       .localCheckpoint()
@@ -306,6 +351,10 @@ object DedupOps {
       }
       labels = cp.drop("old")
       rounds += 1
+      // scale-diagnostics only: GRAFT_CC_DEBUG=1 logs per-round progress
+      // (never on by default — the driver sees only the final frame)
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round=$rounds changed=$changed")
     }
     labels.orderBy("doc_id")
   }

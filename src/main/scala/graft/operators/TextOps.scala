@@ -283,18 +283,26 @@ object TextOps {
     * codegen'd, scan-speed at any corpus size. Patterns use character
     * classes only (no lookaround, no non-greedy), the subset where Java
     * regex and DuckDB's RE2 provably agree. */
-  def htmlStrip(documents: DataFrame): DataFrame = {
-    val html = concat(
-      lit("<html><body><h1>"), col("source"),
-      lit("</h1>\n<p>"), col("text"),
-      lit("</p><script>var x = 1 &amp; 2;</script><!-- nav --></body></html>"))
+  /** Column form of the markup strip — the streaming-safe surface (same
+    * split as [[scrubPiiCol]]/[[scrubPii]]): streaming pipelines compose
+    * this directly into the transform slot; the query below adds the
+    * deterministic wrap + the oracle-determinism orderBy. */
+  def stripMarkupCol(html: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val noBlocks = regexp_replace(html,
       "<script>[^<]*</script>|<!--[^>]*-->", " ")
     val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
     val unescaped = regexp_replace(
       regexp_replace(regexp_replace(noTags, "&lt;", "<"), "&gt;", ">"),
       "&amp;", "&")
-    val clean = trim(regexp_replace(unescaped, "[ \\n\\t]+", " "))
+    trim(regexp_replace(unescaped, "[ \\n\\t]+", " "))
+  }
+
+  def htmlStrip(documents: DataFrame): DataFrame = {
+    val html = concat(
+      lit("<html><body><h1>"), col("source"),
+      lit("</h1>\n<p>"), col("text"),
+      lit("</p><script>var x = 1 &amp; 2;</script><!-- nav --></body></html>"))
+    val clean = stripMarkupCol(html)
     documents
       .select(col("doc_id"), clean.as("clean_text"),
         length(clean).as("clean_len"))
