@@ -309,9 +309,18 @@ object DedupOps {
   }
 
   private def clustersLoop(edges: DataFrame): DataFrame = {
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster", col("doc_id"))
-      .localCheckpoint()
+    // every checkpoint is re-rooted WITHOUT origin statistics
+    // (graftbridge.freshLogicalRdd): Dataset.localCheckpoint truncates
+    // lineage but copies the parent plan's stats, and labels feeds TWO
+    // joins per round — sizeInBytes compounds as a product round over
+    // round, its BigInt bit-length doubling per iteration until the
+    // driver's join-stats estimation grinds on million-bit integers
+    // (caught by the 30-round H-merge fixture in RoundFiveOpsSpec)
+    import org.apache.spark.sql.graftbridge.ColumnBridge.freshLogicalRdd
+    var labels = freshLogicalRdd(
+      edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("cluster", col("doc_id"))
+        .localCheckpoint())
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
@@ -349,7 +358,7 @@ object DedupOps {
         m.get("changed").map(_.asInstanceOf[Long])
           .getOrElse(cp.filter(col("cluster") =!= col("old")).count())
       }
-      labels = cp.drop("old")
+      labels = freshLogicalRdd(cp).drop("old")
       rounds += 1
       // scale-diagnostics only: GRAFT_CC_DEBUG=1 logs per-round progress
       // (never on by default — the driver sees only the final frame)

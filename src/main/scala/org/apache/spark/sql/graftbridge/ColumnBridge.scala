@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
 
@@ -11,4 +11,22 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Rebuild a materialized (checkpointed/cached) DataFrame as a bare
+    * `LogicalRDD` with DEFAULT statistics, dropping the origin stats the
+    * checkpoint copied from its parent plan. Iterative algorithms need
+    * this: `Dataset.localCheckpoint` truncates the lineage but keeps
+    * `originStats`, whose `sizeInBytes` is a PRODUCT of the parent
+    * plan's BigInt sizes — chained round over round the bit-length
+    * doubles each iteration, and by ~round 25 Catalyst's join-stats
+    * visitor is multiplying million-bit BigIntegers on the driver
+    * (observed as a non-terminating stats pass in DedupOps.clusters).
+    * The InternalRow RDD is reused as-is — no row conversion, no extra
+    * job; only the statistics lineage is severed. */
+  def freshLogicalRdd(df: DataFrame): DataFrame = {
+    val classicDf = df.asInstanceOf[org.apache.spark.sql.classic.DataFrame]
+    val spark = classicDf.sparkSession
+    spark.internalCreateDataFrame(
+      classicDf.queryExecution.toRdd, classicDf.schema, isStreaming = false)
+  }
 }

@@ -114,4 +114,22 @@ class RoundFiveOpsSpec extends SparkSpec {
     assert(labels.length === 200)
     assert(labels.forall(_.getLong(1) === 0L), "all labels must reach the min id")
   }
+
+  test("clusters: adversarial shapes — star, H-merge, disjoint components") {
+    // star: hub 0 with 50 leaves (diameter 2, the common near-dup shape)
+    val star = (1L to 50L).map(i => (0L, i)).toDF("id_a", "id_b")
+    assert(DedupOps.clusters(star).collect().forall(_.getLong(1) === 0L))
+    // H-merge: two long chains (0.. and 1000..) bridged mid-chain — the
+    // min label must cross the bridge and win the whole second chain
+    val chainA = (0L until 60L).map(i => (i, i + 1))
+    val chainB = (1000L until 1060L).map(i => (i, i + 1))
+    val bridge = Seq((30L, 1030L))
+    val h = (chainA ++ chainB ++ bridge).toDF("id_a", "id_b")
+    assert(DedupOps.clusters(h).collect().forall(_.getLong(1) === 0L))
+    // disjoint components keep distinct minima
+    val two = (Seq((1L, 2L), (2L, 3L)) ++ Seq((10L, 11L))).toDF("id_a", "id_b")
+    val got = DedupOps.clusters(two).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
 }
