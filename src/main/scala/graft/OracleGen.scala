@@ -79,12 +79,11 @@ object OracleGen {
        |SELECT probe_id, vec_id, round(rawcos, 6) AS cos, rn
        |FROM r WHERE rn <= 10 ORDER BY probe_id, rn""".stripMargin
 
-  /** Oracle for `dedup_near_embedding` (τ = 0.95 on the ROUNDED cosine,
-    * BANDED as of round 5: 4 bands × 6 bits, band seeds b·7919 — must
-    * track the explicit params SparkEntry pins in the registration). */
-  def nearDupEmbeddingSql(nBands: Int = 4, bitsPerBand: Int = 6,
-                          dim: Int = 64, tau: Double = 0.95): String =
-    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+  /** Shared CTE chain for the banded sign-LSH near-dup pair detector —
+    * used by both the pair oracle and the clusters-closure oracle. */
+  private def nearDupEmbeddingCtes(nBands: Int, bitsPerBand: Int,
+                                   dim: Int): String =
+    s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |bands AS (
        |  SELECT vec_id,
        |    ${bandCols(nBands, bitsPerBand, dim)}
@@ -99,9 +98,34 @@ object OracleGen {
        |      (sqrt(list_dot_product(ea.e, ea.e)) * sqrt(list_dot_product(eb.e, eb.e))), 6) AS cos
        |  FROM cand c
        |  JOIN emb ea ON ea.vec_id = c.id_a
-       |  JOIN emb eb ON eb.vec_id = c.id_b)
+       |  JOIN emb eb ON eb.vec_id = c.id_b)""".stripMargin
+
+  /** Oracle for `dedup_near_embedding` (τ = 0.95 on the ROUNDED cosine,
+    * BANDED as of round 5: 4 bands × 6 bits, band seeds b·7919 — must
+    * track the explicit params SparkEntry pins in the registration). */
+  def nearDupEmbeddingSql(nBands: Int = 4, bitsPerBand: Int = 6,
+                          dim: Int = 64, tau: Double = 0.95): String =
+    s"""WITH ${nearDupEmbeddingCtes(nBands, bitsPerBand, dim)}
        |SELECT id_a, id_b, cos FROM scored
        |WHERE cos >= $tau ORDER BY id_a, id_b""".stripMargin
+
+  /** Oracle for `dedup_embedding_clusters` — transitive closure over the
+    * verified embedding near-dup pairs (same recursive-CTE shape as the
+    * jaccard/minhash clusters oracles). */
+  def embeddingClustersSql(nBands: Int = 4, bitsPerBand: Int = 6,
+                           dim: Int = 64, tau: Double = 0.95): String =
+    s"""WITH RECURSIVE ${nearDupEmbeddingCtes(nBands, bitsPerBand, dim)},
+       |vpairs AS (SELECT id_a, id_b FROM scored WHERE cos >= $tau),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM vpairs
+       |  UNION SELECT id_b, id_a FROM vpairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |)
+       |SELECT a AS doc_id, least(a, min(b)) AS cluster
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
   // ---- simhash oracles ------------------------------------------------
   // The simhash token hash is a codepoint polynomial mod 2³¹−1 expanded

@@ -144,6 +144,12 @@ object SparkEntry {
     // corpus-independent; the API default autoscales bits from the count
     "dedup_near_embedding" -> ((s, d) =>
       VectorOps.nearDupEmbedding(Tables.embeddings(s, d), nBands = 4, bitsPerBand = 6)),
+    // semantic near-dup clusters: connected components over the verified
+    // embedding pair graph — the "keep one per embedding-duplicate
+    // group" decision for a semantically-deduped corpus
+    "dedup_embedding_clusters" -> ((s, d) =>
+      DedupOps.clusters(
+        VectorOps.nearDupEmbedding(Tables.embeddings(s, d), nBands = 4, bitsPerBand = 6))),
     // --- similarity search (LLM-pipeline) ---
     "sim_cosine_topk" -> ((s, d) => VectorOps.cosineTopK(Tables.embeddings(s, d))),
     "sim_batch_topk" -> ((s, d) => VectorOps.batchCosineTopK(Tables.embeddings(s, d))),
@@ -193,6 +199,8 @@ object SparkEntry {
     "text_ppl_buckets" -> ((s, d) => CorpusOps.pplBuckets(Tables.documents(s, d))),
     "corpus_funnel" -> ((s, d) => CorpusOps.corpusFunnel(Tables.documents(s, d))),
     "pipeline_shard_output" -> ((s, d) => CorpusOps.shardOutput(Tables.documents(s, d))),
+    "text_zipf" -> ((s, d) => CorpusOps.zipfFit(Tables.documents(s, d))),
+    "sample_pps" -> ((s, d) => CorpusOps.samplePps(Tables.documents(s, d))),
     // --- retrieval (LLM-pipeline) ---
     "retrieval_bm25" -> ((s, d) => RetrievalOps.bm25(Tables.documents(s, d))),
     "pipeline_chunk_overlap" -> ((s, d) => RetrievalOps.chunkOverlap(Tables.documents(s, d))),
@@ -1343,6 +1351,43 @@ object SparkEntry {
         |  CAST(SUM(rn * doc_id) AS BIGINT) AS order_checksum
         |FROM r GROUP BY shard_id ORDER BY shard_id""".stripMargin,
 
+    // ln terms rounded to 6 dp FIRST, then all products/sums in exact
+    // DECIMAL — same order-free float rule as text_entropy
+    "text_zipf" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+        |  FROM documents),
+        |counts AS (SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word),
+        |top AS (SELECT word, cnt FROM counts ORDER BY cnt DESC, word LIMIT 200),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rk FROM top),
+        |t AS (SELECT
+        |  CAST(round(ln(CAST(rk AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+        |  CAST(round(ln(CAST(cnt AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+        |  FROM r),
+        |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |  CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |  CAST(SUM(x * y) AS DOUBLE) AS sxy, CAST(SUM(x * x) AS DOUBLE) AS sxx
+        |  FROM t)
+        |SELECT CAST(n AS INT) AS top_n,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
+        |    AS intercept
+        |FROM s""".stripMargin,
+
+    // exact integer inclusion test on the md5 prefix: keep iff
+    // u * charBudget < n_chars * 65536 (u = first 4 hex digits)
+    "sample_pps" ->
+      """SELECT doc_id, n_chars,
+        |  round(greatest(CAST(1.0 AS DOUBLE),
+        |    2000.0 / CAST(n_chars AS DOUBLE)), 6) AS ht_weight
+        |FROM documents
+        |WHERE ((instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 4096
+        |     + (instr('0123456789abcdef', substring(md5(text), 2, 1)) - 1) * 256
+        |     + (instr('0123456789abcdef', substring(md5(text), 3, 1)) - 1) * 16
+        |     + (instr('0123456789abcdef', substring(md5(text), 4, 1)) - 1)) * 2000
+        |    < n_chars * 65536
+        |ORDER BY doc_id""".stripMargin,
+
     // duplicate-trigram ratio; trigram multiset matches the ngrams expr
     "text_repetition" ->
       """WITH toks AS (
@@ -1576,6 +1621,7 @@ object SparkEntry {
     "sim_ann_lsh" -> OracleGen.simAnnLshSql(),
     "sim_ann_lsh_batch" -> OracleGen.simAnnLshBatchSql(),
     "dedup_near_embedding" -> OracleGen.nearDupEmbeddingSql(),
+    "dedup_embedding_clusters" -> OracleGen.embeddingClustersSql(),
 
     // the oracle is the PLAIN join: salting must not change the result
     "join_skew_salted" ->

@@ -515,6 +515,73 @@ object CorpusOps {
       .orderBy("stage")
   }
 
+  /** `text_zipf`: Zipf power-law fit over the top-N vocabulary — the
+    * standard corpus-health diagnostic (natural text fits ln(freq) ≈
+    * intercept − slope·ln(rank) with slope ≈ 1; templated/synthetic
+    * corpora bend the curve). OLS on the log-log ranked frequencies.
+    *
+    * Scale shape: one (word) count shuffle (map-side partial agg), a
+    * TakeOrdered top-N, then a single-task window + regression over N
+    * rows — same post-limit-window pattern as `text_vocab` (the window
+    * sorts N=200 rows, never the vocabulary). Cross-engine float rule:
+    * ln(rank)/ln(freq) are rounded to 6 dp FIRST, all products/sums then
+    * run in exact DECIMAL, and only the final slope/intercept divisions
+    * finish in double (rounded to 4 dp) — no order-sensitive float
+    * reduction on either engine. */
+  def zipfFit(documents: DataFrame, topN: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = documents
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(topN)
+    val ranked = top.withColumn("rk",
+      row_number().over(Window.orderBy(col("cnt").desc, col("word"))))
+    val x = round(log(col("rk").cast("double")), 6).cast("decimal(18,6)")
+    val y = round(log(col("cnt").cast("double")), 6).cast("decimal(18,6)")
+    val s = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+    val n = col("n").cast("double")
+    val slope = (n * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) /
+      (n * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double"))
+    s.select(
+      col("n").cast("int").as("top_n"),
+      round(slope, 4).as("zipf_slope"),
+      round((col("sy").cast("double") - slope * col("sx").cast("double")) / n, 4)
+        .as("intercept"))
+  }
+
+  /** `sample_pps`: probability-proportional-to-size sampling — longer
+    * documents are likelier to be kept (the inclusion-probability design
+    * behind token-budget-aware corpus subsampling), with the
+    * Horvitz-Thompson weight (1/p) attached so downstream statistics
+    * stay unbiased. Inclusion is EXACT integer arithmetic on the md5
+    * prefix: keep iff u·charBudget < n_chars·65536, where u is the first
+    * four hex digits of md5(text) — deterministic, partitioning-
+    * independent, and replayed verbatim by the oracle. Map-only at scan
+    * speed (the same mechanism as `sample_mixture`, with a per-row
+    * threshold instead of a per-class one). */
+  def samplePps(documents: DataFrame, charBudget: Int = 2000): DataFrame = {
+    val u = expr(
+      """(instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 4096
+        | + (instr('0123456789abcdef', substring(md5(text), 2, 1)) - 1) * 256
+        | + (instr('0123456789abcdef', substring(md5(text), 3, 1)) - 1) * 16
+        | + (instr('0123456789abcdef', substring(md5(text), 4, 1)) - 1)""".stripMargin)
+    documents
+      .filter(u.cast("long") * lit(charBudget.toLong) <
+        col("n_chars") * lit(65536L))
+      .select(col("doc_id"), col("n_chars"),
+        round(greatest(lit(1.0),
+          lit(charBudget.toDouble) / col("n_chars").cast("double")), 6)
+          .as("ht_weight"))
+      .orderBy("doc_id")
+  }
+
   /** `pipeline_shard_output`: deterministic output sharding — the final
     * stage of a training-data pipeline, where the corpus is split into N
     * reproducible shards with a stable within-shard order (so a rerun

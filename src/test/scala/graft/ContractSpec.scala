@@ -21,7 +21,8 @@ class ContractSpec extends SparkSpec {
       // near-dup ops may legitimately be empty on the tiny corpus
       val mayBeEmpty = Set("dedup_near_embedding", "dedup_near_minhash",
         "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped",
-        "dedup_jaccard_clusters", "dedup_simhash_pairs", "join_anti",
+        "dedup_jaccard_clusters", "dedup_embedding_clusters",
+        "dedup_simhash_pairs", "join_anti",
         "set_except", "join_theta_range", "join_range_bucket"
         /* band joins are empty with only 10 suppliers @sf0.001 */)
       if (!mayBeEmpty(name) && df.isEmpty) Some(name) else None

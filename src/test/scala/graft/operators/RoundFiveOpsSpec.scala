@@ -115,6 +115,47 @@ class RoundFiveOpsSpec extends SparkSpec {
     assert(labels.forall(_.getLong(1) === 0L), "all labels must reach the min id")
   }
 
+  test("text_zipf: an exactly-Zipfian corpus fits slope ≈ -1") {
+    // word i repeated ~64/i times -> ln(freq) = ln 64 - ln(rank)
+    val text = (1 to 8).flatMap(i => Seq.fill(64 / i)(s"w$i")).mkString(" ")
+    val out = CorpusOps.zipfFit(docs(1L -> text), topN = 8).collect()(0)
+    assert(out.getInt(0) === 8)
+    val slope = out.getDouble(1)
+    assert(slope > -1.1 && slope < -0.9, s"slope $slope")
+    assert(out.getDouble(2) > 0, "intercept must be positive (ln of top freq)")
+  }
+
+  test("sample_pps: docs at/above the char budget always kept with weight 1") {
+    val long = docs(1L -> ("x" * 2500), 2L -> ("y" * 2000))
+    val kept = CorpusOps.samplePps(long, charBudget = 2000).collect()
+    assert(kept.length === 2)
+    assert(kept.forall(_.getDouble(2) === 1.0))
+    // determinism + keep-rate sanity on the real corpus: identical reruns,
+    // and short docs are kept at roughly n_chars/budget
+    val corpus = Tables.documents(spark, sf())
+    val a = CorpusOps.samplePps(corpus).collect()
+    val b = CorpusOps.samplePps(corpus).collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.length > 0 && a.length <= corpus.count())
+  }
+
+  test("dedup_embedding_clusters: planted duplicate vectors cluster together") {
+    val base = (0 until 64).map(i => math.sin(i * 0.7).toFloat)
+    val other = (0 until 64).map(i => math.cos(i * 1.3).toFloat)
+    def jitter(v: Seq[Float], eps: Float) = v.map(_ + eps)
+    val vecs = Seq(
+      (1L, base), (2L, jitter(base, 1e-4f)), (3L, jitter(base, 2e-4f)),
+      (10L, other), (11L, jitter(other, 1e-4f)),
+      (20L, (0 until 64).map(i => ((i * 37 % 13) - 6).toFloat)) // unrelated
+    ).toDF("vec_id", "embedding")
+    val pairs = VectorOps.nearDupEmbedding(vecs, nBands = 4, bitsPerBand = 6)
+    val got = DedupOps.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.getOrElse(2L, -1L) === 1L && got.getOrElse(3L, -1L) === 1L)
+    assert(got.getOrElse(11L, -1L) === 10L)
+    assert(!got.contains(20L), "unrelated vector must not join any cluster")
+  }
+
   test("clusters: adversarial shapes — star, H-merge, disjoint components") {
     // star: hub 0 with 50 leaves (diameter 2, the common near-dup shape)
     val star = (1L to 50L).map(i => (0L, i)).toDF("id_a", "id_b")
