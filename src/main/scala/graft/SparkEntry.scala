@@ -1348,7 +1348,8 @@ object SparkEntry {
         |SELECT shard_id, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
-        |  CAST(SUM(rn * doc_id) AS BIGINT) AS order_checksum
+        |  CAST(SUM(CAST(((rn % 2147483647) * (doc_id % 2147483647)) % 2147483647
+        |    AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS order_checksum
         |FROM r GROUP BY shard_id ORDER BY shard_id""".stripMargin,
 
     // ln terms rounded to 6 dp FIRST, then all products/sums in exact

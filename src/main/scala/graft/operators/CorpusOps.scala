@@ -608,6 +608,14 @@ object CorpusOps {
     val tagged = documents.select(
       col("doc_id"), col("n_chars"), md5(col("text")).as("h"),
       pmod(hexVal(1) * 16 + hexVal(2), lit(nShards)).cast("int").as("shard_id"))
+    // checksum term is MODULAR (mod 2^31-1) before the sum and the sum
+    // is exact DECIMAL(38,0): a raw Σ rn·doc_id overflows a signed long
+    // once rank × id products pass ~9.2e18 (a 10^10-row corpus), and
+    // ANSI mode turns that overflow into a job abort — the modular form
+    // is overflow-free at any corpus size and both engines compute it
+    // identically in integer arithmetic
+    val P = lit(2147483647L)
+    val term = pmod(pmod(col("rn"), P) * pmod(col("doc_id"), P), P)
     Skew.distributedRowNumber(tagged, rankPartitions,
         col("shard_id"), col("h"), col("doc_id"))
       .groupBy("shard_id")
@@ -616,7 +624,7 @@ object CorpusOps {
         sum(col("n_chars")).as("total_chars"),
         min(col("doc_id")).as("min_doc"),
         max(col("doc_id")).as("max_doc"),
-        sum(col("rn") * col("doc_id")).as("order_checksum"))
+        sum(term.cast("decimal(38,0)")).as("order_checksum"))
       .orderBy("shard_id")
   }
 }
