@@ -70,15 +70,30 @@ object Bench {
     // NEVER fit — the line truncates and the driver records parsed:null.
     // Fix (round 4): the COMPLETE full-precision result is written to a
     // committed file (BENCH_FULL.json), and the stdout line keeps every
-    // per-query entry parseable by shortening keys with a deterministic,
-    // name-independent rule (stable across rounds): first 2 chars of each
-    // '_'-segment, 3 chars of the last. Values are integer centiseconds
-    // ("qunit"). Legend + rule are documented in BENCH_NOTES.md; full
-    // names live in BENCH_FULL.json.
-    def short(name: String): String = {
-      val segs = name.split('_')
-      segs.init.map(_.take(2)).mkString + segs.last.take(3)
+    // per-query entry parseable by shortening the keys. Round 5 tightened
+    // the rule — the round-4 form (2 chars/segment) measured 1865 B at
+    // 139 queries, ~35 B under the tail window: now 1 char per leading
+    // '_'-segment + 3 of the last, with a deterministic collision break
+    // (names processed in sorted order; a later colliding name extends
+    // its last-segment prefix until unique). Values are integer
+    // centiseconds ("qunit"). Legend lives in BENCH_NOTES.md; full names
+    // and full precision live in BENCH_FULL.json.
+    val shortKey: Map[String, String] = {
+      val used = scala.collection.mutable.Set[String]()
+      results.map(_._1).sorted.map { n =>
+        val segs = n.split('_')
+        def mk(l: Int) = segs.init.map(_.take(1)).mkString + segs.last.take(l)
+        var len = 3
+        var s = mk(len)
+        while (used.contains(s) && len < segs.last.length) { len += 1; s = mk(len) }
+        var s2 = s
+        var i = 2
+        while (used.contains(s2)) { s2 = s + i; i += 1 }
+        used += s2
+        n -> s2
+      }.toMap
     }
+    def short(name: String): String = shortKey(name)
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
