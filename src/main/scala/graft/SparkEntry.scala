@@ -201,6 +201,7 @@ object SparkEntry {
     "pipeline_shard_output" -> ((s, d) => CorpusOps.shardOutput(Tables.documents(s, d))),
     "text_zipf" -> ((s, d) => CorpusOps.zipfFit(Tables.documents(s, d))),
     "sample_pps" -> ((s, d) => CorpusOps.samplePps(Tables.documents(s, d))),
+    "text_ngram_novelty" -> ((s, d) => CorpusOps.ngramNovelty(Tables.documents(s, d))),
     // --- retrieval (LLM-pipeline) ---
     "retrieval_bm25" -> ((s, d) => RetrievalOps.bm25(Tables.documents(s, d))),
     "pipeline_chunk_overlap" -> ((s, d) => RetrievalOps.chunkOverlap(Tables.documents(s, d))),
@@ -1351,6 +1352,26 @@ object SparkEntry {
         |  CAST(SUM(CAST(((rn % 2147483647) * (doc_id % 2147483647)) % 2147483647
         |    AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS order_checksum
         |FROM r GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+
+    // Spark joins xxhash64 gram hashes, the oracle joins gram strings —
+    // identical modulo hash collisions (decontaminate's documented rule)
+    "text_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        |        FROM toks WHERE len(w) >= 3) u
+        |),
+        |dfc AS (SELECT gram, COUNT(*) AS df FROM sh GROUP BY gram)
+        |SELECT s.doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |  round(CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / COUNT(*), 6) AS novelty
+        |FROM sh s JOIN dfc d USING (gram)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
     // ln terms rounded to 6 dp FIRST, then all products/sums in exact
     // DECIMAL — same order-free float rule as text_entropy

@@ -515,6 +515,37 @@ object CorpusOps {
       .orderBy("stage")
   }
 
+  /** `text_ngram_novelty`: per-document novelty — the fraction of a
+    * doc's distinct word trigrams that appear NOWHERE else in the corpus
+    * (df = 1). The complement of `text_dup_spans`: dup_spans finds the
+    * repeated boilerplate, novelty scores how much of a document is
+    * original — the cheap memorization/templating signal a data-mixture
+    * pass weighs alongside quality.
+    *
+    * Scale shape: one compiled `NgramsExpr` pass per doc, map-side
+    * `distinct` per (doc, gram-hash), then two 8-byte-key shuffles
+    * (gram df count + re-join) and a (doc) agg — the decontaminate
+    * shape. Spark joins xxhash64 gram hashes; the oracle joins the gram
+    * strings — identical modulo hash collisions (same documented rule
+    * as `pipeline_decontaminate` / `text_lm_score`). */
+  def ngramNovelty(documents: DataFrame, k: Int = 3): DataFrame = {
+    val g = documents
+      .select(col("doc_id"), explode(
+        graft.functions.ShingleExpressions.ngrams(lower(col("text")), k)).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      .distinct()
+    val dfCounts = g.groupBy("gh").agg(count(lit(1)).as("df"))
+    g.join(dfCounts, "gh")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_grams"), col("n_unique"),
+        round(col("n_unique").cast("double") / col("n_grams").cast("double"), 6)
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** `text_zipf`: Zipf power-law fit over the top-N vocabulary — the
     * standard corpus-health diagnostic (natural text fits ln(freq) ≈
     * intercept − slope·ln(rank) with slope ≈ 1; templated/synthetic

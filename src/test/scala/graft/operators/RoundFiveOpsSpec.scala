@@ -115,6 +115,18 @@ class RoundFiveOpsSpec extends SparkSpec {
     assert(labels.forall(_.getLong(1) === 0L), "all labels must reach the min id")
   }
 
+  test("text_ngram_novelty: shared trigrams score 0, original text scores 1") {
+    val out = CorpusOps.ngramNovelty(docs(
+        1L -> "the quick brown fox jumps",   // shares "the quick brown" + "quick brown fox" with doc 2
+        2L -> "the quick brown fox sleeps",
+        3L -> "entirely original words here now"))
+      .orderBy("doc_id").collect()
+    // doc 1: grams {t q b, q b f, b f j} — first two shared with doc 2
+    assert(out(0).getLong(1) === 3L && out(0).getLong(2) === 1L)
+    assert(out(1).getLong(1) === 3L && out(1).getLong(2) === 1L)
+    assert(out(2).getDouble(3) === 1.0, "isolated doc must be fully novel")
+  }
+
   test("text_zipf: an exactly-Zipfian corpus fits slope ≈ -1") {
     // word i repeated ~64/i times -> ln(freq) = ln 64 - ln(rank)
     val text = (1 to 8).flatMap(i => Seq.fill(64 / i)(s"w$i")).mkString(" ")
