@@ -75,9 +75,12 @@ object Bench {
     // 139 queries, ~35 B under the tail window: now 1 char per leading
     // '_'-segment + 3 of the last, with a deterministic collision break
     // (names processed in sorted order; a later colliding name extends
-    // its last-segment prefix until unique). Values are integer
-    // centiseconds ("qunit"). Legend lives in BENCH_NOTES.md; full names
-    // and full precision live in BENCH_FULL.json.
+    // its last-segment prefix until unique — the break depends on the
+    // name SET, so a SPARK_GRAFT_ONLY subset can shorten a name
+    // differently than the full-set legend; the driver always runs the
+    // full set). Values are integer centiseconds ("qunit"). Legend lives
+    // in BENCH_NOTES.md; full names and full precision live in
+    // BENCH_FULL.json.
     val shortKey: Map[String, String] = {
       val used = scala.collection.mutable.Set[String]()
       results.map(_._1).sorted.map { n =>
