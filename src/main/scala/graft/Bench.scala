@@ -47,6 +47,16 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
+    // Per-query warm pass (SPARK_GRAFT_WARM=0 disables): each query
+    // executes once UNTIMED, then the timed run(s) follow. The driver's
+    // artifact is single-shot, and round 5 showed what that costs: a
+    // query's first execution carries its own JIT/codegen compilation —
+    // retrieval_bm25 recorded 7.5 s cold in the driver pass but 0.9 s at
+    // sf1 on 10× the data (plan audited clean both times). The warm pass
+    // makes the single shot measure steady-state operator cost — what a
+    // production job (thousands of tasks amortizing one compile) actually
+    // pays — at ~2× bench wall-clock, which the round-5 verdict budgeted.
+    val warm = sys.env.get("SPARK_GRAFT_WARM").map(_.toInt).getOrElse(1)
     val selected = only match {
       case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
       case None => SparkEntry.queries
@@ -54,6 +64,10 @@ object Bench {
     // fixed name order: run-to-run and round-to-round comparability
     // (Map iteration order is hash-dependent)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      (1 to warm).foreach { _ =>
+        try fn(spark, sfDir).count()
+        catch { case _: Throwable => () } // timed run reports the failure
+      }
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -104,6 +118,13 @@ object Bench {
     val fullQs = results.map { case (k, v) =>
       s"""    "$k": ${if (v < 0) "-1" else f"$v%.3f"}"""
     }.mkString("{\n", ",\n", "\n  }")
+    // machine-readable legend: short stdout key -> full query name, pinned
+    // into the SAME artifact as the full-precision numbers so cross-round
+    // comparison never re-derives the collision-break rule from the name
+    // set (commit 04ba945 documents that hazard; this removes it)
+    val legendJson = results.map(_._1).sorted.map { n =>
+      s"""    "${short(n)}": "$n""""
+    }.mkString("{\n", ",\n", "\n  }")
     val fullJson =
       s"""{
          |  "metric": "total",
@@ -111,7 +132,9 @@ object Bench {
          |  "unit": "sec",
          |  "ivf_build_sec": ${f"$ivfBuildSec%.3f"},
          |  "sf": "$sfDir",
+         |  "warm_runs": $warm,
          |  "failed": ${failed.mkString("[", ",", "]")},
+         |  "legend": $legendJson,
          |  "queries": $fullQs
          |}
          |""".stripMargin

@@ -1336,7 +1336,9 @@ object SparkEntry {
 
     // shard = md5 first two hex digits mod 8 (instr haystack-first on
     // both engines); order checksum pins the (shard, hash, id) sequence
-    // the Spark side computes via Skew.distributedRowNumber
+    // the Spark side computes via Skew.distributedRowNumber. The sum is
+    // reduced mod P once more and emitted BIGINT — DECIMAL(38,0) output
+    // hashes representation-sensitively across engines (round-5 lesson).
     "pipeline_shard_output" ->
       """WITH t AS (
         |  SELECT doc_id, n_chars, md5(text) AS h,
@@ -1350,7 +1352,7 @@ object SparkEntry {
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
         |  CAST(SUM(CAST(((rn % 2147483647) * (doc_id % 2147483647)) % 2147483647
-        |    AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS order_checksum
+        |    AS DECIMAL(38,0))) % 2147483647 AS BIGINT) AS order_checksum
         |FROM r GROUP BY shard_id ORDER BY shard_id""".stripMargin,
 
     // Spark joins xxhash64 gram hashes, the oracle joins gram strings —

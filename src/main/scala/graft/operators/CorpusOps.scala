@@ -58,7 +58,7 @@ object CorpusOps {
     * cluster scale you'd pack per shard (salt the sort key) and accept
     * shard-boundary waste; the oracle checks the exact global form. */
   def packChunks(documents: DataFrame, budget: Int = 512,
-                 numPartitions: Int = 8): DataFrame = {
+                 numPartitions: Int = 0): DataFrame = {
     val withTokens = documents
       .select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"), size(col("w")).as("n_tokens"))
@@ -170,7 +170,7 @@ object CorpusOps {
     * oracle, the same pattern as `pipeline_dedup_full`. */
   def corpusFull(documents: DataFrame, minWords: Int = 20, evalMod: Int = 50,
                  k: Int = 3, budget: Int = 512,
-                 numPartitions: Int = 8): DataFrame =
+                 numPartitions: Int = 0): DataFrame =
     corpusPrepPipeline(documents, minWords, evalMod, k, budget, numPartitions)
       .run(documents)
 
@@ -182,7 +182,7 @@ object CorpusOps {
     * into ONE logical plan; nothing materializes between them. */
   def corpusPrepPipeline(raw: DataFrame, minWords: Int = 20, evalMod: Int = 50,
                          k: Int = 3, budget: Int = 512,
-                         numPartitions: Int = 8): BatchPipeline = {
+                         numPartitions: Int = 0): BatchPipeline = {
     import org.apache.spark.sql.expressions.Window
     val isEval = pmod(col("doc_id"), lit(evalMod)) === 0
     def grams(df: DataFrame) = df.select(col("doc_id"),
@@ -281,7 +281,7 @@ object CorpusOps {
     * `agg_string_concat`. At 100 TB this is the job you write OUT
     * (partitionBy(chunk range)), not collect. */
   def packText(documents: DataFrame, budget: Int = 512,
-               numPartitions: Int = 8, eos: String = "<|eos|>"): DataFrame = {
+               numPartitions: Int = 0, eos: String = "<|eos|>"): DataFrame = {
     val withTokens = documents
       .select(col("doc_id"), col("text"), size(words(col("text"))).as("n_tokens"))
     val chunked = Skew.distributedPrefixSum(
@@ -633,7 +633,7 @@ object CorpusOps {
     * corpus; the full ranked listing is what a writer would
     * `partitionBy("shard_id")` straight to parquet. */
   def shardOutput(documents: DataFrame, nShards: Int = 8,
-                  rankPartitions: Int = 32): DataFrame = {
+                  rankPartitions: Int = 0): DataFrame = {
     val hexVal = (pos: Int) =>
       expr(s"instr('0123456789abcdef', substring(md5(text), $pos, 1))") - 1
     val tagged = documents.select(
@@ -644,7 +644,12 @@ object CorpusOps {
     // once rank × id products pass ~9.2e18 (a 10^10-row corpus), and
     // ANSI mode turns that overflow into a job abort — the modular form
     // is overflow-free at any corpus size and both engines compute it
-    // identically in integer arithmetic
+    // identically in integer arithmetic. The SUM is reduced mod P once
+    // more at the end and emitted as BIGINT: a DECIMAL(38,0) output
+    // column is hugeint-backed in DuckDB but fixed-len-byte-array in
+    // Spark parquet, and downstream hashers can canonicalize the two
+    // differently even when every value is equal — BIGINT is
+    // representation-stable everywhere (and exact: the residue < 2^31).
     val P = lit(2147483647L)
     val term = pmod(pmod(col("rn"), P) * pmod(col("doc_id"), P), P)
     Skew.distributedRowNumber(tagged, rankPartitions,
@@ -655,7 +660,8 @@ object CorpusOps {
         sum(col("n_chars")).as("total_chars"),
         min(col("doc_id")).as("min_doc"),
         max(col("doc_id")).as("max_doc"),
-        sum(term.cast("decimal(38,0)")).as("order_checksum"))
+        pmod(sum(term.cast("decimal(38,0)")), P.cast("decimal(38,0)"))
+          .cast("long").as("order_checksum"))
       .orderBy("shard_id")
   }
 }

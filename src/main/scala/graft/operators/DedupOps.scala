@@ -271,7 +271,8 @@ object DedupOps {
     * dominated the queries end to end (~80 of ~90 s); ~1M edges per
     * partition (8-byte pairs) keeps each task meaningful at any scale,
     * growing the partition count linearly with the near-dup graph. The
-    * conf override is scoped to the loop and restored in a finally. */
+    * sizing lives in a CLONED session's conf — isolated by construction,
+    * so the caller's session conf is never touched. */
   def clusters(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     // materialize the pair detector ONCE before symmetrizing: the union's
@@ -296,16 +297,24 @@ object DedupOps {
     mark(s"pairs materialized ($nPairs)")
     val edges = p0.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p0.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // the loop's shuffles are sized from the measured edge count — but
+    // under a CLONED session (isolated SQL conf, shared SparkContext and
+    // block store), never by mutating the caller's session-global
+    // spark.sql.shuffle.partitions: a concurrent query on the same
+    // session would silently run loop-sized, and a crash before the
+    // restore would leave the session misconfigured (ADVICE r5).
+    // Re-rooting the (src, dst) long pairs into the cloned session shares
+    // the InternalRow RDD (no conversion); the checkpoint materializes it
+    // once and every loop round scans binary checkpoint partitions.
+    val loopParts = math.max(4L, math.min(4096L, 2L * nPairs / 1000000L + 4L)).toInt
+    val loopSession = spark.newSession()
+    loopSession.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    val loopEdges = org.apache.spark.sql.graftbridge.ColumnBridge
+      .intoSession(edges, loopSession)
       .localCheckpoint()
     mark("edges symmetrized")
-    val loopParts = math.max(4L, math.min(4096L, 2L * nPairs / 1000000L + 4L)).toInt
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
-    try { val r = clustersLoop(edges); mark("loop done"); r }
-    finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      p0.unpersist(blocking = false)
-    }
+    try { val r = clustersLoop(loopEdges); mark("loop done"); r }
+    finally p0.unpersist(blocking = false)
   }
 
   private def clustersLoop(edges: DataFrame): DataFrame = {
@@ -350,11 +359,20 @@ object DedupOps {
           lit(0L)).as("changed"))
         .localCheckpoint()
       changed = {
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.DurationInt
-        import scala.concurrent.ExecutionContext.Implicits.global
-        val m = try Await.result(Future(obs.get), 5.seconds)
-        catch { case _: java.util.concurrent.TimeoutException => Map.empty[String, Any] }
+        // bounded poll on the observation itself: the checkpoint action
+        // above already ran the plan, so the metric is normally delivered
+        // within one listener-bus hop — but delivery is async, so poll
+        // the NON-BLOCKING getOrEmpty up to 5 s. (The previous shape —
+        // a blocking obs.get abandoned in a timed-out Future — parked a
+        // thread in get forever per slow round: up to 50 leaked threads
+        // per clusters call on a broken listener bus, ADVICE r5.)
+        import org.apache.spark.sql.graftbridge.ColumnBridge.observationOrEmpty
+        val deadline = System.nanoTime() + 5L * 1000000000L
+        var m = observationOrEmpty(obs)
+        while (m.isEmpty && System.nanoTime() < deadline) {
+          Thread.sleep(20)
+          m = observationOrEmpty(obs)
+        }
         m.get("changed").map(_.asInstanceOf[Long])
           .getOrElse(cp.filter(col("cluster") =!= col("old")).count())
       }

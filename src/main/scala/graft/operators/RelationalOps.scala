@@ -741,7 +741,7 @@ object Windows {
     * fatal on a fact table; customer grows with scale factor). Verified
     * equal to the single-task formulation in SkewAndIvfSpec. */
   def ntileDense(customer: DataFrame): DataFrame =
-    Skew.distributedNtileDense(customer, 8, 4, "c_acctbal", "c_custkey")
+    Skew.distributedNtileDense(customer, 0, 4, "c_acctbal", "c_custkey")
       .select(col("c_custkey"), col("c_acctbal"), col("tile"), col("drank"))
       .orderBy("c_custkey")
 

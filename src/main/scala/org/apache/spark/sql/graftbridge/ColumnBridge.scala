@@ -29,4 +29,27 @@ object ColumnBridge {
     spark.internalCreateDataFrame(
       classicDf.queryExecution.toRdd, classicDf.schema, isStreaming = false)
   }
+
+  /** Re-root a DataFrame's InternalRow RDD under a DIFFERENT session —
+    * the cloned-session device `DedupOps.clusters` uses to size its loop
+    * shuffles in an isolated SQL conf instead of mutating the caller's
+    * session-global `spark.sql.shuffle.partitions`. The physical plan of
+    * `df` itself compiles under its own session (shuffle-free in the
+    * intended use, so that conf is irrelevant); everything DERIVED from
+    * the returned frame plans under `target`'s conf. No row conversion —
+    * the InternalRow RDD is shared (same SparkContext). */
+  def intoSession(df: DataFrame, target: org.apache.spark.sql.SparkSession): DataFrame = {
+    val classicDf = df.asInstanceOf[org.apache.spark.sql.classic.DataFrame]
+    target.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(
+        classicDf.queryExecution.toRdd, classicDf.schema, isStreaming = false)
+  }
+
+  /** Non-blocking read of an Observation's metric map (empty until the
+    * listener bus delivers it). The public `get` BLOCKS until delivery —
+    * polling this instead avoids ever parking a thread on a listener bus
+    * that may be slow or broken (ADVICE r5: a timed-out Future around a
+    * blocking `get` leaked one permanently-parked thread per round). */
+  def observationOrEmpty(obs: org.apache.spark.sql.Observation): Map[String, Any] =
+    obs.getOrEmpty
 }

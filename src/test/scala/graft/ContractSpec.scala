@@ -30,6 +30,23 @@ class ContractSpec extends SparkSpec {
     assert(empties.isEmpty, s"queries with no rows: $empties")
   }
 
+  test("no query emits a top-level DECIMAL output column") {
+    // round-5 lesson (pipeline_shard_output): a DECIMAL(38,0) output
+    // column is hugeint-backed in DuckDB but fixed-len-byte-array in
+    // Spark parquet, and a downstream hasher can canonicalize the two
+    // differently even when every value is equal. Exact DECIMAL
+    // arithmetic INSIDE a query is fine (it's the order-free float-sum
+    // device several queries rely on); terminal columns must land on
+    // BIGINT / DOUBLE / STRING, which hash representation-stably.
+    import org.apache.spark.sql.types.DecimalType
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      fn(spark, sf()).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[DecimalType] => s"$name.${f.name}"
+      }
+    }
+    assert(offenders.isEmpty, s"DECIMAL output columns: $offenders")
+  }
+
   test("entry (flagship) returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
