@@ -330,11 +330,25 @@ object DedupOps {
       edges.select(col("src").as("doc_id")).distinct()
         .withColumn("cluster", col("doc_id"))
         .localCheckpoint())
+    // DELTA ITERATION (round 6, ROADMAP candidate): the neighbor-min pass
+    // joins the edges against the FRONTIER — only nodes whose label
+    // changed last round — instead of the full label table. Correct by
+    // min-monotonicity: a node's label only needs re-examination when a
+    // neighbor's label CHANGED (an unchanged neighbor's value was already
+    // folded in the round after it last changed; labels only decrease, so
+    // that information is retained). The frontier includes jump-induced
+    // changes (changed = new ≠ old tracks both mechanisms), and an empty
+    // frontier is exactly the full fixed point, so termination is
+    // unchanged. Scale effect: round cost tracks the ACTIVE subgraph —
+    // on the deep-merge shapes that need many rounds, the frontier
+    // shrinks to the component boundary and AQE turns the edge join into
+    // a broadcast probe instead of re-shuffling every edge every round.
+    var frontier = labels
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
       val neighborMin = edges
-        .join(labels.select(col("doc_id").as("dst"), col("cluster").as("nc")), "dst")
+        .join(frontier.select(col("doc_id").as("dst"), col("cluster").as("nc")), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nc")).as("nmin"))
       val obs = org.apache.spark.sql.Observation()
@@ -377,6 +391,10 @@ object DedupOps {
           .getOrElse(cp.filter(col("cluster") =!= col("old")).count())
       }
       labels = freshLogicalRdd(cp).drop("old")
+      // next round's frontier: a filter over the round's checkpointed
+      // partitions (cheap scan, used once) — no extra materialization
+      frontier = freshLogicalRdd(cp).filter(col("cluster") =!= col("old"))
+        .drop("old")
       rounds += 1
       // scale-diagnostics only: GRAFT_CC_DEBUG=1 logs per-round progress
       // (never on by default — the driver sees only the final frame)

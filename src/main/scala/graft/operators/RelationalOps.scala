@@ -261,29 +261,63 @@ object Joins {
     * overlapping pairs per (type, type) combination. The general form of
     * the band join: BOTH sides are intervals, so the bucket trick
     * explodes both over the window-width buckets they cover (≤ 2 each),
-    * equi-joins on the bucket, dedups the pairs that met in several
-    * buckets (16-byte id pairs), and re-applies the exact overlap
-    * predicate `sa < eb AND sb < ea` as a residual. Three bounded
-    * shuffles replace the quadratic nested loop — the plan survives when
-    * both sides are fact-sized, unlike a BNLJ. Second-floored epochs
-    * match the DuckDB oracle exactly. */
+    * equi-joins on the bucket, and applies the exact overlap predicate
+    * `sa < eb AND sb < ea` as a residual — bounded shuffles replace the
+    * quadratic nested loop, so the plan survives when both sides are
+    * fact-sized, unlike a BNLJ.
+    *
+    * TIME-ORDERED EMIT-ONCE enumeration (round-6 sf10 finding): pair
+    * COUNT is quadratic in arrival density — at sf10 (10M events over
+    * 30 days × 10-min windows) there are ~2.3·10¹⁰ true overlapping
+    * pairs, and the original form both over-enumerated (4 candidate
+    * rows per pair: 2 shared buckets × both orientations) and shuffled
+    * every surviving id pair through a `.distinct()` (~370 GB at sf10;
+    * measured 294 s wall). This form enumerates each pair ONCE, by
+    * time order: the LATER event (time-ties broken by id) contributes
+    * only its START bucket — one row, no explode — and the EARLIER side
+    * explodes over its covered buckets, which always include the later
+    * start's bucket (s_min ≤ s_max < e_min). With equal-length
+    * intervals the residual `sb − sa < window` is the whole overlap
+    * predicate, dedup is gone entirely (no bucket can repeat a pair:
+    * the later side appears in one bucket), and the only exchange after
+    * the explode carries one partial count per (type, type, partition).
+    * The group labels stay in ID order (type of the lower id first,
+    * matching the oracle), reconstructed per pair from the time-ordered
+    * row. The pair set is never materialized or shuffled at any scale;
+    * what remains is the honest O(true pairs) enumeration CPU inside
+    * each bucket — ~2.3·10¹⁰ pairs touched in 166 s on 32 cores at sf10
+    * (was 294 s; candidate rows per true pair fell from 4 to 2 — the
+    * residual 2× is the bucket-granularity tradeoff: width-w buckets
+    * admit starts from two buckets per probe, and narrower buckets buy
+    * precision at the cost of a larger earlier-side explode). At 100 TB
+    * an analyst who needs only CONCURRENCY numbers (not the pair
+    * multiset) should prefer a per-type sweep count — O(n·types) via
+    * time-window aggregation — over any pair join; this operator is the
+    * pair-exact form. */
   def intervalOverlap(events: DataFrame, windowSecs: Int = 600): DataFrame = {
     val e = events
       .select(col("event_id"), col("event_type"),
         unix_timestamp(col("ts")).as("s"))
-      .withColumn("en", col("s") + windowSecs)
-    // integer DIV: `/` on Columns is double division, which Sequence rejects
-    val b = e.withColumn("bucket",
-      explode(sequence(expr(s"s DIV $windowSecs"), expr(s"en DIV $windowSecs"))))
-    val l = b.select(col("bucket"), col("event_id").as("id_a"),
-      col("event_type").as("et_a"), col("s").as("sa"), col("en").as("ea"))
-    val r = b.select(col("bucket"), col("event_id").as("id_b"),
-      col("event_type").as("et_b"), col("s").as("sb"), col("en").as("eb"))
-    l.join(r, "bucket")
-      .filter(col("id_a") < col("id_b") &&
-        col("sa") < col("eb") && col("sb") < col("ea"))
-      .select("id_a", "id_b", "et_a", "et_b")
-      .distinct()
+    // the earlier side covers [s, s+w]: ≤2 window-width buckets
+    // (integer DIV: `/` on Columns is double division, Sequence rejects it)
+    val earlier = e.withColumn("bucket",
+        explode(sequence(expr(s"s DIV $windowSecs"),
+          expr(s"(s + $windowSecs) DIV $windowSecs"))))
+      .select(col("bucket"), col("event_id").as("id_a"),
+        col("event_type").as("et_a"), col("s").as("sa"))
+    // the later side contributes exactly its start bucket: one row
+    val later = e.select(expr(s"s DIV $windowSecs").as("bucket"),
+      col("event_id").as("id_b"), col("event_type").as("et_b"),
+      col("s").as("sb"))
+    earlier.join(later, "bucket")
+      // strict time order (id breaks ties) + fixed-length overlap
+      .filter((col("sa") < col("sb") ||
+          (col("sa") === col("sb") && col("id_a") < col("id_b"))) &&
+        col("sb") - col("sa") < lit(windowSecs.toLong))
+      // oracle labels are ID-ordered: type of the lower id first
+      .select(
+        when(col("id_a") < col("id_b"), col("et_a")).otherwise(col("et_b")).as("et_a"),
+        when(col("id_a") < col("id_b"), col("et_b")).otherwise(col("et_a")).as("et_b"))
       .groupBy("et_a", "et_b")
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy("et_a", "et_b")
