@@ -211,6 +211,7 @@ object SparkEntry {
     "stream_session_batch" -> ((s, d) => StreamBatchOps.sessions(Tables.events(s, d))),
     "ts_gapfill" -> ((s, d) => StreamBatchOps.gapfill(Tables.events(s, d))),
     "ts_rolling" -> ((s, d) => StreamBatchOps.rolling(Tables.events(s, d))),
+    "ts_concurrency" -> ((s, d) => StreamBatchOps.intervalConcurrency(Tables.events(s, d))),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -1692,6 +1693,34 @@ object SparkEntry {
         |  last_value(n IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_filled
         |FROM j ORDER BY event_type, hour_s""".stripMargin,
+
+    // the single global sweep window — proves the Spark side's
+    // slice-and-stitch rewrite is semantics-preserving. −1 sorts before
+    // +1 at equal t (end-exclusive windows); DuckDB integer window sums
+    // are HUGEINT, hence the final BIGINT cast.
+    "ts_concurrency" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t, 1 AS dd
+        |  FROM events WHERE ts IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) + 600, -1
+        |  FROM events WHERE ts IS NOT NULL
+        |), c AS (
+        |  SELECT event_type,
+        |    SUM(dd) OVER (PARTITION BY event_type ORDER BY t, dd
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur
+        |  FROM d
+        |), p AS (
+        |  SELECT event_type, CAST(MAX(cur) AS BIGINT) AS peak_concurrency
+        |  FROM c GROUP BY event_type
+        |), n AS (
+        |  SELECT event_type, COUNT(*) AS n_intervals
+        |  FROM events WHERE ts IS NOT NULL GROUP BY event_type
+        |)
+        |SELECT n.event_type, n.n_intervals, p.peak_concurrency
+        |FROM n JOIN p USING (event_type) ORDER BY event_type""".stripMargin,
 
     // trailing 24h RANGE frame on epoch seconds over the hourly pre-agg
     "ts_rolling" ->

@@ -132,4 +132,56 @@ object StreamBatchOps {
         count(col("n")).over(w).as("hours_present_24h"))
       .orderBy("event_type", "hour_s")
   }
+
+  /** `ts_concurrency`: peak concurrent activity windows per event type —
+    * the O(n·types) SWEEP COUNT that answers "how many [ts, ts+10min)
+    * windows were active at once" WITHOUT enumerating overlapping pairs.
+    * This is the scale-right form of the question `join_interval_overlap`
+    * answers pair-exactly: pair enumeration is quadratic in arrival
+    * density (~2.3·10¹⁰ pairs / 166 s at sf10), the sweep is linear
+    * (sub-second at the same scale). Classic delta encoding: +1 at every
+    * window start, −1 at every end, running-sum the deltas in time
+    * order; the running sum AT any instant is the concurrency, its max
+    * is the peak. End-exclusive intervals order −1 before +1 at equal
+    * timestamps (the window ending at t is not active at t).
+    *
+    * Scale shape: the global running sum per type would serialize a
+    * type's whole delta stream through one task, so the sweep runs per
+    * (type, `bucketSecs` slice) — the same split-and-stitch pattern as
+    * [[Skew.saltedAsof]]: local cumsum within each slice, per-slice
+    * totals prefix-scanned per type (a window over O(types × slices)
+    * rows), and the global cum = carry + local everywhere inside a
+    * slice. Peak is max over slices of (carry + local max) — invariant
+    * to ordering among equal (t, d) rows, so the result is
+    * partitioning-independent and exactly oracled (the DuckDB side uses
+    * the single global window, proving the stitched rewrite). Size
+    * `bucketSecs` so a slice's deltas fit a task (hours for this
+    * arrival rate; minutes at firehose rates — slices × types stays
+    * tiny either way). */
+  def intervalConcurrency(events: DataFrame, windowSecs: Int = 600,
+                          bucketSecs: Long = 3600L): DataFrame = {
+    val e = events.filter(col("ts").isNotNull)
+      .select(col("event_type"), unix_timestamp(col("ts")).as("s"))
+    val deltas = e.select(col("event_type"), col("s").as("t"), lit(1L).as("d"))
+      .unionAll(e.select(col("event_type"),
+        (col("s") + windowSecs).as("t"), lit(-1L).as("d")))
+      .withColumn("slice", expr(s"t DIV $bucketSecs"))
+    val wLoc = Window.partitionBy("event_type", "slice")
+      .orderBy(col("t"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = deltas.withColumn("cum", sum(col("d")).over(wLoc))
+    // tiny: one row per (type, slice)
+    val slices = local.groupBy("event_type", "slice")
+      .agg(max(col("cum")).as("slice_peak"), sum(col("d")).as("slice_total"))
+    val wCarry = Window.partitionBy("event_type").orderBy("slice")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val peaks = slices
+      .withColumn("carry", coalesce(sum(col("slice_total")).over(wCarry), lit(0L)))
+      .groupBy("event_type")
+      .agg(max(col("slice_peak") + col("carry")).as("peak_concurrency"))
+    e.groupBy("event_type").agg(count(lit(1)).as("n_intervals"))
+      .join(peaks, Seq("event_type"))
+      .select(col("event_type"), col("n_intervals"), col("peak_concurrency"))
+      .orderBy("event_type")
+  }
 }
