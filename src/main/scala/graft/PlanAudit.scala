@@ -18,7 +18,9 @@ object PlanAudit {
       "pipeline_decontaminate", "pipeline_pack_chunks", "text_lm_score",
       "join_skew_salted", "sample_mixture", "filter_quality_quantile",
       // round 3 late: retrieval + histogram
-      "retrieval_bm25", "pipeline_chunk_overlap", "agg_histogram")
+      "retrieval_bm25", "pipeline_chunk_overlap", "agg_histogram",
+      // round 6: emit-once pair join + the sweep-count alternative
+      "join_interval_overlap", "ts_concurrency")
     names.foreach { n =>
       println(s"\n================ $n ================")
       println(SparkEntry.queries(n)(spark, d).queryExecution.executedPlan

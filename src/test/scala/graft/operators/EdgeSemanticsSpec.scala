@@ -72,6 +72,33 @@ class EdgeSemanticsSpec extends SparkSpec {
       (h0 + 90000, 2L, 2L))) // day-2 hours 0 and 1 both inside
   }
 
+  test("concurrency sweep: end-exclusive ties and slice-boundary carry are exact") {
+    val sess = spark
+    import sess.implicits._
+    // type a: e1's window ends 12:10:00 exactly when e4 starts (the −1
+    // must apply first: peak stays 3, a tie bug would read 4); e5's
+    // window straddles the 13:00 hour-slice boundary, so slice 13's
+    // peak is only correct with the +1 carry from slice 12
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01 12:00:00"), "a", 1.0),
+      (2L, 1L, ts("2024-01-01 12:05:00"), "a", 1.0),
+      (3L, 1L, ts("2024-01-01 12:09:59"), "a", 1.0),
+      (4L, 1L, ts("2024-01-01 12:10:00"), "a", 1.0),
+      (5L, 1L, ts("2024-01-01 12:59:30"), "a", 1.0),
+      (6L, 1L, ts("2024-01-01 13:04:00"), "a", 1.0),
+      (7L, 1L, ts("2024-01-01 08:00:00"), "b", 1.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = StreamBatchOps.intervalConcurrency(events).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("a", 6L, 3L), ("b", 1L, 1L)))
+    // the slice-and-stitch rewrite must equal the single global sweep:
+    // a bucket wider than the whole timeline degenerates to one slice
+    val oneSlice = StreamBatchOps
+      .intervalConcurrency(events, bucketSecs = 10000000000L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(oneSlice.toSeq === got.toSeq)
+  }
+
   test("packText joins chunk members with the EOS separator in doc_id order") {
     val sess = spark
     import sess.implicits._
