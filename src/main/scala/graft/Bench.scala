@@ -1,6 +1,31 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Short stdout keys for a query-name set: 1 char per leading
+    * '_'-segment + 3 of the last, deterministic collision break (sorted
+    * order; a later colliding name extends its last-segment prefix, then
+    * a numeric suffix). Factored out of main so BenchLineSpec can assert
+    * the whole stdout line stays inside the driver's ~1.9 KB capture
+    * tail for the CURRENT registry — the rounds-2/3 parsed:null defect
+    * as a compile-time-adjacent guard. The name-set dependence of the
+    * collision break is why the authoritative mapping is the `legend`
+    * field inside BENCH_FULL.json, not a re-derivation. */
+  def shortKeys(names: Seq[String]): Map[String, String] = {
+    val used = scala.collection.mutable.Set[String]()
+    names.sorted.map { n =>
+      val segs = n.split('_')
+      def mk(l: Int) = segs.init.map(_.take(1)).mkString + segs.last.take(l)
+      var len = 3
+      var s = mk(len)
+      while (used.contains(s) && len < segs.last.length) { len += 1; s = mk(len) }
+      var s2 = s
+      var i = 2
+      while (used.contains(s2)) { s2 = s + i; i += 1 }
+      used += s2
+      n -> s2
+    }.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -95,21 +120,7 @@ object Bench {
     // full set). Values are integer centiseconds ("qunit"). Legend lives
     // in BENCH_NOTES.md; full names and full precision live in
     // BENCH_FULL.json.
-    val shortKey: Map[String, String] = {
-      val used = scala.collection.mutable.Set[String]()
-      results.map(_._1).sorted.map { n =>
-        val segs = n.split('_')
-        def mk(l: Int) = segs.init.map(_.take(1)).mkString + segs.last.take(l)
-        var len = 3
-        var s = mk(len)
-        while (used.contains(s) && len < segs.last.length) { len += 1; s = mk(len) }
-        var s2 = s
-        var i = 2
-        while (used.contains(s2)) { s2 = s + i; i += 1 }
-        used += s2
-        n -> s2
-      }.toMap
-    }
+    val shortKey = Bench.shortKeys(results.map(_._1))
     def short(name: String): String = shortKey(name)
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -145,7 +156,11 @@ object Bench {
     val qs = results.map { case (k, v) =>
       "\"" + short(k) + "\":" + (if (v < 0) "-1" else math.round(v * 100).toString)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","ivf_build_sec":${f"$ivfBuildSec%.2f"},"qunit":"centisec","full":"BENCH_FULL.json","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    // no "full" pointer field: every byte of this line competes with the
+    // driver's ~1.9 KB stdout tail (BenchLineSpec pins the budget);
+    // BENCH_NOTES documents that the full-precision record + legend live
+    // in BENCH_FULL.json
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","ivf_build_sec":${f"$ivfBuildSec%.2f"},"qunit":"centisec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver captures only a bounded stdout tail (~1.9 KB): rounds 2
+  * and 3 lost their whole bench artifact to a line that outgrew it
+  * (`parsed:null`). This pins the budget against the CURRENT query
+  * registry, with worst-case-width values, so adding queries past the
+  * window fails the build instead of silently zeroing a round's bench.
+  * (No SparkSession needed — the key set is `SparkEntry.queries.keys`.)
+  */
+class BenchLineSpec extends AnyFunSuite {
+
+  test("bench stdout line fits the driver's capture tail at worst-case widths") {
+    val names = SparkEntry.queries.keys.toSeq
+    val short = Bench.shortKeys(names)
+    // envelope: EVERY query at 3-digit centiseconds (≤ 9.99 s) — double
+    // the worst single sf0.1 query ever recorded, for all of them at once
+    val qs = names.sorted
+      .map(n => "\"" + short(n) + "\":999").mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":99999.999,"unit":"sec","ivf_build_sec":99.99,"qunit":"centisec","queries":$qs,"failed":[],"sf":"/root/testdata/sf0.1"}"""
+    assert(line.length <= 1900,
+      s"bench stdout line is ${line.length} B for ${names.size} queries — " +
+        "outgrowing the driver's ~1.9 KB stdout tail; shorten keys or drop precision")
+  }
+
+  test("short keys are unique and legend-invertible") {
+    val names = SparkEntry.queries.keys.toSeq
+    val short = Bench.shortKeys(names)
+    assert(short.values.toSet.size === names.size, "short-key collision")
+    assert(short.keySet === names.toSet)
+  }
+}
