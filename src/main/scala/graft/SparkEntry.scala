@@ -198,6 +198,7 @@ object SparkEntry {
     "sample_temperature" -> ((s, d) => CorpusOps.sampleTemperature(Tables.documents(s, d))),
     "text_ppl_buckets" -> ((s, d) => CorpusOps.pplBuckets(Tables.documents(s, d))),
     "corpus_funnel" -> ((s, d) => CorpusOps.corpusFunnel(Tables.documents(s, d))),
+    "corpus_overlap_matrix" -> ((s, d) => CorpusOps.overlapMatrix(Tables.documents(s, d))),
     "pipeline_shard_output" -> ((s, d) => CorpusOps.shardOutput(Tables.documents(s, d))),
     "text_zipf" -> ((s, d) => CorpusOps.zipfFit(Tables.documents(s, d))),
     "sample_pps" -> ((s, d) => CorpusOps.samplePps(Tables.documents(s, d))),
@@ -1296,6 +1297,35 @@ object SparkEntry {
         |    AS INTEGER) AS ppl_bucket
         |FROM scored s JOIN documents d USING (doc_id)
         |ORDER BY s.doc_id""".stripMargin,
+
+    // Spark joins xxhash64 gram hashes, the oracle joins gram strings
+    // (decontaminate's documented collision rule); the source-df cap
+    // (<= 64 sources per gram) is mirrored even though it cannot bind
+    // on the 20-source gate corpus; sizes are over the SAME capped
+    // universe as the intersection
+    "corpus_overlap_matrix" ->
+      """WITH toks AS (
+        |  SELECT source, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+        |  FROM (SELECT source, w, unnest(range(1, len(w) - 1)) AS i
+        |        FROM toks WHERE len(w) >= 3) u
+        |),
+        |rare AS (SELECT gram FROM sh GROUP BY gram HAVING COUNT(*) <= 64),
+        |kept AS (SELECT sh.* FROM sh JOIN rare USING (gram)),
+        |sz AS (SELECT source, COUNT(*) AS n FROM kept GROUP BY source)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  COUNT(*) AS shared_grams,
+        |  round(COUNT(*)::DOUBLE / (za.n + zb.n - COUNT(*)), 6) AS gram_jaccard
+        |FROM kept a
+        |JOIN kept b USING (gram)
+        |JOIN sz za ON za.source = a.source
+        |JOIN sz zb ON zb.source = b.source
+        |WHERE a.source < b.source
+        |GROUP BY a.source, b.source, za.n, zb.n
+        |ORDER BY src_a, src_b""".stripMargin,
 
     // sequential quality-rule attrition report; rule booleans mirror the
     // Spark expressions term for term

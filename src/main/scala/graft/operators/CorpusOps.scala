@@ -613,6 +613,55 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** `corpus_overlap_matrix`: cross-source contamination matrix — for
+    * every pair of sources, how many distinct word k-grams they share
+    * and the gram-set Jaccard (the data-governance view behind "did
+    * source A leak into source B": mirror-site detection, scraped-twice
+    * domains, eval-vendor overlap — the pairwise generalization of
+    * `pipeline_decontaminate`'s one-directional eval check).
+    *
+    * Scale shape: documents reduce to DISTINCT (source, 8-byte gram
+    * hash) pairs map-side — text never shuffles, and per-source
+    * duplicate grams die in the partial aggregate. The pair join is
+    * gram-equi, so its fan-out per gram is C(s, 2) where s = sources
+    * CONTAINING that gram — bounded by `maxSources`, the source-df cap
+    * (a gram present in more than `maxSources` sources is stopword-like
+    * boilerplate carrying no contamination signal, the exact analog of
+    * `ngramJaccard`'s per-document df cap; at thousands of domains the
+    * cap is what keeps universal grams from going quadratic). Source
+    * set sizes re-attach by broadcast (one row per source). The oracle
+    * mirrors the cap and joins gram STRINGS (same hash-collision rule
+    * as decontaminate). */
+  def overlapMatrix(documents: DataFrame, k: Int = 3,
+                    maxSources: Int = 64): DataFrame = {
+    val grams = documents.select(col("source"),
+        explode(graft.functions.ShingleExpressions.ngrams(lower(col("text")), k))
+          .as("gram"))
+      .select(col("source"), xxhash64(col("gram")).as("gh"))
+      .distinct()
+    val rare = grams.groupBy("gh")
+      .agg(count(lit(1)).as("sdf"))
+      .filter(col("sdf") <= maxSources)
+      .select("gh")
+    // sizes over the SAME capped universe as the intersection, so the
+    // Jaccard is the honest capped-set Jaccard (consistent numerator
+    // and denominator), not a mixed-universe ratio
+    val kept = grams.join(rare, Seq("gh"), "left_semi")
+    val sizes = kept.groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = kept.select(col("source").as("src_a"), col("gh"))
+      .join(kept.select(col("source").as("src_b"), col("gh")), "gh")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("shared_grams"))
+    shared
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared_grams"),
+        round(col("shared_grams").cast("double") /
+          (col("na") + col("nb") - col("shared_grams")), 6).as("gram_jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** `pipeline_shard_output`: deterministic output sharding — the final
     * stage of a training-data pipeline, where the corpus is split into N
     * reproducible shards with a stable within-shard order (so a rerun
