@@ -248,6 +248,29 @@ object OracleGen {
        |SELECT a AS doc_id, least(a, min(b)) AS cluster
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
+  /** Oracle for `corpus_dup_hist` — the minhash-clusters closure wrapped
+    * in a size histogram, with unclustered documents accounted as size-1
+    * singletons (n_docs must sum to the corpus size). DuckDB integer
+    * SUMs are HUGEINT, hence the BIGINT casts on the aggregated
+    * columns. */
+  def clusterSizeHistSql(nHashes: Int = 32, rowsPerBand: Int = 4,
+                         tau: Double = 0.7): String =
+    s"""WITH cl AS (SELECT * FROM (
+       |${minhashClustersSql(nHashes, rowsPerBand, tau)}
+       |) x),
+       |hist AS (
+       |  SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+       |  FROM (SELECT cluster, COUNT(*) AS cluster_size FROM cl GROUP BY cluster) s
+       |  GROUP BY cluster_size),
+       |singles AS (
+       |  SELECT CAST(1 AS BIGINT) AS cluster_size,
+       |    (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM cl) AS n_clusters),
+       |u AS (SELECT * FROM hist
+       |      UNION ALL SELECT * FROM singles WHERE n_clusters > 0)
+       |SELECT cluster_size, CAST(SUM(n_clusters) AS BIGINT) AS n_clusters,
+       |  CAST(cluster_size * SUM(n_clusters) AS BIGINT) AS n_docs
+       |FROM u GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
   /** Oracle for `dedup_simhash` — exact fingerprint equality. */
   def simhashSql(): String =
     s"""WITH th AS (SELECT doc_id, $tokenHashes AS ths FROM documents)

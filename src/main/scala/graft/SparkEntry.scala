@@ -133,8 +133,11 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => DedupOps.simhash(Tables.documents(s, d))),
     "dedup_simhash_pairs" -> ((s, d) => DedupOps.simhashPairs(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccard(Tables.documents(s, d))),
+    "dedup_ngram_containment" -> ((s, d) =>
+      DedupOps.ngramContainment(Tables.documents(s, d))),
     "dedup_ngram_jaccard_capped" -> ((s, d) =>
       DedupOps.ngramJaccard(Tables.documents(s, d), maxDf = 3)),
+    "corpus_dup_hist" -> ((s, d) => DedupOps.clusterSizeHist(Tables.documents(s, d))),
     "dedup_jaccard_clusters" -> ((s, d) =>
       DedupOps.clusters(DedupOps.ngramJaccard(Tables.documents(s, d)))),
     "dedup_minhash_clusters" -> ((s, d) =>
@@ -203,6 +206,8 @@ object SparkEntry {
     "text_zipf" -> ((s, d) => CorpusOps.zipfFit(Tables.documents(s, d))),
     "sample_pps" -> ((s, d) => CorpusOps.samplePps(Tables.documents(s, d))),
     "text_ngram_novelty" -> ((s, d) => CorpusOps.ngramNovelty(Tables.documents(s, d))),
+    "pipeline_quota_cap" -> ((s, d) => CorpusOps.quotaCap(Tables.documents(s, d))),
+    "text_cooccur_pmi" -> ((s, d) => CorpusOps.cooccurPmi(Tables.documents(s, d))),
     // --- retrieval (LLM-pipeline) ---
     "retrieval_bm25" -> ((s, d) => RetrievalOps.bm25(Tables.documents(s, d))),
     "pipeline_chunk_overlap" -> ((s, d) => RetrievalOps.chunkOverlap(Tables.documents(s, d))),
@@ -213,6 +218,7 @@ object SparkEntry {
     "ts_gapfill" -> ((s, d) => StreamBatchOps.gapfill(Tables.events(s, d))),
     "ts_rolling" -> ((s, d) => StreamBatchOps.rolling(Tables.events(s, d))),
     "ts_concurrency" -> ((s, d) => StreamBatchOps.intervalConcurrency(Tables.events(s, d))),
+    "ts_anomaly" -> ((s, d) => StreamBatchOps.anomaly(Tables.events(s, d))),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -874,6 +880,36 @@ object SparkEntry {
         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // same inverted index as the jaccard oracle; only the scoring
+    // denominator changes (min set size instead of union size) — the
+    // subset-duplicate detector
+    "dedup_ngram_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        |        FROM toks WHERE len(w) >= 3) u
+        |),
+        |df AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+        |kept AS (SELECT s.doc_id, s.sh FROM sh s JOIN df USING (sh) WHERE df.df <= 512),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM kept a JOIN kept b USING (sh)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b,
+        |  round(CAST(inter AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(inter AS DOUBLE) / least(sa.n, sb.n) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // connected components over the (deterministic, oracled) jaccard
     // pairs: transitive closure via recursive CTE on the DuckDB side,
     // min-label propagation on the Spark side — same fixpoint.
@@ -1406,6 +1442,46 @@ object SparkEntry {
         |FROM sh s JOIN dfc d USING (gram)
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
+    // one plain per-source window on the oracle side; the Spark plan's
+    // over-quota/under-quota split is semantics-preserving because an
+    // under-quota source's rows ALL satisfy rn <= quota
+    "pipeline_quota_cap" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    // skip-gram pairs within 2 positions, unordered key "lesser greater";
+    // counts stay integer, the single per-row ln is rounded to 6 dp on
+    // both engines (text_zipf's float rule); LIMIT under a total order
+    // picks the identical top-50 set
+    "text_cooccur_pmi" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |prs AS (
+        |  SELECT CASE WHEN w[i] <= w[j] THEN w[i] || ' ' || w[j]
+        |              ELSE w[j] || ' ' || w[i] END AS pr
+        |  FROM (SELECT doc_id, w, i,
+        |          unnest(range(i + 1, least(i + 2, len(w)) + 1)) AS j
+        |        FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
+        |              FROM toks) a) b),
+        |pc AS (SELECT pr, COUNT(*) AS cnt FROM prs GROUP BY pr),
+        |wc AS (SELECT word, COUNT(*) AS wc
+        |       FROM (SELECT unnest(w) AS word FROM toks) GROUP BY word),
+        |tp AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tp FROM pc),
+        |top AS (SELECT pr, cnt FROM pc ORDER BY cnt DESC, pr LIMIT 50)
+        |SELECT string_split(pr, ' ')[1] AS w1, string_split(pr, ' ')[2] AS w2,
+        |  cnt,
+        |  round(ln(CAST(cnt AS DOUBLE) * CAST(tp.tp AS DOUBLE)
+        |    / (CAST(c1.wc AS DOUBLE) * CAST(c2.wc AS DOUBLE))), 6) AS pmi
+        |FROM top CROSS JOIN tp
+        |JOIN wc c1 ON c1.word = string_split(pr, ' ')[1]
+        |JOIN wc c2 ON c2.word = string_split(pr, ' ')[2]
+        |ORDER BY cnt DESC, w1, w2""".stripMargin,
+
     // ln terms rounded to 6 dp FIRST, then all products/sums in exact
     // DECIMAL — same order-free float rule as text_entropy
     "text_zipf" ->
@@ -1672,6 +1748,7 @@ object SparkEntry {
     // no-oracle family flip to hash-oracled)
     "dedup_near_minhash" -> OracleGen.nearMinhashSql(),
     "dedup_minhash_clusters" -> OracleGen.minhashClustersSql(),
+    "corpus_dup_hist" -> OracleGen.clusterSizeHistSql(),
     "dedup_simhash_pairs" -> OracleGen.simhashPairsSql(),
     "sim_ann_lsh" -> OracleGen.simAnnLshSql(),
     "sim_ann_lsh_batch" -> OracleGen.simAnnLshBatchSql(),
@@ -1751,6 +1828,27 @@ object SparkEntry {
         |)
         |SELECT n.event_type, n.n_intervals, p.peak_concurrency
         |FROM n JOIN p USING (event_type) ORDER BY event_type""".stripMargin,
+
+    // the z-test replayed as the same exact integer inequality —
+    // (n·H − S)² > k²·(H·Q − S²) — in HUGEINT (DuckDB's BIGINT products
+    // would overflow-error exactly where Spark's longs would wrap; both
+    // sides use wide integers instead)
+    "ts_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type,
+        |    CAST(COUNT(*) AS HUGEINT) AS hrs,
+        |    CAST(SUM(n) AS HUGEINT) AS sm,
+        |    CAST(SUM(n * n) AS HUGEINT) AS q
+        |  FROM hourly GROUP BY 1)
+        |SELECT h.event_type, CAST(epoch(h.h) AS BIGINT) AS hour_s, h.n
+        |FROM hourly h JOIN s USING (event_type)
+        |WHERE (CAST(h.n AS HUGEINT) * s.hrs - s.sm)
+        |      * (CAST(h.n AS HUGEINT) * s.hrs - s.sm)
+        |      > 9 * (s.hrs * s.q - s.sm * s.sm)
+        |ORDER BY event_type, hour_s""".stripMargin,
 
     // trailing 24h RANGE frame on epoch seconds over the hourly pre-agg
     "ts_rolling" ->

@@ -662,6 +662,81 @@ object CorpusOps {
       .orderBy("src_a", "src_b")
   }
 
+  /** `pipeline_quota_cap`: per-source document quota — keep at most
+    * `quota` documents from each source, preferring longer documents
+    * (n_chars desc, doc_id tiebreak). This is the domain-balancing
+    * policy every crawl-derived corpus applies so a single over-scraped
+    * domain can't dominate the training mixture — the hard-cap
+    * complement to `sample_mixture`'s probabilistic reweighting.
+    *
+    * Scale shape: a tiny per-source count (partial+final agg, one row
+    * per source) splits the corpus into over-quota and under-quota
+    * sources. Only OVER-quota sources' rows pay the ranking shuffle
+    * (left-semi against the broadcast over-quota list); under-quota
+    * sources pass through map-only (left-anti, same broadcast) — on a
+    * real corpus where a handful of domains are over quota, the window
+    * touches a sliver of the data. A single mega-source still ranks in
+    * one task (row_number is per-source sequential by definition); if
+    * one source IS most of the corpus, cap it with
+    * [[Skew.distributedRowNumber]] keyed on the source instead. */
+  def quotaCap(documents: DataFrame, quota: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val over = documents.groupBy("source").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > quota).select("source")
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val capped = documents.join(broadcast(over), Seq("source"), "left_semi")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= quota)
+      .select("doc_id", "source", "n_chars")
+    val under = documents.join(broadcast(over), Seq("source"), "left_anti")
+      .select("doc_id", "source", "n_chars")
+    capped.unionByName(under).orderBy("doc_id")
+  }
+
+  /** `text_cooccur_pmi`: windowed word co-occurrence with pointwise
+    * mutual information — the top-N most frequent unordered word pairs
+    * within `win` positions of each other, scored
+    * pmi = ln(c(a,b)·T / (c(a)·c(b))) (T = total co-occurrence events).
+    * This is the corpus statistic embedding training is built on
+    * (word2vec/GloVe consume exactly this matrix); high-count low-PMI
+    * pairs are stopword collocations, high-PMI pairs are genuine
+    * phrases.
+    *
+    * Scale shape: pair generation is a map-side higher-order-function
+    * expansion with fan-out exactly `win` per token (bounded linear,
+    * like `pipeline_chunk_overlap` — never quadratic in document
+    * length); the pair count is one partial+final shuffle; word counts
+    * are a second map-reduced corpus scan; the N surviving pairs join
+    * their two word counts and the 1-row total by broadcast. Float
+    * enters only in the final per-row ln, rounded to 6dp on both
+    * engines (the `text_zipf` determinism pattern); counts stay
+    * integer end to end. */
+  def cooccurPmi(documents: DataFrame, win: Int = 2, topN: Int = 50): DataFrame = {
+    val ws = words(lower(col("text")))
+    // unordered pair key "lesser greater" for each (i, j), j ∈ (i, i+win]
+    val prs = flatten(transform(ws, (w, i) =>
+      transform(slice(ws, i + lit(2), lit(win)), v =>
+        when(w <= v, concat_ws(" ", w, v)).otherwise(concat_ws(" ", v, w)))))
+    val pairCounts = documents.select(explode(prs).as("pr"))
+      .groupBy("pr").agg(count(lit(1)).as("cnt"))
+    val top = pairCounts
+      .orderBy(col("cnt").desc, col("pr")).limit(topN)
+      .select(split(col("pr"), " ").getItem(0).as("w1"),
+        split(col("pr"), " ").getItem(1).as("w2"), col("cnt"))
+    val wordCounts = documents.select(explode(ws).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+    val total = pairCounts.agg(sum(col("cnt")).as("tp"))
+    broadcast(top)
+      .join(wordCounts.select(col("word").as("w1"), col("wc").as("c1")), "w1")
+      .join(wordCounts.select(col("word").as("w2"), col("wc").as("c2")), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("cnt"),
+        round(log(col("cnt").cast("double") * col("tp").cast("double") /
+          (col("c1").cast("double") * col("c2").cast("double"))), 6).as("pmi"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2"))
+  }
+
   /** `pipeline_shard_output`: deterministic output sharding — the final
     * stage of a training-data pipeline, where the corpus is split into N
     * reproducible shards with a stable within-shard order (so a rerun

@@ -470,7 +470,77 @@ object DedupOps {
     * thin head (real deduped web text after the cap), minhash-LSH when
     * density is unknown or high. */
   def ngramJaccard(documents: DataFrame, k: Int = 3, tau: Double = 0.2,
-                   maxDf: Int = 512): DataFrame = {
+                   maxDf: Int = 512): DataFrame =
+    shingleCandidates(documents, k, maxDf)
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+
+  /** `dedup_ngram_containment`: asymmetric overlap — for each candidate
+    * pair, |A∩B| / min(|A|,|B|): the SUBSET-duplicate detector. Jaccard
+    * misses the quote-inclusion shape (a short document wholly contained
+    * in a much longer one dilutes |A∪B| and scores low); containment is
+    * 1.0 whenever the smaller shingle set is a subset of the larger,
+    * regardless of the length ratio — the standard complement to jaccard
+    * in crawl dedup (container pages, quoted reposts, doc-plus-boilerplate
+    * wrappers).
+    *
+    * Same inverted-index plan as [[ngramJaccard]] (shared candidate
+    * generator — one shingle shuffle, df-capped, never a crossJoin); only
+    * the final scoring expression differs, so every scale property of the
+    * jaccard path (bounded aggregation state, Σ min(df,maxDf)²/2 density
+    * bound, id-only pair shuffles) carries over unchanged. */
+  def ngramContainment(documents: DataFrame, k: Int = 3, tau: Double = 0.6,
+                       maxDf: Int = 512): DataFrame =
+    shingleCandidates(documents, k, maxDf)
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          least(col("n_a"), col("n_b"))).as("containment"))
+      .filter(col("containment") >= tau)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy("id_a", "id_b")
+
+  /** `corpus_dup_hist`: duplicate-cluster size distribution — the
+    * one-glance dedup health report ("how much of the corpus is in
+    * near-dup groups, and how big are they"): cluster near-dup pairs
+    * ([[nearMinhash]] → [[clusters]]), histogram the component sizes,
+    * and account for every unclustered document as a size-1 singleton so
+    * the `n_docs` column sums exactly to the corpus size. A fat tail
+    * here (few huge clusters) flags boilerplate/mirror pathology before
+    * a keeper-selection pass wastes a full run on it.
+    *
+    * Scale shape: rides the audited minhash+CC plan end to end; the
+    * histogram itself adds two tiny aggregations (cluster-count-sized,
+    * then distinct-size-sized) and two 1-row count aggregates joined by
+    * broadcast crossJoin — nothing new shuffles at corpus scale. */
+  def clusterSizeHist(documents: DataFrame): DataFrame = {
+    val cl = clusters(nearMinhash(documents))
+    val hist = cl.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    // singletons: in the corpus, in no near-dup pair (1-row × 1-row join)
+    val singles = documents.select(count(lit(1)).as("nd"))
+      .crossJoin(cl.select(count(lit(1)).as("ni")))
+      .select(lit(1L).as("cluster_size"), (col("nd") - col("ni")).as("n_clusters"))
+      .filter(col("n_clusters") > 0)
+    hist.unionByName(singles)
+      .groupBy("cluster_size").agg(sum(col("n_clusters")).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .orderBy("cluster_size")
+  }
+
+  /** Shared inverted-index candidate generator for the exact n-gram
+    * overlap family ([[ngramJaccard]], [[ngramContainment]]): emits one
+    * row per candidate pair with the intersection count and both
+    * df-capped shingle-set sizes. All the scale documentation on
+    * [[ngramJaccard]] (the df cap, the density bound, the re-attach
+    * knob) lives there; this is the plan it describes. */
+  private def shingleCandidates(documents: DataFrame, k: Int,
+                                maxDf: Int): DataFrame = {
     // 64-bit-hashed shingles: the inverted index shuffles longs, not
     // strings. Collisions would need ~2^32 distinct shingles to matter
     // (corpus has ~10^5); result is semantically identical to raw shingles.
@@ -518,11 +588,6 @@ object DedupOps {
       reattachHint(pairs)
         .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a"))
       .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") /
-          (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= tau)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("n_b"))
   }
 }

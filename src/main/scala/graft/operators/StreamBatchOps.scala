@@ -133,6 +133,45 @@ object StreamBatchOps {
       .orderBy("event_type", "hour_s")
   }
 
+  /** `ts_anomaly`: hourly spike/dip detection per event type — emits the
+    * hours whose event count deviates from the type's mean by more than
+    * `k` population standard deviations (the alerting pass layered on
+    * the same hourly series `ts_gapfill`/`ts_rolling` regularize; an
+    * ingestion monitor runs exactly this against arrival volumes).
+    *
+    * The z-test is EXACT INTEGER arithmetic — with H = hours observed,
+    * S = Σn, Q = Σn² per type:
+    *   |n − μ| > k·σ  ⇔  (n·H − S)² > k²·(H·Q − S²)
+    * so no float ever enters the comparison and both engines agree
+    * bit-for-bit (the oracle replays the same inequality in HUGEINT).
+    * Intermediates are DECIMAL(38,0): long² overflows once a type sees
+    * ~3·10⁹ hour-count-scaled deviations, which a petabyte-rate firehose
+    * reaches; 38 digits give headroom to ~10⁹ events/hour across ~10⁵
+    * hours. Output columns are plain BIGINT.
+    *
+    * Scale shape: one corpus-sized partial+final hourly count (the
+    * shared pre-agg of this family), lazily checkpointed so the stats
+    * branch and the flag join consume ONE scan (ts_gapfill's
+    * ReuseExchange lesson); the per-type stats are a 3-column agg over
+    * O(types × hours) rows, broadcast back; the flag is map-only. */
+  def anomaly(events: DataFrame, k: Int = 3): DataFrame = {
+    val dec = "decimal(38,0)"
+    val hourly = events.filter(col("ts").isNotNull)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    val stats = hourly.groupBy("event_type").agg(
+      count(lit(1)).as("hrs"), sum(col("n")).as("s"),
+      sum(col("n") * col("n")).as("q"))
+    val dev = col("n").cast(dec) * col("hrs").cast(dec) - col("s").cast(dec)
+    val variance = col("hrs").cast(dec) * col("q").cast(dec) -
+      col("s").cast(dec) * col("s").cast(dec)
+    hourly.join(broadcast(stats), Seq("event_type"))
+      .filter(dev * dev > lit(k.toLong * k).cast(dec) * variance)
+      .select(col("event_type"), unix_timestamp(col("h")).as("hour_s"), col("n"))
+      .orderBy("event_type", "hour_s")
+  }
+
   /** `ts_concurrency`: peak concurrent activity windows per event type —
     * the O(n·types) SWEEP COUNT that answers "how many [ts, ts+10min)
     * windows were active at once" WITHOUT enumerating overlapping pairs.

@@ -337,4 +337,46 @@ class PlanGuardSpec extends SparkSpec {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("quotaCap: only over-quota sources reach the rank window; over-list broadcasts") {
+    // the whole point of the split plan: the window's input is
+    // semi-join-filtered, the pass-through side is an anti-join, and the
+    // tiny over-quota source list broadcasts to both — the corpus itself
+    // must never shuffle for the under-quota rows.
+    val opt = CorpusOps.quotaCap(docs).queryExecution.optimizedPlan.toString
+    assert(opt.contains("LeftSemi") && opt.contains("LeftAnti"),
+      s"expected the over/under split joins:\n$opt")
+    val exec = CorpusOps.quotaCap(docs).queryExecution.executedPlan.treeString
+    assert(exec.contains("BroadcastExchange"),
+      s"over-quota source list should broadcast:\n$exec")
+  }
+
+  test("cooccurPmi: bounded HOF pair expansion, no collection aggregates") {
+    // pair generation must be the map-side transform/flatten expansion
+    // (fan-out = win per token); counts are constant-state aggregates.
+    val plan = CorpusOps.cooccurPmi(docs).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("collect_list") && !plan.contains("collect_set"),
+      s"collection aggregate in cooccurPmi plan:\n$plan")
+    assert(plan.contains("transform") && plan.contains("flatten"),
+      s"pair expansion should be the HOF form:\n$plan")
+  }
+
+  test("ngramContainment shares the jaccard candidate plan (no hints, bounded index)") {
+    // same generator as ngramJaccard: no broadcast hints on corpus-sized
+    // relations, df-count below the collect_list (bounded index arrays)
+    val analyzed = DedupOps.ngramContainment(docs).queryExecution.analyzed
+    val hinted = analyzed.collect { case h: ResolvedHint => h }
+    assert(hinted.isEmpty, s"broadcast hint present: $hinted")
+    val plan = DedupOps.ngramContainment(docs).queryExecution.optimizedPlan.toString
+    val collectIdx = plan.indexOf("collect_list")
+    assert(collectIdx >= 0 && plan.substring(collectIdx).contains("count(1)"),
+      s"df-count must bound the inverted index below the collect:\n$plan")
+  }
+
+  test("ts_anomaly: per-type stats broadcast back; flag join never shuffles the hourly table") {
+    val plan = StreamBatchOps.anomaly(Tables.events(spark, sf()))
+      .queryExecution.executedPlan.treeString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"stats must re-attach by broadcast:\n$plan")
+  }
 }
