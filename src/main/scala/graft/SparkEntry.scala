@@ -180,6 +180,7 @@ object SparkEntry {
     "multimodal_frames" -> ((s, d) => MultimodalOps.frames(Tables.documents(s, d))),
     "multimodal_resize" -> ((s, d) => MultimodalOps.resized(Tables.documents(s, d))),
     "multimodal_stats" -> ((s, d) => MultimodalOps.mediaStats(Tables.documents(s, d))),
+    "dedup_phash_images" -> ((s, d) => MultimodalOps.phashPairs(Tables.documents(s, d))),
     // --- corpus-preparation passes (LLM-pipeline) ---
     "pipeline_decontaminate" -> ((s, d) => CorpusOps.decontaminate(Tables.documents(s, d))),
     "pipeline_pack_chunks" -> ((s, d) => CorpusOps.packChunks(Tables.documents(s, d))),
@@ -219,6 +220,8 @@ object SparkEntry {
     "ts_rolling" -> ((s, d) => StreamBatchOps.rolling(Tables.events(s, d))),
     "ts_concurrency" -> ((s, d) => StreamBatchOps.intervalConcurrency(Tables.events(s, d))),
     "ts_anomaly" -> ((s, d) => StreamBatchOps.anomaly(Tables.events(s, d))),
+    "ts_seasonality" -> ((s, d) => StreamBatchOps.seasonality(Tables.events(s, d))),
+    "ts_changepoint" -> ((s, d) => StreamBatchOps.changepoint(Tables.events(s, d))),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -1849,6 +1852,54 @@ object SparkEntry {
         |      * (CAST(h.n AS HUGEINT) * s.hrs - s.sm)
         |      > 9 * (s.hrs * s.q - s.sm * s.sm)
         |ORDER BY event_type, hour_s""".stripMargin,
+
+    // hour() on both engines is the UTC clock hour (session TZ pinned)
+    "ts_seasonality" ->
+      """WITH byhod AS (
+        |  SELECT event_type, CAST(hour(ts) AS INT) AS hod, COUNT(*) AS n_events
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS tot
+        |        FROM byhod GROUP BY 1)
+        |SELECT b.event_type, b.hod, b.n_events,
+        |  round(CAST(b.n_events AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS share
+        |FROM byhod b JOIN tot t USING (event_type)
+        |ORDER BY event_type, hod""".stripMargin,
+
+    // argmax over |s/i − (tot−s)/(H−i)|: exact-integer operands through
+    // identical IEEE double divisions on both engines, so the unrounded
+    // ordering (ties → earliest hour) is cross-engine stable; output
+    // means are rounded for display only
+    "ts_changepoint" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |pos AS (
+        |  SELECT event_type, h, n,
+        |    row_number() OVER w AS i,
+        |    CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+        |st AS (SELECT event_type, COUNT(*) AS hh, CAST(SUM(n) AS BIGINT) AS tot
+        |       FROM hourly GROUP BY 1),
+        |scored AS (
+        |  SELECT p.event_type, p.h, p.i, st.hh, p.s, st.tot,
+        |    abs(CAST(p.s AS DOUBLE) / CAST(p.i AS DOUBLE)
+        |      - CAST(st.tot - p.s AS DOUBLE) / CAST(st.hh - p.i AS DOUBLE)) AS shift_raw
+        |  FROM pos p JOIN st USING (event_type)
+        |  WHERE p.i < st.hh),
+        |best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY shift_raw DESC, h) AS rk
+        |  FROM scored)
+        |SELECT event_type,
+        |  CAST(epoch(h) AS BIGINT) AS split_hour_s,
+        |  CAST(i AS BIGINT) AS hours_before,
+        |  CAST(hh - i AS BIGINT) AS hours_after,
+        |  round(CAST(s AS DOUBLE) / CAST(i AS DOUBLE), 6) AS mean_before,
+        |  round(CAST(tot - s AS DOUBLE) / CAST(hh - i AS DOUBLE), 6) AS mean_after,
+        |  round(shift_raw, 6) AS shift
+        |FROM best WHERE rk = 1 ORDER BY event_type""".stripMargin,
 
     // trailing 24h RANGE frame on epoch seconds over the hourly pre-agg
     "ts_rolling" ->

@@ -714,22 +714,46 @@ object CorpusOps {
     * integer end to end. */
   def cooccurPmi(documents: DataFrame, win: Int = 2, topN: Int = 50): DataFrame = {
     val ws = words(lower(col("text")))
-    // unordered pair key "lesser greater" for each (i, j), j ∈ (i, i+win]
-    val prs = flatten(transform(ws, (w, i) =>
-      transform(slice(ws, i + lit(2), lit(win)), v =>
-        when(w <= v, concat_ws(" ", w, v)).otherwise(concat_ws(" ", v, w)))))
-    val pairCounts = documents.select(explode(prs).as("pr"))
-      .groupBy("pr").agg(count(lit(1)).as("cnt"))
-    val top = pairCounts
-      .orderBy(col("cnt").desc, col("pr")).limit(topN)
-      .select(split(col("pr"), " ").getItem(0).as("w1"),
-        split(col("pr"), " ").getItem(1).as("w2"), col("cnt"))
-    val wordCounts = documents.select(explode(ws).as("word"))
+    // pair key = (min, max) of the two TOKEN HASHES — two longs instead
+    // of a built string per pair INSTANCE (the inner loop runs
+    // win × corpus-tokens times; at sf10 the string form spent its 30 s
+    // in concat/allocation, the hashed form shuffles 16 bytes and defers
+    // all string work to the distinct-pairs table). Word strings and
+    // counts are recovered afterwards from the vocabulary-sized
+    // dictionary — joined on the DISTINCT pairs only, AQE picking the
+    // strategy (the vocabulary of a web corpus is too large to assume
+    // broadcastable). Same 64-bit-collision rule as decontaminate.
+    val hs = transform(ws, w => xxhash64(w))
+    val prs = flatten(transform(hs, (h, i) =>
+      transform(slice(hs, i + lit(2), lit(win)), v =>
+        struct(least(h, v).as("h1"), greatest(h, v).as("h2")))))
+    // ONE consumer for the expensive explode plan (and no checkpoint —
+    // lazy localCheckpoint materialization bypasses AQE, measured 5× at
+    // sf10): the total pair count T never touches the pair table, it's
+    // the closed form Σ_docs [win·L − win² + win(win−1)/2] (L ≥ win,
+    // else L(L−1)/2) over token counts, a map-only 1-row aggregate.
+    val pairCounts = documents.select(explode(prs).as("p"))
+      .groupBy(col("p.h1").as("h1"), col("p.h2").as("h2"))
+      .agg(count(lit(1)).as("cnt"))
+    val dict = documents.select(explode(ws).as("word"))
       .groupBy("word").agg(count(lit(1)).as("wc"))
-    val total = pairCounts.agg(sum(col("cnt")).as("tp"))
-    broadcast(top)
-      .join(wordCounts.select(col("word").as("w1"), col("wc").as("c1")), "w1")
-      .join(wordCounts.select(col("word").as("w2"), col("wc").as("c2")), "w2")
+      .select(xxhash64(col("word")).as("h"), col("word"), col("wc"))
+    val withWords = pairCounts
+      .join(dict.select(col("h").as("h1"), col("word").as("wa"), col("wc").as("ca")), "h1")
+      .join(dict.select(col("h").as("h2"), col("word").as("wb"), col("wc").as("cb")), "h2")
+      .select(
+        least(col("wa"), col("wb")).as("w1"),
+        greatest(col("wa"), col("wb")).as("w2"),
+        when(col("wa") <= col("wb"), col("ca")).otherwise(col("cb")).as("c1"),
+        when(col("wa") <= col("wb"), col("cb")).otherwise(col("ca")).as("c2"),
+        col("cnt"))
+    val nToks = size(ws).cast("long")
+    val winL = lit(win.toLong)
+    val pairsPerDoc = when(nToks <= winL, nToks * (nToks - 1) / 2)
+      .otherwise(winL * nToks - winL * winL + winL * (winL - 1) / 2)
+    val total = documents.select(sum(pairsPerDoc).as("tp"))
+    withWords
+      .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(topN)
       .crossJoin(broadcast(total))
       .select(col("w1"), col("w2"), col("cnt"),
         round(log(col("cnt").cast("double") * col("tp").cast("double") /

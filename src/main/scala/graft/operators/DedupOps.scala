@@ -210,19 +210,46 @@ object DedupOps {
     * SQL ([[graft.OracleGen.simhashPairsSql]]) plus the ScalaTest
     * planted-pair test. */
   def simhashPairs(documents: DataFrame, bands: Int = 4,
-                   maxHamming: Int = 8): DataFrame = {
+                   maxHamming: Int = 8): DataFrame =
+    hammingBandPairs(
+      documents.select(col("doc_id").as("id"),
+        ShingleExpressions.simHash64(lower(col("text"))).as("fp")),
+      bands, maxHamming)
+
+  /** Banded-Hamming pair detector over any table of 64-bit fingerprints
+    * (`id`, `fp`) — the LSH core shared by [[simhashPairs]] (text) and
+    * [[MultimodalOps.phashPairs]] (images). The fingerprint splits into
+    * `bands` equal bit-slices; by pigeonhole any pair with Hamming
+    * distance < bands shares a slice, so the per-slice bucket join finds
+    * all such pairs exactly; verification is a popcount of the XOR
+    * carried on the candidate row — no re-attach join.
+    *
+    * `maxBucket` (off by default, preserving simhashPairs' oracled
+    * semantics) caps a band bucket's membership: a bucket holding more
+    * fingerprints than the cap is template mass — identical page
+    * chrome, app screenshots, letterhead — whose pair fan-out is
+    * quadratic and whose matches carry no dedup signal (the
+    * embedding-LSH hot-bucket lesson, docs/SCALE.md). With the cap on,
+    * bucket sizes are counted constant-state FIRST and oversized
+    * buckets drop before any pair materializes. */
+  private[operators] def hammingBandPairs(fps: DataFrame, bands: Int,
+      maxHamming: Int, maxBucket: Int = Int.MaxValue): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")
     val bandBits = 64 / bands
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
-    val fp = documents.select(col("doc_id"),
-      ShingleExpressions.simHash64(lower(col("text"))).as("fp"))
-    val banded = fp.select(col("doc_id"), col("fp"),
+    val banded0 = fps.select(col("id"), col("fp"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("fp"), b * bandBits).bitwiseAND(lit(mask))
             .as("slice"))): _*)).as("bk"))
-    banded.select(col("bk"), col("doc_id").as("id_a"), col("fp").as("fp_a"))
-      .join(banded.select(col("bk"), col("doc_id").as("id_b"), col("fp").as("fp_b")),
+    val banded =
+      if (maxBucket == Int.MaxValue) banded0
+      else banded0.join(
+        banded0.groupBy("bk").agg(count(lit(1)).as("sz"))
+          .filter(col("sz") <= maxBucket).select("bk"),
+        Seq("bk"), "left_semi")
+    banded.select(col("bk"), col("id").as("id_a"), col("fp").as("fp_a"))
+      .join(banded.select(col("bk"), col("id").as("id_b"), col("fp").as("fp_b")),
         Seq("bk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

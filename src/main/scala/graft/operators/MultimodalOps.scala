@@ -258,6 +258,81 @@ object MultimodalOps {
     resize(attachImages(documents)).toDF()
       .orderBy("media_id")
 
+  /** 64-bit perceptual average-hash (aHash) over the REAL decoded
+    * pixels: decode → 8×8 box-filter LUMINANCE downsample (the same
+    * exact integer area-average as [[resize]], on Rec.601 luma
+    * 299r+587g+114b) → threshold each cell strictly above the grid's
+    * floor-mean → one bit per cell, row-major from bit 0. Pure integer
+    * arithmetic over decoded pixels, so the fingerprint is
+    * deterministic across runs and partitionings (encoder-independent
+    * too: it never touches the compressed bytes).
+    *
+    * Map-only at decode speed, the phash table is 16 bytes/image —
+    * the 10⁶× reduction that makes corpus-scale image dedup a
+    * fingerprint problem instead of a pixel problem. */
+  def phash(media: DataFrame): Dataset[(Long, Long)] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { case (id, payload) =>
+          val src = decodeImage(payload)
+          val sw = src.getWidth
+          val sh = src.getHeight
+          val lum = new Array[Long](64)
+          var ty = 0
+          while (ty < 8) {
+            val y0 = ty * sh / 8
+            val y1 = math.max(y0 + 1, (ty + 1) * sh / 8)
+            var tx = 0
+            while (tx < 8) {
+              val x0 = tx * sw / 8
+              val x1 = math.max(x0 + 1, (tx + 1) * sw / 8)
+              var l = 0L
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  val rgb = src.getRGB(x, y)
+                  l += 299L * ((rgb >> 16) & 0xff) +
+                    587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+                  x += 1
+                }
+                y += 1
+              }
+              lum(ty * 8 + tx) = l / ((x1 - x0).toLong * (y1 - y0) * 1000L)
+              tx += 1
+            }
+            ty += 1
+          }
+          val mean = lum.sum / 64L
+          var fp = 0L
+          var i = 0
+          while (i < 64) { if (lum(i) > mean) fp |= (1L << i); i += 1 }
+          (id, fp)
+        }
+      }
+  }
+
+  /** `dedup_phash_images`: near-duplicate IMAGE pairs — [[phash]]
+    * fingerprints through the banded-Hamming LSH detector
+    * ([[DedupOps.hammingBandPairs]], the same core as text simhash
+    * pairs), with the hot-bucket cap ON by default: real crawls are full
+    * of template screenshots and page chrome whose phash buckets go
+    * quadratic, and (unlike text simhash, whose shingle mixing spreads
+    * buckets) smooth-image fingerprints concentrate — the cap drops
+    * template mass before any pair materializes. No oracle (pixel
+    * decode is not SQL-expressible); the spec plants a perturbed
+    * near-copy and an inverted far image and checks found/not-found
+    * plus run-to-run determinism. */
+  def phashPairs(documents: DataFrame, bands: Int = 4, maxHamming: Int = 6,
+                 maxBucket: Int = 64): DataFrame =
+    DedupOps.hammingBandPairs(
+      phash(attachImages(documents)).toDF("id", "fp"),
+      bands, maxHamming, maxBucket)
+
   /** Ingestion stand-in for video-shaped payloads: a length-prefixed
     * container (4-byte big-endian frame length, then the frame's REAL
     * encoded PNG bytes, repeated `nFrames` times) — the simplest honest

@@ -172,6 +172,83 @@ object StreamBatchOps {
       .orderBy("event_type", "hour_s")
   }
 
+  /** `ts_seasonality`: hour-of-day activity profile per event type —
+    * the diurnal-pattern fingerprint (24 rows per type: event counts and
+    * within-type share by clock hour). This is the seasonal baseline an
+    * anomaly detector normalizes against ([[anomaly]] flags against the
+    * flat mean; dividing by this profile first turns it into a
+    * seasonality-adjusted detector) and the capacity-planning view of an
+    * ingestion pipeline.
+    *
+    * Scale shape: ONE corpus-sized partial+final count to 24×|types|
+    * rows (lazily checkpointed — the totals branch and the share join
+    * both consume the pre-agg, not the corpus); per-type totals re-join
+    * by broadcast; the share division is the only float, computed
+    * identically on both engines. */
+  def seasonality(events: DataFrame): DataFrame = {
+    val byHod = events.filter(col("ts").isNotNull)
+      .groupBy(col("event_type"), hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n_events"))
+      .localCheckpoint(eager = false)
+    val totals = byHod.groupBy("event_type").agg(sum(col("n_events")).as("tot"))
+    byHod.join(broadcast(totals), Seq("event_type"))
+      .select(col("event_type"), col("hod"), col("n_events"),
+        round(col("n_events").cast("double") / col("tot").cast("double"), 6)
+          .as("share"))
+      .orderBy("event_type", "hod")
+  }
+
+  /** `ts_changepoint`: single strongest level shift per event type — the
+    * split hour t maximizing |mean(counts ≤ t) − mean(counts > t)| over
+    * the type's observed hourly series (the first-order "when did the
+    * volume regime change" answer: deploy effects, incident start/stop,
+    * source cutover). A full CUSUM/segmentation pass iterates this; one
+    * exact split is the auditable core.
+    *
+    * Determinism: the score is |s/i − (tot−s)/(H−i)| with every operand
+    * an exact integer — two IEEE double divisions and a subtraction
+    * computed in the same order on both engines, so the argmax (ties →
+    * earliest hour) is cross-engine stable without any epsilon. Output
+    * means/shift are 6dp-rounded for display only; the ORDERING uses
+    * the unrounded value.
+    *
+    * Scale shape: the corpus reduces to the shared hourly pre-agg (one
+    * partial+final shuffle); everything after — prefix sums, per-type
+    * stats, the argmax window — runs over O(types × hours) rows. The
+    * per-type prefix sum is a window over that tiny table, parallel
+    * across types. */
+  def changepoint(events: DataFrame): DataFrame = {
+    val hourly = events.filter(col("ts").isNotNull)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val pos = hourly
+      .withColumn("i", row_number().over(w))
+      .withColumn("s",
+        sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val stats = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("hh"), sum(col("n")).as("tot"))
+    val before = col("s").cast("double") / col("i").cast("double")
+    val after = (col("tot") - col("s")).cast("double") /
+      (col("hh") - col("i")).cast("double")
+    val scored = pos.join(broadcast(stats), Seq("event_type"))
+      .filter(col("i") < col("hh")) // a split needs a non-empty right side
+      .withColumn("shift_raw", abs(before - after))
+    val wBest = Window.partitionBy("event_type")
+      .orderBy(col("shift_raw").desc, col("h"))
+    scored
+      .withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("event_type"),
+        unix_timestamp(col("h")).as("split_hour_s"),
+        col("i").cast("long").as("hours_before"),
+        (col("hh") - col("i")).as("hours_after"),
+        round(before, 6).as("mean_before"), round(after, 6).as("mean_after"),
+        round(col("shift_raw"), 6).as("shift"))
+      .orderBy("event_type")
+  }
+
   /** `ts_concurrency`: peak concurrent activity windows per event type —
     * the O(n·types) SWEEP COUNT that answers "how many [ts, ts+10min)
     * windows were active at once" WITHOUT enumerating overlapping pairs.

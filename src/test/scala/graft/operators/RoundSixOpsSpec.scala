@@ -105,6 +105,72 @@ class RoundSixOpsSpec extends SparkSpec {
     assert(DedupOps.ngramJaccard(d, tau = 0.2).count() === 0)
   }
 
+  test("ts_seasonality: hour-of-day shares sum to 1 and match planted profile") {
+    // type "e": 3 events at clock hour 0 (across days), 1 at hour 12
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01 00:10:00"), "e", 1.0),
+      (2L, 1L, ts("2024-01-02 00:20:00"), "e", 1.0),
+      (3L, 1L, ts("2024-01-03 00:30:00"), "e", 1.0),
+      (4L, 1L, ts("2024-01-01 12:00:00"), "e", 1.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = StreamBatchOps.seasonality(events).collect()
+    assert(out.length === 2)
+    assert(out(0).getInt(1) === 0 && out(0).getLong(2) === 3L
+      && out(0).getDouble(3) === 0.75)
+    assert(out(1).getInt(1) === 12 && out(1).getDouble(3) === 0.25)
+  }
+
+  test("ts_changepoint: planted level shift found at the boundary hour") {
+    // 4 hours of 2 events then 4 hours of 10: the best split is after
+    // hour 4 (means 2 vs 10, shift 8); any other split mixes regimes
+    val events = (0 until 4).flatMap(h => (0 until 2).map(i =>
+      (h * 10L + i, 1L, ts(f"2024-01-01 0$h:0$i:00"), "e", 1.0))) ++
+      (4 until 8).flatMap(h => (0 until 10).map(i =>
+        (1000L + h * 10 + i, 1L, ts(f"2024-01-01 0$h:1$i:00"), "e", 1.0)))
+    val out = StreamBatchOps.changepoint(
+      events.toDF("event_id", "user_id", "ts", "event_type", "value")).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getLong(1) === ts("2024-01-01 03:00:00").getTime / 1000,
+      "split hour t is the LAST hour of the before-segment (counts ≤ t)")
+    assert(r.getLong(2) === 4L && r.getLong(3) === 4L)
+    assert(r.getDouble(4) === 2.0 && r.getDouble(5) === 10.0 && r.getDouble(6) === 8.0)
+  }
+
+  test("dedup_phash_images: planted near-copy found, inverted image rejected") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) img.setRGB(x, y, f(x, y))
+      val bos = new ByteArrayOutputStream
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // half-black/half-white; a near-copy with ONE 8×8 corner block
+    // flipped (= one phash cell → Hamming 1); the inverse (Hamming 64)
+    val half = png((x, _) => if (x < 32) 0x000000 else 0xffffff)
+    val near = png((x, y) =>
+      if (x < 8 && y < 8) 0xffffff else if (x < 32) 0x000000 else 0xffffff)
+    val inv = png((x, _) => if (x < 32) 0xffffff else 0x000000)
+    val media = Seq((1L, half), (2L, near), (3L, inv)).toDF("media_id", "payload")
+    val fp1 = MultimodalOps.phash(media).collect().toMap
+    val fp2 = MultimodalOps.phash(media).collect().toMap
+    assert(fp1 === fp2, "phash must be run-to-run deterministic")
+    assert(java.lang.Long.bitCount(fp1(1L) ^ fp1(2L)) === 1)
+    assert(java.lang.Long.bitCount(fp1(1L) ^ fp1(3L)) === 64)
+    val pairs = DedupOps.hammingBandPairs(
+      MultimodalOps.phash(media).toDF("id", "fp"),
+      bands = 4, maxHamming = 6, maxBucket = 64).collect()
+    assert(pairs.length === 1 &&
+      pairs(0).getLong(0) === 1L && pairs(0).getLong(1) === 2L &&
+      pairs(0).getInt(2) === 1)
+    // the full query surface runs end to end on the synthetic corpus
+    // (hot-bucket cap active — gradient images concentrate buckets)
+    MultimodalOps.phashPairs(Tables.documents(spark, sf())).count()
+  }
+
   test("text_cooccur_pmi: counts and pmi on a hand-checked corpus") {
     // "a b" adjacent twice and once at distance 2 (via "a c b") = cnt 3
     val d = docs(1L -> "a b a b", 2L -> "a c b")
