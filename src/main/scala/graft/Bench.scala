@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   /** Short stdout keys for a query-name set: 1 char per leading
-    * '_'-segment + 3 of the last, deterministic collision break (sorted
+    * '_'-segment + 2 of the last, deterministic collision break (sorted
     * order; a later colliding name extends its last-segment prefix, then
     * a numeric suffix). Factored out of main so BenchLineSpec can assert
     * the whole stdout line stays inside the driver's ~1.9 KB capture
@@ -15,7 +15,7 @@ object Bench {
     names.sorted.map { n =>
       val segs = n.split('_')
       def mk(l: Int) = segs.init.map(_.take(1)).mkString + segs.last.take(l)
-      var len = 3
+      var len = 2
       var s = mk(len)
       while (used.contains(s) && len < segs.last.length) { len += 1; s = mk(len) }
       var s2 = s

@@ -161,6 +161,7 @@ object SparkEntry {
     "sim_ann_ivf" -> ((s, d) => VectorOps.annIvf(Tables.embeddings(s, d))),
     "sim_ann_ivf_batch" -> ((s, d) => VectorOps.annIvfBatch(Tables.embeddings(s, d))),
     "vec_quantize_int8" -> ((s, d) => VectorOps.quantizeInt8(Tables.embeddings(s, d))),
+    "sample_hardneg" -> ((s, d) => VectorOps.hardNegatives(Tables.embeddings(s, d))),
     // --- text analysis (LLM-pipeline) ---
     "text_wordcount" -> ((s, d) => TextOps.wordcount(Tables.documents(s, d))),
     "text_ngram_stats" -> ((s, d) => TextOps.ngramStats(Tables.documents(s, d))),
@@ -211,6 +212,8 @@ object SparkEntry {
     "text_cooccur_pmi" -> ((s, d) => CorpusOps.cooccurPmi(Tables.documents(s, d))),
     // --- retrieval (LLM-pipeline) ---
     "retrieval_bm25" -> ((s, d) => RetrievalOps.bm25(Tables.documents(s, d))),
+    "retrieval_hybrid_rrf" -> ((s, d) =>
+      RetrievalOps.hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d))),
     "pipeline_chunk_overlap" -> ((s, d) => RetrievalOps.chunkOverlap(Tables.documents(s, d))),
     // --- streaming batch-equivalents ---
     "stream_tumbling_batch" -> ((s, d) => StreamBatchOps.tumbling(Tables.events(s, d))),
@@ -1064,6 +1067,28 @@ object SparkEntry {
         |SELECT probe_id, vec_id, round(rawcos, 6) AS cos, rn
         |FROM r WHERE rn <= 10 ORDER BY probe_id, rn""".stripMargin,
 
+    // batch-topk oracle body + the label-inequality filter — negatives
+    // rank within the anchor's different-label universe
+    "sample_hardneg" ->
+      """WITH a AS (
+        |  SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS probe,
+        |    label AS anchor_label
+        |  FROM embeddings WHERE vec_id < 5),
+        |c AS (
+        |  SELECT anchor_id, e.vec_id, e.label,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), probe)
+        |      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(probe, probe))) AS rawcos
+        |  FROM embeddings e CROSS JOIN a
+        |  WHERE e.label <> a.anchor_label),
+        |r AS (
+        |  SELECT anchor_id, vec_id, label, rawcos,
+        |    CAST(row_number() OVER (PARTITION BY anchor_id
+        |      ORDER BY rawcos DESC, vec_id) AS INTEGER) AS rn
+        |  FROM c)
+        |SELECT anchor_id, vec_id, label, round(rawcos, 6) AS cos, rn
+        |FROM r WHERE rn <= 10 ORDER BY anchor_id, rn""".stripMargin,
+
     "text_ngram_stats" ->
       """SELECT gram, COUNT(*) AS cnt FROM (
         |  SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
@@ -1705,6 +1730,66 @@ object SparkEntry {
         |  CAST(SUM(contrib_u) AS BIGINT) AS score_micro
         |FROM contrib GROUP BY doc_id
         |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
+
+    // both retriever CTEs are the audited bm25/cosine oracle bodies at
+    // kEach=20; ranks assigned over the k-row retrieval outputs, each
+    // RRF term an explicit DOUBLE division (DuckDB's bare 1.0 literal
+    // is DECIMAL — cast, or the fusion arithmetic diverges)
+    "retrieval_hybrid_rrf" ->
+      """WITH dls AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        |  FROM dls),
+        |toks AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS dl,
+        |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, dl, COUNT(*) AS tf FROM toks
+        |  WHERE term IN ('spark', 'join', 'vector', 'stream', 'window')
+        |  GROUP BY 1, 2, 3),
+        |dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |contrib AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round(ln(1.0 + ((n - df) + 0.5) / (df + 0.5)) *
+        |      ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))) *
+        |      1000000.0) AS BIGINT) AS contrib_u
+        |  FROM tf JOIN dfs USING (term) CROSS JOIN stats),
+        |bm AS (
+        |  SELECT doc_id, CAST(SUM(contrib_u) AS BIGINT) AS score_micro
+        |  FROM contrib GROUP BY doc_id
+        |  ORDER BY score_micro DESC, doc_id LIMIT 20),
+        |sparse AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY score_micro DESC, doc_id)
+        |    AS bm25_rank FROM bm),
+        |p AS (SELECT CAST(embedding AS DOUBLE[]) AS probe
+        |      FROM embeddings WHERE vec_id = 0),
+        |c AS (
+        |  SELECT vec_id,
+        |    list_dot_product(CAST(embedding AS DOUBLE[]), probe)
+        |      / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(probe, probe))) AS rawcos
+        |  FROM embeddings, p),
+        |dn AS (
+        |  SELECT vec_id, round(rawcos, 6) AS cos FROM c
+        |  ORDER BY rawcos DESC, vec_id LIMIT 20),
+        |dense AS (
+        |  SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cos DESC, vec_id)
+        |    AS dense_rank FROM dn),
+        |f AS (
+        |  SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+        |    CAST(s.bm25_rank AS BIGINT) AS bm25_rank,
+        |    CAST(d.dense_rank AS BIGINT) AS dense_rank,
+        |    COALESCE(CAST(1.0 AS DOUBLE) / (60 + s.bm25_rank), CAST(0.0 AS DOUBLE))
+        |      + COALESCE(CAST(1.0 AS DOUBLE) / (60 + d.dense_rank), CAST(0.0 AS DOUBLE))
+        |      AS rrf_raw
+        |  FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id)
+        |SELECT doc_id, bm25_rank, dense_rank, round(rrf_raw, 6) AS rrf
+        |FROM f ORDER BY rrf_raw DESC, doc_id LIMIT 10""".stripMargin,
 
     // sliding-window chunker: md5 content-addresses each chunk's joined
     // text, so the oracle checks chunk CONTENT, not just counts

@@ -68,6 +68,48 @@ object RetrievalOps {
       .limit(k)
   }
 
+  /** `retrieval_hybrid_rrf`: hybrid sparse+dense retrieval via
+    * reciprocal-rank fusion — the standard production shape for
+    * RAG/search stacks (BM25 catches exact terms, the embedding catches
+    * paraphrase; RRF fuses WITHOUT score calibration, which is why it
+    * beats score mixing in practice): take the top `kEach` from
+    * [[bm25]] and from the dense probe ([[VectorOps.cosineTopK]],
+    * vec_id ≡ doc_id — the embedding table is the documents' embedding
+    * column), then score every retrieved id
+    * 1/(rrfK + rank_sparse) + 1/(rrfK + rank_dense), an absent side
+    * contributing 0.
+    *
+    * Scale shape: both retrievers keep their audited plans (corpus
+    * scans + postings shuffle; broadcast probe + TakeOrdered); the
+    * fusion itself touches only 2·kEach rows — the rank windows and
+    * the full-outer join run on retriever OUTPUT, so their single-task
+    * windows are k-row, not corpus-sized. Determinism: ranks are
+    * integers, each RRF term is one IEEE double division, the sum of
+    * two such terms is order-fixed by the expression tree — no epsilon
+    * needed; output rounds to 6dp for display. */
+  def hybridRrf(documents: DataFrame, embeddings: DataFrame,
+                terms: Seq[String] = defaultQuery, probeId: Long = 0L,
+                kEach: Int = 20, k: Int = 10, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sparse = bm25(documents, terms, kEach)
+      .select(col("doc_id"),
+        row_number().over(
+          Window.orderBy(col("score_micro").desc, col("doc_id")))
+          .cast("long").as("bm25_rank"))
+    val dense = VectorOps.cosineTopK(embeddings, probeId, kEach)
+      .select(col("vec_id").as("doc_id"),
+        row_number().over(
+          Window.orderBy(col("cos").desc, col("vec_id")))
+          .cast("long").as("dense_rank"))
+    val term = (r: org.apache.spark.sql.Column) =>
+      when(r.isNotNull, lit(1.0) / (lit(rrfK) + r)).otherwise(lit(0.0))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_raw", term(col("bm25_rank")) + term(col("dense_rank")))
+      .orderBy(col("rrf_raw").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), col("bm25_rank"), col("dense_rank"),
+        round(col("rrf_raw"), 6).as("rrf"))
+  }
+
   /** `pipeline_chunk_overlap`: sliding-window token chunking — split each
     * document into `win`-token chunks every `stride` tokens (overlap =
     * win − stride), the standard context-window splitter for long-doc

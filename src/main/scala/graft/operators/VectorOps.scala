@@ -73,6 +73,39 @@ object VectorOps {
       .select(col("vec_id"), round(col("rawcos"), 6).as("cos"))
   }
 
+  /** `sample_hardneg`: hard-negative mining — for each anchor vector,
+    * the top-k most-similar vectors carrying a DIFFERENT label (the
+    * contrastive-training data-prep pass: easy negatives are random,
+    * hard negatives are the near-misses that actually move a retriever/
+    * classifier; this is the batch export that builds triplet/InfoNCE
+    * training sets from a labeled embedding corpus).
+    *
+    * Same blocked-matrix shape as [[batchCosineTopK]] — anchors
+    * broadcast, one map-only corpus sweep scores every (anchor,
+    * candidate) pair, the label inequality filters AT SCAN SPEED before
+    * anything shuffles, and the per-anchor ranking window carries only
+    * (anchor_id, vec_id, label, score) rows. At 100 TB: anchor blocks ×
+    * corpus partitions, negatives-per-anchor bounded by k. */
+  def hardNegatives(embeddings: DataFrame, nAnchors: Int = 5,
+                    k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val anchors = embeddings.filter(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("probe"),
+        col("label").as("anchor_label"))
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("rawcos").desc, col("vec_id"))
+    embeddings
+      .crossJoin(broadcast(anchors))
+      .filter(col("label") =!= col("anchor_label"))
+      .select(col("anchor_id"), col("vec_id"), col("label"),
+        cosine(col("embedding"), col("probe")).as("rawcos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("anchor_id"), col("vec_id"), col("label"),
+        round(col("rawcos"), 6).as("cos"), col("rn"))
+      .orderBy("anchor_id", "rn")
+  }
+
   /** `sim_batch_topk`: exact top-k neighbors for a SET of probes in one
     * pass — the batched-retrieval shape. The probe set broadcasts (tiny);
     * scoring is one map-only sweep of the corpus computing every

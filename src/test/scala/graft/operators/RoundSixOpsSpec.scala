@@ -171,6 +171,50 @@ class RoundSixOpsSpec extends SparkSpec {
     MultimodalOps.phashPairs(Tables.documents(spark, sf())).count()
   }
 
+  test("retrieval_hybrid_rrf: fusion formula exact; both-lists docs dominate") {
+    val out = RetrievalOps.hybridRrf(
+      Tables.documents(spark, sf()), Tables.embeddings(spark, sf())).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    out.foreach { r =>
+      val b = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val d = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(b.nonEmpty || d.nonEmpty, "a fused row must come from some list")
+      val expect = b.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        d.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(3) - expect) < 1e-6,
+        s"rrf must be the reciprocal-rank sum: $r")
+    }
+    // with kEach=20 and rrfK=60, the WORST both-lists score (2/80) beats
+    // the BEST single-list score (1/61) — so every doc retrieved by both
+    // systems must precede every single-system doc in the fused order
+    val bothFlags = out.map(r => !r.isNullAt(1) && !r.isNullAt(2))
+    val firstSingle = bothFlags.indexOf(false)
+    if (firstSingle >= 0)
+      assert(!bothFlags.drop(firstSingle).contains(true),
+        "both-lists docs must dominate single-list docs at these parameters")
+  }
+
+  test("sample_hardneg: negatives never share the anchor's label; ranked by cos") {
+    val emb = Tables.embeddings(spark, sf())
+    val labelOf = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = VectorOps.hardNegatives(emb).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(labelOf(r.getLong(0)) !== r.getInt(2),
+        s"hard negative shares the anchor label: $r")
+      assert(r.getLong(0) !== r.getLong(1))
+    }
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val s = rows.sortBy(_.getInt(4))
+      assert(s.map(_.getInt(4)).toSeq === (1 to s.length),
+        "per-anchor ranks must be consecutive from 1")
+      assert(s.sliding(2).forall(p =>
+        p.length < 2 || p(0).getDouble(3) >= p(1).getDouble(3)),
+        "per-anchor negatives must rank by descending cosine")
+    }
+  }
+
   test("text_cooccur_pmi: counts and pmi on a hand-checked corpus") {
     // "a b" adjacent twice and once at distance 2 (via "a c b") = cnt 3
     val d = docs(1L -> "a b a b", 2L -> "a c b")
