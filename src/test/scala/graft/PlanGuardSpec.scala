@@ -373,6 +373,23 @@ class PlanGuardSpec extends SparkSpec {
       s"df-count must bound the inverted index below the collect:\n$plan")
   }
 
+  test("hardNegatives: anchors broadcast — the corpus sweep is one map-only pass") {
+    val plan = VectorOps.hardNegatives(Tables.embeddings(spark, sf()))
+      .queryExecution.executedPlan.treeString
+    assert(plan.contains("BroadcastExchange"),
+      s"anchor block must broadcast to the corpus sweep:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the anchor × corpus product must never sort-merge:\n$plan")
+  }
+
+  test("hybridRrf: both retrievers keep top-k plans (TakeOrdered, no global sort of the corpus)") {
+    val plan = RetrievalOps.hybridRrf(
+        Tables.documents(spark, sf()), Tables.embeddings(spark, sf()))
+      .queryExecution.executedPlan.treeString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"retriever top-k must plan TakeOrdered:\n$plan")
+  }
+
   test("ts_anomaly: per-type stats broadcast back; flag join never shuffles the hourly table") {
     val plan = StreamBatchOps.anomaly(Tables.events(spark, sf()))
       .queryExecution.executedPlan.treeString
