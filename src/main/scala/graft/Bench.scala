@@ -124,8 +124,13 @@ object Bench {
     def short(name: String): String = shortKey(name)
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
+    // a SPARK_GRAFT_ONLY subset run must never clobber the committed
+    // full-set artifact (it did once — a 3-query sf10 rehearsal
+    // overwrote the 152-query record); filtered runs divert to /tmp
+    // unless the caller names a path explicitly
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
-      "/root/repo/BENCH_FULL.json")
+      if (only.isEmpty) "/root/repo/BENCH_FULL.json"
+      else "/tmp/BENCH_SUBSET.json")
     val fullQs = results.map { case (k, v) =>
       s"""    "$k": ${if (v < 0) "-1" else f"$v%.3f"}"""
     }.mkString("{\n", ",\n", "\n  }")
