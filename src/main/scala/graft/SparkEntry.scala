@@ -204,6 +204,7 @@ object SparkEntry {
     "text_ppl_buckets" -> ((s, d) => CorpusOps.pplBuckets(Tables.documents(s, d))),
     "corpus_funnel" -> ((s, d) => CorpusOps.corpusFunnel(Tables.documents(s, d))),
     "corpus_overlap_matrix" -> ((s, d) => CorpusOps.overlapMatrix(Tables.documents(s, d))),
+    "corpus_source_profile" -> ((s, d) => CorpusOps.sourceProfile(Tables.documents(s, d))),
     "pipeline_shard_output" -> ((s, d) => CorpusOps.shardOutput(Tables.documents(s, d))),
     "text_zipf" -> ((s, d) => CorpusOps.zipfFit(Tables.documents(s, d))),
     "sample_pps" -> ((s, d) => CorpusOps.samplePps(Tables.documents(s, d))),
@@ -1469,6 +1470,29 @@ object SparkEntry {
         |        / COUNT(*), 6) AS novelty
         |FROM sh s JOIN dfc d USING (gram)
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    // per-source governance: counts are exact integers; avg_words is the
+    // one division, over exact integer sums on both engines
+    "corpus_source_profile" ->
+      """WITH perdoc AS (
+        |  SELECT source, n_chars, lang,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
+        |    md5(text) AS h
+        |  FROM documents),
+        |dup AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS dup_docs FROM (
+        |    SELECT source, h, COUNT(*) AS c FROM perdoc GROUP BY 1, 2) t
+        |  WHERE c > 1 GROUP BY source),
+        |base AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |    COUNT(DISTINCT lang) AS n_langs,
+        |    round(avg(n_words), 6) AS avg_words
+        |  FROM perdoc GROUP BY source)
+        |SELECT b.source, b.n_docs, b.total_chars, b.n_langs, b.avg_words,
+        |  COALESCE(d.dup_docs, 0) AS dup_docs
+        |FROM base b LEFT JOIN dup d USING (source)
+        |ORDER BY source""".stripMargin,
 
     // one plain per-source window on the oracle side; the Spark plan's
     // over-quota/under-quota split is semantics-preserving because an

@@ -761,6 +761,37 @@ object CorpusOps {
       .orderBy(col("cnt").desc, col("w1"), col("w2"))
   }
 
+  /** `corpus_source_profile`: per-source governance summary — document
+    * and byte counts, language breadth, average length, and the
+    * within-source exact-duplicate count, one row per source (the
+    * "which domains are worth keeping" table a corpus owner reads
+    * before setting `pipeline_quota_cap` quotas or `sample_mixture`
+    * weights; `corpus_stats` is this collapsed to one global row).
+    *
+    * Scale shape: one partial+final aggregate over (source) for the
+    * counts, one over (source, 16-byte text hash) for the dup groups —
+    * text never shuffles; the dup re-attach joins one row per source.
+    * The only float is the final avg division of exact integer sums
+    * (deterministic on both engines), rounded to 6dp. */
+  def sourceProfile(documents: DataFrame): DataFrame = {
+    val perDoc = documents.select(col("source"), col("n_chars"), col("lang"),
+      size(words(col("text"))).cast("long").as("n_words"),
+      md5(col("text")).as("h"))
+    val dup = perDoc.groupBy("source", "h").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .groupBy("source").agg(sum(col("c")).as("dup_docs"))
+    perDoc.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        round(avg(col("n_words")), 6).as("avg_words"))
+      .join(dup, Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        col("n_langs"), col("avg_words"),
+        coalesce(col("dup_docs"), lit(0L)).as("dup_docs"))
+      .orderBy("source")
+  }
+
   /** `pipeline_shard_output`: deterministic output sharding — the final
     * stage of a training-data pipeline, where the corpus is split into N
     * reproducible shards with a stable within-shard order (so a rerun

@@ -215,6 +215,20 @@ class RoundSixOpsSpec extends SparkSpec {
     }
   }
 
+  test("corpus_source_profile: planted dups counted, under-counts impossible") {
+    // src0: docs 2,4 duplicate text + unique doc 6 → dup_docs 2;
+    // src1: all unique → dup_docs 0
+    val d = docs(
+      2L -> "same text here", 4L -> "same text here", 6L -> "unique zz",
+      1L -> "one", 3L -> "three words in here")
+    val out = CorpusOps.sourceProfile(d).collect()
+    val bySrc = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(5), r.getLong(3))).toMap
+    assert(bySrc("src0") === ((3L, 2L, 1L)))
+    assert(bySrc("src1") === ((2L, 0L, 1L)))
+    assert(out.map(_.getLong(1)).sum === d.count())
+  }
+
   test("text_cooccur_pmi: counts and pmi on a hand-checked corpus") {
     // "a b" adjacent twice and once at distance 2 (via "a c b") = cnt 3
     val d = docs(1L -> "a b a b", 2L -> "a c b")
