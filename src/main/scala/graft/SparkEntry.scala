@@ -225,6 +225,7 @@ object SparkEntry {
     "ts_concurrency" -> ((s, d) => StreamBatchOps.intervalConcurrency(Tables.events(s, d))),
     "ts_anomaly" -> ((s, d) => StreamBatchOps.anomaly(Tables.events(s, d))),
     "ts_seasonality" -> ((s, d) => StreamBatchOps.seasonality(Tables.events(s, d))),
+    "ts_autocorr" -> ((s, d) => StreamBatchOps.autocorr(Tables.events(s, d))),
     "ts_changepoint" -> ((s, d) => StreamBatchOps.changepoint(Tables.events(s, d))),
   )
 
@@ -1961,6 +1962,31 @@ object SparkEntry {
         |      * (CAST(h.n AS HUGEINT) * s.hrs - s.sm)
         |      > 9 * (s.hrs * s.q - s.sm * s.sm)
         |ORDER BY event_type, hour_s""".stripMargin,
+
+    // H-scaled deviations keep numerator and denominator exact integers
+    // (HUGEINT here, DECIMAL(38,0) on the Spark side); lag partners
+    // align on h + 24 HOURS so gaps drop pairs, never misalign
+    "ts_autocorr" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS hh,
+        |    CAST(SUM(n) AS HUGEINT) AS s
+        |  FROM hourly GROUP BY 1),
+        |dev AS (
+        |  SELECT h.event_type, h.h, CAST(h.n AS HUGEINT) * st.hh - st.s AS d
+        |  FROM hourly h JOIN st USING (event_type)),
+        |den AS (SELECT event_type, SUM(d * d) AS den FROM dev GROUP BY 1),
+        |num AS (
+        |  SELECT a.event_type, COUNT(*) AS n_pairs, SUM(a.d * b.d) AS num
+        |  FROM dev a JOIN dev b
+        |    ON a.event_type = b.event_type AND b.h = a.h + INTERVAL 24 HOURS
+        |  GROUP BY 1)
+        |SELECT n.event_type, n.n_pairs,
+        |  round(CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE), 6) AS autocorr
+        |FROM num n JOIN den d USING (event_type)
+        |WHERE d.den > 0 ORDER BY event_type""".stripMargin,
 
     // hour() on both engines is the UTC clock hour (session TZ pinned)
     "ts_seasonality" ->

@@ -249,6 +249,53 @@ object StreamBatchOps {
       .orderBy("event_type")
   }
 
+  /** `ts_autocorr`: lag-k autocorrelation of the hourly count series per
+    * event type (k in hours, default 24) — the periodicity STRENGTH
+    * metric behind [[seasonality]]'s shape: r₍₂₄₎ ≈ 1 means yesterday's
+    * curve predicts today's (safe to seasonally adjust), r ≈ 0 means
+    * the profile is noise.
+    *
+    * Exact cross-engine algebra: with H hours observed and S = Σn per
+    * type, the H-scaled deviation dᵢ = nᵢ·H − S makes the numerator
+    * Σ dᵢ·dᵢ₊ₖ (over TIME-aligned pairs — the lag partner is the row at
+    * h + k hours, so gap hours drop pairs instead of misaligning the
+    * series) and the denominator Σ dᵢ² exact integers; DECIMAL(38,0)
+    * intermediates carry the d² headroom (same bound as [[anomaly]]),
+    * and the single float division of the two exact integers is
+    * identical IEEE on both engines, rounded 6dp.
+    *
+    * Scale shape: the shared hourly pre-agg (one corpus shuffle,
+    * lazily checkpointed), a broadcast per-type stats join, and a
+    * self-join of the O(types × hours) deviation table on
+    * (type, h + k) — everything after the pre-agg is tiny. */
+  def autocorr(events: DataFrame, lagHours: Int = 24): DataFrame = {
+    val dec = "decimal(38,0)"
+    val hourly = events.filter(col("ts").isNotNull)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    val stats = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("hh"), sum(col("n")).as("s"))
+    val dev = hourly.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("h"),
+        (col("n").cast(dec) * col("hh").cast(dec) - col("s").cast(dec)).as("d"))
+    val den = dev.groupBy("event_type")
+      .agg(sum(col("d") * col("d")).as("den"))
+    val num = dev.as("a")
+      .join(dev.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("b.h") === col("a.h") + expr(s"INTERVAL $lagHours HOURS"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("a.d") * col("b.d")).as("num"))
+    num.join(den, Seq("event_type"))
+      .filter(col("den") > 0)
+      .select(col("event_type"), col("n_pairs"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("autocorr"))
+      .orderBy("event_type")
+  }
+
   /** `ts_concurrency`: peak concurrent activity windows per event type —
     * the O(n·types) SWEEP COUNT that answers "how many [ts, ts+10min)
     * windows were active at once" WITHOUT enumerating overlapping pairs.

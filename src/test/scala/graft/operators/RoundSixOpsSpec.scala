@@ -229,6 +229,28 @@ class RoundSixOpsSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).sum === d.count())
   }
 
+  test("ts_autocorr: anti-phase two-day series scores exactly -0.5 at lag 24") {
+    // day 1: 3 events every hour; day 2: 1 event every hour. Deviations
+    // are ±c, every lag-24 pair crosses phase (+c·−c), and exactly half
+    // the hours have partners: r = 24·(−c²) / 48·c² = −0.5 exactly.
+    val evs = (0 until 24).flatMap { h =>
+      val day1 = (0 until 3).map(i =>
+        (h * 10L + i, 1L, ts(f"2024-01-01 $h%02d:0$i:00"), "e", 1.0))
+      val day2 = Seq((1000L + h, 1L, ts(f"2024-01-02 $h%02d:00:00"), "e", 1.0))
+      day1 ++ day2
+    }
+    val out = StreamBatchOps.autocorr(
+      evs.toDF("event_id", "user_id", "ts", "event_type", "value")).collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(1) === 24L, "one lag-24 pair per day-1 hour")
+    assert(out(0).getDouble(2) === -0.5)
+    // a flat series has zero variance — den=0 rows must drop, not NaN
+    val flat = (0 until 4).map(h =>
+      (h.toLong, 1L, ts(f"2024-01-01 0$h:00:00"), "e", 1.0))
+    assert(StreamBatchOps.autocorr(
+      flat.toDF("event_id", "user_id", "ts", "event_type", "value")).count() === 0)
+  }
+
   test("text_cooccur_pmi: counts and pmi on a hand-checked corpus") {
     // "a b" adjacent twice and once at distance 2 (via "a c b") = cnt 3
     val d = docs(1L -> "a b a b", 2L -> "a c b")
