@@ -193,18 +193,34 @@ object Joins {
       .crossJoin(customer.select(col("c_mktsegment")).distinct())
       .orderBy("r_name", "c_mktsegment")
 
-  /** `join_theta_range`: non-equi band join part × supplier. Planned as
-    * broadcast nested loop (supplier is tiny); at scale the small side must
-    * stay broadcastable or this needs an interval-index rewrite. */
-  def thetaRange(part: DataFrame, supplier: DataFrame): DataFrame =
+  /** `join_theta_range`: non-equi band join part × supplier, written
+    * NAIVELY (plain inner join on the two-sided band predicate) and
+    * planned through [[graft.plans.RangeJoinToBucket]], which rewrites
+    * it into the interval-bucket equi-join — ONE hash shuffle on an
+    * 8-byte log-bucket key instead of a nested loop. Through round 6
+    * this query carried an explicit `broadcast(supplier)` hint and ran
+    * as BNLJ: 40.1 s at sf10 vs 6.8 s for the semantically identical
+    * `join_range_bucket` (r6 verdict "What's wrong #2") — and the hint
+    * form dies outright when the small side outgrows broadcast at
+    * 100 TB. The rule is installed idempotently on the calling session
+    * (the documented `experimental.extraOptimizations` activation path),
+    * so the driver's plain session plans the bucketed form too;
+    * PlanGuardSpec asserts no nested-loop survives in the physical plan. */
+  def thetaRange(part: DataFrame, supplier: DataFrame): DataFrame = {
+    val spark = part.sparkSession
+    if (!spark.experimental.extraOptimizations
+          .exists(_.isInstanceOf[graft.plans.RangeJoinToBucket]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RangeJoinToBucket()
     part
       .join(
-        broadcast(supplier),
+        supplier,
         col("p_retailprice") > col("s_acctbal") * 0.1 &&
           col("p_retailprice") < col("s_acctbal") * 0.11)
       .groupBy("s_suppkey")
       .agg(count(lit(1)).as("n_parts"))
       .orderBy("s_suppkey")
+  }
 
   /** `join_range_bucket`: the SAME band join as `join_theta_range`, but
     * via the interval-bucket rewrite — the plan that survives when BOTH

@@ -31,4 +31,33 @@ class BenchLineSpec extends AnyFunSuite {
     assert(short.values.toSet.size === names.size, "short-key collision")
     assert(short.keySet === names.toSet)
   }
+
+  test("referenceTimes reads only same-sf queries and skips legend strings") {
+    val json =
+      """{
+        |  "metric": "total", "value": 9.999, "unit": "sec",
+        |  "ivf_build_sec": 1.234,
+        |  "sf": "/root/testdata/sf0.1",
+        |  "legend": {
+        |    "sco": "scan_count",
+        |    "acu": "agg_cube"
+        |  },
+        |  "queries": {
+        |    "scan_count": 0.105,
+        |    "agg_cube": 0.360,
+        |    "broken_query": -1
+        |  }
+        |}
+        |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("benchref", ".json")
+    java.nio.file.Files.writeString(f, json)
+    val ref = Bench.referenceTimes(f.toString, "/root/testdata/sf0.1")
+    // failed (-1) entries are excluded; top-level numbers and legend are not
+    assert(ref === Map("scan_count" -> 0.105, "agg_cube" -> 0.360))
+    // an sf mismatch (sf10 rehearsal vs sf0.1 refs) disables the ref set
+    assert(Bench.referenceTimes(f.toString, "/root/testdata/sf10") === Map.empty)
+    // absent file is not an error
+    assert(Bench.referenceTimes("/nonexistent/ref.json", "x") === Map.empty)
+    java.nio.file.Files.delete(f)
+  }
 }

@@ -148,6 +148,25 @@ class PlanGuardSpec extends SparkSpec {
       s"interval-bucket rewrite degenerated to a nested loop:\n$plan")
   }
 
+  test("NAIVE theta band join plans through RangeJoinToBucket — bucketed equi join, no nested loop") {
+    // round-7 fix (r6 verdict #2): the naive form used to BNLJ at 40.1 s
+    // vs 6.8 s bucketed at sf10; thetaRange now self-installs the rule
+    val df = Joins.thetaRange(Tables.part(spark, sf()), Tables.supplier(spark, sf()))
+    val plan = df.queryExecution.executedPlan.treeString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"naive theta band join still a nested loop — rule did not fire:\n$plan")
+    // the rewrite's signature: the helper bucket key and the generated
+    // per-interval bucket explode both survive into the physical plan
+    assert(plan.contains("__bucket_l") && plan.contains("Generate"),
+      s"bucketed rewrite shape missing from plan:\n$plan")
+    // and it returns the same rows as the hand-bucketed twin (same oracle)
+    val bucketed = Joins.rangeBucketJoin(
+        Tables.part(spark, sf()), Tables.supplier(spark, sf()))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val naive = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(naive === bucketed)
+  }
+
   test("spark.graft.dedup.reattach knob: identical results, forced strategies") {
     def run() = DedupOps.ngramJaccard(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
