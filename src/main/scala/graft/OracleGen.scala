@@ -80,10 +80,19 @@ object OracleGen {
        |FROM r WHERE rn <= 10 ORDER BY probe_id, rn""".stripMargin
 
   /** Shared CTE chain for the banded sign-LSH near-dup pair detector —
-    * used by both the pair oracle and the clusters-closure oracle. */
+    * used by both the pair oracle and the clusters-closure oracle. The
+    * corpus CTE mirrors [[graft.operators.VectorOps.withReingested]]
+    * verbatim (same modulus, same id offset): the generated data's
+    * vectors are near-orthogonal, so without the planted re-ingested
+    * copies both oracles were vacuously green on 0 rows (r6 verdict). */
   private def nearDupEmbeddingCtes(nBands: Int, bitsPerBand: Int,
                                    dim: Int): String =
-    s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s"""corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+       |  WHERE vec_id % 50 = 0),
+       |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM corpus),
        |bands AS (
        |  SELECT vec_id,
        |    ${bandCols(nBands, bitsPerBand, dim)}

@@ -145,14 +145,21 @@ object SparkEntry {
     "pipeline_dedup_full" -> ((s, d) => DedupOps.dedupFull(Tables.documents(s, d))),
     // explicit (nBands, bitsPerBand) so the generated oracle SQL is
     // corpus-independent; the API default autoscales bits from the count
+    // corpus = embeddings + planted re-ingested copies (withReingested):
+    // the generated vectors are near-orthogonal, so the unplanted pair
+    // set is empty at any honest tau and the oracle match was vacuous
     "dedup_near_embedding" -> ((s, d) =>
-      VectorOps.nearDupEmbedding(Tables.embeddings(s, d), nBands = 4, bitsPerBand = 6)),
+      VectorOps.nearDupEmbedding(
+        VectorOps.withReingested(Tables.embeddings(s, d)),
+        nBands = 4, bitsPerBand = 6)),
     // semantic near-dup clusters: connected components over the verified
     // embedding pair graph — the "keep one per embedding-duplicate
     // group" decision for a semantically-deduped corpus
     "dedup_embedding_clusters" -> ((s, d) =>
       DedupOps.clusters(
-        VectorOps.nearDupEmbedding(Tables.embeddings(s, d), nBands = 4, bitsPerBand = 6))),
+        VectorOps.nearDupEmbedding(
+          VectorOps.withReingested(Tables.embeddings(s, d)),
+          nBands = 4, bitsPerBand = 6))),
     // --- similarity search (LLM-pipeline) ---
     "sim_cosine_topk" -> ((s, d) => VectorOps.cosineTopK(Tables.embeddings(s, d))),
     "sim_batch_topk" -> ((s, d) => VectorOps.batchCosineTopK(Tables.embeddings(s, d))),
@@ -312,7 +319,8 @@ object SparkEntry {
 
     "join_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin,
 
     "join_full_outer" ->
@@ -742,7 +750,7 @@ object SparkEntry {
 
     "set_except" ->
       """SELECT c_nationkey AS nationkey FROM customer
-        |EXCEPT SELECT s_nationkey FROM supplier
+        |EXCEPT SELECT s_nationkey FROM supplier WHERE s_acctbal > 8000
         |ORDER BY nationkey""".stripMargin,
 
     "fn_string" ->

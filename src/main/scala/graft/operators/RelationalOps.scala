@@ -164,10 +164,18 @@ object Joins {
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
-  /** `join_anti`: customers WITHOUT orders. */
-  def anti(customer: DataFrame, orders: DataFrame): DataFrame =
+  /** `join_anti`: DORMANT customers — no order at or after `since`
+    * (churn-audit shape; the anti side is date-restricted so the result
+    * is nonempty on the generated data, where every customer has SOME
+    * order — the unrestricted form was a vacuously-green 0-row oracle
+    * through round 6, r6 verdict coverage caveat). The filter sits on
+    * the right side BEFORE the anti join, so it pushes into the orders
+    * scan and the anti join still shuffles only keys. */
+  def anti(customer: DataFrame, orders: DataFrame,
+           since: String = "1998-01-01 00:00:00"): DataFrame =
     customer
-      .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(orders.filter(col("o_orderdate") >= lit(since).cast("timestamp")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
@@ -930,10 +938,17 @@ object SortsSets {
       .intersect(supplier.select(col("s_nationkey")))
       .orderBy("nationkey")
 
-  /** `set_except`: nations with customers but no suppliers. */
-  def exceptNations(customer: DataFrame, supplier: DataFrame): DataFrame =
+  /** `set_except`: nations with customers but no HIGH-BALANCE supplier
+    * (acctbal > `minBal`) — the supplier side is filtered so the result
+    * is nonempty on the generated data, where every nation has both
+    * customers and suppliers (the unfiltered form was a vacuously-green
+    * 0-row oracle through round 6, r6 verdict coverage caveat). EXCEPT
+    * semantics (distinct set difference) are unchanged; the filter
+    * pushes into the supplier scan. */
+  def exceptNations(customer: DataFrame, supplier: DataFrame,
+                    minBal: Double = 8000.0): DataFrame =
     customer.select(col("c_nationkey").as("nationkey"))
-      .except(supplier.select(col("s_nationkey")))
+      .except(supplier.filter(col("s_acctbal") > minBal).select(col("s_nationkey")))
       .orderBy("nationkey")
 }
 

@@ -434,6 +434,30 @@ object VectorOps {
     ivfProbeBatch(index, probes, k, nprobe)
   }
 
+  /** Re-ingestion corpus for the oracled embedding near-dup queries:
+    * the embeddings table plus an id-shifted copy of every `every`-th
+    * vector — the deterministic simulation of a re-crawled/re-ingested
+    * shard, which is exactly the situation embedding dedup exists for.
+    * The generated data's vectors are near-orthogonal (max pairwise
+    * cosine ≈ 0.51 at the gate's scale), so the unplanted corpus has NO
+    * pair above any honest near-dup threshold and the oracle match was
+    * vacuous through round 6 (r6 verdict coverage caveat); the planted
+    * copies make the driver gate exercise the nonempty path end to end
+    * (pair detection AND the cluster closure) with hash verification.
+    * Mirrored verbatim in the generated oracle SQL
+    * ([[graft.OracleGen]] `reingestedCorpusCte`): same modulus, same
+    * offset, so DuckDB replays band assignment and scoring over the
+    * identical corpus. Map-only (a filter + union of the scan — no
+    * shuffle), and the copies are ~2% of the corpus at any scale. */
+  def withReingested(embeddings: DataFrame, every: Long = 50L,
+                     idOffset: Long = 1000000L): DataFrame = {
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+    base.unionAll(
+      base.filter(col("vec_id") % every === 0)
+        .select((col("vec_id") + idOffset).as("vec_id"), col("embedding")))
+  }
+
+
   /** `dedup_near_embedding`: embedding-cosine near-duplicate pairs via
     * BANDED sign-LSH blocking — candidate pairs share a (band, bucket)
     * key in ANY of `nBands` independent projections, then exact cosine

@@ -18,12 +18,19 @@ class ContractSpec extends SparkSpec {
     val empties = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sf())
       assert(df.schema.nonEmpty, s"$name: empty schema")
-      // near-dup ops may legitimately be empty on the tiny corpus
-      val mayBeEmpty = Set("dedup_near_embedding", "dedup_near_minhash",
+      // near-dup ops may legitimately be empty on the tiny corpus.
+      // Round 7 removed dedup_near_embedding / dedup_embedding_clusters
+      // (planted re-ingestion corpus guarantees pairs at every sf) and
+      // set_except (high-balance filter leaves nonempty difference) —
+      // those three now assert NONEMPTY here, de-vacuizing their oracle
+      // rows. join_anti stays: sf0.001 has no dormant customer (every
+      // one ordered after the cutoff); its nonempty evidence is the
+      // sf0.01 driver gate + the planted-frame OperatorSpec test.
+      val mayBeEmpty = Set("dedup_near_minhash",
         "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped",
-        "dedup_jaccard_clusters", "dedup_embedding_clusters",
+        "dedup_jaccard_clusters",
         "dedup_simhash_pairs", "join_anti",
-        "set_except", "join_theta_range", "join_range_bucket"
+        "join_theta_range", "join_range_bucket"
         /* band joins are empty with only 10 suppliers @sf0.001 */)
       if (!mayBeEmpty(name) && df.isEmpty) Some(name) else None
     }

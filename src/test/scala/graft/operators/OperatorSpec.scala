@@ -18,6 +18,54 @@ class OperatorSpec extends SparkSpec {
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
+  test("join_anti drops exactly the customers with a post-cutoff order (nonempty)") {
+    // r7 de-vacuization evidence: the sf0.001 gate data has no dormant
+    // customer, so the nonempty path is proven on planted frames here
+    // (and at sf0.01 by the driver gate, where 8 rows survive)
+    val sess = spark
+    import sess.implicits._
+    val customer = Seq((1L, "alice"), (2L, "bob"), (3L, "carol"))
+      .toDF("c_custkey", "c_name")
+    val orders = Seq(
+      (1L, "1997-06-01 00:00:00"), // pre-cutoff only -> dormant
+      (2L, "1998-03-01 00:00:00"), // post-cutoff -> active
+      (2L, "1997-01-01 00:00:00")
+      // carol: no orders at all -> dormant
+    ).toDF("o_custkey", "d").select(col("o_custkey"),
+      col("d").cast("timestamp").as("o_orderdate"))
+    val out = Joins.anti(customer, orders).collect().map(_.getLong(0))
+    assert(out.toSeq === Seq(1L, 3L))
+  }
+
+  test("set_except keeps nations whose suppliers are all below the balance bar (nonempty)") {
+    val sess = spark
+    import sess.implicits._
+    val customer = Seq(10L, 20L, 30L).toDF("c_nationkey")
+    val supplier = Seq(
+      (10L, 9500.0), // rich supplier -> nation 10 excluded
+      (20L, 100.0), // poor supplier only -> nation 20 kept
+      (40L, 9999.0) // no customers -> irrelevant
+      // nation 30: no suppliers at all -> kept
+    ).toDF("s_nationkey", "s_acctbal")
+    val out = SortsSets.exceptNations(customer, supplier).collect().map(_.getLong(0))
+    assert(out.toSeq === Seq(20L, 30L))
+  }
+
+  test("withReingested plants exact-duplicate pairs the near-dup detector finds") {
+    val emb = Tables.embeddings(spark, sf())
+    val corpus = VectorOps.withReingested(emb)
+    val planted = emb.filter(col("vec_id") % 50 === 0).count()
+    assert(planted > 0 && corpus.count() === emb.count() + planted)
+    val pairs = VectorOps.nearDupEmbedding(corpus, nBands = 4, bitsPerBand = 6)
+      .collect()
+    // every planted copy is found as (orig, orig + 1000000) at cos 1.0
+    assert(pairs.length >= planted,
+      s"expected >= $planted planted pairs, got ${pairs.length}")
+    val plantedPairs = pairs.filter(r => r.getLong(1) == r.getLong(0) + 1000000L)
+    assert(plantedPairs.length === planted)
+    assert(plantedPairs.forall(_.getDouble(2) === 1.0))
+  }
+
   test("dedup_exact keeps the lowest doc_id of each duplicate group") {
     val df = docs(5L -> "a b c", 2L -> "a b c", 9L -> "x y z")
     val out = DedupOps.exact(df).collect().map(_.getLong(0))
