@@ -380,6 +380,21 @@ class PlanGuardSpec extends SparkSpec {
       s"pair expansion should be the HOF form:\n$plan")
   }
 
+  test("cooccurPmi recovers words for the bounded candidate set only (r6 verdict #4)") {
+    // the vocabulary dictionary must never join the full distinct-pair
+    // table: the candidate cut (TakeOrdered topN+slack on (cnt,h1,h2))
+    // runs first, and every dictionary join is a BROADCAST of the
+    // bounded survivor set / survivor-pruned dictionary
+    val exec = CorpusOps.cooccurPmi(docs).queryExecution.executedPlan.treeString
+    assert(exec.contains("TakeOrderedAndProject"),
+      s"candidate cut should be TakeOrdered, not a global sort:\n$exec")
+    // word re-attach joins must all be broadcast (bounded sides); a
+    // SortMergeJoin on h1/h2 would mean the full pair table met the dict
+    assert(!exec.matches("(?s).*SortMergeJoin.*h1.*") &&
+      !exec.matches("(?s).*SortMergeJoin.*h2.*"),
+      s"dictionary joined the full pair table:\n$exec")
+  }
+
   test("ngramContainment shares the jaccard candidate plan (no hints, bounded index)") {
     // same generator as ngramJaccard: no broadcast hints on corpus-sized
     // relations, df-count below the collect_list (bounded index arrays)
