@@ -682,14 +682,22 @@ object CorpusOps {
   def quotaCap(documents: DataFrame, quota: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val over = documents.groupBy("source").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") > quota).select("source")
+      .filter(col("cnt") > quota).select(col("source").as("_over_src"))
     val w = Window.partitionBy("source")
       .orderBy(col("n_chars").desc, col("doc_id"))
-    val capped = documents.join(broadcast(over), Seq("source"), "left_semi")
+    // NULL-SAFE split keys (round-7 ADVICE fix): groupBy and the rank
+    // window both treat NULL source as its own partition, but a plain
+    // equi semi-join key never matches NULL — so an over-quota NULL
+    // source would fall through to the anti-join (under-quota) path and
+    // bypass the cap entirely, silently diverging from the oracle's
+    // window. `<=>` makes both joins see NULL as one partition key.
+    val capped = documents
+      .join(broadcast(over), col("source") <=> col("_over_src"), "left_semi")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= quota)
       .select("doc_id", "source", "n_chars")
-    val under = documents.join(broadcast(over), Seq("source"), "left_anti")
+    val under = documents
+      .join(broadcast(over), col("source") <=> col("_over_src"), "left_anti")
       .select("doc_id", "source", "n_chars")
     capped.unionByName(under).orderBy("doc_id")
   }

@@ -545,7 +545,14 @@ object DedupOps {
     * then distinct-size-sized) and two 1-row count aggregates joined by
     * broadcast crossJoin — nothing new shuffles at corpus scale. */
   def clusterSizeHist(documents: DataFrame): DataFrame = {
-    val cl = clusters(nearMinhash(documents))
+    // lazy localCheckpoint (round-7 ADVICE fix; the ts_* shared-pre-agg
+    // pattern): BOTH branches below consume the minhash+connected-
+    // components subplan — the histogram groups it, the singleton row
+    // counts it — and without a materialization boundary the full
+    // LSH+closure plan executes twice. The checkpoint pins one
+    // materialization at first use; the assignment table it pins is
+    // O(clustered docs) ids, not the corpus.
+    val cl = clusters(nearMinhash(documents)).localCheckpoint(eager = false)
     val hist = cl.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
     // singletons: in the corpus, in no near-dup pair (1-row × 1-row join)

@@ -326,8 +326,18 @@ object MultimodalOps {
     * template mass before any pair materializes. No oracle (pixel
     * decode is not SQL-expressible); the spec plants a perturbed
     * near-copy and an inverted far image and checks found/not-found
-    * plus run-to-run determinism. */
-  def phashPairs(documents: DataFrame, bands: Int = 4, maxHamming: Int = 6,
+    * plus run-to-run determinism.
+    *
+    * `bands = 8` (round-7 ADVICE fix; was 4): by pigeonhole, a pair
+    * within Hamming distance d must share at least one of the 8 8-bit
+    * band slices whenever d < 8 — so every pair inside the default
+    * `maxHamming = 6` is found DETERMINISTICALLY, not probabilistically
+    * (with 4 bands only d < 4 was guaranteed; a distance-4..6 pair
+    * could spread its differing bits across all four 16-bit slices and
+    * be missed). The spec plants a distance-5 pair to pin the
+    * guarantee. Cost: 2× band rows per image — still (band-key, id)
+    * longs, negligible next to the decode. */
+  def phashPairs(documents: DataFrame, bands: Int = 8, maxHamming: Int = 6,
                  maxBucket: Int = 64): DataFrame =
     DedupOps.hammingBandPairs(
       phash(attachImages(documents)).toDF("id", "fp"),

@@ -322,13 +322,51 @@ object Joins {
     * admit starts from two buckets per probe, and narrower buckets buy
     * precision at the cost of a larger earlier-side explode). At 100 TB
     * an analyst who needs only CONCURRENCY numbers (not the pair
-    * multiset) should prefer a per-type sweep count — O(n·types) via
-    * time-window aggregation — over any pair join; this operator is the
-    * pair-exact form. */
+    * multiset) should prefer [[graft.operators.StreamBatchOps
+    * .concurrency]] (`ts_concurrency`) — the O(n·types) sweep count that
+    * answers the concurrency question without enumerating pairs (0.57 s
+    * vs 166 s at sf10) — over any pair join; this operator is the
+    * pair-exact form, for when the pair multiset itself is the product.
+    *
+    * PAIR-BUDGET GUARD (round 7, r6 verdict #5): because the output is
+    * inherently quadratic in arrival density, a 100× scale-up can turn
+    * this query into a ~10¹⁴-pair job that burns a cluster-day before
+    * anyone notices. Before building the join, the operator estimates
+    * the candidate count from the start-bucket histogram — one cheap
+    * narrow aggregate over (ts) (est = Σ_b h(b)·(h(b)+h(b−1)): each
+    * later row in bucket b meets earlier rows exploded from buckets b−1
+    * and b) — and FAILS FAST with a message steering to
+    * `ts_concurrency` when it exceeds
+    * `spark.graft.intervalOverlap.maxEstPairs` (default 1e11: ~4× the
+    * sf10 enumeration, an hour-scale job on 32 cores; 0 disables). The
+    * estimate is an upper bound on candidate rows (≈ 2× true pairs at
+    * uniform density), costs one scan of a single long column, and is
+    * the insurance premium a doomed multi-day job never gets to refund. */
   def intervalOverlap(events: DataFrame, windowSecs: Int = 600): DataFrame = {
+    val spark = events.sparkSession
     val e = events
       .select(col("event_id"), col("event_type"),
         unix_timestamp(col("ts")).as("s"))
+    val maxEstPairs = spark.conf
+      .getOption("spark.graft.intervalOverlap.maxEstPairs")
+      .map(_.toLong).getOrElse(100_000_000_000L)
+    if (maxEstPairs > 0) {
+      import org.apache.spark.sql.expressions.Window
+      val h = e.groupBy(expr(s"s DIV $windowSecs").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val prev = lag(col("n"), 1, 0).over(Window.orderBy("bucket"))
+      val est = h.select(col("n"), prev.as("np"))
+        .agg(sum(col("n") * (col("n") + col("np"))).as("est"))
+        .head().getLong(0)
+      if (est > maxEstPairs)
+        throw new IllegalStateException(
+          s"join_interval_overlap: estimated candidate pairs ($est) exceed " +
+            s"spark.graft.intervalOverlap.maxEstPairs ($maxEstPairs). The pair " +
+            "multiset is quadratic in arrival density; if you need concurrency " +
+            "counts rather than the pairs themselves, use ts_concurrency " +
+            "(StreamBatchOps.concurrency) — O(n·types), no pair enumeration. " +
+            "To proceed anyway, raise the budget conf (0 disables the guard).")
+    }
     // the earlier side covers [s, s+w]: ≤2 window-width buckets
     // (integer DIV: `/` on Columns is double division, Sequence rejects it)
     val earlier = e.withColumn("bucket",

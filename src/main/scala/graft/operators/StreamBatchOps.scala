@@ -149,6 +149,20 @@ object StreamBatchOps {
     * reaches; 38 digits give headroom to ~10⁹ events/hour across ~10⁵
     * hours. Output columns are plain BIGINT.
     *
+    * BEYOND-HEADROOM BEHAVIOR (round-7 ADVICE note; applies to the
+    * whole exact-integer ts family, `ts_autocorr` included): under
+    * Spark's default non-ANSI decimal semantics an overflowing
+    * DECIMAL(38,0) product yields NULL, so an out-of-headroom deviation
+    * drops out of the comparison SILENTLY (the hour is simply not
+    * flagged), whereas DuckDB's HUGEINT raises an error LOUDLY. The two
+    * engines agree bit-for-bit inside the documented ~1e38 margin and
+    * diverge silent-vs-loud beyond it. This is a deliberate trade: the
+    * gate data sits ~20 orders of magnitude below the margin, and a
+    * 100 TB deployment that could approach it should either run the
+    * session under `spark.sql.ansi.enabled=true` (overflow then aborts
+    * like the oracle) or pre-scale counts (e.g. per-minute buckets)
+    * before the quadratic terms.
+    *
     * Scale shape: one corpus-sized partial+final hourly count (the
     * shared pre-agg of this family), lazily checkpointed so the stats
     * branch and the flag join consume ONE scan (ts_gapfill's

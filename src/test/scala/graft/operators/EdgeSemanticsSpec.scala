@@ -99,6 +99,34 @@ class EdgeSemanticsSpec extends SparkSpec {
     assert(oneSlice.toSeq === got.toSeq)
   }
 
+  test("intervalOverlap pair-budget guard trips on a planted dense window, normal path unchanged") {
+    val sess = spark
+    import sess.implicits._
+    // 60 events in ONE 10-min window: candidate estimate ≈ 60·60 = 3600
+    val dense = (1L to 60L).map(i =>
+      (i, 1L, ts("2024-01-01 12:00:01"), "a", 1.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    try {
+      spark.conf.set("spark.graft.intervalOverlap.maxEstPairs", "100")
+      val err = intercept[IllegalStateException] {
+        Joins.intervalOverlap(dense).collect()
+      }
+      // the failure must steer to the scale-safe sweep count
+      assert(err.getMessage.contains("ts_concurrency"), err.getMessage)
+      // under the default budget the same data passes and counts exactly:
+      // all 60 events pairwise overlap -> C(60,2) = 1770 pairs
+      spark.conf.unset("spark.graft.intervalOverlap.maxEstPairs")
+      val got = Joins.intervalOverlap(dense).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      assert(got.toSeq === Seq(("a", "a", 1770L)))
+      // guard off (0): identical result
+      spark.conf.set("spark.graft.intervalOverlap.maxEstPairs", "0")
+      val off = Joins.intervalOverlap(dense).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      assert(off.toSeq === got.toSeq)
+    } finally spark.conf.unset("spark.graft.intervalOverlap.maxEstPairs")
+  }
+
   test("packText joins chunk members with the EOS separator in doc_id order") {
     val sess = spark
     import sess.implicits._

@@ -72,6 +72,15 @@ class RoundSixOpsSpec extends SparkSpec {
     val tied = docs(10L -> "xx", 12L -> "xx", 14L -> "xx")
     assert(CorpusOps.quotaCap(tied, quota = 2).collect().map(_.getLong(0)).toSet
       === Set(10L, 12L))
+    // NULL source is a partition like any other (round-7 ADVICE fix):
+    // the equi-key split used to route NULL rows around the cap via the
+    // anti-join path; the null-safe keys cap them like the oracle's window
+    val withNull = docs(
+      2L -> "aa", 4L -> "aaaa aaaa", 6L -> "aaaa", 8L -> "aaaa aaaa aaaa")
+      .withColumn("source", lit(null).cast("string"))
+    val cappedNull = CorpusOps.quotaCap(withNull, quota = 2).collect()
+    assert(cappedNull.map(_.getLong(0)).toSet === Set(4L, 8L),
+      "an over-quota NULL source must be capped, not bypassed")
   }
 
   test("corpus_dup_hist: n_docs partitions the corpus; planted cluster counted") {
@@ -149,23 +158,32 @@ class RoundSixOpsSpec extends SparkSpec {
       bos.toByteArray
     }
     // half-black/half-white; a near-copy with ONE 8×8 corner block
-    // flipped (= one phash cell → Hamming 1); the inverse (Hamming 64)
+    // flipped (= one phash cell → Hamming 1); a distance-5 variant with
+    // FIVE blocks down the left edge flipped (pins the 8-band pigeonhole
+    // guarantee for mid-distance pairs — the round-7 ADVICE gap: 4 bands
+    // only guaranteed d < 4); the inverse (Hamming 64)
     val half = png((x, _) => if (x < 32) 0x000000 else 0xffffff)
     val near = png((x, y) =>
       if (x < 8 && y < 8) 0xffffff else if (x < 32) 0x000000 else 0xffffff)
+    val near5 = png((x, y) =>
+      if (x < 8 && y < 40) 0xffffff else if (x < 32) 0x000000 else 0xffffff)
     val inv = png((x, _) => if (x < 32) 0xffffff else 0x000000)
-    val media = Seq((1L, half), (2L, near), (3L, inv)).toDF("media_id", "payload")
+    val media = Seq((1L, half), (2L, near), (3L, inv), (4L, near5))
+      .toDF("media_id", "payload")
     val fp1 = MultimodalOps.phash(media).collect().toMap
     val fp2 = MultimodalOps.phash(media).collect().toMap
     assert(fp1 === fp2, "phash must be run-to-run deterministic")
     assert(java.lang.Long.bitCount(fp1(1L) ^ fp1(2L)) === 1)
+    assert(java.lang.Long.bitCount(fp1(1L) ^ fp1(4L)) === 5)
     assert(java.lang.Long.bitCount(fp1(1L) ^ fp1(3L)) === 64)
     val pairs = DedupOps.hammingBandPairs(
       MultimodalOps.phash(media).toDF("id", "fp"),
-      bands = 4, maxHamming = 6, maxBucket = 64).collect()
-    assert(pairs.length === 1 &&
-      pairs(0).getLong(0) === 1L && pairs(0).getLong(1) === 2L &&
-      pairs(0).getInt(2) === 1)
+      bands = 8, maxHamming = 6, maxBucket = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // every pair within Hamming 6 is found (pigeonhole at 8 bands):
+    // (half, near)=1, (half, near5)=5, (near, near5)=4; inv pairs at
+    // 59-64 are rejected by the threshold
+    assert(pairs.toSeq === Seq((1L, 2L, 1), (1L, 4L, 5), (2L, 4L, 4)))
     // the full query surface runs end to end on the synthetic corpus
     // (hot-bucket cap active — gradient images concentrate buckets)
     MultimodalOps.phashPairs(Tables.documents(spark, sf())).count()
