@@ -212,6 +212,10 @@ object SparkEntry {
     "corpus_funnel" -> ((s, d) => CorpusOps.corpusFunnel(Tables.documents(s, d))),
     "corpus_overlap_matrix" -> ((s, d) => CorpusOps.overlapMatrix(Tables.documents(s, d))),
     "corpus_source_profile" -> ((s, d) => CorpusOps.sourceProfile(Tables.documents(s, d))),
+    // --- round-7 additions ---
+    "corpus_eval_coverage" -> ((s, d) => CorpusOps.evalCoverage(Tables.documents(s, d))),
+    "corpus_lang_drift" -> ((s, d) => CorpusOps.langDrift(Tables.documents(s, d))),
+    "pipeline_curriculum" -> ((s, d) => CorpusOps.curriculum(Tables.documents(s, d))),
     "pipeline_shard_output" -> ((s, d) => CorpusOps.shardOutput(Tables.documents(s, d))),
     "text_zipf" -> ((s, d) => CorpusOps.zipfFit(Tables.documents(s, d))),
     "sample_pps" -> ((s, d) => CorpusOps.samplePps(Tables.documents(s, d))),
@@ -1479,6 +1483,58 @@ object SparkEntry {
         |        / COUNT(*), 6) AS novelty
         |FROM sh s JOIN dfc d USING (gram)
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    // eval coverage: gram construction mirrors pipeline_decontaminate's
+    // (same tokenizer, same k=3 window, same doc_id % 50 eval split);
+    // counts integer, the one division rounded to 6dp on both engines
+    "corpus_eval_coverage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        |        FROM toks WHERE len(w) >= 3) u
+        |),
+        |eg AS (SELECT DISTINCT doc_id, gram FROM sh WHERE doc_id % 50 = 0),
+        |tg AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 50 <> 0),
+        |cov AS (
+        |  SELECT eg.doc_id, COUNT(*) AS n_covered
+        |  FROM eg JOIN tg USING (gram) GROUP BY 1),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM eg GROUP BY 1)
+        |SELECT tot.doc_id, tot.n_grams,
+        |  COALESCE(cov.n_covered, 0) AS n_covered,
+        |  round(CAST(COALESCE(cov.n_covered, 0) AS DOUBLE) / tot.n_grams, 6) AS coverage
+        |FROM tot LEFT JOIN cov ON tot.doc_id = cov.doc_id
+        |ORDER BY tot.doc_id""".stripMargin,
+
+    // KL terms: identical integer operands through identical IEEE double
+    // divisions on both engines; per-term 6dp round, DECIMAL sum
+    "corpus_lang_drift" ->
+      """WITH sl AS (SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+        |src AS (SELECT source, SUM(n) AS ns FROM sl GROUP BY 1),
+        |lg AS (SELECT lang, SUM(n) AS nl FROM sl GROUP BY 1),
+        |tot AS (SELECT SUM(n) AS nn FROM sl),
+        |terms AS (
+        |  SELECT sl.source, src.ns,
+        |    round((CAST(sl.n AS DOUBLE) / src.ns) *
+        |      ln((CAST(sl.n AS DOUBLE) * tot.nn) / (CAST(src.ns AS DOUBLE) * lg.nl)), 6) AS t
+        |  FROM sl JOIN src USING (source) JOIN lg USING (lang) CROSS JOIN tot)
+        |SELECT source, CAST(MAX(ns) AS BIGINT) AS n_docs,
+        |  COUNT(*) AS n_langs,
+        |  CAST(SUM(CAST(t AS DECIMAL(38,6))) AS DOUBLE) AS kl_nats
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+
+    // curriculum stages: same ntile ordering contract as window_ntile_dense
+    "pipeline_curriculum" ->
+      """WITH t AS (
+        |  SELECT CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS INTEGER) AS stage,
+        |    n_chars
+        |  FROM documents)
+        |SELECT stage, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
+        |  MAX(n_chars) AS max_chars, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM t GROUP BY stage ORDER BY stage""".stripMargin,
 
     // per-source governance: counts are exact integers; avg_words is the
     // one division, over exact integer sums on both engines

@@ -45,6 +45,101 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** `corpus_eval_coverage`: per-eval-document n-gram coverage by the
+    * training corpus — for each held-out document, the fraction of its
+    * distinct k-grams that appear ANYWHERE in the train split. The
+    * complement view of [[decontaminate]] (same eval split, same
+    * compiled gram kernel): decontamination asks "which TRAIN docs leak
+    * eval text", coverage asks "how much of the eval set is even
+    * testable" — an eval doc at coverage ≈ 1.0 is memorization-prone,
+    * and a benchmark whose median coverage drifts up between corpus
+    * versions is being absorbed. Run per release as a contamination
+    * health metric.
+    *
+    * Scale shape: identical to decontaminate — one compiled-`NgramsExpr`
+    * explode per split, 8-byte gram-hash shuffles (text never
+    * shuffles), distinct train-gram set semi-joins the per-doc eval
+    * gram table, two constant-state count aggs. Eval docs with fewer
+    * than k words have no grams and emit no row (both engines). */
+  def evalCoverage(documents: DataFrame, evalMod: Int = 50, k: Int = 3): DataFrame = {
+    val isEval = pmod(col("doc_id"), lit(evalMod)) === 0
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(graft.functions.ShingleExpressions.ngrams(lower(col("text")), k)).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+    val evalG = grams(documents.filter(isEval)).distinct()
+    val trainG = grams(documents.filter(!isEval)).select("gh").distinct()
+    val covered = evalG.join(trainG, Seq("gh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_covered"))
+    evalG.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(covered, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        round(coalesce(col("n_covered"), lit(0L)).cast("double") / col("n_grams"), 6)
+          .as("coverage"))
+      .orderBy("doc_id")
+  }
+
+  /** `corpus_lang_drift`: per-source language-mix divergence — the KL
+    * divergence (nats) of each source's language distribution from the
+    * corpus-wide mix. The governance metric behind multilingual quota
+    * decisions: a source whose KL jumps between crawls changed its
+    * language composition (pipeline bug, domain takeover, geo-shift)
+    * even when its document COUNT looks stable; `corpus_source_profile`
+    * reports breadth (n_langs), this reports shape.
+    *
+    * Scale shape: ONE corpus-sized partial+final count to (source,
+    * lang) rows — lazily checkpointed, the ts_* shared-pre-agg pattern,
+    * so the marginals (per-source, per-lang, grand total: three tiny
+    * aggs over sources×langs rows) reuse one scan. Floats follow the
+    * `text_zipf` rule: counts stay integer through every join; the one
+    * ln per (source, lang) cell is computed from identical integer
+    * operands via identical IEEE divisions on both engines, rounded to
+    * 6dp per term, and summed as DECIMAL — partitioning-independent. */
+  def langDrift(documents: DataFrame): DataFrame = {
+    val sl = documents.groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    val bySrc = sl.groupBy("source").agg(sum("n").as("ns"))
+    val byLang = sl.groupBy("lang").agg(sum("n").as("nl"))
+    val total = sl.agg(sum("n").as("nn"))
+    val term = round(
+      (col("n").cast("double") / col("ns")) *
+        log((col("n").cast("double") * col("nn")) /
+          (col("ns").cast("double") * col("nl"))), 6)
+    sl.join(broadcast(bySrc), Seq("source"))
+      .join(broadcast(byLang), Seq("lang"))
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("ns"), term.as("t"))
+      .groupBy("source").agg(
+        max(col("ns")).as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        sum(col("t").cast("decimal(38,6)")).cast("double").as("kl_nats"))
+      .orderBy("source")
+  }
+
+  /** `pipeline_curriculum`: curriculum bucketing — partition the corpus
+    * into `stages` equal-count difficulty tiers ordered by document
+    * length (short → long, doc_id tiebreak), the standard
+    * curriculum-learning data prep (train on easy/short sequences
+    * first, grow toward long ones) and simultaneously the length-bucket
+    * plan a batch scheduler packs from. Emits per-stage membership
+    * stats; the stage assignment itself is the `tile` column of the
+    * underlying rank, so a caller who wants per-doc stages uses
+    * [[Skew.distributedNtileDense]] directly.
+    *
+    * Scale shape: rides the distributed ntile (range repartition +
+    * local windows + broadcast offset merge — no single-task global
+    * window, partition count derived from plan stats), then one
+    * constant-state agg over (stage). All-integer output. */
+  def curriculum(documents: DataFrame, stages: Int = 4): DataFrame =
+    Skew.distributedNtileDense(documents.select("doc_id", "n_chars"),
+        0, stages, "n_chars", "doc_id")
+      .groupBy(col("tile").as("stage"))
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"),
+        sum("n_chars").as("total_chars"))
+      .orderBy("stage")
+
   /** `pipeline_pack_chunks`: concatenation packing — assign documents (in
     * doc_id order) to fixed-token-budget chunks by the running token
     * count, the concat-and-chunk sequence-packing shape (a document whose
