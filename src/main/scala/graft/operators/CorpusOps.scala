@@ -859,6 +859,11 @@ object CorpusOps {
     // every SF, so the guard has comfortable margin; for a corpus where
     // it ever trips, raise topN's slack.
     val slack = math.max(topN, 50)
+    // cand has two consumers (the survivor-hash set and the word
+    // re-attach join); no materialization pin is needed — both
+    // TakeOrdered passes reuse the pair aggregation's shuffle exchange
+    // (ReuseExchange; verified at sf0.1: pinning the candidate set via
+    // localCheckpoint measured identical wall time)
     val cand = pairCounts
       .orderBy(col("cnt").desc, col("h1"), col("h2")).limit(topN + slack)
     val dict = documents.select(explode(ws).as("word"))
