@@ -859,13 +859,17 @@ object CorpusOps {
     // every SF, so the guard has comfortable margin; for a corpus where
     // it ever trips, raise topN's slack.
     val slack = math.max(topN, 50)
-    // cand has two consumers (the survivor-hash set and the word
-    // re-attach join); no materialization pin is needed — both
-    // TakeOrdered passes reuse the pair aggregation's shuffle exchange
-    // (ReuseExchange; verified at sf0.1: pinning the candidate set via
-    // localCheckpoint measured identical wall time)
+    // lazy localCheckpoint on the BOUNDED candidate set: cand has two
+    // consumers (the survivor-hash set and the word re-attach join).
+    // ReuseExchange shares only the pair SHUFFLE between them — the
+    // reduce-side final aggregation over the full distinct-pair table
+    // (the dominant stage at scale) would still execute twice, which is
+    // invisible at sf0.1 (±0.2 s) but measured 75 s vs ~40 s at sf10.
+    // The checkpoint materializes ≤ topN+slack rows after ONE
+    // aggregation pass; AQE visibility loss is nil on a 100-row leaf.
     val cand = pairCounts
       .orderBy(col("cnt").desc, col("h1"), col("h2")).limit(topN + slack)
+      .localCheckpoint(eager = false)
     val dict = documents.select(explode(ws).as("word"))
       .groupBy("word").agg(count(lit(1)).as("wc"))
       .select(xxhash64(col("word")).as("h"), col("word"), col("wc"))
