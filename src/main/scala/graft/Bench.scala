@@ -42,11 +42,21 @@ object Bench {
       else {
         val qIdx = txt.indexOf("\"queries\"")
         if (qIdx < 0) Map.empty
-        else """"([a-z0-9_]+)":\s*(-?[0-9.]+)""".r
-          .findAllMatchIn(txt.substring(qIdx))
-          .map(m => m.group(1) -> m.group(2).toDouble)
-          .filter(_._2 >= 0)
-          .toMap
+        else {
+          // bound the scan at the NEXT top-level section ("meta" follows
+          // "queries" in the artifact): the unbounded form swallowed the
+          // meta rows' numeric fields (loadavg/runs/start_off_sec) as
+          // phantom reference entries — the r7 "ref_queries=160 vs 157
+          // registry" discrepancy was THIS, not reference-file drift
+          val metaIdx = txt.indexOf("\"meta\"", qIdx)
+          val sub = if (metaIdx > 0) txt.substring(qIdx, metaIdx)
+            else txt.substring(qIdx)
+          """"([a-z0-9_]+)":\s*(-?[0-9.]+)""".r
+            .findAllMatchIn(sub)
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .filter(_._2 >= 0)
+            .toMap
+        }
       }
     } catch { case _: Throwable => Map.empty }
   }
@@ -65,6 +75,10 @@ object Bench {
     val builder = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      // pinned UTC like Verify/SparkSpec: date_trunc/hour on TimestampType
+      // read the session tz — an unpinned bench on a non-UTC host would
+      // time different queries than the oracle checks (r8 NTZ sweep)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     if (master.startsWith("local-cluster")) {
       builder.config("spark.executor.extraClassPath",
@@ -134,6 +148,14 @@ object Bench {
     val outlierOn = sys.env.getOrElse("SPARK_GRAFT_OUTLIER", "1") != "0"
     val refTimes =
       if (outlierOn) referenceTimes(refPath, sfDir) else Map.empty[String, Double]
+    // r7 ADVICE: the reference table had drifted 3 slugs past the
+    // registry (removed/renamed queries keep stale entries) — surface it
+    // so the ref file gets regenerated instead of silently rotting
+    val staleRefs = refTimes.keySet -- SparkEntry.queries.keySet
+    if (staleRefs.nonEmpty)
+      System.err.println(s"[bench] ${staleRefs.size} reference time(s) have no " +
+        s"matching registry query (stale — regenerate $refPath): " +
+        staleRefs.toSeq.sorted.mkString(", "))
     val outlierK = sys.env.get("SPARK_GRAFT_OUTLIER_K").map(_.toDouble).getOrElse(3.0)
     val outlierSlack = 0.3 // sec: 3x a 0.1 s query is still noise, not contention
     val outlierFloor = sys.env.get("SPARK_GRAFT_OUTLIER_FLOOR")
@@ -202,12 +224,16 @@ object Bench {
     def short(name: String): String = shortKey(name)
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
-    // a SPARK_GRAFT_ONLY subset run must never clobber the committed
-    // full-set artifact (it did once — a 3-query sf10 rehearsal
-    // overwrote the 152-query record); filtered runs divert to /tmp
-    // unless the caller names a path explicitly
+    // NO default write path clobbers the COMMITTED warm artifact
+    // (BENCH_FULL.json) anymore — r7 ADVICE: the driver's contended
+    // single-shot run overwrote the committed warm baseline and the
+    // round commit made the repo self-contradictory. Full-set runs now
+    // default to BENCH_LASTRUN.json (gitignored; still in the worktree
+    // so the driver/judge can read its telemetry), subset runs to /tmp.
+    // Refreshing the committed warm reference is an EXPLICIT act:
+    //   SPARK_GRAFT_BENCH_FULL=/root/repo/BENCH_FULL.json
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
-      if (only.isEmpty) "/root/repo/BENCH_FULL.json"
+      if (only.isEmpty) "/root/repo/BENCH_LASTRUN.json"
       else "/tmp/BENCH_SUBSET.json")
     val fullQs = results.map { case (k, v) =>
       s"""    "$k": ${if (v < 0) "-1" else f"$v%.3f"}"""

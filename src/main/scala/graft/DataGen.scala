@@ -188,13 +188,22 @@ object DataGen {
 
     // events: µs TimestampType over 30 days of 2024-01 (Tables.events
     // passes a TimestampType through; DuckDB reads it natively, so the
-    // time-bucket oracles bind); user_id power-law for skew
+    // time-bucket oracles bind); user_id power-law for skew.
+    // SPARK_GRAFT_EVENTS_TS=ntz writes ts as TIMESTAMP_NTZ instead —
+    // the type the driver's round-7 fixture regeneration shipped — so
+    // the suite can be exercised against BOTH flavors (r7 verdict #4);
+    // under this builder's pinned-UTC session the LTZ→NTZ cast keeps
+    // the micros bit-identical (NTZ-as-UTC, Tables.events convention).
     val etypes = typedlit(Seq("click", "view", "purchase", "signup", "error"))
     val epoch2024us = 1704067200L * 1000000L
+    val tsFlavor = sys.env.getOrElse("SPARK_GRAFT_EVENTS_TS", "ltz")
+    val tsBase = timestamp_micros(lit(epoch2024us) +
+      h(30, col("id")) % (30L * 86400 * 1000000L))
     save(spark.range(nEvents).select(
       col("id").as("event_id"),
-      timestamp_micros(lit(epoch2024us) +
-        h(30, col("id")) % (30L * 86400 * 1000000L)).as("ts"),
+      (if (tsFlavor == "ntz")
+        tsBase.cast(org.apache.spark.sql.types.TimestampNTZType)
+      else tsBase).as("ts"),
       floor(pow(u(31, col("id")), 1.5) * nUsers).cast("long").as("user_id"),
       element_at(etypes, (h(32, col("id")) % 5 + 1).cast("int")).as("event_type"),
       round(u(33, col("id")) * 200, 2).as("value"),

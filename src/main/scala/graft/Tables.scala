@@ -21,24 +21,45 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects by
-    * default ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos (legacy
-    * `nanosAsLong`) and truncate to a microsecond TimestampType — the same
-    * µs truncation DuckDB applies when reading ns parquet, so both engines
-    * see identical values. Integer `DIV` avoids the double-precision loss
-    * a fractional divide would incur on ~1.7e18 nano values.
+  /** `events.ts` has shipped as THREE parquet types across driver
+    * fixture regenerations — the loader is the ONE seam that normalizes
+    * all of them to a µs `TimestampType` (UTC), so every operator and
+    * spec downstream sees a single timestamp type (r7 verdict #2/#4):
+    *
+    *  - TIMESTAMP(NANOS): Spark rejects it by default
+    *    ([PARQUET_TYPE_ILLEGAL]) → read as raw nanos (legacy
+    *    `nanosAsLong`) and truncate to µs — the same truncation DuckDB
+    *    applies, so both engines see identical values. Integer `DIV`
+    *    avoids double-precision loss on ~1.7e18 nano values.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ in
+    *    Spark 4. Engine convention: **NTZ wall-clock IS UTC** (the
+    *    sessions pin `spark.sql.session.timeZone=UTC`, and DuckDB's
+    *    TIMESTAMP is the same untagged-µs reading), so the NTZ→LTZ cast
+    *    below is a type-tag change on identical micros — and LTZ-only
+    *    functions (`unix_micros` & co) work again. Round 7 shipped this
+    *    untouched and `unix_micros` threw DATATYPE_MISMATCH in a spec.
+    *  - TIMESTAMP(MICROS, adjusted): already `TimestampType` → as-is.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = apply(s, d, "events")
-    // driver testdata: ts is TIMESTAMP(NANOS), surfacing as LongType under
-    // nanosAsLong → truncate to µs. DataGen scale data: ts is already a
-    // µs TimestampType → pass through.
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr(
           "timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
-      case _ => df
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ-as-UTC, SESSION-TZ-INDEPENDENT: a plain NTZ→LTZ cast would
+        // re-interpret the wall-clock in the session timezone, so it is
+        // only correct under pinned UTC; diffing against the NTZ epoch
+        // keeps the underlying micros bit-identical no matter what the
+        // session is set to.
+        df.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(timestampdiff(MICROSECOND, " +
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"))
+      case org.apache.spark.sql.types.TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported fixture type $other — expected " +
+          "TIMESTAMP(NANOS) long, TIMESTAMP_NTZ, or TIMESTAMP (see Tables.events)")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")

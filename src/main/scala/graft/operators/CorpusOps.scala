@@ -96,8 +96,8 @@ object CorpusOps {
     * operands via identical IEEE divisions on both engines, rounded to
     * 6dp per term, and summed as DECIMAL — partitioning-independent. */
   def langDrift(documents: DataFrame): DataFrame = {
-    val sl = documents.groupBy("source", "lang").agg(count(lit(1)).as("n"))
-      .localCheckpoint(eager = false)
+    val sl = graft.plans.PlanPins.lazyPin(
+      documents.groupBy("source", "lang").agg(count(lit(1)).as("n")))
     val bySrc = sl.groupBy("source").agg(sum("n").as("ns"))
     val byLang = sl.groupBy("lang").agg(sum("n").as("nl"))
     val total = sl.agg(sum("n").as("nn"))
@@ -867,9 +867,11 @@ object CorpusOps {
     // invisible at sf0.1 (±0.2 s) but measured 75 s vs ~40 s at sf10.
     // The checkpoint materializes ≤ topN+slack rows after ONE
     // aggregation pass; AQE visibility loss is nil on a 100-row leaf.
+    // (pinned through PlanPins so the plan guards keep sight of the HOF
+    // pair expansion behind the checkpoint's LogicalRDD leaf — r7 #1)
     val cand = pairCounts
       .orderBy(col("cnt").desc, col("h1"), col("h2")).limit(topN + slack)
-      .localCheckpoint(eager = false)
+      .transform(graft.plans.PlanPins.lazyPin)
     val dict = documents.select(explode(ws).as("word"))
       .groupBy("word").agg(count(lit(1)).as("wc"))
       .select(xxhash64(col("word")).as("h"), col("word"), col("wc"))

@@ -341,7 +341,14 @@ object DedupOps {
       .localCheckpoint()
     mark("edges symmetrized")
     try { val r = clustersLoop(loopEdges); mark("loop done"); r }
-    finally p0.unpersist(blocking = false)
+    finally {
+      p0.unpersist(blocking = false)
+      // the returned label table is a checkpoint scan that no longer
+      // references the edge table — drop the edge blocks NOW instead of
+      // waiting for a GC the driver's retained query executions can
+      // defer indefinitely (r7 verdict #3: re-run block accumulation)
+      org.apache.spark.sql.graftbridge.ColumnBridge.releaseCheckpoint(loopEdges)
+    }
   }
 
   private def clustersLoop(edges: DataFrame): DataFrame = {
@@ -352,11 +359,20 @@ object DedupOps {
     // round, its BigInt bit-length doubling per iteration until the
     // driver's join-stats estimation grinds on million-bit integers
     // (caught by the 30-round H-merge fixture in RoundFiveOpsSpec)
-    import org.apache.spark.sql.graftbridge.ColumnBridge.freshLogicalRdd
-    var labels = freshLogicalRdd(
-      edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("cluster", col("doc_id"))
-        .localCheckpoint())
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import ColumnBridge.freshLogicalRdd
+    // `supersededRound` is the checkpointed table backing the CURRENT
+    // labels/frontier; once a round materializes its successor, the old
+    // round's blocks are unreachable from any live plan and are released
+    // eagerly. Without this every round leaves one full label table in
+    // the block store per INVOCATION (nothing un-checkpoints them until
+    // RDD GC, which retained query executions defer) — the r7 driver
+    // measured dedup_embedding_clusters decaying 13.8→66 s across four
+    // in-JVM re-runs from exactly this accumulation (verdict #3).
+    var supersededRound = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+      .localCheckpoint()
+    var labels = freshLogicalRdd(supersededRound)
     // DELTA ITERATION (round 6, ROADMAP candidate): the neighbor-min pass
     // joins the edges against the FRONTIER — only nodes whose label
     // changed last round — instead of the full label table. Correct by
@@ -399,6 +415,10 @@ object DedupOps {
           sum(when(col("cluster") =!= col("old"), 1L).otherwise(0L)),
           lit(0L)).as("changed"))
         .localCheckpoint()
+      // cp is materialized (eager); the previous round's table backs
+      // nothing live anymore — release its blocks before the next round
+      ColumnBridge.releaseCheckpoint(supersededRound)
+      supersededRound = cp
       changed = {
         // bounded poll on the observation itself: the checkpoint action
         // above already ran the plan, so the metric is normally delivered
@@ -552,7 +572,7 @@ object DedupOps {
     // LSH+closure plan executes twice. The checkpoint pins one
     // materialization at first use; the assignment table it pins is
     // O(clustered docs) ids, not the corpus.
-    val cl = clusters(nearMinhash(documents)).localCheckpoint(eager = false)
+    val cl = graft.plans.PlanPins.lazyPin(clusters(nearMinhash(documents)))
     val hist = cl.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
     // singletons: in the corpus, in no near-dup pair (1-row × 1-row join)

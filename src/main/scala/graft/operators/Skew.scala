@@ -69,11 +69,10 @@ object Skew {
     // checkpoint: one job computes the partitions, persists them, and
     // returns the per-partition counts, instead of the round-4 shape
     // (one job to materialize + a second to scan for stats)
-    val parted = df
+    val parted = graft.plans.PlanPins.lazyPin(df
       .repartitionByRange(nParts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(eager = false)
+      .withColumn("__pid", spark_partition_id()))
     val local = parted.withColumn("__local_rn",
       row_number().over(Window.partitionBy("__pid").orderBy(sortCols: _*)))
     // fused pass: per-partition counts -> prefix offsets (tiny,
@@ -119,11 +118,10 @@ object Skew {
     // stats aggregation below doubles as the checkpoint materialization —
     // one job for partitioning + stats instead of two (round-5 fusion,
     // VERDICT r4 item 3)
-    val parted = df
+    val parted = graft.plans.PlanPins.lazyPin(df
       .repartitionByRange(nParts, col(value), col(tieBreak))
       .sortWithinPartitions(value, tieBreak)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(eager = false)
+      .withColumn("__pid", spark_partition_id()))
     val wRow = Window.partitionBy("__pid").orderBy(col(value), col(tieBreak))
     val wVal = Window.partitionBy("__pid").orderBy(col(value))
     val local = parted
@@ -182,11 +180,10 @@ object Skew {
     val nParts = derivePartitions(df, numPartitions)
     // LAZY localCheckpoint: the totals aggregation below materializes the
     // checkpoint in the same job (see distributedRowNumber)
-    val parted = df
+    val parted = graft.plans.PlanPins.lazyPin(df
       .repartitionByRange(nParts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(eager = false)
+      .withColumn("__pid", spark_partition_id()))
     val local = parted.withColumn("__lcum",
       sum(col(sumCol).cast("long")).over(
         Window.partitionBy("__pid").orderBy(sortCols: _*)))

@@ -93,7 +93,7 @@ object StreamBatchOps {
     val hourly = events.filter(col("ts").isNotNull)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(eager = false)
+      .transform(graft.plans.PlanPins.lazyPin)
     val ranges = hourly.groupBy("event_type")
       .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
     val spine = ranges.select(col("event_type"),
@@ -173,7 +173,7 @@ object StreamBatchOps {
     val hourly = events.filter(col("ts").isNotNull)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(eager = false)
+      .transform(graft.plans.PlanPins.lazyPin)
     val stats = hourly.groupBy("event_type").agg(
       count(lit(1)).as("hrs"), sum(col("n")).as("s"),
       sum(col("n") * col("n")).as("q"))
@@ -203,7 +203,7 @@ object StreamBatchOps {
     val byHod = events.filter(col("ts").isNotNull)
       .groupBy(col("event_type"), hour(col("ts")).as("hod"))
       .agg(count(lit(1)).as("n_events"))
-      .localCheckpoint(eager = false)
+      .transform(graft.plans.PlanPins.lazyPin)
     val totals = byHod.groupBy("event_type").agg(sum(col("n_events")).as("tot"))
     byHod.join(broadcast(totals), Seq("event_type"))
       .select(col("event_type"), col("hod"), col("n_events"),
@@ -235,7 +235,7 @@ object StreamBatchOps {
     val hourly = events.filter(col("ts").isNotNull)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(eager = false)
+      .transform(graft.plans.PlanPins.lazyPin)
     val w = Window.partitionBy("event_type").orderBy("h")
     val pos = hourly
       .withColumn("i", row_number().over(w))
@@ -287,7 +287,7 @@ object StreamBatchOps {
     val hourly = events.filter(col("ts").isNotNull)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(eager = false)
+      .transform(graft.plans.PlanPins.lazyPin)
     val stats = hourly.groupBy("event_type")
       .agg(count(lit(1)).as("hh"), sum(col("n")).as("s"))
     val dev = hourly.join(broadcast(stats), Seq("event_type"))

@@ -1,0 +1,69 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Checkpoint-transparent plan pinning (round-7 verdict #1/#3).
+  *
+  * Every `localCheckpoint` perf pin replaces its subtree with a
+  * `LogicalRDD` leaf, which BLINDS every downstream plan guard: a spec
+  * asserting "the pair expansion is the HOF form" or "the candidate cut
+  * is TakeOrdered" can no longer see the expression it guards — this has
+  * now bitten twice (r5 stats inheritance, r7 PlanGuardSpec:379). The
+  * rule going forward: perf pins go through [[lazyPin]], which records
+  * the pre-checkpoint plan (optimized + executed tree strings, already
+  * expanded through any earlier pins) keyed by the checkpoint RDD id, so
+  * [[expandedOptimized]]/[[expandedExecuted]] give guards the FULL
+  * logical history of a query, checkpoints included.
+  *
+  * The registry is a bounded LRU of plan STRINGS (not QueryExecutions —
+  * holding those would pin RDDs and leak the very blocks
+  * `releaseCheckpoint` exists to free), so production overhead is two
+  * `treeString` renders per pin call; `localCheckpoint` itself already
+  * paid the physical planning those renders reuse.
+  */
+object PlanPins {
+  private val MaxEntries = 64
+  // rddId -> (expanded optimized plan, expanded executed plan)
+  private val origins =
+    new java.util.LinkedHashMap[Int, (String, String)](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Int, (String, String)]): Boolean =
+        size() > MaxEntries
+    }
+
+  /** `df.localCheckpoint(eager = false)` with the pre-checkpoint plan
+    * recorded for guard expansion. Drop-in replacement for every lazy
+    * perf pin in the operator library. */
+  def lazyPin(df: DataFrame): DataFrame = {
+    val opt = expandedOptimized(df)
+    val exec = expandedExecuted(df)
+    val pinned = df.localCheckpoint(eager = false)
+    ColumnBridge.checkpointRdd(pinned).foreach { rdd =>
+      origins.synchronized { origins.put(rdd.id, (opt, exec)) }
+    }
+    pinned
+  }
+
+  /** Optimized-plan tree string with every recorded checkpoint origin
+    * appended (recursively — origins were stored pre-expanded). */
+  def expandedOptimized(df: DataFrame): String = {
+    val base = df.queryExecution.optimizedPlan
+    val tails = ColumnBridge.checkpointRddIds(base)
+      .flatMap(id => origins.synchronized(Option(origins.get(id))))
+      .map { case (o, _) => s"\n-- checkpoint origin (optimized) --\n$o" }
+    base.toString + tails.mkString
+  }
+
+  /** Executed-plan tree string with checkpoint origins appended. The
+    * origin executed plans are the ones compiled when the pin was
+    * created (pre-AQE-execution tree for a lazy pin — exactly what the
+    * pinned subquery runs when first materialized). */
+  def expandedExecuted(df: DataFrame): String = {
+    val exec = df.queryExecution.executedPlan
+    val tails = ColumnBridge.checkpointRddIdsExec(exec)
+      .flatMap(id => origins.synchronized(Option(origins.get(id))))
+      .map { case (_, e) => s"\n-- checkpoint origin (executed) --\n$e" }
+    exec.treeString + tails.mkString
+  }
+}

@@ -52,4 +52,78 @@ object ColumnBridge {
     * blocking `get` leaked one permanently-parked thread per round). */
   def observationOrEmpty(obs: org.apache.spark.sql.Observation): Map[String, Any] =
     obs.getOrEmpty
+
+  /** The checkpoint RDD behind a (local)checkpointed DataFrame, if its
+    * root is the `LogicalRDD` leaf `Dataset.(local)Checkpoint` produces.
+    * Two consumers: `releaseCheckpoint` (block-store hygiene for
+    * iterative algorithms) and `PlanPins` (checkpoint-transparent plan
+    * guards). */
+  def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
+
+  /** Drop the block-store blocks of a checkpointed DataFrame whose rows
+    * are no longer reachable from any live plan. `localCheckpoint` pins
+    * its partitions in the block manager and nothing releases them until
+    * the RDD object is GC'd — which the driver's retained query
+    * executions can defer indefinitely, so a loop that checkpoints every
+    * round (DedupOps.clustersLoop) accumulates one full table per round
+    * per INVOCATION unless superseded rounds are released explicitly
+    * (round-7 verdict #3: monotone 13.8→66 s decay across re-runs). */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    checkpointRdd(df).foreach(releaseChain)
+
+  /** Release EVERY checkpoint leaf reachable in `df`'s analyzed plan —
+    * for a caller that is completely done with a result whose plan scans
+    * one or more checkpointed tables (e.g. the final label table
+    * `DedupOps.clusters` returns). After this the frame must not be
+    * executed again. */
+  def releaseAllCheckpoints(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => releaseChain(lr.rdd)
+      case _ =>
+    }
+
+  /** A `LogicalRDD` produced by `freshLogicalRdd`/`intoSession` wraps
+    * the persisted checkpoint RDD in derived (projection) RDDs, so the
+    * node's own `rdd` holds no blocks — walk the narrow dependency chain
+    * and unpersist every persisted ancestor. Chains are a handful of
+    * in-JVM hops (checkpoint → scan → projection); no job is run. */
+  private def releaseChain(rdd: org.apache.spark.rdd.RDD[_]): Unit = {
+    muteUnpersistWarn
+    if (rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      rdd.unpersist(blocking = false)
+    rdd.dependencies.foreach(d => releaseChain(d.rdd))
+  }
+
+  // unpersisting a locally-checkpointed RDD logs "lineage has been
+  // truncated and cannot be recomputed" at WARN — accurate, and exactly
+  // the intent here (superseded loop rounds are never executed again),
+  // but it fires once per released round per query and reads like a
+  // fault. Raise that one logger to ERROR; MapPartitionsRDD logs nothing
+  // else at WARN in normal operation.
+  private lazy val muteUnpersistWarn: Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
+
+  /** RDD ids of every checkpoint (`LogicalRDD`) leaf in a logical plan —
+    * the key `PlanPins` uses to resolve a checkpointed leaf back to the
+    * plan that produced it. */
+  def checkpointRddIds(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[Int] =
+    plan.collect { case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id }
+
+  /** Same, over a physical plan (`RDDScanExec` / `ExternalRDDScanExec`
+    * leaves), so executed-plan guards can also see through checkpoints. */
+  def checkpointRddIdsExec(
+      plan: org.apache.spark.sql.execution.SparkPlan): Seq[Int] =
+    plan.collect {
+      case r: org.apache.spark.sql.execution.RDDScanExec => Seq(r.rdd.id)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        checkpointRddIdsExec(a.executedPlan)
+    }.flatten
 }

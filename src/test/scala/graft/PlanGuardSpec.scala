@@ -373,7 +373,9 @@ class PlanGuardSpec extends SparkSpec {
   test("cooccurPmi: bounded HOF pair expansion, no collection aggregates") {
     // pair generation must be the map-side transform/flatten expansion
     // (fan-out = win per token); counts are constant-state aggregates.
-    val plan = CorpusOps.cooccurPmi(docs).queryExecution.optimizedPlan.toString
+    // The candidate set is checkpoint-pinned, so the guard reads the
+    // PlanPins-expanded plan (base + checkpoint origins) — r7 verdict #1.
+    val plan = graft.plans.PlanPins.expandedOptimized(CorpusOps.cooccurPmi(docs))
     assert(!plan.contains("collect_list") && !plan.contains("collect_set"),
       s"collection aggregate in cooccurPmi plan:\n$plan")
     assert(plan.contains("transform") && plan.contains("flatten"),
@@ -385,7 +387,7 @@ class PlanGuardSpec extends SparkSpec {
     // table: the candidate cut (TakeOrdered topN+slack on (cnt,h1,h2))
     // runs first, and every dictionary join is a BROADCAST of the
     // bounded survivor set / survivor-pruned dictionary
-    val exec = CorpusOps.cooccurPmi(docs).queryExecution.executedPlan.treeString
+    val exec = graft.plans.PlanPins.expandedExecuted(CorpusOps.cooccurPmi(docs))
     assert(exec.contains("TakeOrderedAndProject"),
       s"candidate cut should be TakeOrdered, not a global sort:\n$exec")
     // word re-attach joins must all be broadcast (bounded sides); a

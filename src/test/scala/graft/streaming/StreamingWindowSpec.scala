@@ -46,6 +46,9 @@ class StreamingWindowSpec extends SparkSpec {
       in.addData((4L, ts("2024-01-01 00:30:00")))
       q.processAllAvailable()
       assert(spark.table("tumbling").count() === 1)
+      StreamWindowsArtifact.record("tumbling_watermark", input = 4, output = 1,
+        claim = "1h tumbling window finalized by watermark; late event for a " +
+          "closed window dropped", q = Some(q))
     } finally q.stop()
   }
 
@@ -54,6 +57,8 @@ class StreamingWindowSpec extends SparkSpec {
     val slid = ev.select(col("event_id"), window(col("ts"), "1 hour", "15 minutes"))
     // hour window sliding by 15min → every event falls in exactly 4 windows
     assert(slid.count() === 400)
+    StreamWindowsArtifact.record("sliding_batch", input = 100, output = 400,
+      claim = "1h window sliding 15min assigns each event to exactly 4 windows")
   }
 
   test("session_window streaming matches the gaps-and-islands batch equivalent") {
@@ -73,8 +78,15 @@ class StreamingWindowSpec extends SparkSpec {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("tsm", "event_id")
     val wc = w.rowsBetween(Long.MinValue, 0)
+    // readable failure on the next silent fixture-type drift (r7 #2: a
+    // regenerated events.parquet turned ts into TIMESTAMP_NTZ and
+    // unix_micros threw DATATYPE_MISMATCH — the loader now normalizes)
+    assert(ev.schema("ts").dataType == org.apache.spark.sql.types.TimestampType,
+      s"Tables.events must normalize ts to TimestampType, got " +
+        s"${ev.schema("ts").dataType} — see Tables.events scaladoc")
     val islands = ev
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsm"))
+      .select(col("user_id"), col("event_id"),
+        graft.functions.TimeFns.epochMicros(ev, "ts").as("tsm"))
       .withColumn("new_sess",
         when(col("tsm") - lag(col("tsm"), 1).over(w) < 1800L * 1000000L, 0).otherwise(1))
       .withColumn("sess_id", sum(col("new_sess")).over(wc))
@@ -85,6 +97,10 @@ class StreamingWindowSpec extends SparkSpec {
     assert(viaSessionWindow.sameElements(islands))
     // and the oracle-checked floor-to-second variant has the same shape
     assert(StreamBatchOps.sessions(ev).count() > 0)
+    StreamWindowsArtifact.record("session_window_equivalence",
+      input = ev.count(), output = viaSessionWindow.length,
+      claim = "session_window(30min) sessions == gaps-and-islands batch " +
+        "equivalent at us precision")
   }
 
   test("dropDuplicatesWithinWatermark dedups replayed message ids") {
@@ -106,6 +122,9 @@ class StreamingWindowSpec extends SparkSpec {
       q.processAllAvailable()
       assert(spark.table("dedupstream").select("messageId").collect()
         .map(_.getString(0)).sorted.toSeq === Seq("m1", "m2"))
+      StreamWindowsArtifact.record("dedup_within_watermark", input = 3, output = 2,
+        claim = "redelivered messageId within the watermark horizon deduped",
+        q = Some(q))
     } finally q.stop()
   }
 
@@ -142,6 +161,10 @@ class StreamingWindowSpec extends SparkSpec {
     // window [00:00,01:00) finalized once the 03:00 event advanced the
     // watermark; the 03:00 window itself is still open -> not emitted
     assert(out === Seq("""{"w":"00:00","cnt":2}"""))
+    StreamWindowsArtifact.record("bus_pipeline_windowed_agg", input = 3,
+      output = out.length,
+      claim = "watermarked tumbling agg inside the bus pipeline transform " +
+        "slot; only the finalized window is published", q = Some(q))
   }
 
   test("transformWithState (operator state API v2): value state + RocksDB store") {
@@ -179,6 +202,10 @@ class StreamingWindowSpec extends SparkSpec {
           .map(r => (r.getLong(0), r.getLong(1)))
           .groupBy(_._1).map { case (u, vs) => (u, vs.map(_._2).max) }
         assert(last === Map(1L -> 10L, 2L -> 7L))
+        StreamWindowsArtifact.record("transform_with_state_rocksdb", input = 3,
+          output = spark.table("twscounts").count(),
+          claim = "transformWithState value state on RocksDB store " +
+            "accumulates across micro-batches", q = Some(q))
       } finally q.stop()
     } finally prevProvider match {
       case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
@@ -212,6 +239,10 @@ class StreamingWindowSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1)))
         .groupBy(_._1).map { case (u, vs) => (u, vs.map(_._2).max) }
       assert(last === Map(1L -> 5L, 2L -> 5L))
+      StreamWindowsArtifact.record("map_groups_with_state", input = 3,
+        output = spark.table("statecounts").count(),
+        claim = "mapGroupsWithState per-key totals survive micro-batches",
+        q = Some(q))
     } finally q.stop()
   }
 
@@ -259,6 +290,9 @@ class StreamingWindowSpec extends SparkSpec {
       clickIn.addData((1L, ts("2024-01-01 00:07:00")))
       q.processAllAvailable()
       assert(spark.table("attrib").count() === 1)
+      StreamWindowsArtifact.record("stream_stream_inner", input = 7, output = 1,
+        claim = "time-bounded attribution join; out-of-window and " +
+          "older-than-watermark clicks never match", q = Some(q))
     } finally q.stop()
   }
 
@@ -299,6 +333,10 @@ class StreamingWindowSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.isNullAt(2), r.isNullAt(3)))
       assert(outer.toSeq === Seq((5L, true, true)),
         "unmatched impression should emit with null click side after expiry")
+      StreamWindowsArtifact.record("stream_stream_left_outer", input = 5,
+        output = spark.table("attribouter").count(),
+        claim = "left-outer stream-stream join emits null-padded row only " +
+          "after watermark expiry", q = Some(q))
     } finally q.stop()
   }
 
@@ -369,5 +407,15 @@ class StreamingWindowSpec extends SparkSpec {
       """{"ad_id":1,"click":"00:05"}""",
       """{"ad_id":7,"click":"01:06"}""").sorted,
       s"late click must expire, fresh pair must join: $out2")
+    StreamWindowsArtifact.record("bus_join_checkpoint_resume", input = 8,
+      output = out2.length,
+      claim = "stream-stream join over two bus streams; watermark state " +
+        "restored across checkpoint resume expires the replayed late click")
+  }
+
+  override def afterAll(): Unit = {
+    // refresh docs/STREAMWINDOWS.json only when the whole family ran
+    StreamWindowsArtifact.flushIfComplete()
+    super.afterAll()
   }
 }
