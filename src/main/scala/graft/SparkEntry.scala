@@ -168,6 +168,7 @@ object SparkEntry {
     "sim_ann_ivf" -> ((s, d) => VectorOps.annIvf(Tables.embeddings(s, d))),
     "sim_ann_ivf_batch" -> ((s, d) => VectorOps.annIvfBatch(Tables.embeddings(s, d))),
     "vec_quantize_int8" -> ((s, d) => VectorOps.quantizeInt8(Tables.embeddings(s, d))),
+    "emb_centroid_drift" -> ((s, d) => VectorOps.centroidDrift(Tables.embeddings(s, d))),
     "sample_hardneg" -> ((s, d) => VectorOps.hardNegatives(Tables.embeddings(s, d))),
     // --- text analysis (LLM-pipeline) ---
     "text_wordcount" -> ((s, d) => TextOps.wordcount(Tables.documents(s, d))),
@@ -195,6 +196,8 @@ object SparkEntry {
     "pipeline_pack_text" -> ((s, d) => CorpusOps.packText(Tables.documents(s, d))),
     "corpus_stats" -> ((s, d) => CorpusOps.corpusStats(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) => CorpusOps.sampleStratified(Tables.documents(s, d))),
+    "sample_neyman" -> ((s, d) => CorpusOps.sampleNeyman(Tables.documents(s, d))),
+    "text_tfidf_keywords" -> ((s, d) => TextOps.tfidfKeywords(Tables.documents(s, d))),
     "text_lm_score" -> ((s, d) => CorpusOps.lmScore(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => CorpusOps.repetition(Tables.documents(s, d))),
     "sample_mixture" -> ((s, d) => CorpusOps.sampleMixture(Tables.documents(s, d))),
@@ -836,6 +839,29 @@ object SparkEntry {
         |  COALESCE(CAST(list_max(codes) AS BIGINT), 0) AS code_max
         |FROM q ORDER BY vec_id""".stripMargin,
 
+    // per-label centroid cosine vs the global centroid: 7dp-quantized
+    // components summed as DECIMAL (exact, order-independent); dots stay
+    // DECIMAL; only the final cosine division runs in double
+    "emb_centroid_drift" ->
+      """WITH e AS (
+        |  SELECT label,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |    unnest(range(1, len(embedding) + 1)) AS pos
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT label, pos,
+        |    CAST(SUM(CAST(round(v, 7) AS DECIMAL(18,7))) AS DECIMAL(18,7)) AS s
+        |  FROM e GROUP BY label, pos),
+        |g AS (SELECT pos, CAST(SUM(s) AS DECIMAL(18,7)) AS g FROM s GROUP BY pos),
+        |d AS (
+        |  SELECT label, SUM(s * g) AS sg, SUM(s * s) AS ss, SUM(g * g) AS gg
+        |  FROM s JOIN g USING (pos) GROUP BY label),
+        |n AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label)
+        |SELECT label, n_vecs,
+        |  round(CAST(sg AS DOUBLE)
+        |    / (sqrt(CAST(ss AS DOUBLE)) * sqrt(CAST(gg AS DOUBLE))), 6) AS centroid_cos
+        |FROM d JOIN n USING (label) ORDER BY label""".stripMargin,
+
     "fn_json" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
@@ -1268,6 +1294,63 @@ object SparkEntry {
         |WHERE substring(md5(text), 1, 2) <=
         |  CASE WHEN lang = 'en' THEN '3f' ELSE '7f' END
         |ORDER BY doc_id""".stripMargin,
+
+    // Neyman allocation from EXACT integer moments (never streaming
+    // stddev — partition-order-dependent); 6dp-rounded weights summed as
+    // DECIMAL; membership = rank by md5(text) per stratum
+    "sample_neyman" ->
+      """WITH stats AS (
+        |  SELECT lang, COUNT(*) AS nh,
+        |    SUM(CAST(n_chars AS HUGEINT)) AS sx,
+        |    SUM(CAST(n_chars AS HUGEINT) * n_chars) AS sxx
+        |  FROM documents GROUP BY lang),
+        |sig AS (
+        |  SELECT lang, nh,
+        |    CASE WHEN nh > 1 THEN
+        |      sqrt((CAST(nh AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |           / (CAST(nh AS DOUBLE) * (CAST(nh AS DOUBLE) - 1.0)))
+        |    ELSE 0.0 END AS sigma
+        |  FROM stats),
+        |wts AS (SELECT lang, nh,
+        |          CAST(round(CAST(nh AS DOUBLE) * sigma, 6) AS DECIMAL(38,6)) AS w6
+        |        FROM sig),
+        |tot AS (SELECT SUM(w6) AS tw FROM wts),
+        |alloc AS (
+        |  SELECT lang, LEAST(CAST(nh AS DOUBLE), GREATEST(1.0,
+        |    round(200.0 * CAST(w6 AS DOUBLE) / CAST(tw AS DOUBLE)))) AS na
+        |  FROM wts CROSS JOIN tot),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(rn AS INTEGER) AS rnk
+        |FROM r JOIN alloc USING (lang)
+        |WHERE rn <= na ORDER BY doc_id""".stripMargin,
+
+    // integer tf/df/N -> identical idf doubles both engines; ties (equal
+    // tf and df) break on the word string, which is why the engine ranks
+    // on strings rather than the lm_score hash-shuffle shape
+    "text_tfidf_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks
+        |       WHERE word <> '' GROUP BY doc_id, word),
+        |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT doc_id, word,
+        |    CAST(tf AS DOUBLE) * ln((CAST(n_docs AS DOUBLE) + 1.0)
+        |      / (CAST(df AS DOUBLE) + 1.0)) AS score
+        |  FROM tf JOIN df USING (word) CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, word, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, word) AS INTEGER) AS rnk
+        |  FROM s)
+        |SELECT doc_id, rnk, word, round(score, 6) AS tfidf
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
 
     // all-integer bigram-frequency scoring; the single division is the
     // only floating-point op (deterministic operands on both engines)

@@ -181,6 +181,58 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** `sample_neyman` (round 8): stratified sampling with NEYMAN
+    * allocation — the stratum budget is proportional to N_h·σ_h (stratum
+    * size × stratum std-dev of `n_chars`), the minimum-variance design
+    * for estimating corpus-level means from a fixed label/inspection
+    * budget (Neyman 1934). Where `sample_stratified` takes fixed
+    * per-class rates, this SIZES the classes from their dispersion:
+    * high-variance strata get more of the budget.
+    *
+    * Cross-engine exactness, in three layers (FIXTURES §3 discipline):
+    * σ_h comes from EXACT integer moments (Σx, Σx² as DECIMAL — never
+    * Welford-style streaming stddev, whose result depends on partition
+    * order), so both engines take sqrt of identical doubles; the
+    * allocation weights are rounded to 6dp and totaled as DECIMAL
+    * (order-independent sum); membership is rank-by-md5(text) — the
+    * deterministic, partitioning-independent coin every sample_* query
+    * uses. Scale shape: one pass for moments (map-side partial agg to
+    * one row per stratum), the tiny allocation table broadcasts, and
+    * selection is a per-stratum row_number window (strata are few and
+    * large — the window's per-stratum sort is the cost; at extreme
+    * stratum sizes the md5-threshold overshoot + exact re-rank variant
+    * would bound it, the same two-phase shape as `topk_per_group`). */
+  def sampleNeyman(documents: DataFrame, budget: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val stats = documents.groupBy("lang").agg(
+      count(lit(1)).as("nh"),
+      sum(col("n_chars").cast(dec)).as("sx"),
+      sum((col("n_chars") * col("n_chars")).cast(dec)).as("sxx"))
+    val nhD = col("nh").cast("double")
+    val sigma = when(col("nh") > 1,
+      sqrt((nhD * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")) /
+        (nhD * (nhD - 1.0)))).otherwise(lit(0.0))
+    // pinned: wts has two consumers (the allocation and its own total) —
+    // unpinned, the corpus-wide moments pass would execute twice
+    val wts = graft.plans.PlanPins.lazyPin(stats.select(col("lang"), col("nh"),
+      round(nhD * sigma, 6).cast("decimal(38,6)").as("w6")))
+    val tot = wts.agg(sum(col("w6")).as("tw"))
+    val alloc = wts.crossJoin(broadcast(tot))
+      .select(col("lang"),
+        least(col("nh").cast("double"), greatest(lit(1.0),
+          round(lit(budget.toDouble) * col("w6").cast("double") /
+            col("tw").cast("double")))).as("na"))
+    val w = Window.partitionBy("lang").orderBy(md5(col("text")), col("doc_id"))
+    documents.select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(alloc), "lang")
+      .filter(col("rn") <= col("na"))
+      .select(col("doc_id"), col("lang"), col("rn").as("rnk"))
+      .orderBy("doc_id")
+  }
+
   /** `text_lm_score`: corpus-frequency language-model scoring — for each
     * document, the mean corpus frequency of its word bigrams (a
     * perplexity-shaped fluency signal: rare-bigram documents score low,

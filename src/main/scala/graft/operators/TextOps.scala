@@ -308,4 +308,49 @@ object TextOps {
         length(clean).as("clean_len"))
       .orderBy("doc_id")
   }
+
+  /** `text_tfidf_keywords` (round 8): per-document top-k keywords by
+    * tf·idf — the keyword-extraction pass behind topic tagging, index
+    * building, and per-domain vocabulary audits. idf = ln((N+1)/(df+1))
+    * with integer tf/df/N on both engines, so every score is the same
+    * IEEE double cross-engine; ties (same tf AND same df — common for
+    * once-used words) break on the word itself, which is why the
+    * pipeline ranks on word STRINGS rather than the 8-byte-hash shuffle
+    * shape `text_lm_score` uses (an engine-shared deterministic hash
+    * would be needed to tie-break on hashes; tokens are short, so the
+    * string shuffle rows stay small).
+    *
+    * Scale shape: two shuffles — tf groups on (doc_id, word) with
+    * map-side partial agg; df reduces THE TF TABLE (already one row per
+    * (doc, word)) on word. The per-doc top-k is a row_number window
+    * partitioned by doc_id: millions of small partitions, the
+    * well-distributed window case (same shape as `topk_per_group`). The
+    * doc count N broadcasts as one row. */
+  def tfidfKeywords(documents: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the df join is keyed on xxhash64(word) — the word STRING rides as
+    // payload (the per-doc tie-break needs it) but never becomes a join
+    // or sort key on the corpus-sized path: the sf10 measure was 65 s
+    // with string keys vs 30 s hashed (8-byte comparisons in the two
+    // big exchanges' sorts). Same 64-bit-collision rule as lm_score —
+    // a collision merges two words' df, never drops a row.
+    val tf = documents
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), col("word"), xxhash64(col("word")).as("wh"), col("tf"))
+    val df = tf.groupBy("wh").agg(count(lit(1)).as("df"))
+    val n = documents.select(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))
+    tf.join(df, "wh")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf").cast("double") *
+        log((col("n_docs").cast("double") + 1.0) /
+          (col("df").cast("double") + 1.0)))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("word"),
+        round(col("score"), 6).as("tfidf"))
+      .orderBy("doc_id", "rnk")
+  }
 }

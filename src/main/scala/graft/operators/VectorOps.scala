@@ -565,4 +565,49 @@ object VectorOps {
           .as("code_max"))
       .orderBy("vec_id")
   }
+
+  /** `emb_centroid_drift` (round 8): per-label centroid cosine against
+    * the global corpus centroid — the embedding-space drift diagnostic a
+    * training-data pipeline runs per source/shard/snapshot ("did this
+    * slice move away from the corpus center?"); a label whose centroid
+    * cosine drops between snapshots signals distribution shift before
+    * any downstream metric does.
+    *
+    * Cosine is scale-invariant, so the per-label SUM vector stands in
+    * for the mean and no division ever happens before the final cosine.
+    * Cross-engine exactness: float components are widened to double,
+    * rounded to 7dp, and summed as DECIMAL(18,7) — exact and
+    * order-independent, where a double sum over corpus rows would be
+    * partition-order-dependent (the same reason `sampleNeyman` refuses
+    * streaming stddev). Dot products between the (label, pos) sums and
+    * the global sums stay in DECIMAL (exact) and only the final
+    * cosine division runs in double, on identical operands both engines.
+    *
+    * Scale shape: posexplode fans each vector into dim rows, but the
+    * map-side partial aggregate collapses them to labels×dim before the
+    * ONE shuffle; the dim-row global table broadcasts back. Nothing
+    * corpus-sized crosses the wire — this is the elementwise-aggregate
+    * analog of `extractFeatures`' histogram shape. */
+  def centroidDrift(embeddings: DataFrame): DataFrame = {
+    val q = round(col("v").cast("double"), 7).cast("decimal(18,7)")
+    // pinned: the labels×dim sum table feeds both the global-centroid agg
+    // and the dot products — unpinned, the corpus explode runs twice
+    val s = graft.plans.PlanPins.lazyPin(embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(sum(q).cast("decimal(18,7)").as("s")))
+    val g = s.groupBy("pos").agg(sum(col("s")).cast("decimal(18,7)").as("g"))
+    val nvecs = embeddings.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+    s.join(broadcast(g), "pos")
+      .groupBy("label")
+      .agg(sum(col("s") * col("g")).as("sg"),
+        sum(col("s") * col("s")).as("ss"),
+        sum(col("g") * col("g")).as("gg"))
+      .join(broadcast(nvecs), "label")
+      .select(col("label"), col("n_vecs"),
+        round(col("sg").cast("double") /
+          (sqrt(col("ss").cast("double")) * sqrt(col("gg").cast("double"))),
+          6).as("centroid_cos"))
+      .orderBy("label")
+  }
 }

@@ -370,6 +370,49 @@ class PlanGuardSpec extends SparkSpec {
       s"over-quota source list should broadcast:\n$exec")
   }
 
+  test("tfidfKeywords: per-doc top-k takes the WindowGroupLimit cut, no hints") {
+    // the per-doc rank must get Spark's group-limit pushdown (a partial
+    // top-k BEFORE the doc_id shuffle — without it every (doc, word) tf
+    // row shuffles just to be discarded by rnk <= 3), and no corpus-sized
+    // relation may carry a broadcast HINT (the df side broadcasting at
+    // sf0.01 is a cost-based choice that flips to SMJ at scale)
+    val q = TextOps.tfidfKeywords(docs)
+    val hinted = q.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hinted.collect {
+      case h if h.hints.strategy.nonEmpty => h
+    }.size <= 1, s"unexpected hints: $hinted") // the 1-row doc-count broadcast only
+    val exec = q.queryExecution.executedPlan.treeString
+    assert(exec.contains("WindowGroupLimit"),
+      s"per-doc top-k lost the group-limit pushdown:\n$exec")
+  }
+
+  test("sampleNeyman: one moments pass feeds allocation AND total; alloc broadcasts") {
+    // the corpus-wide moments aggregation is pinned (PlanPins) so its two
+    // consumers share ONE pass; the strata-sized allocation broadcasts to
+    // the rank side — the corpus itself must never broadcast
+    val q = CorpusOps.sampleNeyman(docs)
+    val exec = graft.plans.PlanPins.expandedExecuted(q)
+    assert(exec.contains("BroadcastExchange"),
+      s"allocation table should broadcast:\n$exec")
+    // the UNPINNED raw plan must contain exactly one corpus scan (the
+    // rank input); the moments pass lives behind the pin
+    val scans = "FileScan parquet".r.findAllIn(
+      q.queryExecution.executedPlan.treeString).size
+    assert(scans == 1, s"expected 1 visible corpus scan (rank input), got $scans")
+  }
+
+  test("centroidDrift: decimal sums behind the pin; no collection aggregates") {
+    val emb = Tables.embeddings(spark, sf())
+    val q = VectorOps.centroidDrift(emb)
+    val opt = graft.plans.PlanPins.expandedOptimized(q)
+    assert(!opt.contains("collect_list") && !opt.contains("collect_set"),
+      s"collection aggregate in centroidDrift plan:\n$opt")
+    assert(opt.contains("decimal(18,7)"),
+      s"component sums must be DECIMAL-quantized (order-independence):\n$opt")
+    assert(opt.contains("posexplode"),
+      s"pin hid the explode from the expanded plan:\n$opt")
+  }
+
   test("cooccurPmi: bounded HOF pair expansion, no collection aggregates") {
     // pair generation must be the map-side transform/flatten expansion
     // (fan-out = win per token); counts are constant-state aggregates.
