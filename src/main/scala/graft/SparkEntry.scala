@@ -197,7 +197,9 @@ object SparkEntry {
     "corpus_stats" -> ((s, d) => CorpusOps.corpusStats(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) => CorpusOps.sampleStratified(Tables.documents(s, d))),
     "sample_neyman" -> ((s, d) => CorpusOps.sampleNeyman(Tables.documents(s, d))),
+    "sample_rejection" -> ((s, d) => CorpusOps.sampleRejection(Tables.documents(s, d))),
     "text_tfidf_keywords" -> ((s, d) => TextOps.tfidfKeywords(Tables.documents(s, d))),
+    "agg_heavy_hitters" -> ((s, d) => TextOps.heavyHitterWords(Tables.documents(s, d))),
     "text_lm_score" -> ((s, d) => CorpusOps.lmScore(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => CorpusOps.repetition(Tables.documents(s, d))),
     "sample_mixture" -> ((s, d) => CorpusOps.sampleMixture(Tables.documents(s, d))),
@@ -1327,6 +1329,23 @@ object SparkEntry {
         |SELECT doc_id, lang, CAST(rn AS INTEGER) AS rnk
         |FROM r JOIN alloc USING (lang)
         |WHERE rn <= na ORDER BY doc_id""".stripMargin,
+
+    // rejection sampling to a uniform length-bucket target: exact
+    // integer acceptance (u16 * cnt_b < 65536 * min_cnt), the samplePps
+    // md5 coin — replayed verbatim
+    "sample_rejection" ->
+      """WITH b AS (
+        |  SELECT doc_id, n_chars, text, n_chars // 500 AS bucket FROM documents),
+        |c AS (SELECT bucket, COUNT(*) AS cnt FROM b GROUP BY bucket),
+        |m AS (SELECT MIN(cnt) AS minc FROM c)
+        |SELECT doc_id, bucket, n_chars
+        |FROM b JOIN c USING (bucket) CROSS JOIN m
+        |WHERE ((instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 4096
+        |     + (instr('0123456789abcdef', substring(md5(text), 2, 1)) - 1) * 256
+        |     + (instr('0123456789abcdef', substring(md5(text), 3, 1)) - 1) * 16
+        |     + (instr('0123456789abcdef', substring(md5(text), 4, 1)) - 1)) * cnt
+        |      < 65536 * minc
+        |ORDER BY doc_id""".stripMargin,
 
     // integer tf/df/N -> identical idf doubles both engines; ties (equal
     // tf and df) break on the word string, which is why the engine ranks

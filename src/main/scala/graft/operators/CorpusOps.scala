@@ -233,6 +233,37 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** `sample_rejection` (round 8): rejection sampling to a UNIFORM
+    * length-bucket target — accept each document with probability
+    * min-bucket-count / its-bucket-count, flattening the corpus's length
+    * distribution (the distribution-matching pass behind "don't let the
+    * 200-char head drown the long-document tail in a training mix"; the
+    * same construction matches any target histogram by swapping the
+    * numerator). The acceptance coin is the `sample_pps` md5 device in
+    * EXACT integer form — accept iff u16·count_b < 65536·min_count —
+    * deterministic, partitioning-independent, oracle-replayed verbatim.
+    *
+    * Scale shape: one map-side-combined bucket count (lazy-pinned — the
+    * min and the per-bucket re-attach share it), the bucket table
+    * broadcasts, and acceptance is a map-only filter at scan speed. */
+  def sampleRejection(documents: DataFrame, bucketChars: Int = 500): DataFrame = {
+    val bucket = expr(s"n_chars DIV $bucketChars").as("bucket")
+    val counts = graft.plans.PlanPins.lazyPin(
+      documents.select(bucket).groupBy("bucket").agg(count(lit(1)).as("cnt")))
+    val minC = counts.agg(min(col("cnt")).as("minc"))
+    val u16 = expr(
+      """(instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 4096
+        | + (instr('0123456789abcdef', substring(md5(text), 2, 1)) - 1) * 256
+        | + (instr('0123456789abcdef', substring(md5(text), 3, 1)) - 1) * 16
+        | + (instr('0123456789abcdef', substring(md5(text), 4, 1)) - 1)""".stripMargin)
+    documents.select(col("doc_id"), col("n_chars"), col("text"), bucket)
+      .join(broadcast(counts), "bucket")
+      .crossJoin(broadcast(minC))
+      .filter(u16.cast("long") * col("cnt") < lit(65536L) * col("minc"))
+      .select(col("doc_id"), col("bucket"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** `text_lm_score`: corpus-frequency language-model scoring — for each
     * document, the mean corpus frequency of its word bigrams (a
     * perplexity-shaped fluency signal: rare-bigram documents score low,

@@ -326,6 +326,26 @@ object TextOps {
     * partitioned by doc_id: millions of small partitions, the
     * well-distributed window case (same shape as `topk_per_group`). The
     * doc count N broadcasts as one row. */
+  /** `agg_heavy_hitters` (round 8): top-k corpus words via the
+    * Space-Saving sketch ([[graft.functions.SpaceSaving]]) — the
+    * constant-memory alternative to `text_wordcount`'s exact groupBy
+    * when key cardinality itself is the bottleneck (billions of distinct
+    * urls/domains/grams at 100 TB: the exact form shuffles one row per
+    * DISTINCT key; the sketch shuffles `capacity` counters per
+    * partition, period). No oracle (declared ✗ like
+    * `agg_approx_distinct`: counter assignment under eviction is
+    * partition-order-dependent); RoundEightOpsSpec asserts the sketch's
+    * actual guarantees against the exact counts — overestimate-only,
+    * err ≤ n/capacity, no false negatives above n/capacity. */
+  def heavyHitterWords(documents: DataFrame, capacity: Int = 64,
+                       topK: Int = 10): DataFrame =
+    documents
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .select(graft.functions.SpaceSaving.heavyHitters(col("word"), capacity).as("hh"))
+      .select(explode(slice(col("hh"), 1, topK)).as("h"))
+      .select(col("h._1").as("word"), col("h._2").as("est"), col("h._3").as("err"))
+
   def tfidfKeywords(documents: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // the df join is keyed on xxhash64(word) — the word STRING rides as

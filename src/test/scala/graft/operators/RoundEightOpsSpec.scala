@@ -60,6 +60,56 @@ class RoundEightOpsSpec extends SparkSpec {
     }
   }
 
+  test("heavyHitterWords: Space-Saving guarantees hold against exact counts") {
+    val sess = spark
+    import sess.implicits._
+    // planted Zipf-ish skew across MORE distinct words than the sketch's
+    // capacity, spread over rows so partitioning exercises the merge
+    val words = (1 to 2000).flatMap { i =>
+      val heavy = Seq.fill(40)(s"w${i % 5}")          // 5 keys at ~16k each
+      val mid = Seq.fill(4)(s"m${i % 40}")            // 40 keys at ~200
+      val tail = Seq(s"t$i")                          // 2000 singletons
+      heavy ++ mid ++ tail
+    }
+    val docs = words.grouped(90).zipWithIndex
+      .map { case (ws, id) => (id.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val n = words.length.toLong
+    val capacity = 64
+    val exact = words.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val hh = TextOps.heavyHitterWords(docs, capacity = capacity, topK = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // overestimate-only with bounded error
+    hh.foreach { case (w, est, err) =>
+      val truth = exact.getOrElse(w, 0L)
+      assert(est >= truth, s"$w underestimated: $est < $truth")
+      assert(est - err <= truth, s"$w err bound broken: est=$est err=$err true=$truth")
+      assert(err <= n / capacity + 1, s"$w err $err exceeds n/capacity=${n / capacity}")
+    }
+    // no false negatives above the threshold: the 5 heavy keys dominate
+    val found = hh.map(_._1).toSet
+    (0 until 5).foreach(i => assert(found.contains(s"w$i"),
+      s"heavy key w$i (true=${exact(s"w$i")}) missing above n/capacity threshold"))
+  }
+
+  test("sampleRejection: flattens length buckets, deterministic, oracle-exact coin") {
+    val out = CorpusOps.sampleRejection(docs).collect()
+    assert(out.nonEmpty)
+    val again = CorpusOps.sampleRejection(docs).collect()
+    assert(out.map(_.getLong(0)).sorted.sameElements(again.map(_.getLong(0)).sorted))
+    // post-sample bucket counts should be near-uniform: every bucket's
+    // expected keep is the min bucket count; allow binomial slack
+    val kept = out.groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+    val pre = docs.selectExpr("n_chars DIV 500 AS b").groupBy("b").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val minc = pre.values.min.toDouble
+    kept.foreach { case (b, k) =>
+      assert(k <= pre(b), s"bucket $b kept more than it had")
+      assert(math.abs(k - minc) <= 4 * math.sqrt(minc) + 3,
+        s"bucket $b kept $k, expected ~$minc (binomial slack exceeded)")
+    }
+  }
+
   test("centroidDrift: one row per label, cosine in [-1,1], counts conserve") {
     val emb = Tables.embeddings(spark, sf())
     val out = VectorOps.centroidDrift(emb).collect()
