@@ -1347,9 +1347,10 @@ object SparkEntry {
         |      < 65536 * minc
         |ORDER BY doc_id""".stripMargin,
 
-    // integer tf/df/N -> identical idf doubles both engines; ties (equal
-    // tf and df) break on the word string, which is why the engine ranks
-    // on strings rather than the lm_score hash-shuffle shape
+    // integer tf/df/N feed ln() on both engines, but ln is not correctly
+    // rounded in either libm — so BOTH engines rank on the 6dp-quantized
+    // score (last-ulp divergence cannot flip near-ties); remaining ties
+    // break on the word string
     "text_tfidf_keywords" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
@@ -1364,11 +1365,11 @@ object SparkEntry {
         |      / (CAST(df AS DOUBLE) + 1.0)) AS score
         |  FROM tf JOIN df USING (word) CROSS JOIN n),
         |r AS (
-        |  SELECT doc_id, word, score,
+        |  SELECT doc_id, word, round(score, 6) AS tfidf,
         |    CAST(row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY score DESC, word) AS INTEGER) AS rnk
+        |      ORDER BY round(score, 6) DESC, word) AS INTEGER) AS rnk
         |  FROM s)
-        |SELECT doc_id, rnk, word, round(score, 6) AS tfidf
+        |SELECT doc_id, rnk, word, tfidf
         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
 
     // all-integer bigram-frequency scoring; the single division is the

@@ -312,9 +312,10 @@ object TextOps {
   /** `text_tfidf_keywords` (round 8): per-document top-k keywords by
     * tf·idf — the keyword-extraction pass behind topic tagging, index
     * building, and per-domain vocabulary audits. idf = ln((N+1)/(df+1))
-    * with integer tf/df/N on both engines, so every score is the same
-    * IEEE double cross-engine; ties (same tf AND same df — common for
-    * once-used words) break on the word itself, which is why the
+    * with integer tf/df/N on both engines; ln is NOT correctly rounded
+    * on either libm, so the rank orders on the 6dp-quantized score
+    * (sub-6dp divergence cannot reorder rows); ties (same quantized
+    * score) break on the word itself, which is why the
     * pipeline ranks on word STRINGS rather than the 8-byte-hash shuffle
     * shape `text_lm_score` uses (an engine-shared deterministic hash
     * would be needed to tie-break on hashes; tokens are short, so the
@@ -361,16 +362,22 @@ object TextOps {
       .select(col("doc_id"), col("word"), xxhash64(col("word")).as("wh"), col("tf"))
     val df = tf.groupBy("wh").agg(count(lit(1)).as("df"))
     val n = documents.select(count(lit(1)).as("n_docs"))
-    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))
+    // rank on the 6dp-QUANTIZED score: idf comes from a natural log and
+    // JVM Math.log vs DuckDB's libm ln are not guaranteed bit-identical
+    // (neither is correctly rounded, unlike +,-,*,/,sqrt) — a last-ulp
+    // difference between two near-tied words must not flip the per-doc
+    // rank, so both engines order by round(score, 6) and the emitted
+    // tfidf column IS the ranked value.
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("word"))
     tf.join(df, "wh")
       .crossJoin(broadcast(n))
       .withColumn("score", col("tf").cast("double") *
         log((col("n_docs").cast("double") + 1.0) /
           (col("df").cast("double") + 1.0)))
+      .withColumn("tfidf", round(col("score"), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("doc_id"), col("rnk"), col("word"),
-        round(col("score"), 6).as("tfidf"))
+      .select(col("doc_id"), col("rnk"), col("word"), col("tfidf"))
       .orderBy("doc_id", "rnk")
   }
 }
