@@ -87,6 +87,7 @@ object Bench {
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    LogHygiene.muteBoundedGlobalWindowWarn
     // Warmup: JIT + codegen caches + parquet footers, so the first timed
     // query isn't billed for session spin-up.
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -170,16 +171,28 @@ object Bench {
     val metaRows = scala.collection.mutable.LinkedHashMap[String, QMeta]()
     // fixed name order: run-to-run and round-to-round comparability
     // (Map iteration order is hash-dependent)
+    // each invocation builds a FRESH frame, so its checkpoint pins are
+    // invocation-private — release them once the rows are consumed, or
+    // warm re-runs accumulate one pinned table per run (r8 ADVICE: the
+    // registry/bench path never released what clusters()/lazyPin pinned;
+    // the same leak class as the r7 13.8→66 s decay, smaller residue).
+    // Shared caches (e.g. the IVF index) are InMemoryRelations, not
+    // LogicalRDD leaves, and are untouched by releaseAllCheckpoints.
+    def runAndRelease(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      val df = fn(spark, sfDir)
+      try df.count()
+      finally org.apache.spark.sql.graftbridge.ColumnBridge.releaseAllCheckpoints(df)
+    }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       (1 to warm).foreach { _ =>
-        try fn(spark, sfDir).count()
+        try runAndRelease(fn)
         catch { case _: Throwable => () } // timed run reports the failure
       }
       val startOff = (System.nanoTime() - benchT0) / 1e9
       val loadAtStart = osBean.getSystemLoadAverage
       def once(): Double = {
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
+        val ok = try { runAndRelease(fn); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }

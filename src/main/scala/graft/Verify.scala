@@ -24,6 +24,7 @@ object Verify {
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    LogHygiene.muteBoundedGlobalWindowWarn
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=a,b,c restricts the dump to named queries — local
     // iteration aid; the driver sets nothing and gets the full gate
@@ -34,9 +35,14 @@ object Verify {
       case None => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      // release each frame's invocation-private checkpoint pins once its
+      // rows are written — 162 queries share this JVM (r8 ADVICE leak)
+      try {
+        val df = fn(spark, sfDir)
+        try df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        finally org.apache.spark.sql.graftbridge.ColumnBridge
+          .releaseAllCheckpoints(df)
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

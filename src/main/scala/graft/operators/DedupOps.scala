@@ -299,7 +299,15 @@ object DedupOps {
     * partition (8-byte pairs) keeps each task meaningful at any scale,
     * growing the partition count linearly with the near-dup graph. The
     * sizing lives in a CLONED session's conf — isolated by construction,
-    * so the caller's session conf is never touched. */
+    * so the caller's session conf is never touched.
+    *
+    * OWNERSHIP: the returned frame scans the final label-table
+    * checkpoint, which stays pinned in the block store until the caller
+    * releases it — call `ColumnBridge.releaseAllCheckpoints(result)`
+    * once the rows are consumed and the frame will not be executed
+    * again. The Bench/Verify harnesses do this per run (r8 ADVICE: a
+    * long-lived JVM that re-invokes without releasing accumulates one
+    * label table per invocation). */
   def clusters(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     // materialize the pair detector ONCE before symmetrizing: the union's
@@ -563,7 +571,11 @@ object DedupOps {
     * Scale shape: rides the audited minhash+CC plan end to end; the
     * histogram itself adds two tiny aggregations (cluster-count-sized,
     * then distinct-size-sized) and two 1-row count aggregates joined by
-    * broadcast crossJoin — nothing new shuffles at corpus scale. */
+    * broadcast crossJoin — nothing new shuffles at corpus scale.
+    *
+    * OWNERSHIP: as with [[clusters]], the returned frame holds a lazy
+    * checkpoint pin — release with
+    * `ColumnBridge.releaseAllCheckpoints(result)` when done. */
   def clusterSizeHist(documents: DataFrame): DataFrame = {
     // lazy localCheckpoint (round-7 ADVICE fix; the ts_* shared-pre-agg
     // pattern): BOTH branches below consume the minhash+connected-

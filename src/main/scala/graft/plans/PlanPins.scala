@@ -46,24 +46,42 @@ object PlanPins {
   }
 
   /** Optimized-plan tree string with every recorded checkpoint origin
-    * appended (recursively — origins were stored pre-expanded). */
+    * appended (recursively — origins were stored pre-expanded). A leaf
+    * whose origin was LRU-evicted gets an explicit MISSING sentinel so a
+    * negative guard (e.g. `!contains("collect_list")`) cannot pass
+    * vacuously against a silently blinded plan — guards must assert the
+    * `checkpoint origin` marker is present (see PlanGuardSpec). */
   def expandedOptimized(df: DataFrame): String = {
     val base = df.queryExecution.optimizedPlan
-    val tails = ColumnBridge.checkpointRddIds(base)
-      .flatMap(id => origins.synchronized(Option(origins.get(id))))
-      .map { case (o, _) => s"\n-- checkpoint origin (optimized) --\n$o" }
+    val tails = ColumnBridge.checkpointRddIds(base).map { id =>
+      origins.synchronized(Option(origins.get(id))) match {
+        case Some((o, _)) => s"\n-- checkpoint origin (optimized) --\n$o"
+        case None => s"\n-- checkpoint origin MISSING (rdd $id) --"
+      }
+    }
     base.toString + tails.mkString
   }
 
-  /** Executed-plan tree string with checkpoint origins appended. The
-    * origin executed plans are the ones compiled when the pin was
-    * created (pre-AQE-execution tree for a lazy pin — exactly what the
-    * pinned subquery runs when first materialized). */
+  /** Executed-plan tree string with checkpoint origins appended (MISSING
+    * sentinel on LRU eviction, as in [[expandedOptimized]]). The origin
+    * executed plans are the ones compiled when the pin was created
+    * (pre-AQE-execution tree for a lazy pin — exactly what the pinned
+    * subquery runs when first materialized). */
   def expandedExecuted(df: DataFrame): String = {
     val exec = df.queryExecution.executedPlan
-    val tails = ColumnBridge.checkpointRddIdsExec(exec)
-      .flatMap(id => origins.synchronized(Option(origins.get(id))))
-      .map { case (_, e) => s"\n-- checkpoint origin (executed) --\n$e" }
+    val tails = ColumnBridge.checkpointRddIdsExec(exec).map { id =>
+      origins.synchronized(Option(origins.get(id))) match {
+        case Some((_, e)) => s"\n-- checkpoint origin (executed) --\n$e"
+        case None => s"\n-- checkpoint origin MISSING (rdd $id) --"
+      }
+    }
     exec.treeString + tails.mkString
   }
+
+  /** True when every checkpoint leaf in `plan` has a recorded origin —
+    * the precondition for a negative plan-guard assertion to be
+    * meaningful. Guards call this (or assert the absence of the MISSING
+    * sentinel) before asserting on expanded plan content. */
+  def originsComplete(expanded: String): Boolean =
+    !expanded.contains("-- checkpoint origin MISSING")
 }

@@ -89,13 +89,22 @@ object ColumnBridge {
   /** A `LogicalRDD` produced by `freshLogicalRdd`/`intoSession` wraps
     * the persisted checkpoint RDD in derived (projection) RDDs, so the
     * node's own `rdd` holds no blocks — walk the narrow dependency chain
-    * and unpersist every persisted ancestor. Chains are a handful of
-    * in-JVM hops (checkpoint → scan → projection); no job is run. */
+    * to the FIRST persisted ancestor (the checkpoint block holder),
+    * unpersist it, and STOP. Recursing past a persisted ancestor is
+    * unsafe (r8 ADVICE): on a lazy not-yet-materialized pin the lineage
+    * is not yet truncated, so the walk would reach UPSTREAM persisted
+    * RDDs — e.g. another live checkpoint feeding a second consumer — and
+    * local-checkpoint blocks are unrecoverable once dropped. Anything
+    * above the first persisted ancestor is by construction a different
+    * pin with its own owner and its own release call. Chains are a
+    * handful of in-JVM hops (checkpoint → scan → projection); no job is
+    * run. */
   private def releaseChain(rdd: org.apache.spark.rdd.RDD[_]): Unit = {
     muteUnpersistWarn
     if (rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
-      rdd.unpersist(blocking = false)
-    rdd.dependencies.foreach(d => releaseChain(d.rdd))
+      rdd.unpersist(blocking = false) // block holder found — stop here
+    else
+      rdd.dependencies.foreach(d => releaseChain(d.rdd))
   }
 
   // unpersisting a locally-checkpointed RDD logs "lineage has been

@@ -45,4 +45,25 @@ class ClustersStorageSpec extends SparkSpec {
     assert(after.size < before.size,
       s"release was a no-op: before=$before after=$after")
   }
+
+  test("releaseCheckpoint stops at the first persisted ancestor (r8 ADVICE)") {
+    // a LAZY (never-materialized) pin derived from a LIVE upstream pin:
+    // the derived pin's lineage is not yet truncated, so a release walk
+    // that recursed past the first persisted ancestor would also drop
+    // the upstream checkpoint's blocks — which a second consumer still
+    // needs, and local-checkpoint blocks are unrecoverable once dropped
+    import org.apache.spark.sql.functions._
+    val upstream = graft.plans.PlanPins.lazyPin(
+      Tables.documents(spark, sf()).select(col("doc_id"), col("lang")))
+    assert(upstream.count() > 0) // materialize the upstream blocks
+    val upstreamRddId = ColumnBridge.checkpointRdd(upstream).get.id
+    val derived = upstream.filter(col("lang") === "en")
+      .localCheckpoint(eager = false) // lazy: lineage still reaches upstream
+    ColumnBridge.releaseCheckpoint(derived)
+    assert(spark.sparkContext.getPersistentRDDs.contains(upstreamRddId),
+      "releasing a lazy derived pin dropped the LIVE upstream checkpoint")
+    // upstream must still be executable (its blocks are intact)
+    assert(upstream.count() > 0)
+    ColumnBridge.releaseCheckpoint(upstream)
+  }
 }

@@ -405,6 +405,12 @@ class PlanGuardSpec extends SparkSpec {
     val emb = Tables.embeddings(spark, sf())
     val q = VectorOps.centroidDrift(emb)
     val opt = graft.plans.PlanPins.expandedOptimized(q)
+    // the negative asserts below are vacuous if the pin's origin was
+    // LRU-evicted — require the origin to actually be present (r8 ADVICE)
+    assert(opt.contains("checkpoint origin (optimized)"),
+      s"pin origin missing from expanded plan — guard would be blind:\n$opt")
+    assert(graft.plans.PlanPins.originsComplete(opt),
+      s"an origin was evicted (MISSING sentinel) — guard would be blind:\n$opt")
     assert(!opt.contains("collect_list") && !opt.contains("collect_set"),
       s"collection aggregate in centroidDrift plan:\n$opt")
     assert(opt.contains("decimal(18,7)"),
@@ -419,6 +425,10 @@ class PlanGuardSpec extends SparkSpec {
     // The candidate set is checkpoint-pinned, so the guard reads the
     // PlanPins-expanded plan (base + checkpoint origins) — r7 verdict #1.
     val plan = graft.plans.PlanPins.expandedOptimized(CorpusOps.cooccurPmi(docs))
+    assert(plan.contains("checkpoint origin (optimized)"),
+      s"pin origin missing from expanded plan — guard would be blind:\n$plan")
+    assert(graft.plans.PlanPins.originsComplete(plan),
+      s"an origin was evicted (MISSING sentinel) — guard would be blind:\n$plan")
     assert(!plan.contains("collect_list") && !plan.contains("collect_set"),
       s"collection aggregate in cooccurPmi plan:\n$plan")
     assert(plan.contains("transform") && plan.contains("flatten"),
@@ -438,6 +448,37 @@ class PlanGuardSpec extends SparkSpec {
     assert(!exec.matches("(?s).*SortMergeJoin.*h1.*") &&
       !exec.matches("(?s).*SortMergeJoin.*h2.*"),
       s"dictionary joined the full pair table:\n$exec")
+  }
+
+  test("every unpartitioned window in the registry is cardinality-bounded (r8 verdict)") {
+    // an unpartitioned window moves ALL its input to one task — fine for
+    // the library's actual global-window sites (post-TakeOrdered top-N
+    // cumulative sums, ~20-bucket histograms, k-row RRF fusion), fatal
+    // if a future edit feeds one corpus-sized input. Structural rule:
+    // below every global Window there must be a Limit or an Aggregate
+    // (something that reduces cardinality away from the corpus) before
+    // any scan leaf. The WindowExec WARN is muted at the entrypoints
+    // (LogHygiene), so this guard is what fails loudly instead.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def globalWindows(p: LogicalPlan): Seq[Window] =
+      p.collect { case w: Window if w.partitionSpec.isEmpty => w }
+    def bounded(p: LogicalPlan): Boolean =
+      (p.isInstanceOf[GlobalLimit] || p.isInstanceOf[LocalLimit] ||
+        p.isInstanceOf[Aggregate]) || p.children.exists(bounded)
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf()).queryExecution.optimizedPlan
+        globalWindows(plan).filterNot(w => bounded(w.child)).map(_ => name)
+    }
+    assert(offenders.isEmpty,
+      s"corpus-sized global window (no Limit/Aggregate below) in: " +
+        s"${offenders.distinct.mkString(", ")}")
+    // mutation: a deliberately corpus-sized global window must be flagged
+    val mutant = docs.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window.orderBy("doc_id")))
+    val mws = globalWindows(mutant.queryExecution.optimizedPlan)
+    assert(mws.nonEmpty && mws.exists(w => !bounded(w.child)),
+      "the guard failed to flag a corpus-sized global window")
   }
 
   test("ngramContainment shares the jaccard candidate plan (no hints, bounded index)") {

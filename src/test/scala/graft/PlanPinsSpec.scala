@@ -81,6 +81,24 @@ class PlanPinsSpec extends SparkSpec {
       s"inner pin's origin lost through the outer pin:\n$exec")
   }
 
+  test("an unrecorded/evicted origin surfaces as an explicit MISSING sentinel") {
+    // a checkpoint whose origin was never recorded (the same observable
+    // state as an LRU-evicted lazyPin in a long-lived session) must NOT
+    // silently return the blinded base plan: negative guards assert
+    // originsComplete, so eviction turns into a loud failure, not a
+    // vacuous pass (r8 ADVICE, PlanPins.scala:26)
+    val pinned = hofPairs.orderBy(col("cnt").desc).limit(10)
+      .localCheckpoint(eager = false) // raw pin — bypasses lazyPin on purpose
+    val expanded = PlanPins.expandedOptimized(pinned.filter(col("cnt") > 0))
+    assert(expanded.contains("-- checkpoint origin MISSING (rdd "),
+      s"no MISSING sentinel for an unrecorded checkpoint origin:\n$expanded")
+    assert(!PlanPins.originsComplete(expanded),
+      "originsComplete must be false when a sentinel is present")
+    val exec = PlanPins.expandedExecuted(pinned.filter(col("cnt") > 0))
+    assert(exec.contains("-- checkpoint origin MISSING (rdd "),
+      s"executed-side expansion lacks the MISSING sentinel:\n$exec")
+  }
+
   test("lazyPin materializes the same rows as the unpinned plan") {
     val base = hofPairs.orderBy(col("cnt").desc, col("h1"), col("h2")).limit(5)
     val pinned = PlanPins.lazyPin(base)
