@@ -1,0 +1,214 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.collection.mutable.ArrayBuffer
+
+/** The bus surface the engine talks to (SURVEY §7 M5) — one interface,
+  * two transports:
+  *
+  *  - [[InMemoryBus]]: the single-JVM test double (statics),
+  *  - [[SocketBus]]: a TCP client to a [[BusService]] daemon in its OWN
+  *    process (round-8 verdict #1 — the ack-on-commit guarantee is the
+  *    reference's core semantic and must be proven across a real process
+  *    boundary, like the reference's own `test_client.py:6-31`
+  *    cross-process harness).
+  *
+  * Everything the connector, pipelines, and test clients do goes through
+  * this trait, so the DSv2 source and the pipeline runners are
+  * transport-agnostic: `BusRegistry.resolve(spec)` turns the
+  * `bus` option string into a live transport ON WHICHEVER JVM asks
+  * (driver or executor — partitions carry the spec string, never a
+  * connection).
+  *
+  * The fault-injection surface is part of the trait on purpose: the
+  * retry/backoff/partial-pull contracts (`pubsub_pipeline.py:204-211`)
+  * are only cross-process-proven if the failures themselves can be
+  * injected through the wire.
+  */
+trait Bus {
+  def createTopic(topic: String): Unit
+  def createSubscription(topic: String, name: String): Unit
+  def publish(topic: String, data: Array[Byte],
+              attributes: Map[String, String] = Map.empty): String
+  def publishIdempotent(topic: String, key: String, data: Array[Byte]): Boolean
+  def endOffset(name: String): Long
+  def committedOffset(name: String): Long
+  def read(name: String, from: Long, until: Long): Seq[InMemoryBus.BusMessage]
+  def commit(name: String, upTo: Long): Unit
+  def payloads(name: String): Seq[Array[Byte]]
+  // --- fault injection / test support --------------------------------
+  def failNextPulls(name: String, n: Int): Unit
+  def failNextCommits(name: String, n: Int): Unit
+  def capNextPulls(name: String, maxPerPull: Long, times: Int): Unit
+  def failNextPublishes(topic: String, n: Int): Unit
+  def failPublishesAfter(topic: String, after: Int, n: Int): Unit
+  def rewindCommitted(name: String, to: Long): Unit
+  def reset(): Unit
+}
+
+/** Resolves a `bus` option string to a transport. Stateless by design:
+  * a [[SocketBus]] opens one connection per call, so resolving on an
+  * executor is free and nothing needs pooling or serializing. */
+object BusRegistry {
+  def resolve(spec: String): Bus = spec match {
+    case null | "" | "memory" => InMemoryBus
+    case s if s.startsWith("socket://") =>
+      val hp = s.stripPrefix("socket://")
+      val i = hp.lastIndexOf(':')
+      require(i > 0, s"bus spec must be socket://host:port, got: $spec")
+      new SocketBus(hp.substring(0, i), hp.substring(i + 1).toInt)
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown bus spec '$other' (expected 'memory' or 'socket://host:port')")
+  }
+}
+
+/** The bus state machine — topics, subscriptions, ordered logs with a
+  * committed (acked) prefix, at-least-once redelivery, idempotent keyed
+  * publish, and the injectable fault surface. Instantiable so the
+  * [[BusService]] daemon owns a private core while [[InMemoryBus]] keeps
+  * its JVM-singleton core; the semantics (documented on [[InMemoryBus]])
+  * live here exactly once. Spark-free on purpose: the daemon runs on a
+  * bare JVM with just the library classes.
+  */
+final class BusCore extends Bus {
+  import InMemoryBus.{AckRpcError, BusMessage, PublishError, TransientPullError}
+
+  private final class Subscription(val topic: String, val name: String) {
+    val log = new ArrayBuffer[BusMessage]()
+    var committed: Long = 0L
+    var failPulls: Int = 0
+    var capPulls: Int = 0
+    var capPerPull: Long = Long.MaxValue
+    var failCommits: Int = 0
+  }
+
+  private val topics = new ConcurrentHashMap[String, ArrayBuffer[Subscription]]()
+  private val failPublishes = new ConcurrentHashMap[String, Integer]()
+  private val publishGrace = new ConcurrentHashMap[String, Integer]()
+  private val subs = new ConcurrentHashMap[String, Subscription]()
+  private val publishedKeys = new ConcurrentHashMap[String, java.util.HashSet[String]]()
+  private val idGen = new java.util.concurrent.atomic.AtomicLong(0L)
+  // Deterministic logical clock for publishTime (no wall clock in tests).
+  private val clock = new java.util.concurrent.atomic.AtomicLong(1704067200000000L)
+
+  override def createTopic(topic: String): Unit = synchronized {
+    topics.putIfAbsent(topic, new ArrayBuffer[Subscription]())
+  }
+
+  override def createSubscription(topic: String, name: String): Unit = synchronized {
+    createTopic(topic)
+    if (!subs.containsKey(name)) {
+      val s = new Subscription(topic, name)
+      subs.put(name, s)
+      topics.get(topic) += s
+    }
+  }
+
+  override def publish(topic: String, data: Array[Byte],
+                       attributes: Map[String, String] = Map.empty): String = synchronized {
+    createTopic(topic)
+    val grace = publishGrace.getOrDefault(topic, 0)
+    if (grace > 0) publishGrace.put(topic, grace - 1)
+    else {
+      val remaining = failPublishes.getOrDefault(topic, 0)
+      if (remaining > 0) {
+        failPublishes.put(topic, remaining - 1)
+        throw new PublishError(s"injected publish failure on $topic")
+      }
+    }
+    val id = s"m-${idGen.incrementAndGet()}"
+    val msg = BusMessage(data, id, clock.addAndGet(1000L), attributes)
+    topics.get(topic).foreach(_.log += msg)
+    id
+  }
+
+  private def sub(name: String): Subscription = {
+    val s = subs.get(name)
+    require(s != null, s"no such subscription: $name")
+    s
+  }
+
+  override def endOffset(name: String): Long = synchronized {
+    val s = sub(name)
+    if (s.failPulls > 0) {
+      s.failPulls -= 1
+      throw new TransientPullError(s"injected deadline-exceeded on $name")
+    }
+    if (s.capPulls > 0) {
+      // partial pull: the service under-reports the backlog — fewer
+      // messages come back than are available (real Pub/Sub does this
+      // routinely; a correct client must keep pulling, not assume drained)
+      s.capPulls -= 1
+      math.min(s.log.size.toLong, s.committed + s.capPerPull)
+    } else s.log.size.toLong
+  }
+
+  override def committedOffset(name: String): Long = synchronized { sub(name).committed }
+
+  override def read(name: String, from: Long, until: Long): Seq[BusMessage] =
+    synchronized {
+      sub(name).log.slice(from.toInt, until.toInt).toSeq
+    }
+
+  override def commit(name: String, upTo: Long): Unit = synchronized {
+    val s = sub(name)
+    if (s.failCommits > 0) {
+      s.failCommits -= 1
+      throw new AckRpcError(s"injected ack-RPC loss on $name")
+    }
+    s.committed = math.max(s.committed, upTo)
+  }
+
+  override def capNextPulls(name: String, maxPerPull: Long, times: Int): Unit =
+    synchronized {
+      val s = sub(name)
+      s.capPerPull = maxPerPull
+      s.capPulls = times
+    }
+
+  override def failNextCommits(name: String, n: Int): Unit = synchronized {
+    sub(name).failCommits = n
+  }
+
+  override def rewindCommitted(name: String, to: Long): Unit = synchronized {
+    sub(name).committed = to
+  }
+
+  override def failNextPulls(name: String, n: Int): Unit = synchronized {
+    sub(name).failPulls = n
+  }
+
+  override def publishIdempotent(topic: String, key: String, data: Array[Byte]): Boolean =
+    synchronized {
+      createTopic(topic)
+      val seen = publishedKeys.computeIfAbsent(topic, _ => new java.util.HashSet[String]())
+      if (seen.contains(key)) false
+      else {
+        publish(topic, data)
+        seen.add(key)
+        true
+      }
+    }
+
+  override def failNextPublishes(topic: String, n: Int): Unit = synchronized {
+    failPublishes.put(topic, n)
+    publishGrace.remove(topic)
+  }
+
+  override def failPublishesAfter(topic: String, after: Int, n: Int): Unit =
+    synchronized {
+      publishGrace.put(topic, after)
+      failPublishes.put(topic, n)
+    }
+
+  override def payloads(name: String): Seq[Array[Byte]] = synchronized {
+    sub(name).log.map(_.data).toSeq
+  }
+
+  override def reset(): Unit = synchronized {
+    topics.clear(); subs.clear(); failPublishes.clear()
+    publishGrace.clear(); publishedKeys.clear()
+  }
+}

@@ -35,6 +35,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * Row schema (superset of what the reference reads, Kafka-source-shaped,
   * SURVEY §1.3): value BINARY, ackId STRING, messageId STRING,
   * publishTime TIMESTAMP, attributes MAP<STRING,STRING>.
+  *
+  * Option `bus` selects the transport: `memory` (default — the in-JVM
+  * [[InMemoryBus]] singleton) or `socket://host:port` (a [[BusService]]
+  * daemon in its own process; input partitions carry the spec string so
+  * executor JVMs each resolve their own client — r8 verdict #1).
   */
 class BusProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -72,6 +77,7 @@ private class BusTable(props: Map[String, String]) extends Table with SupportsRe
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new BusMicroBatchStream(
             subscription = options.get("subscription"),
+            busSpec = Option(options.get("bus")).getOrElse("memory"),
             bulkLimit = Option(options.get("bulkLimit")).map(_.toInt).getOrElse(20),
             maxPullRetries = Option(options.get("maxPullRetries")).map(_.toInt).getOrElse(3),
             readPartitions = Option(options.get("readPartitions")).map(_.toInt).getOrElse(4),
@@ -88,7 +94,8 @@ case class BusOffset(offset: Long) extends Offset {
   override def json(): String = offset.toString
 }
 
-private class BusMicroBatchStream(subscription: String, bulkLimit: Int,
+private class BusMicroBatchStream(subscription: String, busSpec: String,
+                                  bulkLimit: Int,
                                   maxPullRetries: Int, readPartitions: Int,
                                   retryBackoffMs: Long, respectDeadline: Boolean,
                                   maxBytesPerPull: Long)
@@ -97,6 +104,11 @@ private class BusMicroBatchStream(subscription: String, bulkLimit: Int,
 
   require(subscription != null, "option 'subscription' is required")
   require(readPartitions >= 1, "readPartitions must be >= 1")
+
+  // transport behind the `bus` option: the in-JVM singleton (default) or
+  // a SocketBus client to a BusService daemon in another process — the
+  // connector logic below is identical either way (r8 verdict #1)
+  private val bus: Bus = BusRegistry.resolve(busSpec)
 
   @volatile private var availableNowEnd: Option[Long] = None
 
@@ -111,7 +123,7 @@ private class BusMicroBatchStream(subscription: String, bulkLimit: Int,
     var attempt = 0
     while (true) {
       try {
-        return InMemoryBus.endOffset(subscription)
+        return bus.endOffset(subscription)
       } catch {
         case e: InMemoryBus.TransientPullError =>
           if (respectDeadline) throw e
@@ -124,7 +136,7 @@ private class BusMicroBatchStream(subscription: String, bulkLimit: Int,
   }
 
   override def initialOffset(): Offset =
-    BusOffset(InMemoryBus.committedOffset(subscription))
+    BusOffset(bus.committedOffset(subscription))
 
   override def deserializeOffset(json: String): Offset = BusOffset(json.toLong)
 
@@ -151,7 +163,7 @@ private class BusMicroBatchStream(subscription: String, bulkLimit: Int,
       else {
         var bytes = 0L
         var o = from
-        val it = InMemoryBus.read(subscription, from, rowCapped).iterator
+        val it = bus.read(subscription, from, rowCapped).iterator
         var stop = false
         while (!stop && it.hasNext) {
           bytes += it.next().data.length
@@ -187,7 +199,7 @@ private class BusMicroBatchStream(subscription: String, bulkLimit: Int,
         // even split: first (span % n) slices get one extra row
         val lo = s + i * (span / n) + math.min(i, span % n)
         val hi = s + (i + 1) * (span / n) + math.min(i + 1, span % n)
-        BusInputPartition(subscription, lo, hi): InputPartition
+        BusInputPartition(subscription, busSpec, lo, hi): InputPartition
       }.toArray
     }
   }
@@ -202,7 +214,7 @@ private class BusMicroBatchStream(subscription: String, bulkLimit: Int,
     * — unlike the reference, whose bare-except swallow at the same spot
     * leaves the message to redeliver as a duplicate. */
   override def commit(end: Offset): Unit =
-    try InMemoryBus.commit(subscription, end.asInstanceOf[BusOffset].offset)
+    try bus.commit(subscription, end.asInstanceOf[BusOffset].offset)
     catch { case e: InMemoryBus.AckRpcError =>
       System.err.println(s"[bus] ack lost on $subscription (will heal): ${e.getMessage}")
     }
@@ -210,14 +222,18 @@ private class BusMicroBatchStream(subscription: String, bulkLimit: Int,
   override def stop(): Unit = ()
 }
 
-private case class BusInputPartition(subscription: String, start: Long, end: Long)
+/** Carries the bus SPEC string, never a connection: the reader resolves
+  * its own transport on whichever executor JVM it lands in. */
+private case class BusInputPartition(subscription: String, busSpec: String,
+                                     start: Long, end: Long)
     extends InputPartition
 
 private class BusReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[BusInputPartition]
     new PartitionReader[InternalRow] {
-      private val msgs = InMemoryBus.read(p.subscription, p.start, p.end).iterator
+      private val msgs =
+        BusRegistry.resolve(p.busSpec).read(p.subscription, p.start, p.end).iterator
       private var idx = p.start - 1
       private var current: InMemoryBus.BusMessage = _
 

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.{StreamingQueryListener, StreamingQueryProgress}
 
-import graft.sources.InMemoryBus
+import graft.sources.{BusRegistry, InMemoryBus}
 
 /** Ack bookkeeping shared by the pipeline runners: on each completed
   * micro-batch (QueryProgress fires after the batch's offset/commit logs
@@ -13,7 +13,10 @@ import graft.sources.InMemoryBus
   * it. Events arriving before the query's runId is known are buffered and
   * replayed by `bind()`, so no batch commit can be missed. */
 private[streaming] final class AckOnCommitListener(
-    session: SparkSession, sub: String) extends StreamingQueryListener {
+    session: SparkSession, sub: String,
+    busSpec: String = "memory") extends StreamingQueryListener {
+  // driver-side: one resolved transport for the listener's lifetime
+  private val bus = BusRegistry.resolve(busSpec)
   import StreamingQueryListener._
 
   @volatile private var runId: java.util.UUID = _
@@ -41,7 +44,7 @@ private[streaming] final class AckOnCommitListener(
           // a lost ack RPC is non-fatal by design: acks are cumulative,
           // so the next batch's ack covers this prefix (the data itself
           // is WAL-protected — no redelivery, no duplicate)
-          try InMemoryBus.commit(sub, o.toLong)
+          try bus.commit(sub, o.toLong)
           catch { case e: InMemoryBus.AckRpcError =>
             System.err.println(s"[bus] ack lost on $sub (will heal): ${e.getMessage}")
           }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.sources.{BusProvider, InMemoryBus}
+import graft.sources.{BusProvider, BusRegistry}
 
 /** Typed bulk pipeline — the engine's `BulkPubSubPipeline`
   * (`pubsub_pipeline.py:214-242`): the processor sees the whole pulled
@@ -34,16 +34,20 @@ final class BulkPipeline[A, B](
     bulk: Seq[A] => Seq[B],
     checkpointDir: String,
     bulkLimit: Int = 20,
-    readPartitions: Int = 1) extends Serializable {
+    readPartitions: Int = 1,
+    /** Bus transport spec (see [[Pipeline]]). */
+    busSpec: String = "memory") extends Serializable {
 
   def start(availableNow: Boolean = false): StreamingQuery = {
     val dser = deserializer; val ser = serializer; val f = bulk
     val topic = outTopic
-    val ackListener = new AckOnCommitListener(spark, subscription)
+    val busLocal = busSpec
+    val ackListener = new AckOnCommitListener(spark, subscription, busSpec)
     spark.streams.addListener(ackListener)
     val src = spark.readStream
       .format(BusProvider.format)
       .option("subscription", subscription)
+      .option("bus", busSpec)
       .option("bulkLimit", bulkLimit)
       .option("readPartitions", readPartitions)
       .load()
@@ -65,7 +69,8 @@ final class BulkPipeline[A, B](
             res.iterator.map(ser)
           }(Encoders.BINARY)
         out.foreachPartition { rows: Iterator[Array[Byte]] =>
-          rows.foreach(InMemoryBus.publish(topic, _))
+          val bus = BusRegistry.resolve(busLocal)
+          rows.foreach(bus.publish(topic, _))
         }
       }
       .start()

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.sources.InMemoryBus
+import graft.sources.BusRegistry
 
 /** E2E test harness — the engine's `TestClient` (`test_client.py:6-31`):
   * the *reverse* pair of a pipeline under test. It publishes into the
@@ -19,25 +19,29 @@ import graft.sources.InMemoryBus
 final class BusTestClient(
     inTopic: String,
     outSubscription: String,
-    callback: Array[Byte] => Unit = b => println(new String(b, "UTF-8")))
+    callback: Array[Byte] => Unit = b => println(new String(b, "UTF-8")),
+    /** Bus transport spec (see [[Pipeline]]); the cross-process suites
+      * point this at a [[graft.sources.BusService]] daemon. */
+    busSpec: String = "memory")
     extends AutoCloseable {
 
+  private val bus = BusRegistry.resolve(busSpec)
   @volatile private var running = false
   private var consumer: Thread = _
 
   /** Publish a payload into the pipeline's incoming topic
     * (`test_client.py:29-31`). */
-  def publish(data: Array[Byte]): String = InMemoryBus.publish(inTopic, data)
+  def publish(data: Array[Byte]): String = bus.publish(inTopic, data)
 
   /** Consume every not-yet-acked message of the outgoing subscription:
     * invoke the callback, then ack (callback semantics of
     * `test_client.py:22-26`). Returns the number of messages consumed. */
   def drain(): Int = {
-    val from = InMemoryBus.committedOffset(outSubscription)
-    val until = InMemoryBus.endOffset(outSubscription)
-    val msgs = InMemoryBus.read(outSubscription, from, until)
+    val from = bus.committedOffset(outSubscription)
+    val until = bus.endOffset(outSubscription)
+    val msgs = bus.read(outSubscription, from, until)
     msgs.foreach(m => callback(m.data))
-    InMemoryBus.commit(outSubscription, until)
+    bus.commit(outSubscription, until)
     msgs.size
   }
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.DataType
 
-import graft.sources.{BusProvider, InMemoryBus}
+import graft.sources.{BusProvider, BusRegistry}
 
 /** Pluggable payload serde — the engine's version of the reference's
   * `message_deserializer` / `result_serializer` pair
@@ -97,7 +97,12 @@ final class Pipeline(
     respectDeadline: Boolean = false,
     /** Byte-budget admission per micro-batch on top of `bulkLimit`
       * (ReadMaxBytes analog; always admits at least one message). */
-    maxBytesPerPull: Long = Long.MaxValue) {
+    maxBytesPerPull: Long = Long.MaxValue,
+    /** Bus transport: `"memory"` (in-JVM singleton, the default) or
+      * `"socket://host:port"` to a [[graft.sources.BusService]] daemon
+      * in its own process. Only the SPEC crosses to executors; every
+      * JVM resolves its own transport. */
+    busSpec: String = "memory") {
 
   /** Stable pipeline identity for idempotence-key namespacing: derived
     * from the checkpoint location, which is exactly the unit that defines
@@ -113,6 +118,7 @@ final class Pipeline(
     spark.readStream
       .format(BusProvider.format)
       .option("subscription", subscription)
+      .option("bus", busSpec)
       .option("bulkLimit", bulkLimit)
       .option("readPartitions", readPartitions)
       .option("retryBackoffMs", retryBackoffMs)
@@ -133,7 +139,7 @@ final class Pipeline(
     * (`pubsub_pipeline.py:82-84`) ordering, with a WAL under it. */
   def start(availableNow: Boolean = false): StreamingQuery = {
     val out = transform(stream())
-    val ackListener = new AckOnCommitListener(spark, subscription)
+    val ackListener = new AckOnCommitListener(spark, subscription, busSpec)
     spark.streams.addListener(ackListener)
     // if start() itself throws, unregister the listener — an unbound
     // listener would buffer every future query's progress events forever
@@ -146,6 +152,7 @@ final class Pipeline(
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val topic = outTopic
           val pipe = pipelineId
+          val busLocal = busSpec // capture the STRING, resolve per executor
           // Executor-side publish: no collect-to-driver. On the in-memory
           // bus this is same-JVM; against a real service each partition
           // holds one publisher client.
@@ -169,15 +176,17 @@ final class Pipeline(
               .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
                 val pid = org.apache.spark.TaskContext.getPartitionId()
                 var i = 0L
+                val bus = BusRegistry.resolve(busLocal)
                 rows.foreach { r =>
                   val data = r.getAs[Array[Byte]](0)
-                  InMemoryBus.publishIdempotent(topic, s"$pipe-$batchId-$pid-$i", data)
+                  bus.publishIdempotent(topic, s"$pipe-$batchId-$pid-$i", data)
                   i += 1
                 }
               }
           } else {
             batch.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-              rows.foreach(r => InMemoryBus.publish(topic, r.getAs[Array[Byte]](0)))
+              val bus = BusRegistry.resolve(busLocal)
+              rows.foreach(r => bus.publish(topic, r.getAs[Array[Byte]](0)))
             }
           }
         }
