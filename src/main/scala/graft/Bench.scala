@@ -61,6 +61,13 @@ object Bench {
     } catch { case _: Throwable => Map.empty }
   }
 
+  /** Reference-file drift vs the registry, BOTH directions (r8 verdict
+    * hygiene #3): stale refs (no matching registry query) and refless
+    * queries (no per-query outlier reference — they get only the floor
+    * threshold). Pure so BenchLineSpec can pin the warning logic. */
+  def refDrift(refs: Set[String], registry: Set[String]): (Set[String], Set[String]) =
+    (refs -- registry, registry -- refs)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -152,11 +159,20 @@ object Bench {
     // r7 ADVICE: the reference table had drifted 3 slugs past the
     // registry (removed/renamed queries keep stale entries) — surface it
     // so the ref file gets regenerated instead of silently rotting
-    val staleRefs = refTimes.keySet -- SparkEntry.queries.keySet
+    // stale judged against the FULL registry; refless only for queries
+    // actually selected this run (SPARK_GRAFT_ONLY must not spam either)
+    val (staleRefs, reflessAll) =
+      refDrift(refTimes.keySet, SparkEntry.queries.keySet.toSet)
+    val reflessQueries = reflessAll.intersect(selected.keySet.toSet)
     if (staleRefs.nonEmpty)
       System.err.println(s"[bench] ${staleRefs.size} reference time(s) have no " +
         s"matching registry query (stale — regenerate $refPath): " +
         staleRefs.toSeq.sorted.mkString(", "))
+    if (refTimes.nonEmpty && reflessQueries.nonEmpty)
+      System.err.println(s"[bench] ${reflessQueries.size} registry query(ies) have " +
+        s"no reference time (outlier defense falls back to the " +
+        s"floor for them — regenerate $refPath): " +
+        reflessQueries.toSeq.sorted.mkString(", "))
     val outlierK = sys.env.get("SPARK_GRAFT_OUTLIER_K").map(_.toDouble).getOrElse(3.0)
     val outlierSlack = 0.3 // sec: 3x a 0.1 s query is still noise, not contention
     val outlierFloor = sys.env.get("SPARK_GRAFT_OUTLIER_FLOOR")
@@ -167,8 +183,17 @@ object Bench {
     val benchT0 = System.nanoTime()
     val startEpochMs = System.currentTimeMillis()
     // per-query telemetry rows for BENCH_FULL.json, in run order
-    case class QMeta(startOff: Double, load: Double, raw: Seq[Double])
+    case class QMeta(startOff: Double, load: Double, raw: Seq[Double],
+                     leaked: Int = 0)
     val metaRows = scala.collection.mutable.LinkedHashMap[String, QMeta]()
+    // SPARK_GRAFT_STORAGE_CHECK=1: assert per query that the persisted-
+    // RDD set returns to its post-warm baseline after the timed runs —
+    // the ClustersStorageSpec leak-class guard at ARBITRARY sf (r8
+    // verdict #2's "storage-level assertion at sf10"). Baseline is taken
+    // AFTER the warm pass so deliberately-persistent caches built on
+    // first use (the IVF index) are in the baseline, and only
+    // per-invocation residue (checkpoint pins a release missed) counts.
+    val storageCheck = sys.env.get("SPARK_GRAFT_STORAGE_CHECK").contains("1")
     // fixed name order: run-to-run and round-to-round comparability
     // (Map iteration order is hash-dependent)
     // each invocation builds a FRESH frame, so its checkpoint pins are
@@ -190,6 +215,9 @@ object Bench {
       }
       val startOff = (System.nanoTime() - benchT0) / 1e9
       val loadAtStart = osBean.getSystemLoadAverage
+      val storageBase: Set[Int] =
+        if (storageCheck) spark.sparkContext.getPersistentRDDs.keySet.toSet
+        else Set.empty
       def once(): Double = {
         val t0 = System.nanoTime()
         val ok = try { runAndRelease(fn); true }
@@ -214,7 +242,14 @@ object Bench {
           extra += 1
         }
       }
-      metaRows(name) = QMeta(startOff, loadAtStart, times.toSeq)
+      val leaked =
+        if (storageCheck)
+          (spark.sparkContext.getPersistentRDDs.keySet.toSet -- storageBase).size
+        else 0
+      if (leaked > 0)
+        System.err.println(s"[bench] $name LEAKED $leaked persisted RDD(s) " +
+          "past release — the r7 block-store leak class")
+      metaRows(name) = QMeta(startOff, loadAtStart, times.toSeq, leaked)
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     // The driver captures only a bounded stdout TAIL (~1.9 KB): rounds 2
@@ -264,7 +299,8 @@ object Bench {
     // kept min documents whether the re-run recovered it
     val metaJson = metaRows.map { case (n, m) =>
       val raw = m.raw.map(t => if (t < 0) "-1" else f"$t%.3f").mkString("[", ",", "]")
-      s"""    "$n": {"start_off_sec": ${f"${m.startOff}%.2f"}, "loadavg": ${f"${m.load}%.2f"}, "runs": ${m.raw.size}, "raw": $raw}"""
+      val leakField = if (storageCheck) s""", "storage_leaked": ${m.leaked}""" else ""
+      s"""    "$n": {"start_off_sec": ${f"${m.startOff}%.2f"}, "loadavg": ${f"${m.load}%.2f"}, "runs": ${m.raw.size}, "raw": $raw$leakField}"""
     }.mkString("{\n", ",\n", "\n  }")
     val fullJson =
       s"""{

@@ -60,4 +60,17 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.referenceTimes("/nonexistent/ref.json", "x") === Map.empty)
     java.nio.file.Files.delete(f)
   }
+
+  test("refDrift flags BOTH stale refs and refless registry queries (r8 #3)") {
+    // the r8 committed artifact ran with a 160-entry reference against a
+    // 162-query registry: the stale-direction warning existed, the
+    // missing-direction one did not — both must fire
+    val refs = Set("a", "b", "dead_query")
+    val registry = Set("a", "b", "new_query_1", "new_query_2")
+    val (stale, refless) = Bench.refDrift(refs, registry)
+    assert(stale === Set("dead_query"))
+    assert(refless === Set("new_query_1", "new_query_2"))
+    val (stale2, refless2) = Bench.refDrift(registry, registry)
+    assert(stale2.isEmpty && refless2.isEmpty)
+  }
 }
