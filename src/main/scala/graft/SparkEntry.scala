@@ -180,6 +180,7 @@ object SparkEntry {
     "text_langid" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
     "text_pii_scrub" -> ((s, d) => TextOps.scrubPii(Tables.documents(s, d))),
+    "text_quality_model" -> ((s, d) => TextOps.qualityModel(Tables.documents(s, d))),
     "text_entropy" -> ((s, d) => TextOps.entropy(Tables.documents(s, d))),
     "text_html_strip" -> ((s, d) => TextOps.htmlStrip(Tables.documents(s, d))),
     "pipeline_enrich" -> ((s, d) => TextOps.enrich(Tables.documents(s, d))),
@@ -1189,6 +1190,27 @@ object SparkEntry {
         |      '\d{9,}', '<NUM>', 'g'),
         |    '\+?\d{0,3}[-. ]*\(?\d{3}\)?[-. ]*\d{3}[-. ]*\d{4}', '<PHONE>', 'g') AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // batched model inference with an integer-exact logit: the linear
+    // form over integer feature counts is bit-identical cross-engine
+    // (no libm), and thresholding the logit == thresholding the sigmoid
+    "text_quality_model" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS f_words,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |        x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'to')) AS f_stop,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS f_digits,
+        |    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |      + len(regexp_extract_all(text, '\d{9,}')) AS f_pii
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    2*f_words + 5*f_stop - 30*f_digits - 1000*f_pii - 127 AS logit
+        |  FROM f)
+        |SELECT doc_id, logit,
+        |  CASE WHEN logit > 0 THEN 'keep' ELSE 'drop' END AS label
+        |FROM l ORDER BY doc_id""".stripMargin,
 
     // the order-sensitive float reduction (Σ cnt·ln cnt) is rounded per
     // term and summed as DECIMAL on BOTH engines, so the sum is exact and

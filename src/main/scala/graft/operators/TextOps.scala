@@ -380,4 +380,84 @@ object TextOps {
       .select(col("doc_id"), col("rnk"), col("word"), col("tfidf"))
       .orderBy("doc_id", "rnk")
   }
+
+  /** The deterministic stand-in "model" behind [[qualityModel]]: an
+    * integer logistic scorer over the extracted feature vector. The
+    * logit is an EXACT integer linear form (micro-scaled weights over
+    * integer counts), so classification — thresholding the logit, which
+    * is monotone-equivalent to thresholding the sigmoid probability —
+    * is bit-identical on any engine; no libm call anywhere. A production
+    * deployment swaps `scoreBatch` for a real model runtime (ONNX/NN)
+    * with the SAME batched signature — the Spark-side plumbing
+    * (mapPartitions batching, feature schema, output shape) is the part
+    * this operator makes real and tests. */
+  object QualityModel extends Serializable {
+    // weights per feature (calibrated so sf* corpora split near 50/50):
+    //   +2/word (substance) +5/stopword (natural prose)
+    //   -30/digit (tables/ids) -1000/PII hit (never train on it)
+    val wWords = 2L; val wStop = 5L; val wDigits = -30L; val wPii = -1000L
+    val bias = -127L
+    /** One batch in, one score per row out — the inference kernel. */
+    def scoreBatch(batch: Array[Array[Long]]): Array[Long] =
+      batch.map(f =>
+        wWords * f(0) + wStop * f(1) + wDigits * f(2) + wPii * f(3) + bias)
+  }
+
+  /** `text_quality_model` (round 9, the last ROADMAP deferral): model-
+    * tier quality/PII scoring as BATCHED inference — the shape every
+    * "small classifier over the corpus" pass takes (quality filtering,
+    * PII risk scoring, NER-tier tagging) when the model can't be a
+    * Column expression.
+    *
+    * Stage 1 — feature extraction — is pure Catalyst columns (exact
+    * integer counts: words, stopwords, digits, PII pattern hits with the
+    * [[scrubPiiCol]] email/long-digit patterns), so it runs at scan
+    * speed, pushes down, and is oracle-checkable. Stage 2 — inference —
+    * is `mapPartitions` over the feature vectors with EXPLICIT batching
+    * (`grouped(batchSize)`): each batch crosses into the model as one
+    * Array[Array[Long]], which is exactly the tensor-shaped contract a
+    * real model runtime wants (and the same batching pattern
+    * MultimodalOps uses for codec work). [[QualityModel]] is integer-
+    * exact, so the whole pipeline is DuckDB-oracled end to end — the
+    * deterministic parts of a model pass, verified; the model itself,
+    * swappable.
+    *
+    * Scale shape: map-only — no shuffle anywhere before the final
+    * display sort; the model call is per-partition-batched, driver-free,
+    * and the text column is dropped before inference so only the
+    * (doc_id, 4×long) vectors cross the stage boundary. */
+  def qualityModel(documents: DataFrame, batchSize: Int = 256): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+    val words = filter(split(col("text"), " "), w => w =!= "")
+    val stops = filter(split(lower(col("text")), " "),
+      w => w === "the" || w === "a" || w === "of" || w === "to")
+    val feats = documents.select(
+      col("doc_id"),
+      size(words).cast("long").as("f_words"),
+      size(stops).cast("long").as("f_stop"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[0-9]", ""))).cast("long").as("f_digits"),
+      (regexp_count(col("text"), lit(email)) +
+        regexp_count(col("text"), lit("""\d{9,}"""))).cast("long").as("f_pii"))
+    implicit val inEnc: org.apache.spark.sql.Encoder[(Long, Long, Long, Long, Long)] =
+      ExpressionEncoder[(Long, Long, Long, Long, Long)]()
+    implicit val outEnc: org.apache.spark.sql.Encoder[(Long, Long)] =
+      ExpressionEncoder[(Long, Long)]()
+    val bs = batchSize
+    val scored = feats.as[(Long, Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        it.grouped(bs).flatMap { chunk =>
+          val ids = chunk.map(_._1)
+          val batch = chunk.map(r => Array(r._2, r._3, r._4, r._5)).toArray
+          val logits = QualityModel.scoreBatch(batch)
+          ids.zip(logits)
+        }
+      }
+      .toDF("doc_id", "logit")
+    scored
+      .select(col("doc_id"), col("logit"),
+        when(col("logit") > 0, lit("keep")).otherwise(lit("drop")).as("label"))
+      .orderBy("doc_id")
+  }
 }
