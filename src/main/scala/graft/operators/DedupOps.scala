@@ -577,14 +577,17 @@ object DedupOps {
     * checkpoint pin — release with
     * `ColumnBridge.releaseAllCheckpoints(result)` when done. */
   def clusterSizeHist(documents: DataFrame): DataFrame = {
-    // lazy localCheckpoint (round-7 ADVICE fix; the ts_* shared-pre-agg
-    // pattern): BOTH branches below consume the minhash+connected-
-    // components subplan — the histogram groups it, the singleton row
-    // counts it — and without a materialization boundary the full
-    // LSH+closure plan executes twice. The checkpoint pins one
-    // materialization at first use; the assignment table it pins is
-    // O(clustered docs) ids, not the corpus.
-    val cl = graft.plans.PlanPins.lazyPin(clusters(nearMinhash(documents)))
+    // No extra pin here (round 9): `clusters()` runs its loop eagerly
+    // and returns a frame that SCANS the final label-table checkpoint —
+    // both branches below (the histogram groups it, the singleton row
+    // counts it) re-scan those in-memory blocks, never the LSH+closure
+    // plan, and the orderBy under them is eliminated by EliminateSorts.
+    // The r7-era lazyPin on top was not only redundant, it HID the label
+    // checkpoint behind the pin's own LogicalRDD: releaseAllCheckpoints
+    // stops at the first persisted ancestor (r8 ADVICE — walking past it
+    // is unsafe), so the label table leaked one copy per invocation
+    // (caught by the r9 sf10 SPARK_GRAFT_STORAGE_CHECK run).
+    val cl = clusters(nearMinhash(documents))
     val hist = cl.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
     // singletons: in the corpus, in no near-dup pair (1-row × 1-row join)
