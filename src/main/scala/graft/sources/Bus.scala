@@ -32,6 +32,25 @@ trait Bus {
   def publish(topic: String, data: Array[Byte],
               attributes: Map[String, String] = Map.empty): String
   def publishIdempotent(topic: String, key: String, data: Array[Byte]): Boolean
+
+  /** Publish many payloads in one call — ONE wire round trip on the
+    * socket transport (the per-row form opens a connection per message,
+    * which caps executor publish throughput at connect rate; the
+    * pipeline sinks chunk partitions through this instead). Failure
+    * semantics are the per-row loop's: a mid-batch `PublishError` leaves
+    * the already-published prefix in the log (§2-D partial-prefix
+    * window) and surfaces the error — exactly what N individual calls
+    * would do. Returns the number published. */
+  def publishBatch(topic: String, data: Seq[Array[Byte]]): Int = {
+    data.foreach(publish(topic, _))
+    data.size
+  }
+
+  /** Batched idempotent publish (see [[publishBatch]] for the transport
+    * rationale, [[publishIdempotent]] for the key contract). Returns how
+    * many were actually appended (replayed keys are absorbed). */
+  def publishIdempotentBatch(topic: String, keyed: Seq[(String, Array[Byte])]): Int =
+    keyed.count { case (k, d) => publishIdempotent(topic, k, d) }
   def endOffset(name: String): Long
   def committedOffset(name: String): Long
   def read(name: String, from: Long, until: Long): Seq[InMemoryBus.BusMessage]

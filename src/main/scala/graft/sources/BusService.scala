@@ -118,6 +118,20 @@ final class BusService(port: Int = 0) {
         val data = readBytes(in)
         val id = core.publish(t, data, attrs)
         out.writeInt(0); out.writeUTF(id)
+      case "publishBatch" =>
+        val t = in.readUTF()
+        val n = in.readInt()
+        // read the whole frame FIRST: a mid-batch PublishError must not
+        // desync the stream (request fully consumed before any throw)
+        val payloads = (1 to n).map(_ => readBytes(in))
+        val appended = core.publishBatch(t, payloads)
+        out.writeInt(0); out.writeInt(appended)
+      case "publishIdemBatch" =>
+        val t = in.readUTF()
+        val n = in.readInt()
+        val keyed = (1 to n).map(_ => (in.readUTF(), readBytes(in)))
+        val appended = core.publishIdempotentBatch(t, keyed)
+        out.writeInt(0); out.writeInt(appended)
       case "publishIdem" =>
         val t = in.readUTF(); val k = in.readUTF(); val data = readBytes(in)
         val appended = core.publishIdempotent(t, k, data)
@@ -260,6 +274,25 @@ final class SocketBus(host: String, port: Int) extends Bus {
       writeBytes(out, data)
       out.flush(); expectOk(in)
       in.readBoolean()
+    }
+
+  override def publishBatch(topic: String, data: Seq[Array[Byte]]): Int =
+    call { (in, out) =>
+      out.writeUTF("publishBatch"); out.writeUTF(topic)
+      out.writeInt(data.size)
+      data.foreach(writeBytes(out, _))
+      out.flush(); expectOk(in)
+      in.readInt()
+    }
+
+  override def publishIdempotentBatch(topic: String,
+                                      keyed: Seq[(String, Array[Byte])]): Int =
+    call { (in, out) =>
+      out.writeUTF("publishIdemBatch"); out.writeUTF(topic)
+      out.writeInt(keyed.size)
+      keyed.foreach { case (k, d) => out.writeUTF(k); writeBytes(out, d) }
+      out.flush(); expectOk(in)
+      in.readInt()
     }
 
   override def endOffset(name: String): Long = call { (in, out) =>

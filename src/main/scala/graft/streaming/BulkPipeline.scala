@@ -70,7 +70,8 @@ final class BulkPipeline[A, B](
           }(Encoders.BINARY)
         out.foreachPartition { rows: Iterator[Array[Byte]] =>
           val bus = BusRegistry.resolve(busLocal)
-          rows.foreach(bus.publish(topic, _))
+          rows.grouped(Pipeline.PublishChunkRows).foreach(chunk =>
+            bus.publishBatch(topic, chunk.toSeq))
         }
       }
       .start()

@@ -177,16 +177,24 @@ final class Pipeline(
                 val pid = org.apache.spark.TaskContext.getPartitionId()
                 var i = 0L
                 val bus = BusRegistry.resolve(busLocal)
-                rows.foreach { r =>
-                  val data = r.getAs[Array[Byte]](0)
-                  bus.publishIdempotent(topic, s"$pipe-$batchId-$pid-$i", data)
-                  i += 1
+                // chunked batch publish: one wire round trip per chunk
+                // on the socket transport instead of one per ROW (keys
+                // stay (pid, running index) — chunking preserves the
+                // sorted iteration order the key contract needs)
+                rows.grouped(Pipeline.PublishChunkRows).foreach { chunk =>
+                  val keyed = chunk.map { r =>
+                    val k = s"$pipe-$batchId-$pid-$i"
+                    i += 1
+                    (k, r.getAs[Array[Byte]](0))
+                  }
+                  bus.publishIdempotentBatch(topic, keyed)
                 }
               }
           } else {
             batch.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
               val bus = BusRegistry.resolve(busLocal)
-              rows.foreach(r => bus.publish(topic, r.getAs[Array[Byte]](0)))
+              rows.grouped(Pipeline.PublishChunkRows).foreach(chunk =>
+                bus.publishBatch(topic, chunk.map(_.getAs[Array[Byte]](0))))
             }
           }
         }
@@ -213,4 +221,9 @@ object Pipeline {
     * NOT `spark.sql.shuffle.partitions`, which can change between a run
     * and its replay-after-restart and would rebind every (pid, i) key. */
   val IdempotentKeyPartitions = 64
+
+  /** Rows per publish batch in the executor sinks — bounds per-chunk
+    * memory while amortizing the socket transport's per-call connection
+    * (Bus.publishBatch) across hundreds of rows. */
+  val PublishChunkRows = 512
 }

@@ -86,6 +86,37 @@ class SocketBusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bus.endOffset("s4") == 2)
   }
 
+  test("batch publish: one round trip, per-row loop semantics") {
+    bus.createTopic("t6")
+    bus.createSubscription("t6", "s6")
+    val n = bus.publishBatch("t6", (1 to 700).map(i => s"b$i".getBytes(UTF_8)))
+    assert(n == 700)
+    assert(bus.endOffset("s6") == 700)
+    assert(new String(bus.read("s6", 699, 700).head.data, UTF_8) == "b700")
+    // mid-batch failure leaves the already-published PREFIX (the same
+    // §2-D window N individual calls would leave) and surfaces the error
+    bus.failPublishesAfter("t6", after = 3, n = 1)
+    intercept[InMemoryBus.PublishError](
+      bus.publishBatch("t6", (1 to 10).map(i => s"f$i".getBytes(UTF_8))))
+    assert(bus.endOffset("s6") == 703, "prefix before the failure must persist")
+    // the connection stays usable after a batch error (frame fully read)
+    assert(bus.publishBatch("t6", Seq("ok".getBytes(UTF_8))) == 1)
+    assert(bus.endOffset("s6") == 704)
+  }
+
+  test("batch idempotent publish dedups replayed keys across the wire") {
+    bus.createTopic("t7")
+    bus.createSubscription("t7", "s7")
+    val keyed = (1 to 600).map(i => s"k$i" -> s"v$i".getBytes(UTF_8))
+    assert(bus.publishIdempotentBatch("t7", keyed) == 600)
+    // full replay (crash-before-checkpoint rerun): absorbed wholesale
+    assert(bus.publishIdempotentBatch("t7", keyed) == 0)
+    // partial overlap: only the new suffix lands
+    val more = (500 to 650).map(i => s"k$i" -> s"v$i".getBytes(UTF_8))
+    assert(bus.publishIdempotentBatch("t7", more) == 50)
+    assert(bus.endOffset("s7") == 650)
+  }
+
   test("rewindCommitted reopens the redelivery window") {
     bus.createTopic("t5")
     bus.createSubscription("t5", "s5")
