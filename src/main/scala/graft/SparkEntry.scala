@@ -181,6 +181,8 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
     "text_pii_scrub" -> ((s, d) => TextOps.scrubPii(Tables.documents(s, d))),
     "text_quality_model" -> ((s, d) => TextOps.qualityModel(Tables.documents(s, d))),
+    "text_gopher_quality" -> ((s, d) => TextOps.gopherQuality(Tables.documents(s, d))),
+    "text_repetition" -> ((s, d) => TextOps.repetitionStats(Tables.documents(s, d))),
     "text_entropy" -> ((s, d) => TextOps.entropy(Tables.documents(s, d))),
     "text_html_strip" -> ((s, d) => TextOps.htmlStrip(Tables.documents(s, d))),
     "pipeline_enrich" -> ((s, d) => TextOps.enrich(Tables.documents(s, d))),
@@ -205,6 +207,7 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => CorpusOps.repetition(Tables.documents(s, d))),
     "sample_mixture" -> ((s, d) => CorpusOps.sampleMixture(Tables.documents(s, d))),
     "text_vocab" -> ((s, d) => CorpusOps.vocab(Tables.documents(s, d))),
+    "dedup_bloom_shard" -> ((s, d) => DedupOps.bloomShardFlags(Tables.documents(s, d))),
     "dedup_incremental" -> ((s, d) => CorpusOps.incrementalDedup(Tables.documents(s, d))),
     "filter_quality_quantile" -> ((s, d) =>
       CorpusOps.qualityQuantileFilter(Tables.documents(s, d))),
@@ -1190,6 +1193,58 @@ object SparkEntry {
         |      '\d{9,}', '<NUM>', 'g'),
         |    '\+?\d{0,3}[-. ]*\(?\d{3}\)?[-. ]*\d{3}[-. ]*\d{4}', '<PHONE>', 'g') AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // every Gopher rule is an exact-integer comparison (ratios become
+    // cross-multiplied bounds), so the gate is bit-identical cross-engine
+    "text_gopher_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS wc,
+        |    CAST(coalesce(list_sum(list_transform(
+        |      list_filter(string_split(text, ' '), x -> x <> ''),
+        |      x -> length(x))), 0) AS BIGINT) AS word_chars,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x <> '' AND regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+        |    CAST(len(regexp_extract_all(text, '#'))
+        |      + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS symbols,
+        |    CAST(len(list_intersect(
+        |      list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')),
+        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_distinct
+        |  FROM documents)
+        |SELECT doc_id, wc, word_chars, alpha_words, symbols, stop_distinct,
+        |  CAST(wc >= 50 AND wc <= 100000 AS INTEGER) AS r_wordcount,
+        |  CAST(word_chars >= wc * 3 AND word_chars <= wc * 10 AS INTEGER) AS r_meanwordlen,
+        |  CAST(symbols * 10 <= wc AS INTEGER) AS r_symbolratio,
+        |  CAST(alpha_words * 5 >= wc * 4 AS INTEGER) AS r_alphafrac,
+        |  CAST(stop_distinct >= 2 AS INTEGER) AS r_stopwords,
+        |  CAST((wc >= 50 AND wc <= 100000) AND (word_chars >= wc * 3 AND word_chars <= wc * 10)
+        |    AND (symbols * 10 <= wc) AND (alpha_words * 5 >= wc * 4)
+        |    AND (stop_distinct >= 2) AS INTEGER) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // top-bigram coverage in MICRO units via floor division (agrees
+    // cross-engine for non-negative operands); ties break on the bigram
+    "text_repetition" ->
+      """WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |tot AS (
+        |  SELECT doc_id, CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT) AS word_chars
+        |  FROM ws),
+        |idx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM ws),
+        |cnt AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg, COUNT(*) AS cnt
+        |  FROM idx GROUP BY doc_id, bg),
+        |top AS (
+        |  SELECT doc_id, bg AS top_bigram, cnt FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY cnt DESC, bg) AS rn FROM cnt)
+        |  WHERE rn = 1)
+        |SELECT t.doc_id, top_bigram, cnt,
+        |  (cnt * (length(top_bigram) - 1) * 1000000) // word_chars AS cover_micro,
+        |  CAST((cnt * (length(top_bigram) - 1) * 1000000) // word_chars > 200000 AS INTEGER) AS repetitive
+        |FROM top t JOIN tot USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // batched model inference with an integer-exact logit: the linear
     // form over integer feature counts is bit-identical cross-engine

@@ -659,4 +659,47 @@ object DedupOps {
       .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
       .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("n_b"))
   }
+
+  /** `dedup_bloom_shard` (round 9): cross-shard Bloom membership
+    * pre-filter — the standard pattern for deduplicating a NEW shard
+    * against an already-processed corpus without shipping the corpus's
+    * key set: the reference shard publishes a fixed-size Bloom bitset
+    * ([[graft.functions.BloomFilterAgg]], m/8 bytes total — 128 KB at
+    * 2^20 bits — vs 8 bytes PER KEY for an exact anti-join side), and
+    * the new shard drops definite-non-members map-side. No false
+    * negatives by construction (a real duplicate always probes 1-bits);
+    * false positives at the standard (1−e^(−kn/m))^k rate only ever
+    * send EXTRA candidates to the exact verifier downstream.
+    *
+    * Demo split: even doc_ids are the processed corpus, odd doc_ids the
+    * incoming shard (the planted exact duplicates in the test corpus
+    * cross this split). Output: one row per incoming doc with its
+    * `maybe_dup` flag — feed the flagged subset to [[exact]] /
+    * [[nearMinhash]] for confirmation.
+    *
+    * Scale shape: ONE constant-width aggregation on the corpus side
+    * (Array[Long] bitset per partition, OR-merged — same contract as
+    * the Space-Saving sketch), broadcast of the m/8-byte bitset, then a
+    * map-only codegen probe ([[graft.functions.BloomFilter
+    * .mightContainExpr]] — shiftright/element_at/bitwise-and, no UDF)
+    * over the shard. At 100 TB the corpus side reads hashes only
+    * (column-pruned scan) and ships kilobytes per partition.
+    *
+    * No oracle (declared ✗ like the sketches: DuckDB cannot replicate
+    * xxhash64); RoundNineOpsSpec asserts zero false negatives on the
+    * planted cross-shard duplicates, the FP bound on disjoint text, and
+    * agreement with the exact anti-join ground truth. */
+  def bloomShardFlags(documents: DataFrame, bitsLog2: Int = 20,
+                      k: Int = 5): DataFrame = {
+    import graft.functions.BloomFilter
+    val corpus = documents.filter(col("doc_id") % 2 === 0)
+      .select(xxhash64(col("text")).as("h"))
+    val bloom = corpus.select(BloomFilter.agg(col("h"), bitsLog2, k).as("bloom"))
+    val shard = documents.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), xxhash64(col("text")).as("h"))
+    shard.crossJoin(broadcast(bloom))
+      .selectExpr("doc_id",
+        s"CAST(${BloomFilter.mightContainExpr("bloom", "h", bitsLog2, k)} AS INT) AS maybe_dup")
+      .orderBy("doc_id")
+  }
 }

@@ -381,6 +381,97 @@ object TextOps {
       .orderBy("doc_id", "rnk")
   }
 
+  /** `text_gopher_quality` (round 9): the Gopher/MassiveText rule-based
+    * quality gate (Rae et al. 2021, "Scaling Language Models: ...
+    * Gopher", App. A — the public filtering recipe most large text
+    * pipelines start from): word-count bounds, mean-word-length bounds,
+    * symbol-to-word ratio, alphabetic-word fraction, and a minimum
+    * distinct-stopword requirement. Every rule is evaluated in EXACT
+    * integer arithmetic — ratios become cross-multiplied comparisons
+    * (3·wc ≤ word_chars ≤ 10·wc instead of 3 ≤ mean ≤ 10) — so the
+    * whole gate is bit-identical cross-engine and fully oracled.
+    *
+    * Scale shape: map-only column math over one corpus scan (HOF
+    * size/filter/aggregate — all codegen); no shuffle before the
+    * display sort. Emits per-rule flags, not just the verdict, because
+    * production runs tune thresholds from the rule-level fail counts. */
+  def gopherQuality(documents: DataFrame): DataFrame = {
+    val ws = filter(split(col("text"), " "), w => w =!= "")
+    val wc = size(ws).cast("long")
+    // total characters inside words (exact integer; ANSI-safe: docs cap
+    // at a few thousand chars)
+    val wchars = aggregate(transform(ws, w => length(w).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val alphaWords = size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("long")
+    val symbols = (regexp_count(col("text"), lit("#")) +
+      regexp_count(col("text"), lit("""\.\.\."""))).cast("long")
+    val stopDistinct = size(array_intersect(
+      array_distinct(filter(split(lower(col("text")), " "), w => w =!= "")),
+      array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
+        .map(lit): _*))).cast("long")
+    documents.select(
+      col("doc_id"), wc.as("wc"), wchars.as("word_chars"),
+      alphaWords.as("alpha_words"), symbols.as("symbols"),
+      stopDistinct.as("stop_distinct"),
+      (wc >= 50 && wc <= 100000).cast("int").as("r_wordcount"),
+      (wchars >= wc * 3 && wchars <= wc * 10).cast("int").as("r_meanwordlen"),
+      (symbols * 10 <= wc).cast("int").as("r_symbolratio"),
+      (alphaWords * 5 >= wc * 4).cast("int").as("r_alphafrac"),
+      (stopDistinct >= 2).cast("int").as("r_stopwords"))
+      .withColumn("keep",
+        (col("r_wordcount") * col("r_meanwordlen") * col("r_symbolratio") *
+          col("r_alphafrac") * col("r_stopwords")).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** `text_repetition` (round 9): Gopher-style repetition diagnostics —
+    * the fraction of a document's word characters covered by its most
+    * frequent word bigram (the "top n-gram coverage" rule; boilerplate,
+    * keyword stuffing, and templated spam all light this up long before
+    * perplexity filters see them). Exact integers end to end: coverage
+    * is emitted in MICRO units via integer division
+    * (chars·1e6 DIV total_word_chars — floor division agrees across
+    * engines for non-negative operands), and the repetitive flag is a
+    * threshold on that integer (>20%, the Gopher 2-gram cut).
+    *
+    * Scale shape: the tf shuffle shape — explode bigrams, one
+    * groupBy(doc, gram) with map-side partial agg, then a per-doc
+    * row_number window (millions of small partitions, the
+    * well-distributed case, same as `text_tfidf_keywords` which Spark
+    * plans with a WindowGroupLimit pre-shuffle cut); per-doc totals ride
+    * a map-side projection joined on doc_id (both sides one row per
+    * doc). */
+  def repetitionStats(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = filter(split(col("text"), " "), w => w =!= "")
+    val bigrams = filter(
+      transform(ws, (w, i) =>
+        when(i + lit(1) < size(ws),
+          concat(w, lit(" "), element_at(ws, i + lit(2))))),
+      g => g.isNotNull)
+    val counts = documents
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("bg"))
+    val top = counts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("bg").as("top_bigram"), col("cnt"))
+    val totals = documents.select(
+      col("doc_id"),
+      aggregate(transform(ws, x => length(x).cast("long")),
+        lit(0L), (acc, x) => acc + x).as("word_chars"))
+    top.join(totals, "doc_id")
+      // chars covered by the top bigram's occurrences (span chars minus
+      // the joining space, times occurrences), micro-scaled
+      .withColumn("cover_micro",
+        expr("(cnt * (length(top_bigram) - 1) * 1000000) DIV word_chars"))
+      .select(col("doc_id"), col("top_bigram"), col("cnt"),
+        col("cover_micro"),
+        (col("cover_micro") > 200000).cast("int").as("repetitive"))
+      .orderBy("doc_id")
+  }
+
   /** The deterministic stand-in "model" behind [[qualityModel]]: an
     * integer logistic scorer over the extracted feature vector. The
     * logit is an EXACT integer linear form (micro-scaled weights over

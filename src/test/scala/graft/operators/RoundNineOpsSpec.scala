@@ -59,6 +59,98 @@ class RoundNineOpsSpec extends SparkSpec {
     assert(out(4L) == "drop", "long id run must drop")
   }
 
+  test("gopherQuality: each rule flips on its planted violation; clean prose passes") {
+    val sess = spark
+    import sess.implicits._
+    val prose = ("the cat sat with a friend and told of days that have been " +
+      "good to all of them here ") * 3 // 60+ words, stopword-rich, alphabetic
+    val planted = Seq(
+      (1L, prose), // passes every rule
+      (2L, "short doc of the few"), // < 50 words
+      (3L, ("a " * 60).trim), // mean word length 1 < 3
+      (4L, prose + " " + ("#" * 1) * 20 + (" #" * 20)), // symbol ratio
+      (5L, prose.replaceAll("[a-z]", "7")), // no alphabetic words, no stopwords
+      (6L, ("zebra quagga okapi tapir bongo dikdik gerenuk kudu eland nyala " * 6).trim)
+      // 60 words, alphabetic, mean len fine — but ZERO stopwords
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherQuality(planted).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("keep") == 1, "clean prose must pass the gate")
+    assert(out(2L).getAs[Int]("r_wordcount") == 0)
+    assert(out(3L).getAs[Int]("r_meanwordlen") == 0)
+    assert(out(4L).getAs[Int]("r_symbolratio") == 0)
+    assert(out(5L).getAs[Int]("r_alphafrac") == 0)
+    assert(out(5L).getAs[Int]("r_stopwords") == 0)
+    assert(out(6L).getAs[Int]("r_stopwords") == 0)
+    Seq(2L, 3L, 4L, 5L, 6L).foreach(id =>
+      assert(out(id).getAs[Int]("keep") == 0, s"doc $id must fail the gate"))
+  }
+
+  test("repetitionStats: stuffed bigram flags; varied text does not") {
+    val sess = spark
+    import sess.implicits._
+    val planted = Seq(
+      (1L, "buy gold " * 30 + "today"), // one bigram dominates
+      (2L, "the quick brown fox jumps over a lazy dog near the old river bank")
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(planted).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("top_bigram") == "buy gold")
+    assert(out(1L).getAs[Int]("repetitive") == 1,
+      s"stuffed doc not flagged: ${out(1L)}")
+    assert(out(2L).getAs[Int]("repetitive") == 0,
+      s"varied doc wrongly flagged: ${out(2L)}")
+    // coverage is exact integer micro units: recompute doc 1 by hand —
+    // "buy gold" appears 30 times (the interleaved "gold buy" 29); top
+    // count 30, gram chars = 3+4 (length minus the joining space), word
+    // chars = 30*3 + 30*4 + 5 ("today") = 215
+    assert(out(1L).getAs[Long]("cnt") == 30L)
+    assert(out(1L).getAs[Long]("cover_micro") ==
+      30L * 7L * 1000000L / (30 * 3 + 30 * 4 + 5))
+  }
+
+  test("bloomShardFlags: no false negatives on planted cross-shard dups; FP bounded") {
+    val sess = spark
+    import sess.implicits._
+    // 8 planted duplicates crossing the even/odd split + 400 unique docs
+    val dups = (0 until 8).flatMap { i =>
+      val t = s"planted duplicate number $i crossing the shard split boundary"
+      Seq((2L * i, t), (2L * i + 1, t)) // even=corpus copy, odd=shard copy
+    }
+    val uniques = (100 until 500).map(i => (i.toLong, s"unique document text $i " * 3))
+    val docs = (dups ++ uniques).toDF("doc_id", "text")
+    val flags = DedupOps.bloomShardFlags(docs).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // zero false negatives: every odd-side planted dup must flag
+    (0 until 8).foreach(i => assert(flags(2L * i + 1) == 1,
+      s"planted cross-shard dup ${2 * i + 1} missed — Bloom false negative"))
+    // exact ground truth: an anti-join agrees on every UNFLAGGED doc
+    // (flagged-but-not-dup is an allowed false positive; missed-dup is not)
+    val truth = docs.filter($"doc_id" % 2 === 1).as("b")
+      .join(docs.filter($"doc_id" % 2 === 0).as("a"), $"a.text" === $"b.text", "left_semi")
+      .select($"doc_id").as[Long].collect().toSet
+    truth.foreach(id => assert(flags(id) == 1, s"true dup $id unflagged"))
+    // FP rate at m=2^20, k=5, n≈208: theory ~(1-e^(-kn/m))^k ≈ 1e-15 —
+    // assert simply that false positives are rare (≤ 2 of ~400)
+    val fps = flags.count { case (id, f) => f == 1 && !truth.contains(id) }
+    assert(fps <= 2, s"$fps false positives out of ${flags.size} — probe math broken")
+  }
+
+  test("bloomShardFlags: small-m FP rate stays near theory (probe independence)") {
+    val sess = spark
+    import sess.implicits._
+    // deliberately undersized filter: m=1024 bits, k=3, n=300 corpus keys
+    // → p_bit = 1-e^(-900/1024) ≈ 0.585, FP ≈ 0.20. A broken probe
+    // derivation (correlated positions) sends this toward p_bit ≈ 0.59.
+    val docs = ((0 until 600).map(i => (2L * i, s"corpus doc $i")) ++
+      (0 until 300).map(i => (2L * i + 1, s"shard doc $i"))).toDF("doc_id", "text")
+    val corpus = docs.filter($"doc_id" % 2 === 0).limit(300)
+    val all = corpus.unionByName(docs.filter($"doc_id" % 2 === 1))
+    val flags = DedupOps.bloomShardFlags(all, bitsLog2 = 10, k = 3).collect()
+    val fpRate = flags.count(_.getInt(1) == 1).toDouble / flags.length
+    assert(fpRate < 0.35, f"FP rate $fpRate%.3f far above the ~0.20 theory bound")
+  }
+
   test("qualityModel: map-only plan — no shuffle before the display sort") {
     val plan = TextOps.qualityModel(docs).queryExecution.optimizedPlan.toString
     // exactly one Sort (the final orderBy) and no Aggregate/Join anywhere;
