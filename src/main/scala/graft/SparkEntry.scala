@@ -208,6 +208,9 @@ object SparkEntry {
     "sample_mixture" -> ((s, d) => CorpusOps.sampleMixture(Tables.documents(s, d))),
     "text_vocab" -> ((s, d) => CorpusOps.vocab(Tables.documents(s, d))),
     "dedup_bloom_shard" -> ((s, d) => DedupOps.bloomShardFlags(Tables.documents(s, d))),
+    "dedup_soft_weights" -> ((s, d) => DedupOps.softDedupWeights(Tables.documents(s, d))),
+    "corpus_dsir_weights" -> ((s, d) => CorpusOps.dsirWeights(Tables.documents(s, d))),
+    "agg_hll_shards" -> ((s, d) => CorpusOps.hllShardDistinct(Tables.documents(s, d))),
     "dedup_incremental" -> ((s, d) => CorpusOps.incrementalDedup(Tables.documents(s, d))),
     "filter_quality_quantile" -> ((s, d) =>
       CorpusOps.qualityQuantileFilter(Tables.documents(s, d))),
@@ -1193,6 +1196,39 @@ object SparkEntry {
         |      '\d{9,}', '<NUM>', 'g'),
         |    '\+?\d{0,3}[-. ]*\(?\d{3}\)?[-. ]*\d{3}[-. ]*\d{4}', '<PHONE>', 'g') AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // soft dedup: exact group size via the text-partition window; the
+    // micro weight is integer floor division - exact both engines
+    "dedup_soft_weights" ->
+      """SELECT doc_id,
+        |  COUNT(*) OVER (PARTITION BY text) AS dup_n,
+        |  1000000 // COUNT(*) OVER (PARTITION BY text) AS weight_micro
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // DSIR: md5-60bit bucketing (the KMV/pps device, replayed verbatim);
+    // per-bucket log-ratios rounded 6dp and cast DECIMAL BEFORE the
+    // per-doc sum (the text_entropy per-term-round pattern), so the
+    // reduction is an exact decimal total on both engines
+    "corpus_dsir_weights" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS word
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substring(md5(word), 1, 15)) AS BIGINT) % 64 AS b
+        |  FROM w WHERE word <> ''),
+        |db AS (SELECT doc_id, lang, b, COUNT(*) AS c FROM toks GROUP BY doc_id, lang, b),
+        |src AS (SELECT b, SUM(c) AS s_b FROM db GROUP BY b),
+        |tgt AS (SELECT b, SUM(c) AS t_b FROM db WHERE lang = 'en' GROUP BY b),
+        |tot AS (SELECT (SELECT SUM(s_b) FROM src) AS s_tot,
+        |               (SELECT coalesce(SUM(t_b), 0) FROM tgt) AS t_tot),
+        |lam AS (
+        |  SELECT src.b,
+        |    CAST(round(ln((coalesce(t_b, 0) + 1.0) / (t_tot + 64.0))
+        |             - ln((s_b + 1.0) / (s_tot + 64.0)), 6) AS DECIMAL(18,6)) AS lambda
+        |  FROM src LEFT JOIN tgt USING (b) CROSS JOIN tot)
+        |SELECT doc_id, CAST(SUM(c * lambda) AS DECIMAL(38,6)) AS logweight
+        |FROM db JOIN lam USING (b) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // every Gopher rule is an exact-integer comparison (ratios become
     // cross-multiplied bounds), so the gate is bit-identical cross-engine

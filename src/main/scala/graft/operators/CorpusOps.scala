@@ -1080,4 +1080,86 @@ object CorpusOps {
           .cast("long").as("order_checksum"))
       .orderBy("shard_id")
   }
+
+  /** `corpus_dsir_weights` (round 9): DSIR importance weights (Xie et
+    * al. 2023, "Data Selection for Language Models via Importance
+    * Resampling") — the public recipe for steering a raw corpus toward a
+    * target domain: featurize each document into hashed n-gram BUCKETS,
+    * fit bucket distributions for the source corpus and the target
+    * subset (here: the `en` slice as the in-domain proxy), and score
+    * every document by Σ_b c_doc,b · ln(p_target(b)/p_source(b)) with
+    * add-1 smoothing. Downstream samplers resample ∝ exp(weight) — the
+    * emitted log-weight is the canonical quantity.
+    *
+    * Cross-engine exactness: buckets come from the md5-60-bit device
+    * (the `sample_pps`/KMV pattern — DuckDB replays it verbatim), each
+    * per-bucket log-ratio λ_b is rounded to 6dp and cast DECIMAL(18,6)
+    * BEFORE the per-doc sum (the `text_entropy` per-term-round pattern,
+    * so the order-sensitive float reduction becomes an exact decimal
+    * sum), and the doc weight is a DECIMAL(38,6) total of
+    * integer-count × fixed-decimal products.
+    *
+    * Scale shape: one token pass builds (doc, bucket) counts (map-side
+    * partial agg); the λ table is BUCKETS rows (64) and broadcasts; the
+    * per-doc weight is one groupBy(doc_id) over pre-collapsed
+    * (doc, bucket, count) rows — never the token stream. The target
+    * fit reuses the same bucketed pass (one corpus scan total). */
+  def dsirWeights(documents: DataFrame, buckets: Int = 64): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), col("lang"),
+        explode(filter(split(lower(col("text")), " "), w => w =!= "")).as("word"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long")
+          % buckets).as("b"))
+    // one collapsed (doc, bucket) count table feeds BOTH distributions
+    // and the per-doc score — a single corpus tokenization pass, pinned
+    // so its three consumers share the materialization
+    val docBucket = graft.plans.PlanPins.lazyPin(
+      toks.groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("c")))
+    val src = docBucket.groupBy("b").agg(sum(col("c")).as("s_b"))
+    val tgt = docBucket.filter(col("lang") === "en")
+      .groupBy("b").agg(sum(col("c")).as("t_b"))
+    val lambda = src.join(tgt, Seq("b"), "left")
+      .na.fill(0L, Seq("t_b"))
+      .crossJoin(broadcast(src.agg(sum(col("s_b")).as("s_tot"))))
+      .crossJoin(broadcast(tgt.agg(sum(col("t_b")).as("t_tot"))))
+      .select(col("b"),
+        round(
+          log((col("t_b").cast("double") + 1.0) /
+            (col("t_tot").cast("double") + buckets.toDouble)) -
+          log((col("s_b").cast("double") + 1.0) /
+            (col("s_tot").cast("double") + buckets.toDouble)), 6)
+          .cast("decimal(18,6)").as("lambda"))
+    docBucket.join(broadcast(lambda), "b")
+      .groupBy("doc_id")
+      .agg(sum(col("c") * col("lambda")).cast("decimal(38,6)").as("logweight"))
+      .orderBy("doc_id")
+  }
+
+  /** `agg_hll_shards` (round 9): per-shard DISTINCT sketches that MERGE
+    * — the pattern behind every "distinct users/urls/grams per shard,
+    * and overall" dashboard at 100 TB, where per-shard exact distincts
+    * cannot be added (overlap) and a global exact distinct re-shuffles
+    * everything. Spark 4 ships Apache DataSketches HLL as public
+    * functions: `hll_sketch_agg` per group, `hll_union_agg` across
+    * groups — each shard's sketch is a few KB, the union is
+    * register-wise max (order-independent, so results are deterministic
+    * for a given dataset), and the global estimate comes from the
+    * merged sketch without touching rows again. No oracle (declared ✗
+    * like the other sketches: DuckDB has no DataSketches HLL);
+    * RoundNineOpsSpec asserts each estimate within the configured
+    * relative error of the exact distinct and that the union dominates
+    * every shard. */
+  def hllShardDistinct(documents: DataFrame, lgConfigK: Int = 12): DataFrame = {
+    val words = documents.select(col("lang"),
+      explode(filter(split(lower(col("text")), " "), w => w =!= "")).as("word"))
+    val perLang = words.groupBy("lang")
+      .agg(hll_sketch_agg(col("word"), lit(lgConfigK)).as("sk"))
+    val shards = perLang.select(col("lang"),
+      hll_sketch_estimate(col("sk")).as("distinct_est"))
+    val global = perLang.agg(hll_union_agg(col("sk")).as("sk"))
+      .select(lit("__all__").as("lang"),
+        hll_sketch_estimate(col("sk")).as("distinct_est"))
+    shards.unionByName(global).orderBy("lang")
+  }
 }

@@ -660,6 +660,30 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("n_b"))
   }
 
+  /** `dedup_soft_weights` (round 9): SOFT dedup — keep every copy,
+    * down-weight by exact duplicate-group size (weight = 1/n in MICRO
+    * units via integer floor division, so the column is exact
+    * cross-engine). Hard dedup erases the natural-frequency signal;
+    * weighting preserves it while removing the gradient-level
+    * over-counting — the standard alternative when duplication rate
+    * itself is informative (navboost-ish pages, popular licenses,
+    * FAQ mirrors).
+    *
+    * Scale shape: one count window partitioned by text (the
+    * [[exact]]-keeper shuffle — full text as key, acceptable because
+    * this IS the text-keyed exact tier; the 100 TB variant swaps the
+    * window for the [[exactByHash]] two-tier hash-count + collision
+    * settle and joins weights back on doc_id — same output, 16-byte
+    * shuffle rows). Weight_micro of 1 for uniques, 500000 for pairs,
+    * etc.; a downstream sampler consumes the column directly. */
+  def softDedupWeights(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("text")
+    documents
+      .select(col("doc_id"), count(lit(1)).over(w).as("dup_n"))
+      .withColumn("weight_micro", expr("1000000 DIV dup_n"))
+      .orderBy("doc_id")
+  }
+
   /** `dedup_bloom_shard` (round 9): cross-shard Bloom membership
     * pre-filter — the standard pattern for deduplicating a NEW shard
     * against an already-processed corpus without shipping the corpus's

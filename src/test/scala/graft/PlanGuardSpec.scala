@@ -450,6 +450,37 @@ class PlanGuardSpec extends SparkSpec {
       s"dictionary joined the full pair table:\n$exec")
   }
 
+  test("round-9 text ops: map-only gates; repetition gets the group-limit cut") {
+    // gopherQuality and qualityModel are single-scan column math — any
+    // Join/Aggregate in the plan means a regression re-introduced a
+    // shuffle into what must run at scan speed
+    Seq("gopherQuality" -> TextOps.gopherQuality(docs),
+      "qualityModel" -> TextOps.qualityModel(docs)).foreach { case (n, q) =>
+      val p = q.queryExecution.optimizedPlan.toString
+      assert(!p.contains("Join") && !p.contains("Aggregate"),
+        s"$n must be map-only:\n$p")
+    }
+    // repetitionStats: the per-doc top-1 must plan the WindowGroupLimit
+    // pre-shuffle cut (the tfidf shape) — without it every (doc, bigram)
+    // row crosses the window shuffle instead of each task's top rows
+    val exec = TextOps.repetitionStats(docs).queryExecution.executedPlan.treeString
+    assert(exec.contains("WindowGroupLimit"),
+      s"repetition top-bigram lost the group-limit pushdown:\n$exec")
+  }
+
+  test("bloomShardFlags: constant-width aggregate, broadcast bitset, no corpus shuffle") {
+    val q = DedupOps.bloomShardFlags(docs)
+    val exec = q.queryExecution.executedPlan.treeString
+    assert(exec.contains("BroadcastExchange") || exec.contains("BroadcastNestedLoopJoin"),
+      s"the m/8-byte bitset must broadcast to the shard probe:\n$exec")
+    assert(!exec.contains("SortMergeJoin"),
+      s"no corpus-sized join may appear in the bloom pre-filter:\n$exec")
+    // the probe predicate must be pure Catalyst (codegen), not a UDF
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(!opt.toLowerCase.contains("scalaudf"),
+      s"bloom probe fell back to a UDF:\n$opt")
+  }
+
   test("every unpartitioned window in the registry is cardinality-bounded (r8 verdict)") {
     // an unpartitioned window moves ALL its input to one task — fine for
     // the library's actual global-window sites (post-TakeOrdered top-N

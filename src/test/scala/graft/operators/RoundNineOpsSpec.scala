@@ -151,6 +151,60 @@ class RoundNineOpsSpec extends SparkSpec {
     assert(fpRate < 0.35, f"FP rate $fpRate%.3f far above the ~0.20 theory bound")
   }
 
+  test("softDedupWeights: exact group sizes, floor-division micro weights") {
+    val sess = spark
+    import sess.implicits._
+    val planted = Seq(
+      (1L, "unique one"), (2L, "dup text"), (3L, "dup text"),
+      (4L, "tri text"), (5L, "tri text"), (6L, "tri text")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.softDedupWeights(planted).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (1L, 1000000L))
+    assert(out(2L) == (2L, 500000L) && out(3L) == (2L, 500000L))
+    Seq(4L, 5L, 6L).foreach(id => assert(out(id) == (3L, 333333L))) // floor
+  }
+
+  test("dsirWeights: target-like docs score above source-only docs") {
+    val sess = spark
+    import sess.implicits._
+    // target (en) vocabulary is disjoint from the rest: a doc written in
+    // the target's words must get a HIGHER importance weight than a doc
+    // of source-only words — the whole point of the estimator
+    val enWords = "alpha beta gamma delta epsilon zeta eta theta"
+    val deWords = "eins zwei drei vier fuenf sechs sieben acht"
+    val docs = ((1 to 10).map(i => (i.toLong, enWords, "en")) ++
+      (11 to 30).map(i => (i.toLong, deWords, "de")) :+
+      (31L, enWords, "fr") :+ // target-LIKE doc outside the target slice
+      (32L, deWords, "fr")).toDF("doc_id", "text", "lang")
+    val w = CorpusOps.dsirWeights(docs).collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+    assert(w(31L) > w(32L),
+      s"target-like doc must outscore source-only doc: ${w(31L)} <= ${w(32L)}")
+    assert(w(31L) > 0 && w(32L) < 0,
+      s"signs must separate in/out of domain: ${w(31L)}, ${w(32L)}")
+  }
+
+  test("hllShardDistinct: estimates near exact; union merges disjoint shards") {
+    val sess = spark
+    import sess.implicits._
+    // disjoint 400-word vocabularies per lang: per-shard estimate must
+    // sit near 400 and the merged global near 800 (HLL lgK=12 relative
+    // error ~1.6%; allow 5%)
+    val docs = ((0 until 40).map(i =>
+      (i.toLong, (i * 10 until i * 10 + 10).map(j => s"en$j").mkString(" "), "en")) ++
+      (40 until 80).map(i =>
+        (i.toLong, ((i - 40) * 10 until (i - 40) * 10 + 10).map(j => s"de$j").mkString(" "), "de")))
+      .toDF("doc_id", "text", "lang")
+    val est = CorpusOps.hllShardDistinct(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    assert(math.abs(est("en") - 400) / 400.0 < 0.05, s"en: ${est("en")}")
+    assert(math.abs(est("de") - 400) / 400.0 < 0.05, s"de: ${est("de")}")
+    assert(math.abs(est("__all__") - 800) / 800.0 < 0.05, s"all: ${est("__all__")}")
+    assert(est("__all__") >= est("en") && est("__all__") >= est("de"),
+      "the union must dominate every shard")
+  }
+
   test("qualityModel: map-only plan — no shuffle before the display sort") {
     val plan = TextOps.qualityModel(docs).queryExecution.optimizedPlan.toString
     // exactly one Sort (the final orderBy) and no Aggregate/Join anywhere;
