@@ -245,6 +245,7 @@ object SparkEntry {
     "stream_session_batch" -> ((s, d) => StreamBatchOps.sessions(Tables.events(s, d))),
     "ts_gapfill" -> ((s, d) => StreamBatchOps.gapfill(Tables.events(s, d))),
     "ts_rolling" -> ((s, d) => StreamBatchOps.rolling(Tables.events(s, d))),
+    "ts_sessionize" -> ((s, d) => StreamBatchOps.sessionize(Tables.events(s, d))),
     "ts_concurrency" -> ((s, d) => StreamBatchOps.intervalConcurrency(Tables.events(s, d))),
     "ts_anomaly" -> ((s, d) => StreamBatchOps.anomaly(Tables.events(s, d))),
     "ts_seasonality" -> ((s, d) => StreamBatchOps.seasonality(Tables.events(s, d))),
@@ -2315,6 +2316,22 @@ object SparkEntry {
         |  round(CAST(tot - s AS DOUBLE) / CAST(hh - i AS DOUBLE), 6) AS mean_after,
         |  round(shift_raw, 6) AS shift
         |FROM best WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    // gap cut + running sum share one (user, s, event_id) window sort;
+    // epoch-second integers end to end
+    "ts_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(s) OVER w IS NULL
+        |    OR s - lag(s) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id))
+        |SELECT user_id, event_id, s,
+        |  CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |FROM m ORDER BY user_id, s, event_id""".stripMargin,
 
     // trailing 24h RANGE frame on epoch seconds over the hourly pre-agg
     "ts_rolling" ->

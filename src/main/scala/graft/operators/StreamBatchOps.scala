@@ -361,4 +361,36 @@ object StreamBatchOps {
       .select(col("event_type"), col("n_intervals"), col("peak_concurrency"))
       .orderBy("event_type")
   }
+
+  /** `ts_sessionize` (round 9): gap-based session ASSIGNMENT — every
+    * event gets its user's running session number, a new session opening
+    * when the gap since the previous event exceeds `gapSecs` (the
+    * classic 30-min web-analytics cut). This is the per-EVENT
+    * complement of `stream_session_batch` (which aggregates session
+    * windows): downstream joins, funnels, and sequence models need the
+    * session id ON the event row.
+    *
+    * One shuffle on user_id; both windows share the same
+    * (user_id, s, event_id) sort, so Catalyst plans a single WindowExec
+    * pass. Sessionization is inherently sequential PER USER — salting
+    * cannot split a user's timeline — so the parallelism unit is the
+    * user and the bound is max-events-per-user (the generated corpus is
+    * power-law-skewed to exercise exactly that; a pathological single
+    * user would need a two-pass segment-merge variant). Epoch-second
+    * integers end to end: exact cross-engine. */
+  def sessionize(events: DataFrame, gapSecs: Long = 1800L): DataFrame = {
+    val e = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("s"))
+    val w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    val prev = lag(col("s"), 1).over(w)
+    e.withColumn("new_sess",
+        when(prev.isNull || col("s") - prev > gapSecs, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("event_id"), col("s"), col("session_seq"))
+      .orderBy("user_id", "s", "event_id")
+  }
 }

@@ -205,6 +205,33 @@ class RoundNineOpsSpec extends SparkSpec {
       "the union must dominate every shard")
   }
 
+  test("sessionize: gaps cut sessions exactly at the threshold; one window pass") {
+    val sess = spark
+    import sess.implicits._
+    val base = 1704067200L
+    val planted = Seq(
+      // user 7: gap exactly 1800 (SAME session — cut is strictly >),
+      // then 1801 (new session)
+      (1L, 7L, base), (2L, 7L, base + 1800), (3L, 7L, base + 1800 + 1801),
+      // user 8: everything inside one session
+      (4L, 8L, base), (5L, 8L, base + 10), (6L, 8L, base + 20)
+    ).map { case (e, u, s) => (e, u, java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(s))) }
+      .toDF("event_id", "user_id", "ts")
+      .withColumn("event_type", lit("t")).withColumn("value", lit(0.0))
+      .withColumn("props", lit("{}"))
+    val out = StreamBatchOps.sessionize(planted).collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap // event_id -> session_seq
+    assert(out(1L) == 1L && out(2L) == 1L, "a gap of exactly 1800 must NOT cut")
+    assert(out(3L) == 2L, "a gap of 1801 must open session 2")
+    assert(out(4L) == 1L && out(5L) == 1L && out(6L) == 1L)
+    // both windows (lag + running sum) must share ONE sort/window pass
+    val exec = StreamBatchOps.sessionize(planted).queryExecution.executedPlan.treeString
+    assert("Window\\b".r.findAllIn(exec).size <= 2 &&
+      "Exchange".r.findAllIn(exec).size <= 2, // user shuffle + display sort
+      s"sessionize should share one user-keyed sort:\n$exec")
+  }
+
   test("qualityModel: map-only plan — no shuffle before the display sort") {
     val plan = TextOps.qualityModel(docs).queryExecution.optimizedPlan.toString
     // exactly one Sort (the final orderBy) and no Aggregate/Join anywhere;
