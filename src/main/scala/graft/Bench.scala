@@ -2,20 +2,22 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   /** Short stdout keys for a query-name set: 1 char per leading
-    * '_'-segment + 2 of the last, deterministic collision break (sorted
-    * order; a later colliding name extends its last-segment prefix, then
-    * a numeric suffix). Factored out of main so BenchLineSpec can assert
-    * the whole stdout line stays inside the driver's ~1.9 KB capture
-    * tail for the CURRENT registry — the rounds-2/3 parsed:null defect
-    * as a compile-time-adjacent guard. The name-set dependence of the
-    * collision break is why the authoritative mapping is the `legend`
-    * field inside BENCH_FULL.json, not a re-derivation. */
+    * '_'-segment + 1 of the last (round 9: was 2 — the 171-query
+    * registry outgrew the tail budget at 2), deterministic collision
+    * break (sorted order; a later colliding name extends its
+    * last-segment prefix, then a numeric suffix). Factored out of main
+    * so BenchLineSpec can assert the whole stdout line stays inside the
+    * driver's ~1.9 KB capture tail for the CURRENT registry — the
+    * rounds-2/3 parsed:null defect as a compile-time-adjacent guard.
+    * The name-set dependence of the collision break is why the
+    * authoritative mapping is the `legend` field inside
+    * BENCH_FULL.json, not a re-derivation. */
   def shortKeys(names: Seq[String]): Map[String, String] = {
     val used = scala.collection.mutable.Set[String]()
     names.sorted.map { n =>
       val segs = n.split('_')
       def mk(l: Int) = segs.init.map(_.take(1)).mkString + segs.last.take(l)
-      var len = 2
+      var len = 1
       var s = mk(len)
       while (used.contains(s) && len < segs.last.length) { len += 1; s = mk(len) }
       var s2 = s
@@ -329,8 +331,12 @@ object Bench {
     // no "full" pointer field: every byte of this line competes with the
     // driver's ~1.9 KB stdout tail (BenchLineSpec pins the budget);
     // BENCH_NOTES documents that the full-precision record + legend live
-    // in BENCH_FULL.json
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","ivf_build_sec":${f"$ivfBuildSec%.2f"},"qunit":"centisec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    // in BENCH_FULL.json. Round 9 slimming: ivf_build_sec moved to
+    // BENCH_FULL.json only, and the failed list uses short keys (the
+    // legend inverts them) — full names would blow the tail on a
+    // multi-failure run, zeroing the whole round's artifact.
+    val failedShort = results.collect { case (k, v) if v < 0 => "\"" + short(k) + "\"" }
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","qunit":"centisec","queries":$qs,"failed":${failedShort.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

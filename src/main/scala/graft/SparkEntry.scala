@@ -251,6 +251,8 @@ object SparkEntry {
     "ts_seasonality" -> ((s, d) => StreamBatchOps.seasonality(Tables.events(s, d))),
     "ts_autocorr" -> ((s, d) => StreamBatchOps.autocorr(Tables.events(s, d))),
     "ts_changepoint" -> ((s, d) => StreamBatchOps.changepoint(Tables.events(s, d))),
+    "ts_retention" -> ((s, d) => StreamBatchOps.retention(Tables.events(s, d))),
+    "ts_funnel_steps" -> ((s, d) => StreamBatchOps.funnelSteps(Tables.events(s, d))),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -1228,7 +1230,8 @@ object SparkEntry {
         |    CAST(round(ln((coalesce(t_b, 0) + 1.0) / (t_tot + 64.0))
         |             - ln((s_b + 1.0) / (s_tot + 64.0)), 6) AS DECIMAL(18,6)) AS lambda
         |  FROM src LEFT JOIN tgt USING (b) CROSS JOIN tot)
-        |SELECT doc_id, CAST(SUM(c * lambda) AS DECIMAL(38,6)) AS logweight
+        |SELECT doc_id,
+        |  CAST(CAST(SUM(c * lambda) AS DECIMAL(38,6)) AS DOUBLE) AS logweight
         |FROM db JOIN lam USING (b) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // every Gopher rule is an exact-integer comparison (ratios become
@@ -2347,6 +2350,57 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY event_type ORDER BY hour_s
         |  RANGE BETWEEN 82800 PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, hour_s""".stripMargin,
+
+    // cohort day = exact integer floor-division of epoch seconds; cohort
+    // size read from the offset-0 cell via a window (no extra join)
+    "ts_retention" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |c AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1),
+        |cells AS (
+        |  SELECT c.cohort_day, e.day - c.cohort_day AS day_offset,
+        |    COUNT(*) AS n_active
+        |  FROM e JOIN c USING (user_id) GROUP BY 1, 2),
+        |sized AS (
+        |  SELECT *, MAX(CASE WHEN day_offset = 0 THEN n_active END)
+        |    OVER (PARTITION BY cohort_day) AS cohort_size
+        |  FROM cells)
+        |SELECT cohort_day, day_offset, n_active, cohort_size,
+        |  round(CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE), 6)
+        |    AS retained_share
+        |FROM sized ORDER BY cohort_day, day_offset""".stripMargin,
+
+    // each step = first qualifying event at-or-after the previous step's
+    // time within the 24h budget; epoch-second integers end to end
+    "ts_funnel_steps" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |s1 AS (SELECT user_id, MIN(s) AS t FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.s) AS t
+        |       FROM e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click'
+        |         AND e.s >= s1.t AND e.s <= s1.t + 86400 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.s) AS t
+        |       FROM e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase'
+        |         AND e.s >= s2.t AND e.s <= s2.t + 86400 GROUP BY 1),
+        |u AS (
+        |  SELECT 1 AS step, 'view' AS step_name, user_id FROM s1
+        |  UNION ALL SELECT 2, 'click', user_id FROM s2
+        |  UNION ALL SELECT 3, 'purchase', user_id FROM s3),
+        |counts AS (SELECT step, step_name, COUNT(*) AS n_users
+        |           FROM u GROUP BY 1, 2),
+        |sized AS (SELECT *, MAX(CASE WHEN step = 1 THEN n_users END)
+        |            OVER () AS entered FROM counts)
+        |SELECT CAST(step AS BIGINT) AS step, step_name, n_users,
+        |  round(CAST(n_users AS DOUBLE) / CAST(entered AS DOUBLE), 6)
+        |    AS conversion
+        |FROM sized ORDER BY step""".stripMargin,
 
     "stream_tumbling_batch" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start_s,

@@ -1097,7 +1097,9 @@ object CorpusOps {
     * BEFORE the per-doc sum (the `text_entropy` per-term-round pattern,
     * so the order-sensitive float reduction becomes an exact decimal
     * sum), and the doc weight is a DECIMAL(38,6) total of
-    * integer-count × fixed-decimal products.
+    * integer-count × fixed-decimal products, emitted as DOUBLE (the
+    * no-DECIMAL-output contract; both engines round the same exact
+    * decimal to the same IEEE double).
     *
     * Scale shape: one token pass builds (doc, bucket) counts (map-side
     * partial agg); the λ table is BUCKETS rows (64) and broadcasts; the
@@ -1130,9 +1132,15 @@ object CorpusOps {
           log((col("s_b").cast("double") + 1.0) /
             (col("s_tot").cast("double") + buckets.toDouble)), 6)
           .cast("decimal(18,6)").as("lambda"))
+    // the sum is exact in DECIMAL(38,6); the terminal cast lands on
+    // DOUBLE because DECIMAL output columns hash representation-unstably
+    // across engines (ContractSpec's no-DECIMAL-output rule) — the
+    // decimal→double rounding of an identical exact value is the same
+    // IEEE double on both sides
     docBucket.join(broadcast(lambda), "b")
       .groupBy("doc_id")
-      .agg(sum(col("c") * col("lambda")).cast("decimal(38,6)").as("logweight"))
+      .agg(sum(col("c") * col("lambda")).cast("decimal(38,6)")
+        .cast("double").as("logweight"))
       .orderBy("doc_id")
   }
 

@@ -378,6 +378,88 @@ object StreamBatchOps {
     * power-law-skewed to exercise exactly that; a pathological single
     * user would need a two-pass segment-merge variant). Epoch-second
     * integers end to end: exact cross-engine. */
+  /** `ts_retention`: the cohort retention matrix — users cohorted by
+    * their FIRST-event day; for each (cohort_day, day_offset) cell, how
+    * many of that cohort's users were active, and what share of the
+    * cohort that is. The standard product-analytics triangle every
+    * activation dashboard draws, and (for a training-data pipeline) the
+    * freshness curve of contributor activity per ingest cohort.
+    *
+    * Scale shape: ONE user_id shuffle — cohort day (min) and the
+    * distinct active-day set (collect_set, map-side combined; bounded
+    * by the retention horizon in days, not by event volume) come from
+    * the same groupBy, so there is no (user,day)-distinct + re-shuffle
+    * + join chain. Exploding the day set and collapsing to cells
+    * shuffles O(users × active-days) rows pre-combined map-side down to
+    * O(cohorts × offsets) — thousands of rows at 100 TB. Cohort sizes
+    * come from the offset-0 cell itself (every cohort user is by
+    * construction active on their first day), so no extra join: the
+    * share divides by a same-cohort window max — O(cohorts) partitions,
+    * each ≤ offsets rows. Exact integers throughout; share rounded 6dp
+    * for display. */
+  def retention(events: DataFrame): DataFrame = {
+    val e = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("s"))
+      .select(col("user_id"), expr("s DIV 86400").as("day"))
+    val perUser = e.groupBy("user_id")
+      .agg(min(col("day")).as("cohort_day"), collect_set(col("day")).as("days"))
+    val cells = perUser
+      .select(col("cohort_day"), explode(col("days")).as("day"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val wC = Window.partitionBy("cohort_day")
+    cells
+      .withColumn("cohort_size", max(when(col("day_offset") === 0, col("n_active"))).over(wC))
+      .select(col("cohort_day"), col("day_offset"), col("n_active"), col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size").cast("double"), 6)
+          .as("retained_share"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** `ts_funnel_steps`: the time-bounded ordered funnel — per user,
+    * the first `view`, the first `click` AT OR AFTER that view within
+    * `windowSecs`, the first `purchase` at or after that click within
+    * `windowSecs`; emits one row per step with the user count and the
+    * conversion share vs step 1. This is the sequence form of
+    * `corpus_funnel` (which is per-RULE attrition over docs): ordering
+    * and a time budget between steps are what make it a funnel rather
+    * than three independent filters.
+    *
+    * Scale shape: each step is a filter + min-agg + join, ALL keyed on
+    * user_id — the step-k frame reuses the step-(k−1) hash partitioning
+    * (one user_id exchange per event-type filter, no re-shuffle at the
+    * joins), and each step's frame is ≤ one row per user. The final
+    * count collapses to 3 rows. The per-type filters are pushed to the
+    * scan (disjunction of the three step types). Epoch-second integers
+    * end to end; share rounded 6dp. */
+  def funnelSteps(events: DataFrame, windowSecs: Long = 86400L): DataFrame = {
+    val e = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("s"))
+    def firstAfter(evType: String, prev: DataFrame): DataFrame =
+      e.filter(col("event_type") === evType)
+        .join(prev, Seq("user_id"))
+        .filter(col("s") >= col("t") && col("s") <= col("t") + windowSecs)
+        .groupBy("user_id").agg(min(col("s")).as("t"))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("s")).as("t"))
+    val s2 = firstAfter("click", s1)
+    val s3 = firstAfter("purchase", s2)
+    val counts = s1.select(lit(1L).as("step"), lit("view").as("step_name"), col("user_id"))
+      .unionAll(s2.select(lit(2L), lit("click"), col("user_id")))
+      .unionAll(s3.select(lit(3L), lit("purchase"), col("user_id")))
+      .groupBy("step", "step_name").agg(count(lit(1)).as("n_users"))
+    val wAll = Window.partitionBy() // 3 rows: trivially single-partition
+    counts
+      .withColumn("entered", max(when(col("step") === 1, col("n_users"))).over(wAll))
+      .select(col("step"), col("step_name"), col("n_users"),
+        round(col("n_users").cast("double") / col("entered").cast("double"), 6)
+          .as("conversion"))
+      .orderBy("step")
+  }
+
   def sessionize(events: DataFrame, gapSecs: Long = 1800L): DataFrame = {
     val e = events
       .filter(col("ts").isNotNull && col("user_id").isNotNull)

@@ -19,7 +19,7 @@ class BenchLineSpec extends AnyFunSuite {
     val qs = names.sorted
       .map(n => "\"" + short(n) + "\":999").mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":99999.999,"unit":"sec","ivf_build_sec":99.99,"qunit":"centisec","queries":$qs,"failed":[],"sf":"/root/testdata/sf0.1"}"""
+      s"""{"metric":"total","value":99999.999,"unit":"sec","qunit":"centisec","queries":$qs,"failed":[],"sf":"/root/testdata/sf0.1"}"""
     assert(line.length <= 1900,
       s"bench stdout line is ${line.length} B for ${names.size} queries — " +
         "outgrowing the driver's ~1.9 KB stdout tail; shorten keys or drop precision")

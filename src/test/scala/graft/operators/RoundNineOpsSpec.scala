@@ -178,7 +178,7 @@ class RoundNineOpsSpec extends SparkSpec {
       (31L, enWords, "fr") :+ // target-LIKE doc outside the target slice
       (32L, deWords, "fr")).toDF("doc_id", "text", "lang")
     val w = CorpusOps.dsirWeights(docs).collect()
-      .map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(w(31L) > w(32L),
       s"target-like doc must outscore source-only doc: ${w(31L)} <= ${w(32L)}")
     assert(w(31L) > 0 && w(32L) < 0,
@@ -230,6 +230,73 @@ class RoundNineOpsSpec extends SparkSpec {
     assert("Window\\b".r.findAllIn(exec).size <= 2 &&
       "Exchange".r.findAllIn(exec).size <= 2, // user shuffle + display sort
       s"sessionize should share one user-keyed sort:\n$exec")
+  }
+
+  private def eventsFrom(rows: Seq[(Long, Long, String, Long)]) = {
+    val sess = spark
+    import sess.implicits._
+    rows.map { case (e, u, ty, s) => (e, u, ty, java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(s))) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+  }
+
+  test("retention: cohorts by first day, offset-0 cell IS the cohort size") {
+    val day = 86400L
+    val base = 1704067200L // a midnight: day boundaries land cleanly
+    val planted = eventsFrom(Seq(
+      // cohort day0: users 1,2,3; user 1 active d0+d1+d2, user 2 d0+d2,
+      // user 3 only d0 (two events same day — must count once)
+      (1L, 1L, "view", base), (2L, 1L, "view", base + day),
+      (3L, 1L, "view", base + 2 * day),
+      (4L, 2L, "view", base + 10), (5L, 2L, "view", base + 2 * day + 10),
+      (6L, 3L, "view", base + 20), (7L, 3L, "click", base + 30),
+      // cohort day1: user 4 active d1 only
+      (8L, 4L, "view", base + day + 40)))
+    val out = StreamBatchOps.retention(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val d0 = base / day
+    assert(out((d0, 0L)) == ((3L, 3L, 1.0)), "cohort d0 day 0: all 3 users")
+    assert(out((d0, 1L)) == ((1L, 3L, 0.333333)), "d0+1: only user 1")
+    assert(out((d0, 2L)) == ((2L, 3L, 0.666667)), "d0+2: users 1 and 2")
+    assert(out((d0 + 1, 0L)) == ((1L, 1L, 1.0)), "cohort d1: user 4")
+    assert(!out.contains((d0, 3L)), "no phantom cells")
+    // one user_id exchange shared by the min-agg / distinct / join chain
+    val exec = StreamBatchOps.retention(planted)
+      .queryExecution.executedPlan.treeString
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(exec).size <= 1,
+      s"retention should reuse ONE user_id partitioning:\n$exec")
+  }
+
+  test("funnelSteps: ordered within-budget sequences only; share vs step 1") {
+    val planted = eventsFrom(Seq(
+      // user 1: full funnel inside the budget
+      (1L, 1L, "view", 1000L), (2L, 1L, "click", 2000L),
+      (3L, 1L, "purchase", 3000L),
+      // user 2: click BEFORE the first view — never reaches step 2
+      (4L, 2L, "click", 1000L), (5L, 2L, "view", 2000L),
+      // user 3: click in budget, purchase 1s past the 24h budget
+      (6L, 3L, "view", 1000L), (7L, 3L, "click", 2000L),
+      (8L, 3L, "purchase", 2000L + 86401L),
+      // user 4: purchase with no view/click at all — not even step 1
+      (9L, 4L, "purchase", 1000L)))
+    val out = StreamBatchOps.funnelSteps(planted).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out("view") == ((3L, 1.0)), "users 1,2,3 enter the funnel")
+    assert(out("click") == ((2L, 0.666667)), "users 1,3 click after view")
+    assert(out("purchase") == ((1L, 0.333333)), "only user 1 completes")
+  }
+
+  test("funnelSteps: boundary — a same-second next step and an exactly-at-budget step count") {
+    val planted = eventsFrom(Seq(
+      (1L, 1L, "view", 5000L),
+      (2L, 1L, "click", 5000L),              // same second as the view
+      (3L, 1L, "purchase", 5000L + 86400L))) // exactly at the budget edge
+    val out = StreamBatchOps.funnelSteps(planted).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out("view") == 1L && out("click") == 1L && out("purchase") == 1L,
+      "at-or-after and ≤budget are both inclusive")
   }
 
   test("qualityModel: map-only plan — no shuffle before the display sort") {
