@@ -94,6 +94,23 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_CLASSES",
           "/root/repo/target/scala-2.13/classes"))
     }
+    // SPARK_GRAFT_AUTOSIZE=1: derive the sizing knobs from the SF
+    // footprint + box shape (ScaleConf) instead of the pinned local
+    // defaults. An explicit SPARK_GRAFT_SHUFFLE_PARTITIONS still wins —
+    // a measured override beats a derived default. Off by default so
+    // committed artifacts stay comparable across rounds.
+    if (sys.env.get("SPARK_GRAFT_AUTOSIZE").contains("1")) {
+      val sizing = ScaleConf.derive(
+        ScaleConf.inputBytes(sfDir),
+        totalCores = cpus.toInt,
+        executorMemoryBytes = Runtime.getRuntime.maxMemory)
+      ScaleConf.confEntries(sizing).foreach { case (k, v) =>
+        if (!(k == "spark.sql.shuffle.partitions" &&
+            sys.env.contains("SPARK_GRAFT_SHUFFLE_PARTITIONS")))
+          builder.config(k, v)
+      }
+      System.err.println(s"[bench] autosize: $sizing")
+    }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     LogHygiene.muteBoundedGlobalWindowWarn

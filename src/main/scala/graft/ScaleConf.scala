@@ -1,0 +1,116 @@
+package graft
+
+/** Data-size-derived session sizing — the per-SF answer to "size
+  * `spark.sql.shuffle.partitions` and `spark.sql.files.maxPartitionBytes`
+  * so partitions fit in executor memory at the target SF" (the one
+  * remaining environment gap the round-8 verdict lists: the knobs were
+  * tuned for exactly one box).
+  *
+  * The derivation is a pure function of (input bytes, total cores,
+  * executor memory), so the SAME rule sizes a laptop at sf0.01 and a
+  * 1000-executor cluster at 100 TB, and a spec can pin both ends:
+  *
+  *  - '''shuffle partitions''' target ~[[TargetShufflePartitionBytes]]
+  *    (128 MiB) of pre-shuffle input each — the classic fits-in-heap
+  *    sweet spot (big enough to amortize task launch, small enough that
+  *    a hash aggregate over one partition stays in memory). Floor:
+  *    2× total cores, so every core gets work even at tiny SF and AQE
+  *    has room to coalesce (over-partitioning is cheap under AQE,
+  *    under-partitioning is not recoverable). Rounded UP to a multiple
+  *    of total cores: full task waves, no straggler tail wave. Cap:
+  *    [[MaxShufflePartitions]] — past ~200k the map-output tracker and
+  *    scheduler overhead dominate; at the cap the per-partition size
+  *    grows instead ([[Sizing.shufflePartitionBytes]] reports it, and
+  *    callers should check it against executor memory).
+  *  - '''scan splits''' (`files.maxPartitionBytes`): default 128 MiB,
+  *    but SHRUNK at small inputs so the scan still parallelizes —
+  *    input/(3× cores) clamped to [4 MiB, 128 MiB]. A 100 MiB table
+  *    read as one 128 MiB split would serialize the whole pipeline
+  *    behind one task.
+  *  - '''AQE advisory''' (`advisoryPartitionSizeInBytes`): 64 MiB —
+  *    the post-coalesce target; half the shuffle target because AQE
+  *    sees post-map-side-combine (usually smaller) bytes.
+  *  - '''broadcast threshold''': grows with executor memory —
+  *    memory/256 clamped to [10 MiB, 64 MiB]. A 64 GiB executor wastes
+  *    nothing broadcasting a 64 MiB dim table and saves a full shuffle
+  *    of the fact side; a 2 GiB executor stays at the stock 10 MiB.
+  *    (Corpus-sized EXPLICIT broadcast hints are separately stripped by
+  *    [[graft.plans.BroadcastGuardrail]] — the threshold governs only
+  *    the optimizer's automatic choice.)
+  *
+  * Applied by Bench/Verify when `SPARK_GRAFT_AUTOSIZE=1`; explicit
+  * `SPARK_GRAFT_SHUFFLE_PARTITIONS` still wins (measured override beats
+  * derived default). The local gates keep their pinned defaults so
+  * committed artifacts stay comparable across rounds.
+  */
+object ScaleConf {
+  val TargetShufflePartitionBytes: Long = 128L << 20
+  val MaxShufflePartitions: Int = 200000
+  val MinFileSplitBytes: Long = 4L << 20
+  val DefaultFileSplitBytes: Long = 128L << 20
+  val AdvisoryPartitionBytes: Long = 64L << 20
+  val MinBroadcastBytes: Long = 10L << 20
+  val MaxBroadcastBytes: Long = 64L << 20
+
+  final case class Sizing(
+      shufflePartitions: Int,
+      maxPartitionBytes: Long,
+      advisoryPartitionBytes: Long,
+      broadcastThresholdBytes: Long,
+      /** pre-shuffle bytes per partition at the derived count — equals
+        * ~[[TargetShufflePartitionBytes]] until the partition cap bites,
+        * then grows; callers compare it against executor memory. */
+      shufflePartitionBytes: Long)
+
+  /** Pure derivation. `totalCores` = executors × cores-per-executor
+    * (local[n] → n); `executorMemoryBytes` = per-executor heap. */
+  def derive(inputBytes: Long, totalCores: Int,
+             executorMemoryBytes: Long): Sizing = {
+    require(totalCores > 0, "totalCores must be positive")
+    val bytes = math.max(inputBytes, 1L)
+    val byData = ceilDiv(bytes, TargetShufflePartitionBytes)
+    val floorParts = 2L * totalCores
+    val uncapped = math.max(byData, floorParts)
+    // full waves: round UP to a multiple of the core count
+    val waved = ceilDiv(uncapped, totalCores) * totalCores
+    val parts = math.min(waved, MaxShufflePartitions.toLong).toInt
+    val split = clamp(bytes / (3L * totalCores),
+      MinFileSplitBytes, DefaultFileSplitBytes)
+    val bcast = clamp(executorMemoryBytes / 256L,
+      MinBroadcastBytes, MaxBroadcastBytes)
+    Sizing(
+      shufflePartitions = parts,
+      maxPartitionBytes = split,
+      advisoryPartitionBytes = AdvisoryPartitionBytes,
+      broadcastThresholdBytes = bcast,
+      shufflePartitionBytes = ceilDiv(bytes, parts.toLong))
+  }
+
+  /** On-disk footprint of the SF directory's parquet tables (sum of
+    * file sizes; both single-file driver layout and Spark part-file
+    * directories). This is COMPRESSED bytes — the same quantity
+    * `files.maxPartitionBytes` splits on, and a conservative (low)
+    * stand-in for shuffle bytes, which is the safe direction: shuffle
+    * rows are usually a pruned subset of the scan. */
+  def inputBytes(sfDir: String): Long = {
+    val root = new java.io.File(sfDir)
+    def walk(f: java.io.File): Long =
+      if (f.isFile) (if (f.getName.endsWith(".parquet")) f.length else 0L)
+      else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+    walk(root)
+  }
+
+  /** Session conf entries for a derived sizing (string-keyed so both
+    * builder and runtime `spark.conf.set` callers can apply them). */
+  def confEntries(s: Sizing): Seq[(String, String)] = Seq(
+    "spark.sql.shuffle.partitions" -> s.shufflePartitions.toString,
+    "spark.sql.files.maxPartitionBytes" -> s.maxPartitionBytes.toString,
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+      s.advisoryPartitionBytes.toString,
+    "spark.sql.autoBroadcastJoinThreshold" ->
+      s.broadcastThresholdBytes.toString)
+
+  private def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
+  private def clamp(v: Long, lo: Long, hi: Long): Long =
+    math.max(lo, math.min(hi, v))
+}

@@ -233,6 +233,7 @@ object SparkEntry {
     "sample_pps" -> ((s, d) => CorpusOps.samplePps(Tables.documents(s, d))),
     "text_ngram_novelty" -> ((s, d) => CorpusOps.ngramNovelty(Tables.documents(s, d))),
     "pipeline_quota_cap" -> ((s, d) => CorpusOps.quotaCap(Tables.documents(s, d))),
+    "pipeline_repeat_epochs" -> ((s, d) => CorpusOps.repeatEpochs(Tables.documents(s, d))),
     "text_cooccur_pmi" -> ((s, d) => CorpusOps.cooccurPmi(Tables.documents(s, d))),
     // --- retrieval (LLM-pipeline) ---
     "retrieval_bm25" -> ((s, d) => RetrievalOps.bm25(Tables.documents(s, d))),
@@ -1789,6 +1790,27 @@ object SparkEntry {
         |      ORDER BY n_chars DESC, doc_id) AS rn
         |  FROM documents) t
         |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    // repeat factor = min(4, ceil(max-source-tokens / source-tokens)),
+    // all exact integer arithmetic; generate_series/sequence are both
+    // inclusive of the upper bound
+    "pipeline_repeat_epochs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS BIGINT) AS n_tok
+        |  FROM documents),
+        |bys AS (SELECT source, SUM(n_tok) AS toks FROM tok GROUP BY 1),
+        |mx AS (SELECT MAX(toks) AS max_toks FROM bys),
+        |f AS (
+        |  SELECT source,
+        |    CAST(LEAST(4, (max_toks + GREATEST(toks, 1) - 1)
+        |      // GREATEST(toks, 1)) AS BIGINT) AS n_epochs
+        |  FROM bys CROSS JOIN mx)
+        |SELECT t.doc_id, t.source, t.n_tok, f.n_epochs,
+        |  CAST(unnest(generate_series(1, f.n_epochs)) AS BIGINT) AS epoch
+        |FROM tok t JOIN f USING (source)
+        |ORDER BY doc_id, epoch""".stripMargin,
 
     // skip-gram pairs within 2 positions, unordered key "lesser greater";
     // counts stay integer, the single per-row ln is rounded to 6 dp on

@@ -17,6 +17,14 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // SPARK_GRAFT_AUTOSIZE=1: data-derived sizing knobs (see ScaleConf
+    // and Bench — same contract); default stays pinned for gate
+    // comparability across rounds.
+    if (sys.env.get("SPARK_GRAFT_AUTOSIZE").contains("1"))
+      ScaleConf.confEntries(ScaleConf.derive(
+        ScaleConf.inputBytes(sfDir), cpus.toInt,
+        Runtime.getRuntime.maxMemory))
+        .foreach { case (k, v) => builder.config(k, v) }
     if (master.startsWith("local-cluster")) {
       builder.config("spark.executor.extraClassPath",
         sys.env.getOrElse("SPARK_GRAFT_CLASSES",

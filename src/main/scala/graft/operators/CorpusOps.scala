@@ -880,6 +880,45 @@ object CorpusOps {
     capped.unionByName(under).orderBy("doc_id")
   }
 
+  /** `pipeline_repeat_epochs`: data-constrained up-sampling — when the
+    * mixture calls for more of a source than exists, REPEAT it, tagging
+    * each copy with an epoch number so downstream shuffles/packing keep
+    * copies distinguishable. The repeat factor is
+    * min(`maxEpochs`, ceil(largest-source-tokens / source-tokens)):
+    * small high-quality sources are epoch'd up toward the largest
+    * source's token mass, capped at 4 — the public finding (Muennighoff
+    * et al. 2023, "Scaling Data-Constrained Language Models") that
+    * up to ~4 epochs of repeated data behave nearly like fresh data and
+    * returns decay past that. The complement of `pipeline_quota_cap`
+    * (which trims over-represented sources down).
+    *
+    * Scale shape: one token-count pass (map-side combined) collapses to
+    * one row per source; the factor table (sources × 16 B) broadcasts
+    * back, and the emit is a map-only `explode(sequence(1, n))` — the
+    * corpus is scanned once and never shuffled. Output volume is
+    * Σ n_epochs·|source| rows by DESIGN (an up-sampler emits what it
+    * up-samples); everything stays exact integers. */
+  def repeatEpochs(documents: DataFrame, maxEpochs: Int = 4): DataFrame = {
+    val tok = documents.select(col("doc_id"), col("source"),
+      size(filter(split(col("text"), " "), w => w =!= ""))
+        .cast("long").as("n_tok"))
+    val bySource = tok.groupBy("source").agg(sum(col("n_tok")).as("toks"))
+    val factors = bySource
+      .crossJoin(broadcast(bySource.agg(max(col("toks")).as("max_toks"))))
+      .select(col("source"),
+        // integer ceil-div (DIV, not /: long / long is DOUBLE in Spark);
+        // all-empty sources (toks = 0) get the cap, not a divide error
+        least(lit(maxEpochs.toLong),
+          expr("(max_toks + greatest(toks, 1) - 1) DIV greatest(toks, 1)"))
+          .cast("long").as("n_epochs"))
+    tok.join(broadcast(factors), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("n_epochs"),
+        explode(sequence(lit(1L), col("n_epochs"))).as("epoch"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        col("n_epochs"), col("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
   /** `text_cooccur_pmi`: windowed word co-occurrence with pointwise
     * mutual information — the top-N most frequent unordered word pairs
     * within `win` positions of each other, scored

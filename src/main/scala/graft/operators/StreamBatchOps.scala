@@ -362,22 +362,6 @@ object StreamBatchOps {
       .orderBy("event_type")
   }
 
-  /** `ts_sessionize` (round 9): gap-based session ASSIGNMENT — every
-    * event gets its user's running session number, a new session opening
-    * when the gap since the previous event exceeds `gapSecs` (the
-    * classic 30-min web-analytics cut). This is the per-EVENT
-    * complement of `stream_session_batch` (which aggregates session
-    * windows): downstream joins, funnels, and sequence models need the
-    * session id ON the event row.
-    *
-    * One shuffle on user_id; both windows share the same
-    * (user_id, s, event_id) sort, so Catalyst plans a single WindowExec
-    * pass. Sessionization is inherently sequential PER USER — salting
-    * cannot split a user's timeline — so the parallelism unit is the
-    * user and the bound is max-events-per-user (the generated corpus is
-    * power-law-skewed to exercise exactly that; a pathological single
-    * user would need a two-pass segment-merge variant). Epoch-second
-    * integers end to end: exact cross-engine. */
   /** `ts_retention`: the cohort retention matrix — users cohorted by
     * their FIRST-event day; for each (cohort_day, day_offset) cell, how
     * many of that cohort's users were active, and what share of the
@@ -460,6 +444,22 @@ object StreamBatchOps {
       .orderBy("step")
   }
 
+  /** `ts_sessionize` (round 9): gap-based session ASSIGNMENT — every
+    * event gets its user's running session number, a new session opening
+    * when the gap since the previous event exceeds `gapSecs` (the
+    * classic 30-min web-analytics cut). This is the per-EVENT
+    * complement of `stream_session_batch` (which aggregates session
+    * windows): downstream joins, funnels, and sequence models need the
+    * session id ON the event row.
+    *
+    * One shuffle on user_id; both windows share the same
+    * (user_id, s, event_id) sort, so Catalyst plans a single WindowExec
+    * pass. Sessionization is inherently sequential PER USER — salting
+    * cannot split a user's timeline — so the parallelism unit is the
+    * user and the bound is max-events-per-user (the generated corpus is
+    * power-law-skewed to exercise exactly that; a pathological single
+    * user would need a two-pass segment-merge variant). Epoch-second
+    * integers end to end: exact cross-engine. */
   def sessionize(events: DataFrame, gapSecs: Long = 1800L): DataFrame = {
     val e = events
       .filter(col("ts").isNotNull && col("user_id").isNotNull)

@@ -299,6 +299,34 @@ class RoundNineOpsSpec extends SparkSpec {
       "at-or-after and ≤budget are both inclusive")
   }
 
+  test("repeatEpochs: factors are ceil(max/toks) capped at 4; epochs enumerate") {
+    val sess = spark
+    import sess.implicits._
+    // big: 100 tokens; mid: 40 → ceil(100/40)=3; tiny: 10 → ceil=10, cap 4
+    val planted = Seq(
+      (1L, ("w " * 60).trim, "big"), (2L, ("w " * 40).trim, "big"),
+      (3L, ("w " * 40).trim, "mid"),
+      (4L, ("w " * 10).trim, "tiny")).toDF("doc_id", "text", "source")
+    val out = CorpusOps.repeatEpochs(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(4)) -> r.getLong(3)).toMap
+    assert(out.keys.count(_._1 == 1L) == 1, "largest source: 1 epoch")
+    assert(out((3L, 1L)) == 3L && out.contains((3L, 3L)) &&
+      !out.contains((3L, 4L)), "mid source: exactly 3 epochs")
+    assert(out((4L, 1L)) == 4L && out.contains((4L, 4L)) &&
+      !out.contains((4L, 5L)), "tiny source: capped at 4 epochs")
+    // epochs are dense 1..n per doc
+    assert(out.keys.filter(_._1 == 4L).map(_._2).toSet == Set(1L, 2L, 3L, 4L))
+    // the corpus itself is never hash-shuffled: only the per-source agg
+    // exchanges rows (O(sources)), the factor table comes back by
+    // broadcast, and the emit is a map-side explode
+    val exec = CorpusOps.repeatEpochs(planted)
+      .queryExecution.executedPlan.treeString
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(exec).isEmpty,
+      s"repeatEpochs must not shuffle doc-grain rows:\n$exec")
+    assert(exec.contains("BroadcastExchange"),
+      s"factor table should broadcast:\n$exec")
+  }
+
   test("qualityModel: map-only plan — no shuffle before the display sort") {
     val plan = TextOps.qualityModel(docs).queryExecution.optimizedPlan.toString
     // exactly one Sort (the final orderBy) and no Aggregate/Join anywhere;
