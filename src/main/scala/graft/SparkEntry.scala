@@ -169,6 +169,7 @@ object SparkEntry {
     "sim_ann_ivf_batch" -> ((s, d) => VectorOps.annIvfBatch(Tables.embeddings(s, d))),
     "vec_quantize_int8" -> ((s, d) => VectorOps.quantizeInt8(Tables.embeddings(s, d))),
     "emb_centroid_drift" -> ((s, d) => VectorOps.centroidDrift(Tables.embeddings(s, d))),
+    "emb_dim_stats" -> ((s, d) => VectorOps.dimStats(Tables.embeddings(s, d))),
     "sample_hardneg" -> ((s, d) => VectorOps.hardNegatives(Tables.embeddings(s, d))),
     // --- text analysis (LLM-pipeline) ---
     "text_wordcount" -> ((s, d) => TextOps.wordcount(Tables.documents(s, d))),
@@ -202,6 +203,7 @@ object SparkEntry {
     "sample_neyman" -> ((s, d) => CorpusOps.sampleNeyman(Tables.documents(s, d))),
     "sample_rejection" -> ((s, d) => CorpusOps.sampleRejection(Tables.documents(s, d))),
     "text_tfidf_keywords" -> ((s, d) => TextOps.tfidfKeywords(Tables.documents(s, d))),
+    "text_kn_bigram" -> ((s, d) => TextOps.knBigram(Tables.documents(s, d))),
     "agg_heavy_hitters" -> ((s, d) => TextOps.heavyHitterWords(Tables.documents(s, d))),
     "text_lm_score" -> ((s, d) => CorpusOps.lmScore(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => CorpusOps.repetition(Tables.documents(s, d))),
@@ -874,6 +876,55 @@ object SparkEntry {
         |  round(CAST(sg AS DOUBLE)
         |    / (sqrt(CAST(ss AS DOUBLE)) * sqrt(CAST(gg AS DOUBLE))), 6) AS centroid_cos
         |FROM d JOIN n USING (label) ORDER BY label""".stripMargin,
+
+    // per-dim Σv and Σv² as exact 7dp decimals (the centroid_drift
+    // device); mean/variance convert to double in ONE mirrored
+    // expression (q2/n − (s/n)²); dim is 0-based on both sides
+    "emb_dim_stats" ->
+      """WITH e AS (
+        |  SELECT unnest(range(0, len(embedding))) AS dim,
+        |    CAST(round(unnest(CAST(embedding AS DOUBLE[])), 7)
+        |      AS DECIMAL(18,7)) AS v
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT dim, COUNT(*) AS n,
+        |    SUM(v) AS s, SUM(v * v) AS q2
+        |  FROM e GROUP BY dim)
+        |SELECT CAST(dim AS INT) AS dim, n,
+        |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+        |  round(CAST(q2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS variance
+        |FROM s ORDER BY dim""".stripMargin,
+
+    // ordered adjacent bigrams; every count exact integer, d = 0.75 an
+    // exact binary double, and the scoring dag mirrored token-for-token
+    // (/, * left-associative in both engines) → identical IEEE doubles
+    "text_kn_bigram" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |bi AS (
+        |  SELECT w[i] AS w1, w[i + 1] AS w2
+        |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM toks) a),
+        |bc AS (SELECT w1, w2, COUNT(*) AS cnt FROM bi GROUP BY 1, 2),
+        |fw AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS ctx_total,
+        |         COUNT(*) AS n1_fw FROM bc GROUP BY 1),
+        |bw AS (SELECT w2, COUNT(*) AS n1_bw FROM bc GROUP BY 1),
+        |tt AS (SELECT COUNT(*) AS t FROM bc),
+        |top AS (SELECT w1, w2, cnt FROM bc
+        |        ORDER BY cnt DESC, w1, w2 LIMIT 50)
+        |SELECT top.w1, top.w2, top.cnt, fw.ctx_total,
+        |  round(
+        |    GREATEST(CAST(top.cnt AS DOUBLE) - 0.75, 0.0)
+        |      / CAST(fw.ctx_total AS DOUBLE)
+        |    + (0.75 * CAST(fw.n1_fw AS DOUBLE))
+        |      / CAST(fw.ctx_total AS DOUBLE)
+        |      * (CAST(bw.n1_bw AS DOUBLE) / CAST(tt.t AS DOUBLE)),
+        |    6) AS p_kn
+        |FROM top
+        |JOIN fw USING (w1) JOIN bw USING (w2) CROSS JOIN tt
+        |ORDER BY cnt DESC, w1, w2""".stripMargin,
 
     "fn_json" ->
       """SELECT event_id,

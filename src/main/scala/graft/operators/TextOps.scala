@@ -395,6 +395,55 @@ object TextOps {
     * size/filter/aggregate — all codegen); no shuffle before the
     * display sort. Emits per-rule flags, not just the verdict, because
     * production runs tune thresholds from the rule-level fail counts. */
+  /** `text_kn_bigram`: interpolated Kneser-Ney bigram probabilities for
+    * the corpus's top-50 bigrams — the smoothing every n-gram language
+    * model uses (and n-gram LMs are the classic corpus-quality /
+    * perplexity-filter tier, the CCNet recipe `text_ppl_buckets`
+    * consumes). With c = c(w1,w2), ctx = c(w1,·), d = 0.75:
+    *   P_KN(w2|w1) = max(c−d, 0)/ctx + d·N1+(w1,·)/ctx · N1+(·,w2)/T
+    * where N1+ are distinct-continuation counts and T = distinct bigram
+    * types — the continuation probability that makes KN beat plain
+    * discounting ("Francisco" is frequent but follows only "San").
+    *
+    * Exactness: every count is an exact integer; d = 0.75 is an exact
+    * binary double; the single scoring expression is mirrored
+    * token-for-token in the oracle so both engines run the identical
+    * IEEE double dag, rounded 6dp.
+    *
+    * Scale shape: ordered-bigram extraction is the `repetitionStats`
+    * HOF (map-side, linear fan-out); one partial+final shuffle builds
+    * the (w1,w2) type table; the three stat tables (forward, backward,
+    * T) are aggregates OVER the type table, not the corpus; the top-50
+    * cut is a TakeOrdered; only those 50 rows join the stats (broadcast
+    * of the 50-row side). */
+  def knBigram(documents: DataFrame, topN: Int = 50): DataFrame = {
+    val ws = filter(split(lower(col("text")), " "), w => w =!= "")
+    val bigrams = filter(
+      transform(ws, (w, i) =>
+        when(i + lit(1) < size(ws),
+          struct(w.as("w1"), element_at(ws, i + lit(2)).as("w2")))),
+      g => g.isNotNull)
+    val bc = documents
+      .select(explode(bigrams).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val fw = bc.groupBy("w1")
+      .agg(sum(col("cnt")).as("ctx_total"), count(lit(1)).as("n1_fw"))
+    val bw = bc.groupBy("w2").agg(count(lit(1)).as("n1_bw"))
+    val t = bc.agg(count(lit(1)).as("t"))
+    val top = bc.orderBy(col("cnt").desc, col("w1"), col("w2")).limit(topN)
+    val d = lit(0.75)
+    top.join(fw, "w1").join(bw, "w2").crossJoin(broadcast(t))
+      .select(col("w1"), col("w2"), col("cnt"), col("ctx_total"),
+        round(
+          greatest(col("cnt").cast("double") - d, lit(0.0)) /
+            col("ctx_total").cast("double") +
+          (d * col("n1_fw").cast("double")) / col("ctx_total").cast("double") *
+            (col("n1_bw").cast("double") / col("t").cast("double")),
+          6).as("p_kn"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2"))
+  }
+
   def gopherQuality(documents: DataFrame): DataFrame = {
     val ws = filter(split(col("text"), " "), w => w =!= "")
     val wc = size(ws).cast("long")

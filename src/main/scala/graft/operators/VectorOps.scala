@@ -610,4 +610,34 @@ object VectorOps {
           6).as("centroid_cos"))
       .orderBy("label")
   }
+
+  /** `emb_dim_stats`: per-DIMENSION mean/variance of the embedding
+    * space — the monitoring table every embedding pipeline keeps
+    * (collapsed dimensions → a broken encoder; drifting means between
+    * snapshots → re-embedding needed; per-dim variance feeds whitening
+    * and product-quantization codebook decisions).
+    *
+    * Scale shape: posexplode fans each vector to `dim` rows but the
+    * partial aggregate collapses them map-side to dims × partitions
+    * before the one shuffle of O(dims) rows — the corpus is scanned
+    * once and never moved. Exactness: the `emb_centroid_drift` device —
+    * each element 7dp-quantized to DECIMAL(18,7), so Σv and Σv² are
+    * order-free exact decimal sums; mean/variance convert the exact
+    * sums to double in ONE mirrored expression (q/n − (s/n)²) and round
+    * 6dp — bit-identical cross-engine. */
+  def dimStats(embeddings: DataFrame): DataFrame = {
+    val q = round(col("v").cast("double"), 7).cast("decimal(18,7)")
+    val dn = col("n").cast("double")
+    val mean = col("s").cast("double") / dn
+    embeddings
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(q).cast("decimal(28,7)").as("s"),
+        sum(q * q).cast("decimal(38,14)").as("q2"))
+      .select(col("dim"), col("n"),
+        round(mean, 6).as("mean"),
+        round(col("q2").cast("double") / dn - mean * mean, 6).as("variance"))
+      .orderBy("dim")
+  }
 }

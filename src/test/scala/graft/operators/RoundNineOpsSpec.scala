@@ -327,6 +327,48 @@ class RoundNineOpsSpec extends SparkSpec {
       s"factor table should broadcast:\n$exec")
   }
 
+  test("knBigram: hand-computed KN probabilities; contexts sum to 1") {
+    val sess = spark
+    import sess.implicits._
+    // bigrams: (a,b)x2, (a,c)x1, (d,b)x1 — T=3 types
+    // P(b|a) = (2-.75)/3 + (.75*2)/3*(2/3) = 0.75
+    // P(c|a) = (1-.75)/3 + (.75*2)/3*(1/3) = 0.25
+    // P(b|d) = (1-.75)/1 + (.75*1)/1*(2/3) = 0.75
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "d b"))
+      .toDF("doc_id", "text")
+    val out = TextOps.knBigram(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(out(("a", "b")) == 0.75, s"P(b|a): ${out(("a", "b"))}")
+    assert(out(("a", "c")) == 0.25, s"P(c|a): ${out(("a", "c"))}")
+    assert(out(("d", "b")) == 0.75, s"P(b|d): ${out(("d", "b"))}")
+    // interpolated KN is a proper distribution over the FULL
+    // continuation vocabulary: context 'a' observes continuations whose
+    // P_cont shares cover all of it (b: 2/3, c: 1/3), so its observed
+    // probabilities must sum to exactly 1; context 'd' observes only b,
+    // so its sum is short by exactly lambda(d) x P_cont(c)
+    // = 0.75 x 1/3 = 0.25
+    val byCtx = out.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum)
+    assert(math.abs(byCtx("a") - 1.0) < 1e-6,
+      s"context 'a' covers the continuation vocab; sums to ${byCtx("a")}")
+    assert(math.abs(byCtx("d") - 0.75) < 1e-6,
+      s"context 'd' misses P_cont(c) mass: ${byCtx("d")}")
+    // frequency alone must not win: b after d is as probable as b after a
+    // DESPITE c(d,b)=1 vs c(a,b)=2 — the continuation term at work
+    assert(out(("d", "b")) == out(("a", "b")))
+  }
+
+  test("dimStats: exact mean/variance per dimension") {
+    val sess = spark
+    import sess.implicits._
+    val vecs = Seq((1L, Array(1.0f, 2.0f), 0), (2L, Array(3.0f, 4.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = VectorOps.dimStats(vecs).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(out(0) == ((2L, 2.0, 1.0)), s"dim0: ${out(0)}")
+    assert(out(1) == ((2L, 3.0, 1.0)), s"dim1: ${out(1)}")
+  }
+
   test("qualityModel: map-only plan — no shuffle before the display sort") {
     val plan = TextOps.qualityModel(docs).queryExecution.optimizedPlan.toString
     // exactly one Sort (the final orderBy) and no Aggregate/Join anywhere;
