@@ -88,6 +88,9 @@ object SparkEntry {
     // --- windows ---
     "window_rank" -> ((s, d) => Windows.rankInCustomer(Tables.orders(s, d))),
     "window_running_sum" -> ((s, d) => Windows.runningSum(Tables.lineitem(s, d))),
+    "window_running_distinct" -> ((s, d) => Windows.runningDistinct(Tables.events(s, d))),
+    "graph_pagerank" -> ((s, d) =>
+      GraphOps.pagerank(Tables.orders(s, d), Tables.lineitem(s, d))),
     "window_lag_lead" -> ((s, d) => Windows.lagLead(Tables.events(s, d))),
     "window_ntile_dense" -> ((s, d) => Windows.ntileDense(Tables.customer(s, d))),
     "window_percent_cume" -> ((s, d) => Windows.percentCume(Tables.orders(s, d))),
@@ -593,6 +596,61 @@ object SparkEntry {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
         |FROM lineitem
         |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_rev""".stripMargin,
+
+    // unrolled power iterations in exact integer micro-units: every
+    // division is an integer DIV, every aggregate a BIGINT sum —
+    // order-free, so both engines agree bit-for-bit
+    "graph_pagerank" ->
+      """WITH co AS (
+        |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT a, b FROM co UNION ALL SELECT b, a FROM co),
+        |deg AS (SELECT a AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+        |nn AS (SELECT COUNT(*) AS n FROM deg),
+        |r0 AS (SELECT node, deg, 1000000000000 // n AS rank
+        |       FROM deg CROSS JOIN nn),
+        |c1 AS (SELECT e.b AS node, SUM(r.rank // r.deg) AS s
+        |       FROM r0 r JOIN edges e ON e.a = r.node GROUP BY 1),
+        |r1 AS (SELECT d.node, d.deg,
+        |         (1000000000000 * 15) // (100 * n)
+        |           + (85 * coalesce(c.s, 0)) // 100 AS rank
+        |       FROM deg d LEFT JOIN c1 c USING (node) CROSS JOIN nn),
+        |c2 AS (SELECT e.b AS node, SUM(r.rank // r.deg) AS s
+        |       FROM r1 r JOIN edges e ON e.a = r.node GROUP BY 1),
+        |r2 AS (SELECT d.node, d.deg,
+        |         (1000000000000 * 15) // (100 * n)
+        |           + (85 * coalesce(c.s, 0)) // 100 AS rank
+        |       FROM deg d LEFT JOIN c2 c USING (node) CROSS JOIN nn),
+        |c3 AS (SELECT e.b AS node, SUM(r.rank // r.deg) AS s
+        |       FROM r2 r JOIN edges e ON e.a = r.node GROUP BY 1),
+        |r3 AS (SELECT d.node, d.deg,
+        |         (1000000000000 * 15) // (100 * n)
+        |           + (85 * coalesce(c.s, 0)) // 100 AS rank
+        |       FROM deg d LEFT JOIN c3 c USING (node) CROSS JOIN nn)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+        |    AS node_type,
+        |  CAST(node // 2 AS BIGINT) AS key, deg,
+        |  CAST(rank AS BIGINT) AS rank_micro
+        |FROM r3
+        |ORDER BY rank_micro DESC, node_type, key LIMIT 20""".stripMargin,
+
+    // count(DISTINCT) OVER is unsupported in both engines; the rewrite
+    // (first-occurrence flag + running sum) is deterministic because
+    // (s, event_id) totally orders each partition
+    "window_running_distinct" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |f AS (
+        |  SELECT *, CASE WHEN row_number() OVER (
+        |      PARTITION BY user_id, event_type ORDER BY s, event_id) = 1
+        |    THEN 1 ELSE 0 END AS fs
+        |  FROM e)
+        |SELECT user_id, event_id, s, event_type,
+        |  CAST(SUM(fs) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_types
+        |FROM f ORDER BY user_id, s, event_id""".stripMargin,
 
     "window_lag_lead" ->
       """SELECT event_id, user_id,

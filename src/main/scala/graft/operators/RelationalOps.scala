@@ -824,6 +824,39 @@ object Windows {
       .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_rev")
   }
 
+  /** `window_running_distinct`: running COUNT DISTINCT per user over
+    * time — "how many distinct event types has this user touched so
+    * far" (feature stores call it cumulative breadth; SQL window
+    * functions famously refuse `count(DISTINCT) OVER`). The standard
+    * rewrite: flag each row that is its (user, type)'s FIRST occurrence
+    * (row_number == 1 over the type-scoped window), then running-sum
+    * the flags over the user-scoped window.
+    *
+    * Scale shape: the explicit repartition on user_id makes BOTH
+    * windows reuse ONE exchange — HashPartitioning(user_id) satisfies
+    * the (user_id, event_type) window's clustered distribution (subset
+    * rule), so Catalyst plans exchange → sort → Window → sort → Window
+    * with no second shuffle (plan-guarded in the spec). Per-user
+    * sequential like all running windows; the user is the parallelism
+    * unit. */
+  def runningDistinct(events: DataFrame): DataFrame = {
+    val e = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("s"))
+      .repartition(col("user_id"))
+    val wType = Window.partitionBy("user_id", "event_type")
+      .orderBy("s", "event_id")
+    val wUser = Window.partitionBy("user_id").orderBy("s", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("first_seen",
+        when(row_number().over(wType) === 1, 1L).otherwise(0L))
+      .withColumn("distinct_types", sum(col("first_seen")).over(wUser))
+      .select(col("user_id"), col("event_id"), col("s"),
+        col("event_type"), col("distinct_types"))
+      .orderBy("user_id", "s", "event_id")
+  }
+
   /** `window_lag_lead`: per-user inter-event gap (seconds) + next event
     * type. Gap uses floor-to-second epochs on both engines. */
   def lagLead(events: DataFrame): DataFrame = {

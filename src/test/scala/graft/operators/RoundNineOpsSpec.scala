@@ -369,6 +369,50 @@ class RoundNineOpsSpec extends SparkSpec {
     assert(out(1) == ((2L, 3.0, 1.0)), s"dim1: ${out(1)}")
   }
 
+  test("runningDistinct: breadth counts; revisits don't bump; ONE user exchange") {
+    val planted = eventsFrom(Seq(
+      (1L, 1L, "view", 100L), (2L, 1L, "view", 200L),   // revisit: still 1
+      (3L, 1L, "click", 300L),                          // breadth 2
+      (4L, 1L, "view", 400L),                           // revisit: still 2
+      (5L, 1L, "purchase", 500L),                       // breadth 3
+      (6L, 2L, "error", 100L)))                         // other user: own count
+    val df = graft.operators.Windows.runningDistinct(planted)
+    val got = df.collect().map(r => r.getLong(1) -> r.getLong(4)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 3L, 6L -> 1L))
+    // HashPartitioning(user_id) satisfies the (user_id, event_type)
+    // window's clustered distribution, so both windows ride ONE exchange
+    // (AQE treeString repeats the pre-adaptive plan under "Initial Plan"
+    // — count only the final section)
+    val tree = df.queryExecution.executedPlan.treeString
+    val exec = tree.split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(exec).size <= 1,
+      s"both windows must share the user_id exchange:\n$exec")
+  }
+
+  test("pagerank: hubs outrank leaves, symmetry holds, mass is conserved") {
+    val sess = spark
+    import sess.implicits._
+    // c1 buys from s1,s2,s3; c2 buys from s1 only → degrees:
+    // c1=3, s1=2, c2=s2=s3=1; s1 bridges both customers
+    val orders = Seq((10L, 1L), (11L, 1L), (12L, 1L), (13L, 2L))
+      .toDF("o_orderkey", "o_custkey")
+    val li = Seq((10L, 1L), (11L, 2L), (12L, 3L), (13L, 1L))
+      .toDF("l_orderkey", "l_suppkey")
+    val out = GraphOps.pagerank(orders, li).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(out(("customer", 1L)) > out(("customer", 2L)),
+      "the 3-degree customer must outrank the 1-degree one")
+    assert(out(("supplier", 1L)) > out(("supplier", 2L)),
+      "the bridging supplier must outrank a leaf supplier")
+    assert(out(("supplier", 2L)) == out(("supplier", 3L)),
+      "structurally symmetric nodes must tie exactly")
+    // integer-floor leak is bounded: < 1 micro-unit per division, a few
+    // divisions per node per iteration on this 5-node graph
+    val mass = out.values.sum
+    assert(mass <= 1000000000000L && mass > 999999999000L,
+      s"rank mass must be conserved up to floor leak: $mass")
+  }
+
   test("qualityModel: map-only plan — no shuffle before the display sort") {
     val plan = TextOps.qualityModel(docs).queryExecution.optimizedPlan.toString
     // exactly one Sort (the final orderBy) and no Aggregate/Join anywhere;
