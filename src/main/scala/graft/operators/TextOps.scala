@@ -433,7 +433,11 @@ object TextOps {
     val t = bc.agg(count(lit(1)).as("t"))
     val top = bc.orderBy(col("cnt").desc, col("w1"), col("w2")).limit(topN)
     val d = lit(0.75)
-    top.join(fw, "w1").join(bw, "w2").crossJoin(broadcast(t))
+    // the 50-row side carries the broadcast hint at EVERY join: the stat
+    // tables are vocab-sized, and a size-estimate miss would shuffle the
+    // whole vocabulary to meet 50 rows
+    top.hint("broadcast").join(fw, "w1")
+      .hint("broadcast").join(bw, "w2").crossJoin(broadcast(t))
       .select(col("w1"), col("w2"), col("cnt"), col("ctx_total"),
         round(
           greatest(col("cnt").cast("double") - d, lit(0.0)) /
