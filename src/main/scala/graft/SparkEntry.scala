@@ -258,6 +258,7 @@ object SparkEntry {
     "ts_autocorr" -> ((s, d) => StreamBatchOps.autocorr(Tables.events(s, d))),
     "ts_changepoint" -> ((s, d) => StreamBatchOps.changepoint(Tables.events(s, d))),
     "ts_retention" -> ((s, d) => StreamBatchOps.retention(Tables.events(s, d))),
+    "ts_mad_outliers" -> ((s, d) => StreamBatchOps.madOutliers(Tables.events(s, d))),
     "ts_funnel_steps" -> ((s, d) => StreamBatchOps.funnelSteps(Tables.events(s, d))),
   )
 
@@ -2480,6 +2481,38 @@ object SparkEntry {
         |FROM hourly
         |WINDOW w AS (PARTITION BY event_type ORDER BY hour_s
         |  RANGE BETWEEN 82800 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, hour_s""".stripMargin,
+
+    // lower medians of integers at row ceil(H/2) — the whole flag
+    // inequality |n − med| > 3·MAD stays in integer arithmetic; median
+    // sorts tie-break on hour_s so both engines pick the same element
+    "ts_mad_outliers" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s,
+        |    COUNT(*) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, n AS med FROM (
+        |    SELECT event_type, n,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY n, hour_s) AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS hh
+        |    FROM hourly) t
+        |  WHERE rn = (hh + 1) // 2),
+        |dev AS (
+        |  SELECT h.event_type, h.hour_s, h.n, m.med,
+        |    abs(h.n - m.med) AS adev
+        |  FROM hourly h JOIN m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, adev AS mad FROM (
+        |    SELECT event_type, adev,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY adev, hour_s) AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS hh
+        |    FROM dev) t
+        |  WHERE rn = (hh + 1) // 2)
+        |SELECT d.event_type, d.hour_s, d.n, d.med, d.mad
+        |FROM (SELECT dev.*, mad.mad FROM dev JOIN mad USING (event_type)) d
+        |WHERE d.adev > 3 * d.mad
         |ORDER BY event_type, hour_s""".stripMargin,
 
     // cohort day = exact integer floor-division of epoch seconds; cohort

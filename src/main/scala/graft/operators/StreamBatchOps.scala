@@ -362,6 +362,54 @@ object StreamBatchOps {
       .orderBy("event_type")
   }
 
+  /** `ts_mad_outliers`: robust outlier detection on the hourly series —
+    * flag hours where |n − median| > k·MAD (median absolute deviation).
+    * The robust complement of `ts_anomaly`'s z-test: one genuine spike
+    * inflates a standard deviation enough to hide a second spike
+    * (masking), while the median/MAD pair shrugs off up to half the
+    * data being corrupt (50% breakdown point) — which is why ingestion
+    * monitors that must catch BURSTS OF spikes run MAD, not σ.
+    *
+    * Exactness: hourly counts are integers; the LOWER median of
+    * integers (element at row ⌈H/2⌉ in sorted order) is an integer;
+    * |n − med| is an integer; MAD is again a lower median of integers —
+    * so the flag inequality |n − med| > k·MAD is pure integer
+    * arithmetic, bit-identical cross-engine (same device as
+    * ts_anomaly's cross-multiplied z-test). Ties in the median sort are
+    * broken by the full (h, n) order, so both engines pick the same
+    * element.
+    *
+    * Scale shape: one corpus-sized partial+final hourly agg; both
+    * medians are row_number windows over the O(types × hours) pre-agg
+    * (per-type partitions — parallel across types); the per-type
+    * (med, mad) table is O(types) rows and broadcast back. */
+  def madOutliers(events: DataFrame, k: Long = 3L): DataFrame = {
+    val hourly = graft.plans.PlanPins.lazyPin(
+      events.filter(col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          unix_timestamp(date_trunc("hour", col("ts"))).as("hour_s"))
+        .agg(count(lit(1)).as("n")))
+    def lowerMedian(df: DataFrame, valueCol: String, tieCol: String,
+                    outName: String): DataFrame = {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col(valueCol), col(tieCol))
+      val wc = Window.partitionBy("event_type")
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("hh", count(lit(1)).over(wc))
+        .filter(col("rn") === expr("(hh + 1) DIV 2")) // ⌈H/2⌉, integer
+        .select(col("event_type"), col(valueCol).as(outName))
+    }
+    val med = lowerMedian(hourly, "n", "hour_s", "med")
+    val dev = hourly.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("n") - col("med")))
+    val mad = lowerMedian(dev, "adev", "hour_s", "mad")
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("adev") > lit(k) * col("mad"))
+      .select(col("event_type"), col("hour_s"), col("n"),
+        col("med"), col("mad"))
+      .orderBy("event_type", "hour_s")
+  }
+
   /** `ts_retention`: the cohort retention matrix — users cohorted by
     * their FIRST-event day; for each (cohort_day, day_offset) cell, how
     * many of that cohort's users were active, and what share of the

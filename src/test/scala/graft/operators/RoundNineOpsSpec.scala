@@ -413,6 +413,29 @@ class RoundNineOpsSpec extends SparkSpec {
       s"rank mass must be conserved up to floor leak: $mass")
   }
 
+  test("madOutliers: catches the double spike the sigma test masks") {
+    val base = 1704067200L
+    val counts = Seq(8, 9, 10, 10, 11, 12, 10, 40, 9, 38, 11, 10)
+    var eid = 0L
+    val rows = counts.zipWithIndex.flatMap { case (c, h) =>
+      (1 to c).map { _ => eid += 1; (eid, 7L, "a", base + h * 3600L) }
+    }
+    val planted = eventsFrom(rows)
+    // med = 10, MAD = 1: only the 40 and 38 hours flag (adev 30, 28);
+    // ordinary jitter (adev <= 2) stays quiet
+    val out = StreamBatchOps.madOutliers(planted).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out.keySet == Set(base + 7 * 3600L, base + 9 * 3600L),
+      s"exactly the two burst hours: ${out.keySet}")
+    assert(out.values.forall { case (_, med, mad) => med == 10L && mad == 1L })
+    // the masking story: TWO spikes inflate sigma enough that the
+    // 3-sigma z-test (ts_anomaly) flags NEITHER — the robust pair does
+    val z = StreamBatchOps.anomaly(planted).collect()
+    assert(z.isEmpty,
+      s"sigma test should be masked by the double spike, got ${z.length}")
+  }
+
   test("qualityModel: map-only plan — no shuffle before the display sort") {
     val plan = TextOps.qualityModel(docs).queryExecution.optimizedPlan.toString
     // exactly one Sort (the final orderBy) and no Aggregate/Join anywhere;
