@@ -259,6 +259,7 @@ object SparkEntry {
     "ts_changepoint" -> ((s, d) => StreamBatchOps.changepoint(Tables.events(s, d))),
     "ts_retention" -> ((s, d) => StreamBatchOps.retention(Tables.events(s, d))),
     "ts_mad_outliers" -> ((s, d) => StreamBatchOps.madOutliers(Tables.events(s, d))),
+    "ts_moments" -> ((s, d) => StreamBatchOps.moments(Tables.events(s, d))),
     "ts_funnel_steps" -> ((s, d) => StreamBatchOps.funnelSteps(Tables.events(s, d))),
   )
 
@@ -2482,6 +2483,40 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY event_type ORDER BY hour_s
         |  RANGE BETWEEN 82800 PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, hour_s""".stripMargin,
+
+    // raw power sums in HUGEINT (DECIMAL(38,0) Spark-side), then ONE
+    // mirrored double expression for the central moments, 6dp
+    "ts_moments" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, COUNT(*) AS hrs,
+        |    SUM(CAST(n AS HUGEINT)) AS s1,
+        |    SUM(CAST(n AS HUGEINT) * n) AS s2,
+        |    SUM(CAST(n AS HUGEINT) * n * n) AS s3,
+        |    SUM(CAST(n AS HUGEINT) * n * n * n) AS s4
+        |  FROM hourly GROUP BY 1),
+        |d AS (
+        |  SELECT event_type, hrs,
+        |    CAST(s1 AS DOUBLE) / CAST(hrs AS DOUBLE) AS p1,
+        |    CAST(s2 AS DOUBLE) / CAST(hrs AS DOUBLE) AS p2,
+        |    CAST(s3 AS DOUBLE) / CAST(hrs AS DOUBLE) AS p3,
+        |    CAST(s4 AS DOUBLE) / CAST(hrs AS DOUBLE) AS p4
+        |  FROM s),
+        |m AS (
+        |  SELECT event_type, hrs, p1,
+        |    p2 - p1 * p1 AS m2,
+        |    p3 - 3.0 * p1 * p2 + 2.0 * p1 * p1 * p1 AS m3,
+        |    p4 - 4.0 * p1 * p3 + 6.0 * p1 * p1 * p2
+        |      - 3.0 * p1 * p1 * p1 * p1 AS m4
+        |  FROM d)
+        |SELECT event_type, hrs,
+        |  round(p1, 6) AS mean_n,
+        |  round(m2, 6) AS var_n,
+        |  round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+        |  round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
+        |FROM m WHERE m2 > 0.0 ORDER BY event_type""".stripMargin,
 
     // lower medians of integers at row ceil(H/2) — the whole flag
     // inequality |n − med| > 3·MAD stays in integer arithmetic; median

@@ -362,6 +362,48 @@ object StreamBatchOps {
       .orderBy("event_type")
   }
 
+  /** `ts_moments`: higher central moments of the hourly series per
+    * event type — population skewness g1 = m3/m2^1.5 and excess
+    * kurtosis g2 = m4/m2² − 3, the two numbers that say whether an
+    * arrival process is bursty-tailed (g2 ≫ 0) or lopsided (g1 ≠ 0)
+    * before anyone picks an anomaly threshold; the z-test
+    * (`ts_anomaly`) silently assumes both ≈ 0.
+    *
+    * Exactness: the four raw power sums Σn..Σn⁴ accumulate as
+    * DECIMAL(38,0) integers (order-free, partitioning-independent;
+    * n⁴ fits 38 digits to n ≈ 3·10⁹ events/hour — HUGEINT on the
+    * DuckDB side), and the central-moment conversion runs as ONE
+    * mirrored double expression on both engines, rounded 6dp.
+    *
+    * Scale shape: hourly pre-agg (the one corpus-sized shuffle) →
+    * partial+final moment sums to O(types) rows. */
+  def moments(events: DataFrame): DataFrame = {
+    val n = col("n").cast("decimal(38,0)")
+    val sums = events.filter(col("ts").isNotNull)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("hrs"),
+        sum(n).as("s1"), sum(n * n).as("s2"),
+        sum(n * n * n).as("s3"), sum(n * n * n * n).as("s4"))
+    val h = col("hrs").cast("double")
+    val (p1, p2, p3, p4) = (col("s1").cast("double") / h,
+      col("s2").cast("double") / h, col("s3").cast("double") / h,
+      col("s4").cast("double") / h)
+    val m2 = p2 - p1 * p1
+    val m3 = p3 - lit(3.0) * p1 * p2 + lit(2.0) * p1 * p1 * p1
+    val m4 = p4 - lit(4.0) * p1 * p3 + lit(6.0) * p1 * p1 * p2 -
+      lit(3.0) * p1 * p1 * p1 * p1
+    sums
+      .filter(m2 > 0.0)
+      .select(col("event_type"), col("hrs"),
+        round(p1, 6).as("mean_n"),
+        round(m2, 6).as("var_n"),
+        round(m3 / (m2 * sqrt(m2)), 6).as("skewness"),
+        round(m4 / (m2 * m2) - lit(3.0), 6).as("kurtosis_excess"))
+      .orderBy("event_type")
+  }
+
   /** `ts_mad_outliers`: robust outlier detection on the hourly series —
     * flag hours where |n − median| > k·MAD (median absolute deviation).
     * The robust complement of `ts_anomaly`'s z-test: one genuine spike

@@ -436,6 +436,24 @@ class RoundNineOpsSpec extends SparkSpec {
       s"sigma test should be masked by the double spike, got ${z.length}")
   }
 
+  test("moments: hand-computed skewness/kurtosis from exact power sums") {
+    val base = 1704067200L
+    // hourly counts [1,1,1,5]: mu=2, m2=3, m3=6, m4=21
+    // skew = 6/(3*sqrt(3)) = 1.154701, excess kurt = 21/9 - 3 = -0.666667
+    val counts = Seq(1, 1, 1, 5)
+    var eid = 0L
+    val planted = eventsFrom(counts.zipWithIndex.flatMap { case (c, h) =>
+      (1 to c).map { _ => eid += 1; (eid, 1L, "a", base + h * 3600L) }
+    })
+    val r = StreamBatchOps.moments(planted).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getLong(1) == 4L && row.getDouble(2) == 2.0 &&
+      row.getDouble(3) == 3.0)
+    assert(row.getDouble(4) == 1.154701, s"skew: ${row.getDouble(4)}")
+    assert(row.getDouble(5) == -0.666667, s"kurt: ${row.getDouble(5)}")
+  }
+
   test("qualityModel: map-only plan — no shuffle before the display sort") {
     val plan = TextOps.qualityModel(docs).queryExecution.optimizedPlan.toString
     // exactly one Sort (the final orderBy) and no Aggregate/Join anywhere;
