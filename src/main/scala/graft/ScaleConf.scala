@@ -91,7 +91,13 @@ object ScaleConf {
     * directories). This is COMPRESSED bytes — the same quantity
     * `files.maxPartitionBytes` splits on, and a conservative (low)
     * stand-in for shuffle bytes, which is the safe direction: shuffle
-    * rows are usually a pruned subset of the scan. */
+    * rows are usually a pruned subset of the scan.
+    *
+    * LOCAL filesystem only (java.io walk) — right for this repo's
+    * local[n]/local-cluster harness. On a real cluster FS (HDFS/S3)
+    * pass [[derive]] the size from the catalog or
+    * `FileSystem.getContentSummary` instead; the derivation itself is
+    * storage-agnostic. */
   def inputBytes(sfDir: String): Long = {
     val root = new java.io.File(sfDir)
     def walk(f: java.io.File): Long =
