@@ -20,7 +20,12 @@ object PlanAudit {
       // round 3 late: retrieval + histogram
       "retrieval_bm25", "pipeline_chunk_overlap", "agg_histogram",
       // round 6: emit-once pair join + the sweep-count alternative
-      "join_interval_overlap", "ts_concurrency")
+      "join_interval_overlap", "ts_concurrency",
+      // round 9: one-exchange windows, broadcast-pinned stats joins,
+      // integer-exact iterative graph, map-only up-sampler
+      "ts_retention", "ts_funnel_steps", "window_running_distinct",
+      "text_kn_bigram", "graph_pagerank", "pipeline_repeat_epochs",
+      "ts_mad_outliers", "emb_dim_stats")
     names.foreach { n =>
       println(s"\n================ $n ================")
       println(SparkEntry.queries(n)(spark, d).queryExecution.executedPlan
