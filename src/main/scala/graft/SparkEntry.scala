@@ -239,6 +239,7 @@ object SparkEntry {
     "text_ngram_novelty" -> ((s, d) => CorpusOps.ngramNovelty(Tables.documents(s, d))),
     "pipeline_quota_cap" -> ((s, d) => CorpusOps.quotaCap(Tables.documents(s, d))),
     "pipeline_repeat_epochs" -> ((s, d) => CorpusOps.repeatEpochs(Tables.documents(s, d))),
+    "pipeline_bpe_merges" -> ((s, d) => CorpusOps.bpeMerges(Tables.documents(s, d))),
     "text_cooccur_pmi" -> ((s, d) => CorpusOps.cooccurPmi(Tables.documents(s, d))),
     // --- retrieval (LLM-pipeline) ---
     "retrieval_bm25" -> ((s, d) => RetrievalOps.bm25(Tables.documents(s, d))),

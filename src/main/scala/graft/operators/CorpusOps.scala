@@ -880,6 +880,78 @@ object CorpusOps {
     capped.unionByName(under).orderBy("doc_id")
   }
 
+  /** `pipeline_bpe_merges`: learn the first `merges` byte-pair-encoding
+    * merges from the corpus (Sennrich et al. 2016) — the tokenizer-
+    * training pass every LLM pipeline runs before tokenization. Each
+    * iteration counts adjacent symbol pairs weighted by word frequency,
+    * takes the most frequent pair (count desc, then (left, right)
+    * lexicographic — the deterministic tie-break), and merges it
+    * leftmost-first-non-overlapping in every vocabulary word. Emits the
+    * merge table (iteration, left, right, merged, pair_freq) — the
+    * artifact a tokenizer ships.
+    *
+    * Scale shape: the corpus is scanned ONCE (word-frequency table,
+    * map-side combined, lazy-pinned); every BPE iteration runs over the
+    * VOCABULARY table (|V| rows, pair fan-out bounded by word length) —
+    * this is why classic BPE trainers operate on the word-freq dict,
+    * and it is what makes the operator corpus-size-independent after
+    * the first pass. The per-iteration 1-row `collect` is the
+    * KMeans-style driver iteration pattern: the winning pair must bake
+    * into the next iteration's merge expression as a literal.
+    *
+    * The merge fold is a pure Catalyst `aggregate` HOF: walk the symbol
+    * array, and when the accumulator's last element is `left` and the
+    * incoming symbol is `right`, pop-and-append the merged symbol —
+    * which makes chained merges (e.g. (a,a) over "aaaa" → aa,aa)
+    * leftmost-non-overlapping by construction. No oracle (iterative
+    * array folds are not reasonably SQL-expressible in DuckDB);
+    * RoundNineOpsSpec pins the textbook low/lower/newest/widest
+    * example's exact 5-merge sequence. */
+  def bpeMerges(documents: DataFrame, merges: Int = 5): DataFrame = {
+    val spark = documents.sparkSession
+    val wordFreq = graft.plans.PlanPins.lazyPin(documents
+      .select(explode(filter(split(lower(col("text")), " "), w => w =!= ""))
+        .as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq")))
+    var syms = wordFreq.select(col("freq"),
+      filter(split(col("word"), ""), c => c =!= "").as("syms"))
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var done = false
+    (1 to merges).foreach { it =>
+      if (!done) {
+        val pairs = syms.select(col("freq"), explode(filter(
+          transform(col("syms"), (x, i) =>
+            when(i + lit(1) < size(col("syms")),
+              struct(x.as("l"), element_at(col("syms"), i + lit(2)).as("r")))),
+          p => p.isNotNull)).as("p"))
+        val top = pairs
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (top.isEmpty) done = true
+        else {
+          val (l, r, cnt) = (top(0).getString(0), top(0).getString(1),
+            top(0).getLong(2))
+          out += ((it, l, r, l + r, cnt))
+          // leftmost-first merge: guard order matters — size check
+          // short-circuits before element_at touches an empty array
+          syms = syms.select(col("freq"),
+            aggregate(col("syms"),
+              array().cast("array<string>"),
+              (acc, x) => when(
+                size(acc) > 0 &&
+                  element_at(acc, size(acc)) === lit(l) && x === lit(r),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+                .otherwise(concat(acc, array(x)))).as("syms"))
+        }
+      }
+    }
+    import spark.implicits._
+    out.toSeq.toDF("iter", "left", "right", "merged", "pair_freq")
+      .orderBy("iter")
+  }
+
   /** `pipeline_repeat_epochs`: data-constrained up-sampling — when the
     * mixture calls for more of a source than exists, REPEAT it, tagging
     * each copy with an epoch number so downstream shuffles/packing keep

@@ -454,6 +454,45 @@ class RoundNineOpsSpec extends SparkSpec {
     assert(row.getDouble(5) == -0.666667, s"kurt: ${row.getDouble(5)}")
   }
 
+  test("bpeMerges: textbook low/lower/newest/widest learns the exact 5-merge sequence") {
+    val sess = spark
+    import sess.implicits._
+    // Sennrich et al. 2016's example vocabulary, as a corpus with the
+    // frequencies as repetition counts
+    val docs = (
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val got = CorpusOps.bpeMerges(docs).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    // hand-derived with the (cnt desc, l, r) tie-break:
+    // es(9) ties st(9) -> (e,s); then (es,t)=9; lo(7) ties ow(7) ->
+    // (l,o); then (lo,w)=7; then the 6-count tie (e,w)/(n,e)/(w,est)
+    // breaks to (e,w)
+    val want = Seq(
+      (1, "e", "s", "es", 9L),
+      (2, "es", "t", "est", 9L),
+      (3, "l", "o", "lo", 7L),
+      (4, "lo", "w", "low", 7L),
+      (5, "e", "w", "ew", 6L))
+    assert(got.toSeq == want, s"got: ${got.toSeq}")
+  }
+
+  test("bpeMerges: chained identical-pair merges are leftmost non-overlapping") {
+    val sess = spark
+    import sess.implicits._
+    // "aaaa" with top pair (a,a): leftmost-first gives (aa)(aa), so
+    // iteration 2's top pair must be (aa,aa) — a fold that let the
+    // merged symbol immediately re-merge would produce (aaa)a instead
+    val docs = Seq((1L, "aaaa aaaa ab")).toDF("doc_id", "text")
+    val got = CorpusOps.bpeMerges(docs, merges = 2).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    assert(got(0) == (("a", "a", 6L)), s"iter1: ${got(0)}") // 3+3 in aaaa x2? see below
+    assert(got(1) == (("aa", "aa", 2L)), s"iter2: ${got(1)}")
+  }
+
   test("qualityModel: map-only plan — no shuffle before the display sort") {
     val plan = TextOps.qualityModel(docs).queryExecution.optimizedPlan.toString
     // exactly one Sort (the final orderBy) and no Aggregate/Join anywhere;
