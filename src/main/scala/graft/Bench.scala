@@ -103,7 +103,10 @@ object Bench {
       val sizing = ScaleConf.derive(
         ScaleConf.inputBytes(sfDir),
         totalCores = cpus.toInt,
-        executorMemoryBytes = Runtime.getRuntime.maxMemory)
+        // per-EXECUTOR heap, not the driver's (r9 ADVICE): under
+        // local-cluster the executors are separate smaller JVMs and a
+        // driver-heap-derived broadcast threshold overcommits them
+        executorMemoryBytes = ScaleConf.executorMemoryBytes(master))
       ScaleConf.confEntries(sizing).foreach { case (k, v) =>
         if (!(k == "spark.sql.shuffle.partitions" &&
             sys.env.contains("SPARK_GRAFT_SHUFFLE_PARTITIONS")))

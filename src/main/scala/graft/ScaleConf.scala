@@ -98,12 +98,73 @@ object ScaleConf {
     * pass [[derive]] the size from the catalog or
     * `FileSystem.getContentSummary` instead; the derivation itself is
     * storage-agnostic. */
-  def inputBytes(sfDir: String): Long = {
-    val root = new java.io.File(sfDir)
-    def walk(f: java.io.File): Long =
-      if (f.isFile) (if (f.getName.endsWith(".parquet")) f.length else 0L)
-      else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
-    walk(root)
+  def inputBytes(sfDir: String): Long =
+    // URI-schemed paths (file://, hdfs://, s3a://, ...) go through the
+    // Hadoop FileSystem route — the derivation is storage-agnostic and
+    // this makes AUTOSIZE work on any cluster FS, not just local paths
+    // (r9 verdict #6). Bare paths keep the java.io walk (same bytes,
+    // zero Hadoop classloading on the common local harness path).
+    if (sfDir.contains("://") || sfDir.startsWith("file:"))
+      inputBytesFs(sfDir, new org.apache.hadoop.conf.Configuration())
+    else {
+      val root = new java.io.File(sfDir)
+      def walk(f: java.io.File): Long =
+        if (f.isFile) (if (f.getName.endsWith(".parquet")) f.length else 0L)
+        else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+      walk(root)
+    }
+
+  /** Cluster-FS footprint via the Hadoop `FileSystem` interface —
+    * `getContentSummary` is one namenode RPC on HDFS (vs a recursive
+    * client-side walk) and works identically on any Hadoop-compatible
+    * store (file://, hdfs://, s3a://, gs://). Non-parquet droppings
+    * (_SUCCESS, .crc) are counted; they are bytes-negligible against
+    * data files and this is a sizing heuristic, not an invoice. A
+    * missing path sizes to 0 like the local walk (derive() then floors
+    * partitions at 2× cores, the safe small-input shape). */
+  def inputBytesFs(dir: String,
+                   conf: org.apache.hadoop.conf.Configuration): Long = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(conf)
+    if (!fs.exists(path)) 0L else fs.getContentSummary(path).getLength
+  }
+
+  /** Per-executor heap for [[derive]]'s `executorMemoryBytes`: the
+    * r9-ADVICE fix for Bench/Verify passing the DRIVER's
+    * `Runtime.maxMemory` under every master — in `local-cluster` /
+    * real-cluster modes executors are separate, typically smaller,
+    * JVMs, and sizing the broadcast threshold from a 100 GiB driver
+    * heap hands 64 MiB broadcasts to 2 GiB executors. Resolution
+    * order: explicit `SPARK_GRAFT_EXECUTOR_MEM` env (cluster deploys
+    * set one knob), then the `local-cluster[n,c,MB]` master string's
+    * own memory field, then the `spark.executor.memory` system
+    * property, then — only for in-process `local[n]` masters, where
+    * the driver heap IS the executor heap — `Runtime.maxMemory`; any
+    * other master falls back to Spark's stock 1g executor default. */
+  def executorMemoryBytes(master: String): Long = {
+    val lc = """local-cluster\[\s*\d+\s*,\s*\d+\s*,\s*(\d+)\s*\]""".r
+    sys.env.get("SPARK_GRAFT_EXECUTOR_MEM").map(parseMemory).getOrElse {
+      master match {
+        case lc(mb) => mb.toLong << 20
+        case m if m.startsWith("local") => Runtime.getRuntime.maxMemory
+        case _ => sys.props.get("spark.executor.memory").map(parseMemory)
+          .getOrElse(1024L << 20)
+      }
+    }
+  }
+
+  /** Spark-style memory string: bare bytes or k/m/g/t suffix
+    * (case-insensitive, optional trailing 'b'). */
+  def parseMemory(s: String): Long = {
+    val t = s.trim.toLowerCase.stripSuffix("b")
+    val (num, mult) = t.takeRight(1) match {
+      case "k" => (t.dropRight(1), 1L << 10)
+      case "m" => (t.dropRight(1), 1L << 20)
+      case "g" => (t.dropRight(1), 1L << 30)
+      case "t" => (t.dropRight(1), 1L << 40)
+      case _ => (t, 1L)
+    }
+    (num.trim.toDouble * mult).toLong
   }
 
   /** Session conf entries for a derived sizing (string-keyed so both

@@ -1916,8 +1916,8 @@ object SparkEntry {
         |mx AS (SELECT MAX(toks) AS max_toks FROM bys),
         |f AS (
         |  SELECT source,
-        |    CAST(LEAST(4, (max_toks + GREATEST(toks, 1) - 1)
-        |      // GREATEST(toks, 1)) AS BIGINT) AS n_epochs
+        |    GREATEST(1, CAST(LEAST(4, (max_toks + GREATEST(toks, 1) - 1)
+        |      // GREATEST(toks, 1)) AS BIGINT)) AS n_epochs
         |  FROM bys CROSS JOIN mx)
         |SELECT t.doc_id, t.source, t.n_tok, f.n_epochs,
         |  CAST(unnest(generate_series(1, f.n_epochs)) AS BIGINT) AS epoch

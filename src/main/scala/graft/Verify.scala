@@ -23,7 +23,8 @@ object Verify {
     if (sys.env.get("SPARK_GRAFT_AUTOSIZE").contains("1"))
       ScaleConf.confEntries(ScaleConf.derive(
         ScaleConf.inputBytes(sfDir), cpus.toInt,
-        Runtime.getRuntime.maxMemory))
+        // per-EXECUTOR heap, not the driver's (r9 ADVICE)
+        ScaleConf.executorMemoryBytes(master)))
         .foreach { case (k, v) => builder.config(k, v) }
     if (master.startsWith("local-cluster")) {
       builder.config("spark.executor.extraClassPath",

@@ -43,8 +43,16 @@ object GraphOps {
     val co = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
       .distinct()
+    // symmetrize with ONE pass over the distinct-pair subtree: explode
+    // both directions per pair. The r9 unionAll form duplicated the
+    // whole join+distinct subtree, so materializing the pin scanned
+    // lineitem and orders TWICE (caught by the r10 scan-count guard);
+    // cust ids are even / supp ids odd, so no reversed pair collides.
     val edges = graft.plans.PlanPins.lazyPin(
-      co.unionAll(co.select(col("b").as("a"), col("a").as("b"))))
+      co.select(explode(array(
+          struct(col("a"), col("b")),
+          struct(col("b").as("a"), col("a").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b")))
     val deg = graft.plans.PlanPins.lazyPin(
       edges.groupBy("a").agg(count(lit(1)).as("deg"))
         .withColumnRenamed("a", "node"))

@@ -78,6 +78,15 @@ object PlanPins {
     exec.treeString + tails.mkString
   }
 
+  /** Recorded EXECUTED-plan origin for one checkpoint RDD id (None if
+    * the pin bypassed [[lazyPin]] or was LRU-evicted). Scan-count guards
+    * use this to count each pin's file scans ONCE, however many plan
+    * leaves reference the pin — [[expandedExecuted]] appends the origin
+    * per LEAF OCCURRENCE, which is right for content assertions but
+    * would overcount a shared pin's scans (r9 verdict #2). */
+  def originExecuted(id: Int): Option[String] =
+    origins.synchronized(Option(origins.get(id))).map(_._2)
+
   /** True when every checkpoint leaf in `plan` has a recorded origin —
     * the precondition for a negative plan-guard assertion to be
     * meaningful. Guards call this (or assert the absence of the MISSING
