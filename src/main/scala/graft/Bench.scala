@@ -32,15 +32,21 @@ object Bench {
     * the contention defense compares against these. Parsed with a regex
     * (the artifact is bench-written, shape-stable) restricted to the
     * `"queries"` object so the legend's string values can't match.
-    * Returns empty when the file is absent or was recorded at a
-    * different SF (sf10 rehearsals must not be judged by sf0.1 refs). */
-  def referenceTimes(path: String, sfDir: String): Map[String, Double] = {
+    * Returns empty when the file is absent, was recorded at a different
+    * SF (sf10 rehearsals must not be judged by sf0.1 refs), or was
+    * recorded in the other evaluation MODE (`force`; absent = 0 in
+    * pre-r10 artifacts): count-mode refs under-threshold forced runs —
+    * every map-heavy query would false-positive as contention. */
+  def referenceTimes(path: String, sfDir: String,
+                     force: Boolean): Map[String, Double] = {
     try {
       val txt = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
       val sfOk = """"sf":\s*"([^"]+)"""".r.findFirstMatchIn(txt)
         .exists(_.group(1) == sfDir)
-      if (!sfOk) Map.empty
+      val refForce = """"force":\s*(\d)""".r.findFirstMatchIn(txt)
+        .exists(_.group(1) == "1")
+      if (!sfOk || refForce != force) Map.empty
       else {
         val qIdx = txt.indexOf("\"queries\"")
         if (qIdx < 0) Map.empty
@@ -176,8 +182,12 @@ object Bench {
     val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF",
       "/root/repo/BENCH_FULL.json")
     val outlierOn = sys.env.getOrElse("SPARK_GRAFT_OUTLIER", "1") != "0"
+    // forced-mode flag resolved here (used by the reference-mode check
+    // below and the run loop; full rationale at the runAndRelease doc)
+    val forceAll = sys.env.getOrElse("SPARK_GRAFT_FORCE", "1") != "0"
     val refTimes =
-      if (outlierOn) referenceTimes(refPath, sfDir) else Map.empty[String, Double]
+      if (outlierOn) referenceTimes(refPath, sfDir, forceAll)
+      else Map.empty[String, Double]
     // r7 ADVICE: the reference table had drifted 3 slugs past the
     // registry (removed/renamed queries keep stale entries) — surface it
     // so the ref file gets regenerated instead of silently rotting
@@ -225,16 +235,18 @@ object Bench {
     // the same leak class as the r7 13.8→66 s decay, smaller residue).
     // Shared caches (e.g. the IVF index) are InMemoryRelations, not
     // LogicalRDD leaves, and are untouched by releaseAllCheckpoints.
-    // SPARK_GRAFT_FORCE=1 forces FULL-COLUMN evaluation (xxhash64 over
-    // every output column, folded with overflow-free bit_xor) instead of
-    // count(). count() is the cross-round-comparable default, but for a
-    // terminal map-only projection Catalyst prunes the projected
-    // expressions under it (and EliminateSorts drops the display sort),
-    // so e.g. text_gopher_quality "costs" 0.2 s at sf10 while its
-    // materialized cost is ~10 s. Forced mode measures what a consumer
-    // of every column pays; committed warm artifacts stay count()-based
-    // so round-over-round deltas remain apples-to-apples.
-    val forceAll = sys.env.get("SPARK_GRAFT_FORCE").contains("1")
+    // SPARK_GRAFT_FORCE=0 opts OUT of FULL-COLUMN evaluation (xxhash64
+    // over every output column, folded with overflow-free bit_xor) back
+    // to count(). Round-10 boundary flip (r9 verdict #3): forced is now
+    // the DEFAULT and the committed-artifact definition — count() lets
+    // Catalyst prune the projected expressions under a terminal map-only
+    // projection (and EliminateSorts drops the display sort), so e.g.
+    // text_gopher_quality "cost" 0.2 s at sf10 while its materialized
+    // cost was ~10 s, and the gating artifact could be flattered by
+    // adding map-only emitters. Forced mode measures what a consumer of
+    // every column pays and cannot be gamed that way. Cross-round
+    // continuity: docs/BENCH_OVERLAP_R10.json holds one same-run
+    // emission of both modes/forms at the flip boundary.
     def runAndRelease(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       import org.apache.spark.sql.functions.{col, xxhash64}
       val df = fn(spark, sfDir)
@@ -347,6 +359,7 @@ object Bench {
          |  "unit": "sec",
          |  "ivf_build_sec": ${f"$ivfBuildSec%.3f"},
          |  "sf": "$sfDir",
+         |  "force": ${if (forceAll) 1 else 0},
          |  "warm_runs": $warm,
          |  "start_epoch_ms": $startEpochMs,
          |  "loadavg_end": ${f"${osBean.getSystemLoadAverage}%.2f"},
@@ -361,18 +374,49 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] full-result write failed: ${e.getMessage}")
     }
-    val qs = results.map { case (k, v) =>
-      "\"" + short(k) + "\":" + (if (v < 0) "-1" else math.round(v * 100).toString)
-    }.mkString("{", ",", "}")
-    // no "full" pointer field: every byte of this line competes with the
-    // driver's ~1.9 KB stdout tail (BenchLineSpec pins the budget);
-    // BENCH_NOTES documents that the full-precision record + legend live
-    // in BENCH_FULL.json. Round 9 slimming: ivf_build_sec moved to
-    // BENCH_FULL.json only, and the failed list uses short keys (the
-    // legend inverts them) — full names would blow the tail on a
-    // multi-failure run, zeroing the whole round's artifact.
-    val failedShort = results.collect { case (k, v) if v < 0 => "\"" + short(k) + "\"" }
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","qunit":"centisec","queries":$qs,"failed":${failedShort.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    // Round-10 stdout form (r9 verdict #3 / ROADMAP #1): a POSITIONAL
+    // array `"qv":[...]` ordered by SORTED FULL query names (results are
+    // already built in that order), values in integer centiseconds, -1
+    // for a failed query; `"failed"` lists indices into the same order.
+    // Decoder = the sorted keys of BENCH_FULL.json's "queries" object at
+    // the same commit. ~4 B/query instead of ~9-10: the driver's ~1.9 KB
+    // stdout tail now fits ~450 queries instead of ~185 (the r9 registry
+    // was one round from the cap). The pre-r10 object form survives for
+    // history in docs/BENCH_OVERLAP_R10.json (same-run emission of both
+    // forms) and in the per-round BENCH_r{1..9} artifacts; the legend in
+    // BENCH_FULL.json keeps those decodable.
+    val qv = results.map { case (_, v) =>
+      if (v < 0) "-1" else math.round(v * 100).toString
+    }.mkString("[", ",", "]")
+    val failedIdx = results.zipWithIndex.collect {
+      case ((_, v), i) if v < 0 => i.toString
+    }
+    val arrayLine =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","qunit":"centisec","qorder":"sorted","force":${if (forceAll) 1 else 0},"qv":$qv,"failed":${failedIdx.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    // SPARK_GRAFT_OVERLAP=path: also write the PRE-r10 object-form line
+    // (short keys, centiseconds) next to the array line — the one-time
+    // flip-boundary overlap artifact, so the round history has a point
+    // where both encodings of the SAME run exist.
+    sys.env.get("SPARK_GRAFT_OVERLAP").foreach { p =>
+      val qsLegacy = results.map { case (k, v) =>
+        "\"" + short(k) + "\":" + (if (v < 0) "-1" else math.round(v * 100).toString)
+      }.mkString("{", ",", "}")
+      val failedShort = results.collect { case (k, v) if v < 0 => "\"" + short(k) + "\"" }
+      val legacyLine =
+        s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","qunit":"centisec","queries":$qsLegacy,"failed":${failedShort.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      val overlap =
+        s"""{
+           |  "note": "round-10 flip-boundary overlap: the same run in both stdout encodings (and the forced-mode flip; force=${if (forceAll) 1 else 0}). qv is ordered by sorted full query names — decode with the sorted keys of BENCH_FULL.json queries at this commit.",
+           |  "legacy_object_line": ${"\"" + legacyLine.replace("\\", "\\\\").replace("\"", "\\\"") + "\""},
+           |  "array_line": ${"\"" + arrayLine.replace("\\", "\\\\").replace("\"", "\\\"") + "\""}
+           |}
+           |""".stripMargin
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), overlap)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] overlap write failed: ${e.getMessage}")
+      }
+    }
+    println(arrayLine)
     spark.stop()
   }
 }

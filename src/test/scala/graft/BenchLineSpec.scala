@@ -11,18 +11,23 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchLineSpec extends AnyFunSuite {
 
-  test("bench stdout line fits the driver's capture tail at worst-case widths") {
+  test("bench stdout ARRAY line fits the driver's capture tail at worst-case widths (r10 form)") {
     val names = SparkEntry.queries.keys.toSeq
-    val short = Bench.shortKeys(names)
-    // envelope: EVERY query at 3-digit centiseconds (≤ 9.99 s) — double
-    // the worst single sf0.1 query ever recorded, for all of them at once
-    val qs = names.sorted
-      .map(n => "\"" + short(n) + "\":999").mkString("{", ",", "}")
+    // envelope: EVERY query at 4-digit centiseconds (≤ 99.99 s — forced
+    // mode bills full materialization, so give each entry a digit more
+    // headroom than the object-form test did) plus a 10-entry failed list
+    val qv = names.map(_ => "9999").mkString("[", ",", "]")
+    val failed = (0 until 10).map(_ => names.size - 1).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":99999.999,"unit":"sec","qunit":"centisec","queries":$qs,"failed":[],"sf":"/root/testdata/sf0.1"}"""
+      s"""{"metric":"total","value":99999.999,"unit":"sec","qunit":"centisec","qorder":"sorted","force":1,"qv":$qv,"failed":$failed,"sf":"/root/testdata/sf0.1"}"""
     assert(line.length <= 1900,
-      s"bench stdout line is ${line.length} B for ${names.size} queries — " +
-        "outgrowing the driver's ~1.9 KB stdout tail; shorten keys or drop precision")
+      s"bench stdout array line is ${line.length} B for ${names.size} queries — " +
+        "outgrowing the driver's ~1.9 KB stdout tail")
+    // headroom statement: the array form must leave room for real
+    // registry growth (the object form capped one round ahead at r9)
+    assert(names.size <= 360,
+      s"registry at ${names.size}: approaching the ~380-query array-form cap — " +
+        "plan the next encoding change a round BEFORE the cap, not at it")
   }
 
   test("short keys are unique and legend-invertible") {
@@ -51,13 +56,26 @@ class BenchLineSpec extends AnyFunSuite {
         |""".stripMargin
     val f = java.nio.file.Files.createTempFile("benchref", ".json")
     java.nio.file.Files.writeString(f, json)
-    val ref = Bench.referenceTimes(f.toString, "/root/testdata/sf0.1")
+    // the fixture has no "force" field = a pre-r10 count-mode artifact:
+    // readable by a count-mode run, refused by a forced run (mode
+    // mismatch would under-threshold every map-heavy query — r10 flip)
+    val ref = Bench.referenceTimes(f.toString, "/root/testdata/sf0.1", force = false)
     // failed (-1) entries are excluded; top-level numbers and legend are not
     assert(ref === Map("scan_count" -> 0.105, "agg_cube" -> 0.360))
+    assert(Bench.referenceTimes(f.toString, "/root/testdata/sf0.1", force = true)
+      === Map.empty, "count-mode refs must not judge a forced run")
+    val forcedJson = json.replace("\"sf\":", "\"force\": 1,\n  \"sf\":")
+    val f2 = java.nio.file.Files.createTempFile("benchref2", ".json")
+    java.nio.file.Files.writeString(f2, forcedJson)
+    assert(Bench.referenceTimes(f2.toString, "/root/testdata/sf0.1", force = true)
+      === Map("scan_count" -> 0.105, "agg_cube" -> 0.360))
+    assert(Bench.referenceTimes(f2.toString, "/root/testdata/sf0.1", force = false)
+      === Map.empty, "forced refs must not judge a count-mode run")
+    java.nio.file.Files.delete(f2)
     // an sf mismatch (sf10 rehearsal vs sf0.1 refs) disables the ref set
-    assert(Bench.referenceTimes(f.toString, "/root/testdata/sf10") === Map.empty)
+    assert(Bench.referenceTimes(f.toString, "/root/testdata/sf10", force = false) === Map.empty)
     // absent file is not an error
-    assert(Bench.referenceTimes("/nonexistent/ref.json", "x") === Map.empty)
+    assert(Bench.referenceTimes("/nonexistent/ref.json", "x", force = false) === Map.empty)
     java.nio.file.Files.delete(f)
   }
 

@@ -69,6 +69,49 @@ class ScaleConfSpec extends AnyFunSuite {
     assert(ScaleConf.inputBytes("/nonexistent/dir") == 0L)
   }
 
+  test("inputBytes on a file:// URI routes through the Hadoop FS and agrees with the local walk (r9 verdict #6)") {
+    // same interface a real HDFS/S3 path uses — getContentSummary over
+    // LocalFileSystem; the two routes may differ only by non-parquet
+    // droppings (none in the driver-generated layout, so equal here)
+    val local = ScaleConf.inputBytes("/root/testdata/sf0.001")
+    val viaFs = ScaleConf.inputBytes("file:///root/testdata/sf0.001")
+    assert(viaFs == local, s"fs route $viaFs != local walk $local")
+    assert(ScaleConf.inputBytes("file:///nonexistent/dir") == 0L)
+    // the direct API is usable with any Configuration (cluster callers)
+    assert(ScaleConf.inputBytesFs("file:///root/testdata/sf0.001",
+      new org.apache.hadoop.conf.Configuration()) == local)
+  }
+
+  test("executorMemoryBytes: per-executor heap, not the driver's (r9 ADVICE)") {
+    // local-cluster masters carry executor memory in MB in the master
+    // string — a 2048 MB executor must NOT inherit a huge driver heap
+    assert(ScaleConf.executorMemoryBytes("local-cluster[2,4,2048]")
+      == 2048L * MiB)
+    assert(ScaleConf.executorMemoryBytes("local-cluster[ 8, 4, 512 ]")
+      == 512L * MiB)
+    // in-process local[n]: the driver heap IS the executor heap
+    assert(ScaleConf.executorMemoryBytes("local[32]")
+      == Runtime.getRuntime.maxMemory)
+    // unknown cluster master with no conf: Spark's stock 1g default
+    assert(ScaleConf.executorMemoryBytes("spark://host:7077")
+      == 1024L * MiB)
+    // and the derived broadcast threshold actually shrinks with it:
+    // 2 GiB executors stay at the stock 10 MiB however big the driver is
+    val s = ScaleConf.derive(10L * GiB, 8,
+      ScaleConf.executorMemoryBytes("local-cluster[2,4,2048]"))
+    assert(s.broadcastThresholdBytes == ScaleConf.MinBroadcastBytes)
+  }
+
+  test("parseMemory reads Spark-style memory strings") {
+    assert(ScaleConf.parseMemory("2048") == 2048L)
+    assert(ScaleConf.parseMemory("2048m") == 2048L * MiB)
+    assert(ScaleConf.parseMemory("2g") == 2L * GiB)
+    assert(ScaleConf.parseMemory("1.5G") == (1.5 * GiB).toLong)
+    assert(ScaleConf.parseMemory("512K") == 512L << 10)
+    assert(ScaleConf.parseMemory("4gb") == 4L * GiB)
+    assert(ScaleConf.parseMemory("1t") == 1L << 40)
+  }
+
   test("confEntries covers the four sizing knobs") {
     val s = ScaleConf.derive(10L * GiB, 32, 8 * GiB)
     val m = ScaleConf.confEntries(s).toMap
