@@ -170,6 +170,9 @@ object SparkEntry {
     "sim_ann_lsh_batch" -> ((s, d) => VectorOps.annLshBatch(Tables.embeddings(s, d))),
     "sim_ann_ivf" -> ((s, d) => VectorOps.annIvf(Tables.embeddings(s, d))),
     "sim_ann_ivf_batch" -> ((s, d) => VectorOps.annIvfBatch(Tables.embeddings(s, d))),
+    // SemDeDup semantic dedup over the SAME cached IVF cells (✗: KMeans
+    // fit, like sim_ann_ivf — SemanticIvfSpec carries the guarantees)
+    "dedup_semantic_ivf" -> ((s, d) => DedupOps.semanticIvf(Tables.embeddings(s, d))),
     "vec_quantize_int8" -> ((s, d) => VectorOps.quantizeInt8(Tables.embeddings(s, d))),
     "emb_centroid_drift" -> ((s, d) => VectorOps.centroidDrift(Tables.embeddings(s, d))),
     "emb_dim_stats" -> ((s, d) => VectorOps.dimStats(Tables.embeddings(s, d))),

@@ -726,4 +726,87 @@ object DedupOps {
         s"CAST(${BloomFilter.mightContainExpr("bloom", "h", bitsLog2, k)} AS INT) AS maybe_dup")
       .orderBy("doc_id")
   }
+
+  /** `dedup_semantic_ivf`: semantic deduplication in the SemDeDup shape
+    * (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication") — the last major public
+    * LLM-curation family (r9 verdict #4). Cluster the embedding space
+    * with a coarse quantizer, call two items semantic duplicates when
+    * their WITHIN-CELL cosine exceeds `tau`, group duplicates, and keep
+    * ONE exemplar per group: the member LEAST similar to its cell
+    * centroid (the paper's best-performing keeper rule — the group
+    * outlier preserves the most diversity), deterministically
+    * tie-broken by vec_id.
+    *
+    * Output: one row per vector — (vec_id, cell, grp, cos_centroid,
+    * keep). Un-duplicated vectors form their own singleton group and
+    * are always kept, so `filter(keep = 1)` IS the deduped corpus.
+    *
+    * Scale shape, stage by stage:
+    *  - the cell assignment is the CACHED shared IVF index
+    *    ([[graft.operators.VectorOps.cachedIvfIndex]] — one KMeans fit +
+    *    one assignment pass per corpus, reused across this operator and
+    *    the `sim_ann_ivf*` probes; at 100 TB it is a table written
+    *    bucketed by cell);
+    *  - within-cell pairing self-joins that cell-partitioned cached
+    *    table on `cell` — both sides are the SAME hash-partitioned
+    *    relation, so the join is co-partitioned and shuffles NOTHING;
+    *    the cosine verify runs map-side inside the join and pairs below
+    *    `tau` die before touching any downstream exchange;
+    *  - cells larger than `maxCell` are dense topical regions, not
+    *    duplicate groups — they are dropped from pair enumeration
+    *    BEFORE any pair materializes (the [[ngramJaccard]] maxDf /
+    *    [[graft.operators.VectorOps.nearDupEmbedding]] maxBucket
+    *    analog), bounding per-cell work at maxCell²/2; production runs
+    *    size nlist so E[cell] ≪ maxCell and the cap never binds;
+    *  - duplicate groups are [[clusters]] (pointer-jump CC) over the
+    *    verified pairs — transitivity within a cell, the same audited
+    *    loop every other dedup family uses;
+    *  - exemplar selection is one small window over GROUP members only
+    *    (group sizes are duplicate-set sizes, not corpus-sized), ranked
+    *    by (cos_centroid asc, vec_id) — fully deterministic.
+    *
+    * No oracle (declared ✗: the KMeans fit is not SQL-expressible —
+    * same reason as `sim_ann_ivf`); SemanticIvfSpec asserts planted
+    * near-duplicate recall, exemplar determinism across invocations,
+    * the singleton-keeper invariant, and the maxCell cap.
+    *
+    * OWNERSHIP: the returned frame scans the CC label checkpoint —
+    * caller releases via `ColumnBridge.releaseAllCheckpoints(result)`
+    * when done (the Bench/Verify convention); the cached IVF assignment
+    * is the long-lived shared index and is deliberately NOT released
+    * here ([[graft.operators.VectorOps.clearIvfIndexes]] tears it
+    * down). */
+  def semanticIvf(embeddings: DataFrame, tau: Double = 0.95,
+                  nlist: Int = 8, maxCell: Int = 8192): DataFrame = {
+    val idx = VectorOps.cachedIvfIndex(embeddings, nlist)
+    val a = idx.assigned // (vec_id, embedding, cell) — cell-partitioned, cached
+    val smallCells = a.groupBy("cell").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") <= maxCell).select("cell")
+    val pruned = a.join(smallCells, Seq("cell"), "left_semi")
+    val pairs = pruned
+      .select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      .join(pruned.select(col("cell"), col("vec_id").as("id_b"),
+        col("embedding").as("emb_b")), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(VectorOps.cosine(col("emb_a"), col("emb_b")) >= tau)
+      .select("id_a", "id_b")
+    val groups = clusters(pairs) // (doc_id, cluster), checkpoint-backed
+    val sims = a.join(broadcast(idx.centroids), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        round(VectorOps.cosine(col("embedding"), col("centroid")), 6)
+          .as("cos_centroid"))
+    val wGrp = Window.partitionBy("grp")
+      .orderBy(col("cos_centroid").asc, col("vec_id").asc)
+    sims
+      .join(groups.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
+      // singletons (never in a pair) label themselves; negated ids keep
+      // the synthetic group keys disjoint from real CC labels (min doc_id
+      // per component, always >= 0 here)
+      .withColumn("grp", coalesce(col("cluster"), -col("vec_id") - 1))
+      .withColumn("keep", (row_number().over(wGrp) === 1).cast("int"))
+      .select(col("vec_id"), col("cell"), col("grp"),
+        col("cos_centroid"), col("keep"))
+      .orderBy("vec_id")
+  }
 }

@@ -371,17 +371,26 @@ object VectorOps {
     * the exact baseline. */
   def annIvf(embeddings: DataFrame, probeId: Long = 0L, k: Int = 10,
              nlist: Int = 8, nprobe: Int = 4): DataFrame = {
+    val index = cachedIvfIndex(embeddings, nlist)
+    val probe = embeddings.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("probe"))
+    ivfProbe(index, probe, k, nprobe)
+  }
+
+  /** Registry-cached [[buildIvfIndex]] — the shared offline-index seam:
+    * `annIvf`/`annIvfBatch` probes and [[graft.operators.DedupOps
+    * .semanticIvf]] (SemDeDup rides the SAME cell assignment) all reuse
+    * one fitted quantizer + cached cell-bucketed table per (session,
+    * corpus plan, input snapshot, nlist). */
+  def cachedIvfIndex(embeddings: DataFrame, nlist: Int = 8): IvfIndex = {
     val key = ivfKey(embeddings, nlist)
-    val index = ivfIndexes.synchronized {
+    ivfIndexes.synchronized {
       Option(ivfIndexes.get(key)).getOrElse {
         val built = buildIvfIndex(embeddings, nlist)
         ivfIndexes.put(key, built)
         built
       }
     }
-    val probe = embeddings.filter(col("vec_id") === probeId)
-      .select(col("embedding").as("probe"))
-    ivfProbe(index, probe, k, nprobe)
   }
 
   /** Batch probe (query path, N probes at once): rank every centroid per
@@ -421,14 +430,7 @@ object VectorOps {
     * asserts per-probe recall vs the exact batch baseline. */
   def annIvfBatch(embeddings: DataFrame, nProbes: Int = 5, k: Int = 10,
                   nlist: Int = 8, nprobe: Int = 4): DataFrame = {
-    val key = ivfKey(embeddings, nlist)
-    val index = ivfIndexes.synchronized {
-      Option(ivfIndexes.get(key)).getOrElse {
-        val built = buildIvfIndex(embeddings, nlist)
-        ivfIndexes.put(key, built)
-        built
-      }
-    }
+    val index = cachedIvfIndex(embeddings, nlist)
     val probes = embeddings.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
     ivfProbeBatch(index, probes, k, nprobe)
