@@ -4,11 +4,24 @@ import org.apache.spark.sql.SparkSession
   * run after operator changes to confirm pushdown/broadcast/codegen hold. */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
+    // SPARK_GRAFT_MASTER / SPARK_GRAFT_CLASSES: audit plans under
+    // local-cluster executors (r9 verdict #5 — a broadcast can demote
+    // under small executors, and only a cluster-mode dump shows it);
+    // SPARK_GRAFT_ONLY restricts the query list; SPARK_GRAFT_EXEC=1
+    // EXECUTES each query first so the printed tree is the AQE FINAL
+    // plan (runtime join-strategy changes included), not the initial.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]")
+    val builder = SparkSession.builder().master(master)
       .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    if (master.startsWith("local-cluster"))
+      builder.config("spark.executor.extraClassPath",
+        sys.env.getOrElse("SPARK_GRAFT_CLASSES",
+          "/root/repo/target/scala-2.13/classes"))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val exec = sys.env.get("SPARK_GRAFT_EXEC").contains("1")
     val names = Seq("scan_project", "filter_pred", "join_broadcast",
       "join_theta_range", "join_range_bucket", "agg_hash_group",
       "join_multiway", "sim_cosine_topk", "sort_limit_topk",
@@ -26,10 +39,16 @@ object PlanAudit {
       "ts_retention", "ts_funnel_steps", "window_running_distinct",
       "text_kn_bigram", "graph_pagerank", "pipeline_repeat_epochs",
       "ts_mad_outliers", "emb_dim_stats")
-    names.foreach { n =>
+    val selected = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(names)
+    selected.foreach { n =>
       println(s"\n================ $n ================")
-      println(SparkEntry.queries(n)(spark, d).queryExecution.executedPlan
-        .treeString.linesIterator.take(40).mkString("\n"))
+      val df = SparkEntry.queries(n)(spark, d)
+      if (exec) df.count()
+      println(df.queryExecution.executedPlan
+        .treeString.linesIterator.take(60).mkString("\n"))
+      org.apache.spark.sql.graftbridge.ColumnBridge.releaseAllCheckpoints(df)
     }
     spark.stop()
   }
