@@ -265,11 +265,39 @@ object SparkEntry {
     "ts_mad_outliers" -> ((s, d) => StreamBatchOps.madOutliers(Tables.events(s, d))),
     "ts_moments" -> ((s, d) => StreamBatchOps.moments(Tables.events(s, d))),
     "ts_funnel_steps" -> ((s, d) => StreamBatchOps.funnelSteps(Tables.events(s, d))),
+    // --- round-10 wave ---
+    "graph_degree_stats" -> ((s, d) =>
+      GraphOps.degreeStats(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "graph_triangles" -> ((s, d) => GraphOps.triangles(Tables.lineitem(s, d))),
+    "agg_percentiles_exact" -> ((s, d) => Aggs.percentilesExact(Tables.events(s, d))),
+    "ts_cross_corr" -> ((s, d) => StreamBatchOps.crossCorr(Tables.events(s, d))),
+    "emb_covariance" -> ((s, d) => VectorOps.covariance(Tables.embeddings(s, d))),
+    "retrieval_recall_at_k" -> ((s, d) => RetrievalOps.recallAtK(Tables.embeddings(s, d))),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible / approximate
     * ops (driver records a weaker rows-only check). */
+  /** `sim_batch_topk` oracle body — a val so `retrieval_recall_at_k`'s
+    * oracle can compose it as the exact-ground-truth subquery. */
+  private val simBatchTopkSql: String =
+    """WITH p AS (
+      |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS probe
+      |  FROM embeddings WHERE vec_id < 5),
+      |c AS (
+      |  SELECT probe_id, e.vec_id,
+      |    list_dot_product(CAST(e.embedding AS DOUBLE[]), probe)
+      |      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+      |         * sqrt(list_dot_product(probe, probe))) AS rawcos
+      |  FROM embeddings e CROSS JOIN p),
+      |r AS (
+      |  SELECT probe_id, vec_id, rawcos,
+      |    CAST(row_number() OVER (PARTITION BY probe_id
+      |      ORDER BY rawcos DESC, vec_id) AS INTEGER) AS rn
+      |  FROM c)
+      |SELECT probe_id, vec_id, round(rawcos, 6) AS cos, rn
+      |FROM r WHERE rn <= 10 ORDER BY probe_id, rn""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
@@ -1217,23 +1245,7 @@ object SparkEntry {
         |SELECT vec_id, round(rawcos, 6) AS cos FROM c
         |ORDER BY rawcos DESC, vec_id LIMIT 10""".stripMargin,
 
-    "sim_batch_topk" ->
-      """WITH p AS (
-        |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS probe
-        |  FROM embeddings WHERE vec_id < 5),
-        |c AS (
-        |  SELECT probe_id, e.vec_id,
-        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), probe)
-        |      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
-        |         * sqrt(list_dot_product(probe, probe))) AS rawcos
-        |  FROM embeddings e CROSS JOIN p),
-        |r AS (
-        |  SELECT probe_id, vec_id, rawcos,
-        |    CAST(row_number() OVER (PARTITION BY probe_id
-        |      ORDER BY rawcos DESC, vec_id) AS INTEGER) AS rn
-        |  FROM c)
-        |SELECT probe_id, vec_id, round(rawcos, 6) AS cos, rn
-        |FROM r WHERE rn <= 10 ORDER BY probe_id, rn""".stripMargin,
+    "sim_batch_topk" -> simBatchTopkSql,
 
     // batch-topk oracle body + the label-inequality filter — negatives
     // rank within the anchor's different-label universe
@@ -2639,6 +2651,152 @@ object SparkEntry {
         |  CAST(min(epoch(date_trunc('second', ts))) AS BIGINT) AS session_start_s,
         |  COUNT(*) AS n_events
         |FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+
+    // --- round-10 wave ---
+
+    // degree histogram of the bipartite purchase graph; share in exact
+    // integer micro-units (BIGINT both engines)
+    "graph_degree_stats" ->
+      """WITH co AS (
+        |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |deg AS (
+        |  SELECT node_type, node, COUNT(*) AS degree FROM (
+        |    SELECT 'customer' AS node_type, cust AS node FROM co
+        |    UNION ALL SELECT 'supplier', supp FROM co) t GROUP BY 1, 2),
+        |hist AS (SELECT node_type, degree, COUNT(*) AS n_nodes
+        |         FROM deg GROUP BY 1, 2),
+        |tot AS (SELECT node_type,
+        |          CAST(SUM(degree * n_nodes) AS BIGINT) AS side_endpoints
+        |        FROM hist GROUP BY 1)
+        |SELECT h.node_type, h.degree, h.n_nodes,
+        |  h.degree * h.n_nodes * 1000000 // t.side_endpoints
+        |    AS endpoint_share_micro
+        |FROM hist h JOIN tot t USING (node_type)
+        |ORDER BY node_type, degree""".stripMargin,
+
+    // degree-ordered oriented triangle census on the part co-purchase
+    // (market-basket) graph; every quantity an exact integer
+    "graph_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT n, COUNT(*) AS d FROM (
+        |    SELECT a AS n FROM e UNION ALL SELECT b FROM e) t GROUP BY 1),
+        |o AS (
+        |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+        |              THEN e.a ELSE e.b END AS u,
+        |         CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+        |              THEN e.b ELSE e.a END AS v
+        |  FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b),
+        |wed AS (SELECT o1.u, o1.v AS v, o2.v AS w
+        |        FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v),
+        |canon AS (SELECT LEAST(u, v) AS v, GREATEST(u, v) AS w FROM o),
+        |tri AS (SELECT COUNT(*) AS t FROM wed
+        |        WHERE EXISTS (SELECT 1 FROM canon c
+        |                      WHERE c.v = wed.v AND c.w = wed.w)),
+        |nw AS (SELECT CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT)
+        |         AS n_wedges FROM deg)
+        |SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+        |  (SELECT COUNT(*) FROM o) AS n_edges,
+        |  (SELECT n_wedges FROM nw) AS n_wedges,
+        |  (SELECT t FROM tri) AS n_triangles,
+        |  3 * (SELECT t FROM tri) * 1000000
+        |    // GREATEST((SELECT n_wedges FROM nw), 1) AS clustering_micro""".stripMargin,
+
+    // exact disc percentiles: integer-exact target ranks, unique
+    // (value, event_id) order, so both engines select the same element
+    "agg_percentiles_exact" ->
+      """WITH r AS (
+        |  SELECT event_type, value, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rn
+        |  FROM events),
+        |n AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1)
+        |SELECT r.event_type, n.n,
+        |  MAX(CASE WHEN rn = (n + 1) // 2 THEN ROUND(value, 6) END) AS p50,
+        |  MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN ROUND(value, 6) END) AS p90,
+        |  MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN ROUND(value, 6) END) AS p99
+        |FROM r JOIN n USING (event_type)
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    // lagged Pearson over the dense hourly spine; integer sufficient
+    // statistics, one mirrored double quotient
+    "ts_cross_corr" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    CAST(epoch(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS BIGINT) AS hs,
+        |    COUNT(*) AS n
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND event_type IN ('view', 'click')
+        |  GROUP BY 1, 2),
+        |b AS (SELECT MIN(hs) AS lo, MAX(hs) AS hi FROM hourly),
+        |spine AS (SELECT CAST(unnest(generate_series(lo, hi, 3600)) AS BIGINT) AS hs
+        |          FROM b),
+        |x AS (SELECT s.hs, COALESCE(h.n, 0) AS cx FROM spine s
+        |      LEFT JOIN hourly h ON h.event_type = 'view' AND h.hs = s.hs),
+        |y AS (SELECT s.hs, COALESCE(h.n, 0) AS cy FROM spine s
+        |      LEFT JOIN hourly h ON h.event_type = 'click' AND h.hs = s.hs),
+        |lags AS (SELECT CAST(unnest(generate_series(0, 12)) AS INTEGER) AS lag),
+        |agg AS (
+        |  SELECT lag, COUNT(*) AS n,
+        |    CAST(SUM(cx) AS BIGINT) AS sx, CAST(SUM(cy) AS BIGINT) AS sy,
+        |    CAST(SUM(cx * cy) AS BIGINT) AS sxy,
+        |    CAST(SUM(cx * cx) AS BIGINT) AS sxx,
+        |    CAST(SUM(cy * cy) AS BIGINT) AS syy
+        |  FROM x CROSS JOIN lags JOIN y ON x.hs + lag * 3600 = y.hs
+        |  GROUP BY 1)
+        |SELECT lag, n,
+        |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |           sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0), 6) AS corr
+        |FROM agg ORDER BY lag""".stripMargin,
+
+    // augmented-vector pair sums: one scan yields n, dim sums, and
+    // product sums; DECIMAL(18,7)-quantized products, mirrored quotient
+    "emb_covariance" ->
+      """WITH aug AS (
+        |  SELECT vec_id,
+        |    list_concat([CAST(1.0 AS FLOAT)], embedding) AS e
+        |  FROM embeddings),
+        |idx AS (SELECT CAST(unnest(generate_series(0, 64)) AS INTEGER) AS k),
+        |sums AS (
+        |  SELECT ia.k AS ia, ib.k AS ib,
+        |    CAST(SUM(CAST(ROUND(
+        |      CAST(e[ia.k + 1] AS DOUBLE) * CAST(e[ib.k + 1] AS DOUBLE), 7)
+        |      AS DECIMAL(18,7))) AS DECIMAL(28,7)) AS sp
+        |  FROM aug CROSS JOIN idx ia CROSS JOIN idx ib
+        |  WHERE ib.k >= ia.k
+        |  GROUP BY 1, 2),
+        |nv AS (SELECT CAST(sp AS DOUBLE) AS nv FROM sums WHERE ia = 0 AND ib = 0),
+        |d AS (SELECT ib - 1 AS d, sp AS sd FROM sums WHERE ia = 0 AND ib > 0)
+        |SELECT s.ia - 1 AS i, s.ib - 1 AS j,
+        |  ROUND((CAST(s.sp AS DOUBLE) -
+        |    CAST(di.sd AS DOUBLE) * CAST(dj.sd AS DOUBLE) / nv.nv) / nv.nv,
+        |    6) AS cov
+        |FROM sums s
+        |JOIN d di ON di.d = s.ia - 1
+        |JOIN d dj ON dj.d = s.ib - 1
+        |CROSS JOIN nv
+        |WHERE s.ia > 0
+        |ORDER BY i, j""".stripMargin,
+
+    // pure composition of the two deterministic retrievers' own oracles
+    "retrieval_recall_at_k" ->
+      (s"""WITH exact AS (SELECT * FROM (
+          |${simBatchTopkSql}
+          |) t),
+          |ann AS (SELECT * FROM (
+          |${OracleGen.simAnnLshBatchSql()}
+          |) t)
+          |SELECT e.probe_id,
+          |  COUNT(*) AS n_exact,
+          |  COUNT(a.vec_id) AS n_hit,
+          |  COUNT(a.vec_id) * 1000000 // COUNT(*) AS recall_micro
+          |FROM exact e LEFT JOIN ann a
+          |  ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
   )
 
   /** DuckDB oracle for `text_langid`, generated from

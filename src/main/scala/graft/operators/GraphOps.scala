@@ -79,4 +79,105 @@ object GraphOps {
       .orderBy(col("rank_micro").desc, col("node_type"), col("key"))
       .limit(topN)
   }
+
+  /** `graph_degree_stats`: degree distribution of the bipartite
+    * customer–supplier purchase graph — the first diagnostic run on ANY
+    * graph before ranking/clustering it (a power-law tail says "salt
+    * the hubs"; a spiked histogram says the generator is degenerate).
+    * Emits one row per (node_type, degree): how many nodes have that
+    * degree, plus each bucket's share of its side's edge endpoints in
+    * exact integer micro-units (bucket_nodes·degree·10^6 DIV side_sum).
+    *
+    * Scale shape: the distinct-edge shuffle is the same one pagerank
+    * pays (16-byte pairs); degrees are one partial+final count per
+    * side; the histogram collapses to O(distinct degrees) rows
+    * map-side; side totals re-attach by a 2-row broadcast. */
+  def degreeStats(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val co = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+    val deg = co.select(lit("customer").as("node_type"), col("cust").as("node"))
+      .unionAll(co.select(lit("supplier").as("node_type"), col("supp").as("node")))
+      .groupBy("node_type", "node").agg(count(lit(1)).as("degree"))
+    val hist = deg.groupBy("node_type", "degree")
+      .agg(count(lit(1)).as("n_nodes"))
+    val sideTotal = hist.groupBy("node_type")
+      .agg(sum(col("degree") * col("n_nodes")).as("side_endpoints"))
+    hist.join(broadcast(sideTotal), Seq("node_type"))
+      .select(col("node_type"), col("degree"), col("n_nodes"),
+        expr("degree * n_nodes * 1000000 DIV side_endpoints")
+          .as("endpoint_share_micro"))
+      .orderBy("node_type", "degree")
+  }
+
+  /** `graph_triangles`: global triangle census of the part CO-PURCHASE
+    * graph — the market-basket projection (an edge when two parts ship
+    * in the same order); triangles/wedges give the global clustering
+    * coefficient, the standard cohesion measure (and the bipartite
+    * purchase graph is triangle-free by construction, so the census
+    * needs a one-mode projection — parts, whose cardinality GROWS with
+    * the data, not suppliers, whose co-supply graph saturates into a
+    * complete — clustering 1.0, Θ(n³)-wedge — graph at any real SF).
+    * Output is ONE row: nodes, edges, wedges, triangles, and
+    * 3·triangles·10^6 DIV wedges.
+    *
+    * Scale shape — the degree-ORDERED orientation (the classic
+    * distributed-triangle trick, e.g. Suri & Vassilvitskii 2011's MR
+    * algorithm): orient every edge from the (degree, id)-smaller
+    * endpoint to the larger, so each node's OUT-degree is bounded by
+    * ~sqrt(|E|) regardless of how big a hub it is; wedges are then
+    * out×out pairs at the center (never a hub's full neighborhood
+    * squared), and each triangle is counted exactly once by its
+    * smallest vertex. Pair generation per order is bounded by
+    * (lineitems-per-order choose 2) — order fan-out, not supplier
+    * fan-out. The closing-edge check is one equi semi-join of wedge
+    * endpoints against the oriented edge list. */
+  def triangles(lineitem: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("s"))
+    // distinct supplier pairs sharing an order (a < b canonical)
+    val edges = li.join(li.withColumnRenamed("s", "t"), Seq("ok"))
+      .filter(col("s") < col("t"))
+      .select(col("s").as("a"), col("t").as("b"))
+      .distinct()
+    val deg = edges.select(col("a").as("n"))
+      .unionAll(edges.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient by (degree, id): lower endpoint -> higher endpoint
+    val withDeg = edges
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+    val oriented = graft.plans.PlanPins.lazyPin(withDeg.select(
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("a"))
+        .otherwise(col("b")).as("u"),
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("b"))
+        .otherwise(col("a")).as("v")))
+    // wedge COUNT needs no wedge materialization: Σ_v C(deg_v, 2) over
+    // the UNDIRECTED degrees (the standard denominator of the global
+    // clustering coefficient — the oriented out-out pairs below are the
+    // triangle-search space, not the wedge census)
+    val nWedges = deg
+      .select(coalesce(sum(expr("d * (d - 1) DIV 2")), lit(0L))
+        .as("n_wedges"))
+    // wedges at u: (v, w) out-pairs; the closing edge may be oriented
+    // either way, so probe the UNDIRECTED canonical pair against the
+    // canonicalized oriented edge list
+    val wedges = oriented.select(col("u"), col("v"))
+      .join(oriented.select(col("u"), col("v").as("w")), Seq("u"))
+      .filter(col("v") < col("w"))
+    val canon = oriented.select(
+      least(col("u"), col("v")).as("v"), greatest(col("u"), col("v")).as("w"))
+    val tri = wedges.join(canon, Seq("v", "w"), "left_semi")
+    val nNodes = deg.select(count(lit(1)).as("n_nodes"))
+    val nEdges = oriented.select(count(lit(1)).as("n_edges"))
+    val nTri = tri.select(count(lit(1)).as("n_triangles"))
+    nNodes.crossJoin(broadcast(nEdges)).crossJoin(broadcast(nWedges))
+      .crossJoin(broadcast(nTri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        expr("3 * n_triangles * 1000000 DIV greatest(n_wedges, 1)")
+          .as("clustering_micro"))
+  }
 }

@@ -787,6 +787,38 @@ object Aggs {
       round(percentile_approx(col("o_totalprice"), lit(0.5), lit(accuracy)), 2).as("p50"),
       round(percentile_approx(col("o_totalprice"), lit(0.9), lit(accuracy)), 2).as("p90"),
       count(lit(1)).as("cnt"))
+
+  /** `agg_percentiles_exact`: EXACT discrete percentiles (p50/p90/p99)
+    * of event value per type — the latency-SLO shape (`statsApprox` is
+    * the sketch tier; this is the ground truth it is validated
+    * against). The p-th disc percentile is the element at row
+    * ceil(p·n) in the (value, event_id) order — selection of an INPUT
+    * value, with an integer-exact rank (ceil(a/b) = (a+b−1) DIV b) and
+    * a unique tiebreak, so both engines pick the identical element.
+    *
+    * Scale shape: one shuffle on event_type + in-partition sort (the
+    * per-type-sequential window family; parallelism unit = type). The
+    * three target rows are picked by a conditional aggregate over the
+    * ranked rows — no second shuffle, no self-join; the n-table rides
+    * a broadcast. */
+  def percentilesExact(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").asc, col("event_id").asc)
+    val n = events.groupBy("event_type").agg(count(lit(1)).as("n"))
+    events.select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(n), Seq("event_type"))
+      .groupBy("event_type", "n")
+      .agg(
+        max(when(col("rn") === expr("(n + 1) DIV 2"),
+          round(col("value"), 6))).as("p50"),
+        max(when(col("rn") === expr("(9 * n + 9) DIV 10"),
+          round(col("value"), 6))).as("p90"),
+        max(when(col("rn") === expr("(99 * n + 99) DIV 100"),
+          round(col("value"), 6))).as("p99"))
+      .select(col("event_type"), col("n"), col("p50"), col("p90"), col("p99"))
+      .orderBy("event_type")
+  }
 }
 
 /** Window functions (SURVEY §2-B "Window functions"). Each is one

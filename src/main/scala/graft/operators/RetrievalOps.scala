@@ -137,4 +137,35 @@ object RetrievalOps {
         least(lit(win), col("n") - col("col")).cast("long").as("chunk_tokens"),
         md5(array_join(slice(col("toks"), col("col") + 1, lit(win)), " ")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_id")
+
+  /** `retrieval_recall_at_k`: recall@k of the approximate retriever
+    * against exact ground truth, per probe — the evaluation loop every
+    * ANN deployment runs before trusting its index (an ANN result
+    * without a recall number is a guess). Compares
+    * [[graft.operators.VectorOps.annLshBatch]] (banded sign-LSH) to
+    * [[graft.operators.VectorOps.batchCosineTopK]] (exact sweep) on the
+    * same probes; emits per-probe hit counts and recall in exact
+    * integer micro-units.
+    *
+    * Oracled EXACTLY despite evaluating an "approximate" method: both
+    * retrievers are deterministic (fixed pseudo-random hyperplanes),
+    * each is oracled on its own, and this query is a pure composition —
+    * the oracle composes their generated SQL as subqueries.
+    *
+    * Scale shape: both retriever plans keep their audited shapes; the
+    * comparison itself joins two k·|probes|-row tables on (probe_id,
+    * vec_id) and collapses to O(|probes|) rows — nothing corpus-sized
+    * is added. */
+  def recallAtK(embeddings: DataFrame): DataFrame = {
+    val exact = VectorOps.batchCosineTopK(embeddings)
+      .select(col("probe_id"), col("vec_id"))
+    val ann = VectorOps.annLshBatch(embeddings)
+      .select(col("probe_id"), col("vec_id"), lit(1).as("hit"))
+    exact.join(ann, Seq("probe_id", "vec_id"), "left")
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+      .select(col("probe_id"), col("n_exact"), col("n_hit"),
+        expr("n_hit * 1000000 DIV n_exact").as("recall_micro"))
+      .orderBy("probe_id")
+  }
 }

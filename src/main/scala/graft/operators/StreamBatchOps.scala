@@ -565,4 +565,67 @@ object StreamBatchOps {
       .select(col("user_id"), col("event_id"), col("s"), col("session_seq"))
       .orderBy("user_id", "s", "event_id")
   }
+
+  /** `ts_cross_corr`: lagged cross-correlation between two event-type
+    * series — "does a view surge predict a click surge h hours later?"
+    * — the lead/lag diagnostic behind funnels, capacity planning, and
+    * causal-ish dashboards. For each lag 0..`maxLag`, the Pearson
+    * correlation of (x_t, y_{t+lag}) over the DENSE hourly spine
+    * spanning both series (gap hours count 0 — the honest reading;
+    * an observed-hours-only join would correlate sampling with itself).
+    *
+    * Exactness: counts are integers; each lag's five sufficient
+    * statistics (n, Σx, Σy, Σxy, Σx², Σy²) are exact BIGINT sums
+    * (order-free), and the one floating-point step — the Pearson
+    * quotient — runs on identical operands in both engines, rounded
+    * 6dp; zero-variance lags yield NULL on both.
+    *
+    * Scale shape: ONE corpus scan builds the two-type hourly pre-agg
+    * (lazy-pinned — three consumers: bounds, x-fill, y-fill; unpinned,
+    * each would re-scan the corpus — the gapfill lesson, now guarded by
+    * PlanGuardSpec's scan-count map); the dense spine is generated
+    * distributed from the 1-row bounds; the lag fan-out multiplies the
+    * O(hours) FILLED series — never raw events — by maxLag+1, then one
+    * O(lags)-row aggregate. */
+  def crossCorr(events: DataFrame, xType: String = "view",
+                yType: String = "click", maxLag: Int = 12): DataFrame = {
+    val hourly = events.filter(col("ts").isNotNull &&
+        col("event_type").isin(xType, yType))
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), unix_timestamp(col("h")).as("hs"), col("n"))
+      .transform(graft.plans.PlanPins.lazyPin)
+    val bounds = hourly.agg(min(col("hs")).as("lo"), max(col("hs")).as("hi"))
+    val spine = bounds.select(
+      explode(expr("sequence(lo, hi, 3600)")).as("hs"))
+    def filled(t: String) = spine
+      .join(hourly.filter(col("event_type") === t).select("hs", "n"),
+        Seq("hs"), "left")
+      .select(col("hs"), coalesce(col("n"), lit(0L)).as("c"))
+    // distinct names before the self-shaped join (both sides share the
+    // spine/hourly lineage)
+    val x = filled(xType).select(col("hs").as("xh"), col("c").as("cx"))
+    val y = filled(yType).select(col("hs").as("yh"), col("c").as("cy"))
+    val lags = spine.sparkSession.range(0, maxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    x.crossJoin(broadcast(lags))
+      .join(y, col("xh") + col("lag") * 3600L === col("yh"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("cx")).as("sx"), sum(col("cy")).as("sy"),
+        sum(col("cx") * col("cy")).as("sxy"),
+        sum(col("cx") * col("cx")).as("sxx"),
+        sum(col("cy") * col("cy")).as("syy"))
+      .select(col("lag"), col("n"), {
+        // a zero-variance side yields NULL (ANSI double division by
+        // zero throws in Spark; DuckDB mirrors via NULLIF)
+        val den =
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
+        when(den =!= 0.0, round(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") / den,
+          6)).as("corr")
+      })
+      .orderBy("lag")
+  }
 }

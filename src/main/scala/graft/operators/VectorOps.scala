@@ -642,4 +642,57 @@ object VectorOps {
         round(col("q2").cast("double") / dn - mean * mean, 6).as("variance"))
       .orderBy("dim")
   }
+
+  /** `emb_covariance`: the exact dim×dim covariance matrix of the
+    * embedding space (upper triangle, i ≤ j) — the input to PCA /
+    * whitening / product-quantization codebook fits, and the
+    * off-diagonal complement of [[dimStats]]'s per-dim variance
+    * (strongly correlated dims ⇒ the encoder wastes capacity; a
+    * whitening transform needs exactly this matrix).
+    *
+    * ONE corpus pass via the augmented-vector trick: pair sums over
+    * [1, x₀..x₆₃] yield n at (0,0), per-dim sums Σxⱼ at (0,j+1), and
+    * product sums Σxᵢxⱼ at (i+1,j+1) — a single explode+aggregate
+    * instead of separate count / sums / products passes. Each product
+    * is quantized to DECIMAL(18,7) before summing (the [[dimStats]] /
+    * [[centroidDrift]] order-independence device), so sums are exact
+    * and the one floating-point step — cov = (Σxy − ΣxΣy/n)/n — runs
+    * on identical operands in both engines, 6dp.
+    *
+    * Scale shape: the explode fans dim·(dim+3)/2 ≈ 2.1k struct rows
+    * per vector, but the map-side partial aggregate collapses them to
+    * O(dim²) rows per partition before the ONE shuffle; the tiny sums
+    * table is lazy-pinned (three consumers: n, dim sums, pair sums —
+    * unpinned, the corpus explode would run three times) and the n /
+    * dim-sum re-attachments ride broadcasts. Nothing corpus-sized
+    * crosses the wire. */
+  def covariance(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val aug = concat(array(lit(1.0f)), col("embedding"))
+    val pairs = flatten(transform(sequence(lit(0), lit(dim)), ia =>
+      transform(sequence(ia, lit(dim)), ib =>
+        struct(ia.as("ia"), ib.as("ib"),
+          round(element_at(aug, ia + 1).cast("double") *
+            element_at(aug, ib + 1).cast("double"), 7)
+            .cast("decimal(18,7)").as("p")))))
+    val sums = graft.plans.PlanPins.lazyPin(
+      embeddings.select(explode(pairs).as("t"))
+        .groupBy(col("t.ia").as("ia"), col("t.ib").as("ib"))
+        .agg(sum(col("t.p")).cast("decimal(28,7)").as("sp")))
+    val n = sums.filter(col("ia") === 0 && col("ib") === 0)
+      .select(col("sp").cast("double").as("nv"))
+    val dims = sums.filter(col("ia") === 0 && col("ib") > 0)
+      .select((col("ib") - 1).as("d"), col("sp").as("sd"))
+    sums.filter(col("ia") > 0)
+      .select((col("ia") - 1).as("i"), (col("ib") - 1).as("j"), col("sp"))
+      .join(broadcast(dims.select(col("d").as("i"), col("sd").as("si"))),
+        Seq("i"))
+      .join(broadcast(dims.select(col("d").as("j"), col("sd").as("sj"))),
+        Seq("j"))
+      .crossJoin(broadcast(n))
+      .select(col("i"), col("j"),
+        round((col("sp").cast("double") -
+          col("si").cast("double") * col("sj").cast("double") / col("nv")) /
+          col("nv"), 6).as("cov"))
+      .orderBy("i", "j")
+  }
 }

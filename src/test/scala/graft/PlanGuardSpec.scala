@@ -599,6 +599,10 @@ class PlanGuardSpec extends SparkSpec {
         ("ts_anomaly", StreamBatchOps.anomaly(events), "events", 1),
         ("ts_seasonality", StreamBatchOps.seasonality(events),
           "events", 1),
+        ("ts_cross_corr", StreamBatchOps.crossCorr(events), "events", 1),
+        ("emb_covariance",
+          VectorOps.covariance(Tables.embeddings(spark, sf())),
+          "embeddings", 1),
         ("graph_pagerank/lineitem",
           GraphOps.pagerank(Tables.orders(spark, sf()),
             Tables.lineitem(spark, sf())), "lineitem", 1),
