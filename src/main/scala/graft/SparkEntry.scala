@@ -272,6 +272,9 @@ object SparkEntry {
     "agg_percentiles_exact" -> ((s, d) => Aggs.percentilesExact(Tables.events(s, d))),
     "ts_cross_corr" -> ((s, d) => StreamBatchOps.crossCorr(Tables.events(s, d))),
     "emb_covariance" -> ((s, d) => VectorOps.covariance(Tables.embeddings(s, d))),
+    // real-WAV ingest + decode stats (✗: codec payload bytes, the
+    // image-tier rule; MultimodalSpec proves the decode round-trip)
+    "multimodal_audio_wav" -> ((s, d) => MultimodalOps.audioWav(Tables.documents(s, d))),
     "retrieval_recall_at_k" -> ((s, d) => RetrievalOps.recallAtK(Tables.embeddings(s, d))),
   )
 

@@ -343,10 +343,92 @@ object MultimodalOps {
       phash(attachImages(documents)).toDF("id", "fp"),
       bands, maxHamming, maxBucket)
 
-  /** Ingestion stand-in for video-shaped payloads: a length-prefixed
-    * container (4-byte big-endian frame length, then the frame's REAL
-    * encoded PNG bytes, repeated `nFrames` times) — the simplest honest
-    * stand-in for an MJPEG-like stream with per-frame codec boundaries. */
+  /** Minimal but REAL RIFF/AVI MJPEG writer: the standard container
+    * layout — RIFF('AVI ') → LIST('hdrl') with `avih` + one
+    * LIST('strl') ('vids'/'MJPG' `strh` + BITMAPINFOHEADER `strf`) →
+    * LIST('movi') with one '00dc' chunk per JPEG frame (word-aligned,
+    * per the spec) → 'idx1'. Everything little-endian. ffmpeg/VLC-class
+    * readers accept this layout; [[parseAviMjpegFrames]] is the
+    * matching in-repo parser and MultimodalSpec asserts the structural
+    * invariants (magic, header sizes, index entries). */
+  private def writeAviMjpeg(frames: Seq[Array[Byte]], w: Int, h: Int,
+                            fps: Int = 10): Array[Byte] = {
+    def le32(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      fcc(id) ++ le32(body.length) ++ body ++ pad
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", fcc(listType) ++ body)
+    val maxFrame = frames.map(_.length).max
+    val avih = le32(1000000 / fps) ++ le32(maxFrame * fps) ++ le32(0) ++
+      le32(0x10 /* AVIF_HASINDEX */) ++ le32(frames.length) ++ le32(0) ++
+      le32(1) ++ le32(maxFrame) ++ le32(w) ++ le32(h) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = fcc("vids") ++ fcc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++
+      le32(0) ++ le32(1) ++ le32(fps) ++ le32(0) ++ le32(frames.length) ++
+      le32(maxFrame) ++ le32(0xffffffff) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      fcc("MJPG") ++ le32(w * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val moviChunks = frames.map(f => chunk("00dc", f))
+    val movi = list("movi", moviChunks.flatten.toArray)
+    // idx1 offsets are relative to the start of the 'movi' list TYPE
+    // fourcc (the common convention readers handle)
+    val offsets = moviChunks.scanLeft(4)((acc, c) => acc + c.length).init
+    val idx1 = chunk("idx1",
+      offsets.zip(frames).flatMap { case (off, f) =>
+        fcc("00dc") ++ le32(0x10 /* AVIIF_KEYFRAME */) ++
+          le32(off) ++ le32(f.length)
+      }.toArray)
+    val riffBody = fcc("AVI ") ++ hdrl ++ movi ++ idx1
+    fcc("RIFF") ++ le32(riffBody.length) ++ riffBody
+  }
+
+  /** Walk a RIFF/AVI payload and return its '00dc' (compressed video)
+    * frame payloads — a real container parse (chunk headers, LIST
+    * descent, word-aligned skips), not a trusted length prefix. */
+  private def parseAviMjpegFrames(payload: Array[Byte]): Seq[Array[Byte]] = {
+    def le32(o: Int): Int =
+      (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
+        ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
+    def fcc(o: Int): String = new String(payload, o, 4, "US-ASCII")
+    require(fcc(0) == "RIFF" && fcc(8) == "AVI ",
+      s"not a RIFF/AVI payload: ${fcc(0)}/${fcc(8)}")
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(start: Int, end: Int): Unit = {
+      var o = start
+      while (o + 8 <= end) {
+        val id = fcc(o)
+        val sz = le32(o + 4)
+        if (id == "LIST") {
+          val listType = fcc(o + 8)
+          if (listType == "movi" || listType == "hdrl" || listType == "strl")
+            walk(o + 12, o + 8 + sz)
+        } else if (id == "00dc" && sz > 0) {
+          frames += java.util.Arrays.copyOfRange(payload, o + 8, o + 8 + sz)
+        }
+        o += 8 + sz + (sz % 2) // chunks are word-aligned
+      }
+    }
+    walk(12, 8 + le32(4))
+    frames.toSeq
+  }
+
+  /** Ingestion stand-in with REAL video payloads: every row carries a
+    * genuine RIFF/AVI MJPEG file — real container structure
+    * ([[writeAviMjpeg]]) around real JDK-encoded JPEG frames — closing
+    * the video half of the "real media codecs" deferral (ROADMAP #4;
+    * the pre-r10 stand-in was a bespoke length-prefixed stream). Frame
+    * CONTENT is synthesized deterministically ([[synthImage]]); the
+    * container and the per-frame codec are the real formats. */
   def attachVideos(documents: DataFrame, nFrames: Int = 6,
                    frameW: Int = 20, frameH: Int = 14): DataFrame = {
     val spark = documents.sparkSession
@@ -356,16 +438,10 @@ object MultimodalOps {
       .mapPartitions { it =>
         ImageIO.setUseCache(false)
         it.map { id =>
-          val baos = new ByteArrayOutputStream()
-          val dos = new java.io.DataOutputStream(baos)
-          var f = 0
-          while (f < nFrames) {
-            val frame = encodeImage(synthImage(id * 1009 + f, frameW, frameH), "png")
-            dos.writeInt(frame.length)
-            dos.write(frame)
-            f += 1
-          }
-          MediaRow(id, baos.toByteArray, MediaMeta("vidpng", frameW, frameH))
+          val frames = (0 until nFrames).map(f =>
+            encodeImage(synthImage(id * 1009 + f, frameW, frameH), "jpeg"))
+          MediaRow(id, writeAviMjpeg(frames, frameW, frameH),
+            MediaMeta("avi-mjpg", frameW, frameH))
         }
       }.toDF()
   }
@@ -380,11 +456,12 @@ object MultimodalOps {
       height: Int,
       pixel_crc: Long)
 
-  /** Frame sampling over the length-prefixed container: walk the frame
-    * boundaries (cheap — a length read per frame), DECODE only every
-    * `stride`-th frame, emit real dims + a pixel CRC. One output row per
-    * sampled frame; payload bytes never shuffle (the explode happens
-    * after projection to fixed-size rows). */
+  /** Frame sampling over the REAL AVI container: parse the RIFF chunk
+    * tree to the '00dc' frame boundaries (cheap — header walks, no
+    * decode), DECODE only every `stride`-th JPEG frame, emit real dims
+    * + a pixel CRC. One output row per sampled frame; payload bytes
+    * never shuffle (the explode happens after projection to fixed-size
+    * rows). */
   def sampleFrames(media: DataFrame, stride: Int = 2): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -393,14 +470,8 @@ object MultimodalOps {
       .mapPartitions { it =>
         ImageIO.setUseCache(false)
         it.flatMap { case (id, payload) =>
-          val in = new java.io.DataInputStream(new ByteArrayInputStream(payload))
-          val outRows = scala.collection.mutable.ArrayBuffer.empty[SampledFrame]
-          var idx = 0
-          while (in.available() >= 4) {
-            val len = in.readInt()
-            val frame = new Array[Byte](len)
-            in.readFully(frame)
-            if (idx % stride == 0) {
+          parseAviMjpegFrames(payload).zipWithIndex.collect {
+            case (frame, idx) if idx % stride == 0 =>
               val img = decodeImage(frame)
               val crc = new java.util.zip.CRC32()
               var y = 0
@@ -415,12 +486,9 @@ object MultimodalOps {
                 }
                 y += 1
               }
-              outRows += SampledFrame(id, idx, len, img.getWidth, img.getHeight,
+              SampledFrame(id, idx, frame.length, img.getWidth, img.getHeight,
                 crc.getValue)
-            }
-            idx += 1
           }
-          outRows
         }
       }.toDF()
   }
@@ -429,4 +497,112 @@ object MultimodalOps {
   def frames(documents: DataFrame): DataFrame =
     sampleFrames(attachVideos(documents))
       .orderBy("media_id", "frame_idx")
+
+  /** Typed per-clip audio analysis row ([[audioStats]]); every stat is
+    * an exact integer over decoded 16-bit samples. */
+  final case class AudioStats(
+      media_id: Long,
+      sample_rate: Int,
+      bits: Int,
+      n_samples: Long,
+      peak: Int,
+      energy: Long,
+      zero_crossings: Long)
+
+  /** Deterministic 16-bit PCM waveform for clip `id` — integer
+    * arithmetic only, so any executor regenerates identical samples
+    * (the audio analog of [[synthImage]]). */
+  private def synthSamples(id: Long, n: Int): Array[Short] = {
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (((id * 31 + i.toLong * 7) % 2003L - 1001L) * 16L).toShort
+      i += 1
+    }
+    out
+  }
+
+  /** Ingestion stand-in with REAL audio payloads: every row carries a
+    * genuine RIFF/WAVE file (16-bit PCM mono, 8 kHz) written by the JDK
+    * `javax.sound.sampled` encoder — the audio half of the "real media
+    * codecs" deferral (ROADMAP #4; images got ImageIO in round 5). The
+    * WAVEFORM is synthesized deterministically (no audio corpus in the
+    * sandbox) but the container bytes are a real encoder's output and
+    * the downstream stage parses them with the real decoder. */
+  def attachAudioWav(documents: DataFrame, sampleRate: Int = 8000): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        val fmt = new javax.sound.sampled.AudioFormat(
+          sampleRate.toFloat, 16, 1, true, false) // signed, little-endian
+        it.map { id =>
+          val n = 800 + (id % 800).toInt
+          val samples = synthSamples(id, n)
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            pcm(2 * i) = (samples(i) & 0xff).toByte
+            pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+            i += 1
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new ByteArrayInputStream(pcm), fmt, n.toLong)
+          val baos = new ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+          MediaRow(id, baos.toByteArray, MediaMeta("wav", sampleRate, 16))
+        }
+      }.toDF()
+  }
+
+  /** Audio feature extraction over WAV payloads: REAL
+    * `javax.sound.sampled` parse (container header read by the JDK
+    * decoder, not trusted metadata) + exact-integer clip statistics —
+    * sample count, peak amplitude, energy (Σ s², the loudness measure),
+    * and zero-crossing count (the classic cheap voiced/unvoiced &
+    * noisiness proxy). Partition-batched typed `mapPartitions`, the
+    * image-tier batching contract; payload bytes never shuffle. */
+  def audioStats(media: DataFrame): Dataset[AudioStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(payload))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+            s"unsupported WAV shape: $fmt")
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          var i = 0
+          var peak = 0
+          var energy = 0L
+          var zc = 0L
+          var prev = 0
+          while (i < n) {
+            val lo = bytes(2 * i) & 0xff
+            val hi = bytes(2 * i + 1).toInt
+            val s = (hi << 8) | lo
+            if (math.abs(s) > peak) peak = math.abs(s)
+            energy += s.toLong * s.toLong
+            if (i > 0 && ((s < 0 && prev >= 0) || (s >= 0 && prev < 0))) zc += 1
+            prev = s
+            i += 1
+          }
+          AudioStats(id, fmt.getSampleRate.toInt, fmt.getSampleSizeInBits,
+            n.toLong, peak, energy, zc)
+        }
+      }
+  }
+
+  /** `multimodal_audio_wav` query surface: real-WAV ingest + decode
+    * stats. No oracle (codec payload bytes are not SQL-expressible —
+    * the image-tier rule); MultimodalSpec recomputes every stat from
+    * the waveform formula and asserts the decoded values match. */
+  def audioWav(documents: DataFrame): DataFrame =
+    audioStats(attachAudioWav(documents)).toDF().orderBy("media_id")
 }
