@@ -189,7 +189,12 @@ object SparkEntry {
     "text_pii_scrub" -> ((s, d) => TextOps.scrubPii(Tables.documents(s, d))),
     "text_quality_model" -> ((s, d) => TextOps.qualityModel(Tables.documents(s, d))),
     "text_gopher_quality" -> ((s, d) => TextOps.gopherQuality(Tables.documents(s, d))),
-    "text_repetition" -> ((s, d) => TextOps.repetitionStats(Tables.documents(s, d))),
+    // r10 fix: this round-9 operator registered under "text_repetition",
+    // which the r3 trigram dup-ratio op ALREADY owned — Scala Map
+    // literals keep the LAST duplicate key, so the Gopher diagnostic was
+    // silently shadowed out of the whole r9 gate (its own slug now;
+    // ContractSpec guards the duplicate-key class)
+    "text_repetition_bigram" -> ((s, d) => TextOps.repetitionStats(Tables.documents(s, d))),
     "text_entropy" -> ((s, d) => TextOps.entropy(Tables.documents(s, d))),
     "text_html_strip" -> ((s, d) => TextOps.htmlStrip(Tables.documents(s, d))),
     "pipeline_enrich" -> ((s, d) => TextOps.enrich(Tables.documents(s, d))),
@@ -1395,7 +1400,7 @@ object SparkEntry {
 
     // top-bigram coverage in MICRO units via floor division (agrees
     // cross-engine for non-negative operands); ties break on the bigram
-    "text_repetition" ->
+    "text_repetition_bigram" ->
       """WITH ws AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
         |  FROM documents),

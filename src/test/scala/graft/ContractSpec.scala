@@ -71,4 +71,26 @@ class ContractSpec extends SparkSpec {
       .orderBy("doc_id").collect()
     assert(viaSql.map(_.toString).toSeq === viaCol.map(_.toString).toSeq)
   }
+
+  test("no duplicate slug keys in the SparkEntry source (Map literals keep the LAST)") {
+    // r10 finding: round 9 registered its Gopher repetition diagnostic
+    // under "text_repetition", a slug the r3 trigram dup-ratio op
+    // already owned — the Map literal silently kept the later entry and
+    // the r9 operator never actually ran under the gate. The compiled
+    // Map cannot reveal this, so this guard scans the SOURCE: every
+    // quoted slug key may appear at most once per map literal.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")), "UTF-8")
+    val keyRe = """"([a-z0-9_]+)"\s*->""".r
+    def dupes(body: String): Seq[String] =
+      keyRe.findAllMatchIn(body).map(_.group(1)).toSeq
+        .groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }.toSeq
+    val qStart = src.indexOf("def queries")
+    val oStart = src.indexOf("def oracleSql")
+    assert(qStart > 0 && oStart > qStart, "SparkEntry layout changed")
+    val qDupes = dupes(src.substring(qStart, oStart))
+    val oDupes = dupes(src.substring(oStart))
+    assert(qDupes.isEmpty, s"duplicate queries keys (later shadows earlier): $qDupes")
+    assert(oDupes.isEmpty, s"duplicate oracleSql keys (later shadows earlier): $oDupes")
+  }
 }
