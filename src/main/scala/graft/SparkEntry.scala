@@ -281,6 +281,12 @@ object SparkEntry {
     // image-tier rule; MultimodalSpec proves the decode round-trip)
     "multimodal_audio_wav" -> ((s, d) => MultimodalOps.audioWav(Tables.documents(s, d))),
     "retrieval_recall_at_k" -> ((s, d) => RetrievalOps.recallAtK(Tables.embeddings(s, d))),
+    "ts_ewma" -> ((s, d) => StreamBatchOps.ewma(Tables.events(s, d))),
+    "corpus_seqlen_hist" -> ((s, d) => CorpusOps.seqlenHist(Tables.documents(s, d))),
+    "corpus_langid_confusion" -> ((s, d) => TextOps.langIdConfusion(Tables.documents(s, d))),
+    // tokenizer APPLICATION with the learned merges baked in as fold
+    // literals (✗: chained array folds, the bpe-trainer rule)
+    "pipeline_bpe_apply" -> ((s, d) => CorpusOps.bpeApply(Tables.documents(s, d))),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -2805,6 +2811,76 @@ object SparkEntry {
           |FROM exact e LEFT JOIN ann a
           |  ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
           |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // truncated EWMA over the dense per-type spine; the weight literals
+    // come from the SAME ewmaWeights call the Spark plan uses (pow
+    // differs across libm in the last ulp — shipping identical decimal
+    // strings to both engines removes the only cross-engine float)
+    "ts_ewma" -> {
+      val wvals = operators.StreamBatchOps.ewmaWeights(24, 0.25)
+        .map { case (k, w) => s"($k, CAST('$w' AS DECIMAL(18,7)))" }
+        .mkString(", ")
+      s"""WITH hourly AS (
+         |  SELECT event_type,
+         |    CAST(epoch(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS BIGINT) AS hs,
+         |    COUNT(*) AS n
+         |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+         |r AS (SELECT event_type, MIN(hs) AS lo, MAX(hs) AS hi
+         |      FROM hourly GROUP BY 1),
+         |spine AS (SELECT event_type,
+         |            CAST(unnest(generate_series(lo, hi, 3600)) AS BIGINT) AS hs
+         |          FROM r),
+         |f AS (SELECT s.event_type, s.hs, COALESCE(h.n, 0) AS c
+         |      FROM spine s LEFT JOIN hourly h USING (event_type, hs)),
+         |wt(k, w) AS (VALUES $wvals),
+         |agg AS (
+         |  SELECT event_type, f.hs + k * 3600 AS hs,
+         |    CAST(SUM(w * CAST(c AS DECIMAL(12,0))) AS DECIMAL(28,7)) AS s,
+         |    COUNT(*) AS terms
+         |  FROM f CROSS JOIN wt GROUP BY 1, 2)
+         |SELECT event_type, hs AS hour_s,
+         |  CAST(FLOOR(s * 1000000) AS BIGINT) AS ewma_micro
+         |FROM agg WHERE terms = 24 ORDER BY event_type, hour_s""".stripMargin
+    },
+
+    // 64-token bucket histogram + cumulative shares in micro units
+    "corpus_seqlen_hist" ->
+      """WITH tok AS (
+        |  SELECT CAST(len(list_filter(string_split(lower(text), ' '),
+        |    x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |b AS (SELECT n_tok // 64 AS bucket, COUNT(*) AS n_docs,
+        |        CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |      FROM tok GROUP BY 1),
+        |c AS (SELECT bucket, n_docs, n_tokens,
+        |  CAST(SUM(n_docs) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cd,
+        |  CAST(SUM(n_tokens) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ct
+        |  FROM b),
+        |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS td,
+        |        CAST(SUM(n_tokens) AS BIGINT) AS tt FROM b)
+        |SELECT bucket, n_docs, n_tokens,
+        |  cd * 1000000 // td AS cum_doc_share_micro,
+        |  ct * 1000000 // tt AS cum_token_share_micro
+        |FROM c CROSS JOIN t ORDER BY bucket""".stripMargin,
+
+    // composes the langid oracle + a doc_id join (the Spark side scores
+    // inline to keep one corpus scan; same result)
+    "corpus_langid_confusion" ->
+      (s"""WITH pred AS (SELECT * FROM (
+          |$langIdOracleSql
+          |) t),
+          |cell AS (
+          |  SELECT d.lang, p.pred_lang, COUNT(*) AS n
+          |  FROM pred p JOIN documents d USING (doc_id)
+          |  GROUP BY 1, 2),
+          |tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS lang_total
+          |        FROM cell GROUP BY 1)
+          |SELECT c.lang, c.pred_lang, c.n,
+          |  c.n * 1000000 // t.lang_total AS lang_share_micro
+          |FROM cell c JOIN tot t USING (lang)
+          |ORDER BY 1, 2""".stripMargin),
   )
 
   /** DuckDB oracle for `text_langid`, generated from

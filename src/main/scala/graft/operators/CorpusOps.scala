@@ -1301,4 +1301,81 @@ object CorpusOps {
         hll_sketch_estimate(col("sk")).as("distinct_est"))
     shards.unionByName(global).orderBy("lang")
   }
+
+  /** `corpus_seqlen_hist`: sequence-length histogram in 64-token
+    * buckets + cumulative doc/token shares — the distribution every
+    * packing decision reads first (`pipeline_pack_chunks`'s pack length
+    * and padding waste are functions of exactly this curve; the
+    * cumulative share says what fraction of docs/tokens a given
+    * max-seq-len covers).
+    *
+    * Scale shape: map-only token count + bucket per doc, partial+final
+    * collapse to O(buckets) rows; the cumulative window runs over the
+    * bucket table (bounded by max-doc-len/64 rows, never corpus-sized)
+    * under a global order — cardinality-bounded, the PlanGuardSpec
+    * window rule. All integers (shares in micro units). */
+  def seqlenHist(documents: DataFrame, bucketTokens: Int = 64): DataFrame = {
+    val nTok = size(filter(split(lower(col("text")), " "), w => w =!= ""))
+      .cast("long")
+    val buckets = documents
+      .select((nTok / lit(bucketTokens)).cast("long").as("bucket"),
+        nTok.as("n_tok"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = buckets.agg(sum(col("n_docs")).as("td"), sum(col("n_tokens")).as("tt"))
+    buckets
+      .withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        expr("cum_docs * 1000000 DIV td").as("cum_doc_share_micro"),
+        expr("cum_tokens * 1000000 DIV tt").as("cum_token_share_micro"))
+      .orderBy("bucket")
+  }
+
+  /** `pipeline_bpe_apply`: TOKENIZE the corpus with the merge table
+    * [[bpeMerges]] learned — the apply half of tokenizer training, and
+    * the half that actually runs at 100 TB (training touches the vocab
+    * table once; application touches every document forever after).
+    * Each learned merge bakes into the plan as a literal and replays as
+    * the same leftmost-non-overlapping `aggregate` fold the trainer
+    * used, chained in merge order inside a per-word `transform` — all
+    * codegen column expressions, no UDF. Emits per doc the word count,
+    * the post-merge token count, and an md5 over the joined token
+    * stream (`|` separates words) — the payload fingerprint a trainer
+    * shard would carry.
+    *
+    * The merge-table collect is the documented KMeans-style driver
+    * pattern (the table is `merges` rows); the corpus-side apply is
+    * map-only — ONE scan, no shuffle before the display sort.
+    *
+    * No oracle (the chained array folds are the same ✗ class as the
+    * trainer); RoundTenOpsSpec replays the textbook corpus and asserts
+    * the tokenization matches the hand-derived merge sequence. */
+  def bpeApply(documents: DataFrame, merges: Int = 5): DataFrame = {
+    val learned = bpeMerges(documents, merges).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    def applyMerges(word: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      learned.foldLeft(filter(split(word, ""), c => c =!= "")) {
+        case (syms, (l, r)) =>
+          aggregate(syms, array().cast("array<string>"),
+            (acc, x) => when(
+              size(acc) > 0 &&
+                element_at(acc, size(acc)) === lit(l) && x === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+              .otherwise(concat(acc, array(x))))
+      }
+    val words = filter(split(lower(col("text")), " "), w => w =!= "")
+    val tokenized = transform(words, w => applyMerges(w))
+    documents.select(col("doc_id"),
+      size(words).cast("long").as("n_words"),
+      aggregate(tokenized, lit(0L), (acc, t) => acc + size(t))
+        .as("n_tokens"),
+      md5(array_join(transform(tokenized, t => array_join(t, " ")), " | "))
+        .as("tokens_md5"))
+      .orderBy("doc_id")
+  }
 }

@@ -566,6 +566,77 @@ object StreamBatchOps {
       .orderBy("user_id", "s", "event_id")
   }
 
+  /** Truncated-EWMA weights α·(1−α)^k, k = 0..horizon−1, each quantized
+    * to a 7dp DECIMAL STRING — the single source both the Spark plan
+    * and the generated DuckDB SQL inline, which is what makes
+    * [[ewma]] exactly oracle-checkable: `pow` differs across libm
+    * implementations in the last ulp, so the weights are computed ONCE
+    * here and shipped as identical decimal literals to both engines. */
+  def ewmaWeights(horizon: Int, alpha: Double): Seq[(Int, String)] =
+    (0 until horizon).map { k =>
+      k -> BigDecimal(alpha * math.pow(1.0 - alpha, k))
+        .setScale(7, scala.math.BigDecimal.RoundingMode.HALF_UP).toString
+    }
+
+  /** `ts_ewma`: exponentially-weighted moving average of the hourly
+    * count series per event type — THE classic smoothing for rate
+    * dashboards and drift alerts (α = 0.25), truncated at a `horizon`
+    * of 24 trailing hours (weights beyond 24 h are < 0.1% of mass;
+    * truncation is what makes the smoothing windowable and exact).
+    * Gap hours weigh in as 0 over the dense spine — the same honest
+    * reading as [[crossCorr]].
+    *
+    * Exactness: weights are 7dp DECIMAL literals ([[ewmaWeights]] —
+    * identical strings in both engines), counts are integers, so every
+    * weight·count product and their sum is EXACT decimal arithmetic;
+    * the only float step is the final cast, on identical operands.
+    *
+    * Scale shape: ONE corpus scan into the hourly pre-agg (lazy-pinned;
+    * spine + fill are its consumers — scan-count-guarded); the EWMA
+    * join fans the O(types·hours) FILLED series by the 24-row weight
+    * table (broadcast), never raw events; one partial+final sum
+    * collapses back to O(types·hours). */
+  def ewma(events: DataFrame, alpha: Double = 0.25,
+           horizon: Int = 24): DataFrame = {
+    val spark = events.sparkSession
+    val hourly = events.filter(col("ts").isNotNull)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), unix_timestamp(col("h")).as("hs"), col("n"))
+      .transform(graft.plans.PlanPins.lazyPin)
+    val ranges = hourly.groupBy("event_type")
+      .agg(min(col("hs")).as("lo"), max(col("hs")).as("hi"))
+    val filled = ranges
+      .select(col("event_type"), explode(expr("sequence(lo, hi, 3600)")).as("hs"))
+      .join(hourly, Seq("event_type", "hs"), "left")
+      .select(col("event_type"), col("hs"), coalesce(col("n"), lit(0L)).as("c"))
+    import spark.implicits._
+    val wdf = ewmaWeights(horizon, alpha).toDF("k", "ws")
+      .select(col("k"), col("ws").cast("decimal(18,7)").as("w"))
+    filled.crossJoin(broadcast(wdf))
+      .select(col("event_type"), (col("hs") + col("k") * 3600L).as("hs"),
+        col("c"), col("w"))
+      .groupBy("event_type", "hs")
+      // c casts to DECIMAL(12,0) BEFORE the product: decimal(18,7) x
+      // bigint would promote the bigint to decimal(20,0) and overflow
+      // Spark's precision-38 cap, silently dropping the scale to 6dp
+      // (caught by the oracle: 3.168512 vs 3.16851)
+      .agg(sum(col("w") * col("c").cast("decimal(12,0)"))
+        .cast("decimal(28,7)").as("s"),
+        count(lit(1)).as("terms"))
+      // emit only hours with the FULL horizon behind them (partial-sum
+      // edges would under-weight the first day on both engines alike,
+      // but the full-window rows are the meaningful series)
+      .filter(col("terms") === horizon)
+      // micro-unit BIGINT output: the 7dp decimal sum can land exactly
+      // on a 6dp half (…x5), where Spark's BigDecimal-on-binary-double
+      // rounding and DuckDB's scaled rounding disagree by one ulp —
+      // floor(s·10^6) is exact decimal arithmetic with no tie to break
+      .select(col("event_type"), col("hs").as("hour_s"),
+        floor(col("s") * lit(1000000)).cast("long").as("ewma_micro"))
+      .orderBy("event_type", "hour_s")
+  }
+
   /** `ts_cross_corr`: lagged cross-correlation between two event-type
     * series — "does a view surge predict a click surge h hours later?"
     * — the lead/lag diagnostic behind funnels, capacity planning, and

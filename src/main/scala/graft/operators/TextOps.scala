@@ -166,6 +166,45 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** `corpus_langid_confusion`: confusion matrix of the declared `lang`
+    * column against [[langId]]'s n-gram prediction — the calibration
+    * table a language-filter deployment reads before trusting either
+    * signal (off-diagonal mass = mislabeled source metadata OR a weak
+    * detector; the per-declared-lang share says which languages the
+    * detector is blind to).
+    *
+    * Scale shape: the scoring is [[langId]]'s map-only marker counting
+    * run INLINE with the `lang` column retained — one corpus scan, no
+    * doc_id self-join re-attaching predictions; the matrix collapses to
+    * O(langs²) rows map-side and the per-lang totals re-attach by
+    * broadcast. (The DuckDB oracle composes the langid SQL + a join
+    * instead — same result, the join is fine at oracle scale.) */
+  def langIdConfusion(documents: DataFrame): DataFrame = {
+    val markers = langProfiles
+    val words = split(lower(col("text")), " ")
+    val scored = markers.foldLeft(
+      documents.select(col("doc_id"), col("lang"), col("text"))) {
+      case (df, (lang, ms)) =>
+        df.withColumn(s"score_$lang",
+          size(filter(words, w => w.isin(ms: _*))))
+    }
+    val scoreCols = markers.map { case (l, _) =>
+      struct(col(s"score_$l").as("score"), lit(l).as("lang"))
+    }
+    val pred = scored
+      .select(col("lang"),
+        sort_array(array(scoreCols: _*), asc = false).getItem(0).as("best"))
+      .select(col("lang"),
+        when(col("best.score") > 0, col("best.lang")).otherwise(lit("und"))
+          .as("pred_lang"))
+    val cell = pred.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+    val perLang = cell.groupBy("lang").agg(sum(col("n")).as("lang_total"))
+    cell.join(broadcast(perLang), Seq("lang"))
+      .select(col("lang"), col("pred_lang"), col("n"),
+        expr("n * 1000000 DIV lang_total").as("lang_share_micro"))
+      .orderBy("lang", "pred_lang")
+  }
+
   /** `text_pii_scrub`: pattern-based PII redaction — the scrub pass a
     * training corpus runs before anything else ships. Chained
     * `regexp_replace` (codegen'd, map-only, no shuffle): emails, then

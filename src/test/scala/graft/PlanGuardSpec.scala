@@ -600,6 +600,7 @@ class PlanGuardSpec extends SparkSpec {
         ("ts_seasonality", StreamBatchOps.seasonality(events),
           "events", 1),
         ("ts_cross_corr", StreamBatchOps.crossCorr(events), "events", 1),
+        ("ts_ewma", StreamBatchOps.ewma(events), "events", 1),
         ("emb_covariance",
           VectorOps.covariance(Tables.embeddings(spark, sf())),
           "embeddings", 1),

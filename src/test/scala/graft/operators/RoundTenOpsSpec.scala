@@ -103,6 +103,98 @@ class RoundTenOpsSpec extends SparkSpec {
     }
   }
 
+  test("ts_ewma: constant series yields exactly count x sum-of-weights; micro floor") {
+    // constant hourly count c = 4 over 48 hours: every full-horizon hour
+    // has ewma = 4 * sum(w_k) with the EXACT quantized weight literals —
+    // expected value computed from the same ewmaWeights source
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ev = (0 until 48).flatMap { h =>
+      (0 until 4).map(i => (h.toLong * 10 + i,
+        new java.sql.Timestamp(t0.getTime + h * 3600L * 1000L), "view"))
+    }.toDF("event_id", "ts", "event_type")
+    val wSum = StreamBatchOps.ewmaWeights(24, 0.25)
+      .map(w => BigDecimal(w._2)).sum
+    val expected = (BigDecimal(4) * wSum * BigDecimal(1000000))
+      .setScale(0, scala.math.BigDecimal.RoundingMode.FLOOR).toLong
+    val out = StreamBatchOps.ewma(ev).collect()
+    // hours 23..47 have the full 24-term horizon
+    assert(out.length == 48 - 23, s"full-horizon rows: ${out.length}")
+    out.foreach(r => assert(r.getLong(2) == expected,
+      s"hour ${r.getLong(1)}: ${r.getLong(2)} != $expected"))
+  }
+
+  test("corpus_seqlen_hist: hand-built buckets and cumulative shares") {
+    // token counts 10, 70, 200 -> buckets 0 (1 doc, 10 tok),
+    // 1 (1 doc, 70 tok), 3 (1 doc, 200 tok)
+    val docs = Seq(
+      (1L, Seq.fill(10)("w").mkString(" ")),
+      (2L, Seq.fill(70)("w").mkString(" ")),
+      (3L, Seq.fill(200)("w").mkString(" "))).toDF("doc_id", "text")
+    val out = CorpusOps.seqlenHist(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0L, 1L, 10L, 333333L, 35714L),
+      (1L, 1L, 70L, 666666L, 285714L),
+      (3L, 1L, 200L, 1000000L, 1000000L)))
+  }
+
+  test("corpus_langid_confusion: per-lang shares sum to ~1e6 and en text predicts en") {
+    val out = TextOps.langIdConfusion(Tables.documents(spark, sf())).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // share accounting: each declared lang's shares total 1e6 up to the
+    // per-cell floor losses (< n_cells per lang)
+    out.groupBy(_._1).foreach { case (lang, cells) =>
+      val total = cells.map(_._4).sum
+      assert(total > 1000000L - cells.length && total <= 1000000L,
+        s"$lang shares sum to $total")
+    }
+    // the generated corpus's text is label-agnostic word salad, so the
+    // real-table matrix is EXPECTED to be off-diagonal-heavy — that is
+    // the diagnostic's value (mislabeled metadata shows up exactly like
+    // this). The detector itself is proven on planted marker text:
+    val planted = Seq(
+      (1L, "the cat and the dog of the house is in to it", "en"),
+      (2L, "der hund und die katze ist das nicht von sie mit", "de"),
+      (3L, "el perro la casa de que y en un una los", "es"))
+      .toDF("doc_id", "text", "lang")
+    val m = TextOps.langIdConfusion(planted).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(m.toSet == Set(
+      ("en", "en", 1L, 1000000L), ("de", "de", 1L, 1000000L),
+      ("es", "es", 1L, 1000000L)), s"planted matrix: ${m.toSeq}")
+  }
+
+  test("pipeline_bpe_apply: textbook merges tokenize the corpus as hand-derived") {
+    // Sennrich et al.'s vocabulary; the 5 learned merges (pinned in
+    // RoundNineOpsSpec) are es, est, lo, low, ew — so:
+    //   low    -> [low]           lower -> [low, e, r]
+    //   newest -> [n, ew, est]    widest -> [w, i, d, est]
+    val docs = (
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val out = CorpusOps.bpeApply(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expectTokens = Map("low" -> 1L, "lower" -> 3L,
+      "newest" -> 3L, "widest" -> 4L)
+    val expectMd5 = Map(
+      "low" -> "low", "lower" -> "low e r",
+      "newest" -> "n ew est", "widest" -> "w i d est"
+    ).map { case (k, v) => k ->
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString }
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    out.foreach { case (id, nw, nt, h) =>
+      val w = words(id.toInt)
+      assert(nw == 1L)
+      assert(nt == expectTokens(w), s"doc $id ($w): $nt tokens")
+      assert(h == expectMd5(w), s"doc $id ($w): md5 mismatch")
+    }
+  }
+
   test("retrieval_recall_at_k equals the manual intersection of its two retrievers") {
     val emb = Tables.embeddings(spark, sf())
     val exact = VectorOps.batchCosineTopK(emb).collect()
