@@ -2689,13 +2689,14 @@ object SparkEntry {
         |FROM hist h JOIN tot t USING (node_type)
         |ORDER BY node_type, degree""".stripMargin,
 
-    // degree-ordered oriented triangle census on the part co-purchase
-    // (market-basket) graph; every quantity an exact integer
+    // degree-ordered oriented triangle census on the support>=2 part
+    // co-purchase (market-basket) graph; every quantity an exact integer
     "graph_triangles" ->
       """WITH e AS (
-        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  SELECT a.l_partkey AS a, b.l_partkey AS b
         |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
         |deg AS (SELECT n, COUNT(*) AS d FROM (
         |    SELECT a AS n FROM e UNION ALL SELECT b FROM e) t GROUP BY 1),
         |o AS (

@@ -111,15 +111,20 @@ object GraphOps {
   }
 
   /** `graph_triangles`: global triangle census of the part CO-PURCHASE
-    * graph — the market-basket projection (an edge when two parts ship
-    * in the same order); triangles/wedges give the global clustering
-    * coefficient, the standard cohesion measure (and the bipartite
-    * purchase graph is triangle-free by construction, so the census
-    * needs a one-mode projection — parts, whose cardinality GROWS with
-    * the data, not suppliers, whose co-supply graph saturates into a
-    * complete — clustering 1.0, Θ(n³)-wedge — graph at any real SF).
-    * Output is ONE row: nodes, edges, wedges, triangles, and
-    * 3·triangles·10^6 DIV wedges.
+    * graph — the market-basket projection with the standard SUPPORT
+    * threshold (an edge when two parts ship together in ≥ `minSupport`
+    * distinct orders, the Apriori association rule-of-thumb);
+    * triangles/wedges give the global clustering coefficient, the
+    * standard cohesion measure. The threshold is what keeps the
+    * projection analyzable at ANY scale: the unthresholded one-mode
+    * projection densifies with data (measured: 148M wedges at sf0.1,
+    * and the supplier variant saturates COMPLETE — clustering 1.0,
+    * Θ(n³) wedges), while random once-only co-occurrences are exactly
+    * what support ≥ 2 removes — the surviving graph tracks genuine
+    * association, stays sparse (3.4k edges at sf0.01, 3.6k at sf0.1),
+    * and the census cost collapses onto the one linear pair-support
+    * aggregation. Output is ONE row: nodes, edges, wedges, triangles,
+    * and 3·triangles·10^6 DIV wedges.
     *
     * Scale shape — the degree-ORDERED orientation (the classic
     * distributed-triangle trick, e.g. Suri & Vassilvitskii 2011's MR
@@ -132,14 +137,20 @@ object GraphOps {
     * (lineitems-per-order choose 2) — order fan-out, not supplier
     * fan-out. The closing-edge check is one equi semi-join of wedge
     * endpoints against the oriented edge list. */
-  def triangles(lineitem: DataFrame): DataFrame = {
+  def triangles(lineitem: DataFrame, minSupport: Int = 2): DataFrame = {
     val li = lineitem.select(col("l_orderkey").as("ok"),
       col("l_partkey").as("s"))
-    // distinct supplier pairs sharing an order (a < b canonical)
+    // part pairs sharing an order (a < b canonical), kept only at
+    // support >= minSupport distinct orders — one partial+final
+    // aggregation over the per-order pair fan (bounded by
+    // (lineitems-per-order choose 2)), the projection's only
+    // corpus-sized stage
     val edges = li.join(li.withColumnRenamed("s", "t"), Seq("ok"))
       .filter(col("s") < col("t"))
-      .select(col("s").as("a"), col("t").as("b"))
-      .distinct()
+      .select(col("s").as("a"), col("t").as("b"), col("ok"))
+      .groupBy("a", "b").agg(countDistinct(col("ok")).as("support"))
+      .filter(col("support") >= minSupport)
+      .select("a", "b")
     val deg = edges.select(col("a").as("n"))
       .unionAll(edges.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))

@@ -13,23 +13,25 @@ import graft.{SparkSpec, Tables}
 class RoundTenOpsSpec extends SparkSpec {
   import spark.implicits._
 
-  test("graph_triangles: one known triangle plus a pendant edge") {
-    // orders: O1 ships parts {1,2,3} (a triangle), O2 ships {3,4} (an
-    // edge). Degrees: 1→2, 2→2, 3→3, 4→1; wedges ΣC(d,2)=1+1+3+0=5;
-    // triangles=1; clustering = 3·1e6·1/5 = 600000.
-    val li = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 3L), (20L, 4L))
-      .toDF("l_orderkey", "l_partkey")
-    val r = GraphOps.triangles(li).collect()(0)
+  test("graph_triangles: one known triangle plus a pendant edge (support 2)") {
+    // two orders each ship {1,2,3} (triangle at support 2), two more
+    // ship {3,4} (pendant edge). Degrees: 1→2, 2→2, 3→3, 4→1; wedges
+    // ΣC(d,2)=1+1+3+0=5; triangles=1; clustering = 3·1e6·1/5 = 600000.
+    val li = Seq(10L, 11L).flatMap(o => Seq(1L, 2L, 3L).map((o, _))) ++
+      Seq(20L, 21L).flatMap(o => Seq(3L, 4L).map((o, _)))
+    val r = GraphOps.triangles(li.toDF("l_orderkey", "l_partkey")).collect()(0)
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
       r.getLong(4)) == (4L, 4L, 5L, 1L, 600000L))
   }
 
-  test("graph_triangles: duplicate lineitem rows don't double-count edges") {
-    // the same part twice in one order (two lineitems) must not create
-    // a self-pair or duplicate edges
-    val li = Seq((10L, 1L), (10L, 1L), (10L, 2L), (10L, 3L))
+  test("graph_triangles: support threshold drops once-only co-occurrences") {
+    // {1,2,3} together twice (kept), {1,9} once (dropped); duplicate
+    // lineitems inside ONE order count as one support (distinct orders)
+    val li = (Seq(10L, 11L).flatMap(o => Seq(1L, 2L, 3L).map((o, _))) ++
+      Seq((30L, 1L), (30L, 1L), (30L, 9L)))
       .toDF("l_orderkey", "l_partkey")
     val r = GraphOps.triangles(li).collect()(0)
+    assert(r.getLong(0) == 3L, "node 9 must not survive the threshold")
     assert(r.getLong(1) == 3L && r.getLong(3) == 1L)
   }
 
