@@ -2768,34 +2768,42 @@ object SparkEntry {
         |           sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0), 6) AS corr
         |FROM agg ORDER BY lag""".stripMargin,
 
-    // augmented-vector pair sums: one scan yields n, dim sums, and
-    // product sums; DECIMAL(18,7)-quantized products, mirrored quotient
+    // augmented-vector pair sums in exact integer units: elements
+    // quantized ONCE to BIGINT 10^-7 units, pair products exact BIGINT
+    // (HUGEINT sums), cov_micro = exact integer floor-division — no
+    // doubles anywhere, so no -0.0/representation divergence (the r10
+    // driver hash fail). Mirrors VectorOps.covariance value-for-value;
+    // DuckDB's native HUGEINT replaces the Spark side's hi/lo split.
     "emb_covariance" ->
-      """WITH aug AS (
-        |  SELECT vec_id,
-        |    list_concat([CAST(1.0 AS FLOAT)], embedding) AS e
+      """WITH q AS (
+        |  SELECT list_concat([CAST(10000000 AS BIGINT)],
+        |    list_transform(embedding, x ->
+        |      CAST(CAST(ROUND(CAST(x AS DOUBLE), 7) AS DECIMAL(18,7))
+        |           * 10000000 AS BIGINT))) AS q
         |  FROM embeddings),
         |idx AS (SELECT CAST(unnest(generate_series(0, 64)) AS INTEGER) AS k),
         |sums AS (
         |  SELECT ia.k AS ia, ib.k AS ib,
-        |    CAST(SUM(CAST(ROUND(
-        |      CAST(e[ia.k + 1] AS DOUBLE) * CAST(e[ib.k + 1] AS DOUBLE), 7)
-        |      AS DECIMAL(18,7))) AS DECIMAL(28,7)) AS sp
-        |  FROM aug CROSS JOIN idx ia CROSS JOIN idx ib
+        |    SUM(CAST(q[ia.k + 1] * q[ib.k + 1] AS HUGEINT)) AS sp,
+        |    COUNT(*) AS n
+        |  FROM q CROSS JOIN idx ia CROSS JOIN idx ib
         |  WHERE ib.k >= ia.k
         |  GROUP BY 1, 2),
-        |nv AS (SELECT CAST(sp AS DOUBLE) AS nv FROM sums WHERE ia = 0 AND ib = 0),
-        |d AS (SELECT ib - 1 AS d, sp AS sd FROM sums WHERE ia = 0 AND ib > 0)
-        |SELECT s.ia - 1 AS i, s.ib - 1 AS j,
-        |  ROUND((CAST(s.sp AS DOUBLE) -
-        |    CAST(di.sd AS DOUBLE) * CAST(dj.sd AS DOUBLE) / nv.nv) / nv.nv,
-        |    6) AS cov
-        |FROM sums s
-        |JOIN d di ON di.d = s.ia - 1
-        |JOIN d dj ON dj.d = s.ib - 1
-        |CROSS JOIN nv
-        |WHERE s.ia > 0
-        |ORDER BY i, j""".stripMargin,
+        |d AS (SELECT ib - 1 AS d, sp // 10000000 AS s7
+        |      FROM sums WHERE ia = 0 AND ib > 0),
+        |nd AS (
+        |  SELECT s.ia - 1 AS i, s.ib - 1 AS j,
+        |    CAST(s.n AS HUGEINT) * s.sp
+        |      - CAST(di.s7 AS HUGEINT) * dj.s7 AS num,
+        |    CAST(s.n AS HUGEINT) * s.n * 100000000 AS den
+        |  FROM sums s
+        |  JOIN d di ON di.d = s.ia - 1
+        |  JOIN d dj ON dj.d = s.ib - 1
+        |  WHERE s.ia > 0)
+        |SELECT i, j,
+        |  CAST((num - ((num % den + den) % den)) // den AS BIGINT)
+        |    AS cov_micro
+        |FROM nd ORDER BY i, j""".stripMargin,
 
     // pure composition of the two deterministic retrievers' own oracles
     "retrieval_recall_at_k" ->

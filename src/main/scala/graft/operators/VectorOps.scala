@@ -651,48 +651,95 @@ object VectorOps {
     * whitening transform needs exactly this matrix).
     *
     * ONE corpus pass via the augmented-vector trick: pair sums over
-    * [1, x₀..x₆₃] yield n at (0,0), per-dim sums Σxⱼ at (0,j+1), and
-    * product sums Σxᵢxⱼ at (i+1,j+1) — a single explode+aggregate
-    * instead of separate count / sums / products passes. Each product
-    * is quantized to DECIMAL(18,7) before summing (the [[dimStats]] /
-    * [[centroidDrift]] order-independence device), so sums are exact
-    * and the one floating-point step — cov = (Σxy − ΣxΣy/n)/n — runs
-    * on identical operands in both engines, 6dp.
+    * [1, x₀..x₆₃] yield per-dim sums Σxⱼ at (0,j+1) and product sums
+    * Σxᵢxⱼ at (i+1,j+1) — a single explode+aggregate instead of
+    * separate sums / products passes (n rides every cell's count).
     *
-    * Scale shape: the explode fans dim·(dim+3)/2 ≈ 2.1k struct rows
-    * per vector, but the map-side partial aggregate collapses them to
-    * O(dim²) rows per partition before the ONE shuffle; the tiny sums
-    * table is lazy-pinned (three consumers: n, dim sums, pair sums —
-    * unpinned, the corpus explode would run three times) and the n /
-    * dim-sum re-attachments ride broadcasts. Nothing corpus-sized
-    * crosses the wire. */
+    * Exactness — the round-10 form rounded each double PRODUCT
+    * (`round(x·y, 7)`) and emitted `round(cov, 6)` doubles; the driver
+    * hash-failed it on ONE cell where DuckDB's binary round yielded
+    * `-0.0` and Spark's string-based round `+0.0` (value-equal,
+    * representation-different — the ts_ewma scaladoc's predicted
+    * divergence). This form has no doubles at all: each augmented
+    * ELEMENT is quantized ONCE to an integer in 10⁻⁷ units (65
+    * roundings per vector, not 2145 — the [[dimStats]] quantize-the-
+    * element device), pair products are exact BIGINT multiplies in
+    * 10⁻¹⁴ units, and the output is `cov_micro` BIGINT =
+    * floor((n·Σxy − ΣxΣy)·10⁶ / n²) via exact integer floor-division
+    * (num − pmod(num, den)) / den — integers have no signed zero and
+    * no tie to break, so the two engines agree bit-for-bit.
+    *
+    * Overflow discipline (ANSI mode throws, nothing saturates): a
+    * per-pair product is split hi = (p − pmod(p,10⁷)) div 10⁷,
+    * lo = pmod(p,10⁷) so the partial SUMS stay in codegen BIGINTs
+    * (Σhi ≤ n·10⁹ for |x| ≤ 10 — safe to ~10⁹ vectors); the split is
+    * recombined into one exact DECIMAL per cell AFTER the aggregate
+    * (O(dim²) rows), and every decimal cast is sized so each product
+    * stays ≤ precision 38 (documented at each cast).
+    *
+    * Scale shape: the explode fans dim·(dim+3)/2 ≈ 2.1k all-long
+    * struct rows per vector, but the map-side partial aggregate
+    * collapses them to O(dim²) rows per partition before the ONE
+    * shuffle; the tiny sums table is lazy-pinned (three consumers:
+    * pair cells + two dim-sum broadcasts — unpinned, the corpus
+    * explode would run three times) and the dim-sum re-attachments
+    * ride broadcasts. Nothing corpus-sized crosses the wire. */
   def covariance(embeddings: DataFrame, dim: Int = 64): DataFrame = {
-    val aug = concat(array(lit(1.0f)), col("embedding"))
+    val M = 10000000L // 10^7: the 7dp quantization unit
+    // quantized augmented vector: element 0 is the constant 1.0 → M;
+    // round→DECIMAL(18,7)→·10^7 is exact (the (8,0) cast keeps the
+    // decimal product at precision 27 — a bare long literal would
+    // promote to (20,0) and Spark would cut the scale to 6dp)
+    val qarr = concat(
+      array(lit(M)),
+      transform(col("embedding"), x =>
+        (round(x.cast("double"), 7).cast("decimal(18,7)") *
+          lit(M).cast("decimal(8,0)")).cast("long")))
+    // built on col("q") of a SEPARATE projection: transform() is
+    // non-cheap, so CollapseProject keeps the 65-element quantization
+    // out of the 2145 pair references
     val pairs = flatten(transform(sequence(lit(0), lit(dim)), ia =>
       transform(sequence(ia, lit(dim)), ib =>
         struct(ia.as("ia"), ib.as("ib"),
-          round(element_at(aug, ia + 1).cast("double") *
-            element_at(aug, ib + 1).cast("double"), 7)
-            .cast("decimal(18,7)").as("p")))))
+          (element_at(col("q"), ia + 1) *
+            element_at(col("q"), ib + 1)).as("p")))))
     val sums = graft.plans.PlanPins.lazyPin(
-      embeddings.select(explode(pairs).as("t"))
-        .groupBy(col("t.ia").as("ia"), col("t.ib").as("ib"))
-        .agg(sum(col("t.p")).cast("decimal(28,7)").as("sp")))
-    val n = sums.filter(col("ia") === 0 && col("ib") === 0)
-      .select(col("sp").cast("double").as("nv"))
+      embeddings.select(qarr.as("q"))
+        .select(explode(pairs).as("t"))
+        .selectExpr("t.ia as ia", "t.ib as ib",
+          "(t.p - pmod(t.p, 10000000)) div 10000000 as hi",
+          "pmod(t.p, 10000000) as lo")
+        .groupBy("ia", "ib")
+        .agg(sum(col("hi")).as("shi"), sum(col("lo")).as("slo"),
+          count(lit(1)).as("n")))
+    // (0,j) cells: p = M·qⱼ exactly, so lo = 0 and shi IS Σqⱼ (the
+    // dim sum in 10^-7 units) — no decimal division needed
     val dims = sums.filter(col("ia") === 0 && col("ib") > 0)
-      .select((col("ib") - 1).as("d"), col("sp").as("sd"))
+      .select((col("ib") - 1).as("d"), col("shi").as("s7"))
     sums.filter(col("ia") > 0)
-      .select((col("ia") - 1).as("i"), (col("ib") - 1).as("j"), col("sp"))
-      .join(broadcast(dims.select(col("d").as("i"), col("sd").as("si"))),
+      .select((col("ia") - 1).as("i"), (col("ib") - 1).as("j"), col("n"),
+        // Σp in 10^-14 units: (19,0)·(8,0)=(28,0) exact, + slo ≤ n·10^7
+        ((col("shi").cast("decimal(19,0)") * lit(M).cast("decimal(8,0)") +
+          col("slo").cast("decimal(19,0)")).cast("decimal(28,0)")).as("sp"))
+      .join(broadcast(dims.select(col("d").as("i"), col("s7").as("si"))),
         Seq("i"))
-      .join(broadcast(dims.select(col("d").as("j"), col("sd").as("sj"))),
+      .join(broadcast(dims.select(col("d").as("j"), col("s7").as("sj"))),
         Seq("j"))
-      .crossJoin(broadcast(n))
       .select(col("i"), col("j"),
-        round((col("sp").cast("double") -
-          col("si").cast("double") * col("sj").cast("double") / col("nv")) /
-          col("nv"), 6).as("cov"))
+        // n·Σxy − ΣxᵢΣxⱼ in 10^-14 units: (9,0)·(28,0)=(38,0) and
+        // (18,0)·(18,0)=(37,0), both exact; difference capped at 38
+        (col("n").cast("decimal(9,0)") * col("sp") -
+          col("si").cast("decimal(18,0)") * col("sj").cast("decimal(18,0)"))
+          .as("num"),
+        // n²·10^8: cov_micro = num·10^6/(n²·10^14·10^-14·10^6) — i.e.
+        // micro-units need num/(n²·10^8); (12,0)²·(9,0)=(35,0) exact
+        (col("n").cast("decimal(12,0)") * col("n").cast("decimal(12,0)") *
+          lit(100000000L).cast("decimal(9,0)")).as("den"))
+      .select(col("i"), col("j"),
+        // exact integer floor-division: num − pmod(num,den) is an exact
+        // multiple of den, so the decimal divide is representation-exact
+        ((col("num") - pmod(col("num"), col("den"))) / col("den"))
+          .cast("long").as("cov_micro"))
       .orderBy("i", "j")
   }
 }

@@ -84,18 +84,40 @@ class RoundTenOpsSpec extends SparkSpec {
   }
 
   test("emb_covariance: 2-vector hand case, population covariance") {
-    // vectors (1,2) and (3,4): means (2,3); cov = [[1,1],[1,1]]
+    // vectors (1,2) and (3,4): means (2,3); cov = [[1,1],[1,1]] →
+    // 10^6 micro-units each (exact: floor(1.0·10^6) with no remainder)
     val emb = Seq((0L, Array(1.0f, 2.0f)), (1L, Array(3.0f, 4.0f)))
       .toDF("vec_id", "embedding")
     val out = VectorOps.covariance(emb, dim = 2).collect()
-      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
-    assert(out == Map((0, 0) -> 1.0, (0, 1) -> 1.0, (1, 1) -> 1.0))
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(out == Map((0, 0) -> 1000000L, (0, 1) -> 1000000L,
+      (1, 1) -> 1000000L))
+  }
+
+  test("emb_covariance: negative covariance floors toward -inf, not zero") {
+    // anti-correlated dims: cov = -1; a truncating division would give
+    // the wrong micro value on any negative cov with a remainder —
+    // (1,-2),(3,-4): cov(0,1) = ((1·-2 + 3·-4) - 4·(-6)/2)/2 = -1
+    val emb = Seq((0L, Array(1.0f, -2.0f)), (1L, Array(3.0f, -4.0f)))
+      .toDF("vec_id", "embedding")
+    val out = VectorOps.covariance(emb, dim = 2).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(out((0, 1)) == -1000000L)
+    // a true-remainder case: (0,0),(0,0),(1,-1): cov(0,1) = -2/9 →
+    // cov·10^6 = -222222.22…, floor = -222223 (truncation would give
+    // -222222); the positive diagonal floors down: 2/9 → 222222
+    val emb2 = Seq((0L, Array(0.0f, 0.0f)), (1L, Array(0.0f, 0.0f)),
+      (2L, Array(1.0f, -1.0f))).toDF("vec_id", "embedding")
+    val out2 = VectorOps.covariance(emb2, dim = 2).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(out2((0, 1)) == -222223L, s"floor-division contract: $out2")
+    assert(out2((0, 0)) == 222222L && out2((1, 1)) == 222222L)
   }
 
   test("emb_covariance agrees with dimStats variance on the diagonal") {
     val emb = Tables.embeddings(spark, sf())
     val cov = VectorOps.covariance(emb).filter(col("i") === col("j"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+      .collect().map(r => r.getInt(0) -> r.getLong(2) / 1e6).toMap
     val dv = VectorOps.dimStats(emb).collect()
       .map(r => r.getInt(0) -> r.getDouble(3)).toMap
     assert(cov.keySet == dv.keySet)

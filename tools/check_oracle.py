@@ -65,6 +65,14 @@ def main(sf_dir: str, out_dir: str) -> int:
                 try:
                     if isinstance(a, float) and isinstance(b, float):
                         eq = (a == b) or (math.isnan(a) and math.isnan(b))
+                        # the driver hashes canonical REPRESENTATIONS, not
+                        # values: -0.0 == +0.0 here but hash-differs there
+                        # (r10's emb_covariance shipped green locally and
+                        # failed the driver gate on exactly this) — mirror
+                        # the stricter semantics
+                        if eq and a == 0.0 and b == 0.0 and \
+                                math.copysign(1.0, a) != math.copysign(1.0, b):
+                            eq = False
                 except Exception:
                     pass
                 try:
