@@ -147,7 +147,13 @@ object ScaleConf {
       master match {
         case lc(mb) => mb.toLong << 20
         case m if m.startsWith("local") => Runtime.getRuntime.maxMemory
-        case _ => sys.props.get("spark.executor.memory").map(parseMemory)
+        // Spark reads a suffix-less spark.executor.memory as MiB
+        // (JavaUtils.byteStringAsMb) — parseMemory's bare-bytes default
+        // would read "2048" as 2 KB and collapse the derived broadcast
+        // threshold to the floor; mirror Spark's semantics here
+        case _ => sys.props.get("spark.executor.memory")
+          .map(s => if (s.trim.forall(_.isDigit)) s.trim.toLong << 20
+                    else parseMemory(s))
           .getOrElse(1024L << 20)
       }
     }

@@ -1342,19 +1342,33 @@ object CorpusOps {
     * table once; application touches every document forever after).
     * Each learned merge bakes into the plan as a literal and replays as
     * the same leftmost-non-overlapping `aggregate` fold the trainer
-    * used, chained in merge order inside a per-word `transform` — all
-    * codegen column expressions, no UDF. Emits per doc the word count,
-    * the post-merge token count, and an md5 over the joined token
-    * stream (`|` separates words) — the payload fingerprint a trainer
-    * shard would carry.
+    * used, chained in merge order — all codegen column expressions, no
+    * UDF. Emits per doc the word count, the post-merge token count, and
+    * an md5 over the joined token stream (`|` separates words) — the
+    * payload fingerprint a trainer shard would carry.
+    *
+    * Word-level memoization (the r10 cost fix): the round-10 form ran
+    * the chained merge folds inside a per-word `transform` over the
+    * CORPUS — O(corpus-words × merges) array walks (11.8 s at sf0.1 at
+    * just 5 merges; a real tokenizer ships 32k merges). The fold chain
+    * is a pure function of the word, so it now runs over the DISTINCT
+    * word table (the same vocabulary-table insight [[bpeMerges]]
+    * itself uses — classic BPE tooling's word-freq dict) and
+    * tokenizations hash-join back to the corpus: vocab × merges + one
+    * join. The vocab side rides a broadcast here (a natural-language
+    * vocabulary is Zipf-bounded; at a scale where it outgrows the
+    * broadcast threshold, drop the hint and AQE picks a shuffle hash
+    * join — the shape stays corpus × 1). Per-doc reassembly keeps word
+    * order via posexplode positions sorted inside `collect_list` — the
+    * one corpus-sized shuffle, carrying only (pos, token-string).
     *
     * The merge-table collect is the documented KMeans-style driver
-    * pattern (the table is `merges` rows); the corpus-side apply is
-    * map-only — ONE scan, no shuffle before the display sort.
+    * pattern (the table is `merges` rows).
     *
     * No oracle (the chained array folds are the same ✗ class as the
     * trainer); RoundTenOpsSpec replays the textbook corpus and asserts
-    * the tokenization matches the hand-derived merge sequence. */
+    * the tokenization matches the hand-derived merge sequence, and
+    * drives a 32-merge chain to pin merge-count scaling. */
   def bpeApply(documents: DataFrame, merges: Int = 5): DataFrame = {
     val learned = bpeMerges(documents, merges).collect()
       .map(r => (r.getString(1), r.getString(2)))
@@ -1369,13 +1383,26 @@ object CorpusOps {
               .otherwise(concat(acc, array(x))))
       }
     val words = filter(split(lower(col("text")), " "), w => w =!= "")
-    val tokenized = transform(words, w => applyMerges(w))
-    documents.select(col("doc_id"),
-      size(words).cast("long").as("n_words"),
-      aggregate(tokenized, lit(0L), (acc, t) => acc + size(t))
-        .as("n_tokens"),
-      md5(array_join(transform(tokenized, t => array_join(t, " ")), " | "))
-        .as("tokens_md5"))
+    val vocab = documents.select(explode(words).as("word")).distinct()
+      .select(col("word"), applyMerges(col("word")).as("toks"))
+    // posexplode_outer keeps zero-word documents (null word/pos rows):
+    // they must emit n_words 0 / n_tokens 0 / md5("") like the r10
+    // map-only form did, not vanish in the join+regroup
+    documents
+      .select(col("doc_id"), posexplode_outer(words).as(Seq("pos", "word")))
+      .join(broadcast(vocab), Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(col("word")).as("n_words"),
+        coalesce(sum(size(col("toks"))), lit(0L)).cast("long")
+          .as("n_tokens"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("word").isNotNull,
+              struct(col("pos").as("pos"),
+                array_join(col("toks"), " ").as("s"))))),
+            x => x.getField("s")),
+          " | ")).as("tokens_md5"))
       .orderBy("doc_id")
   }
 }

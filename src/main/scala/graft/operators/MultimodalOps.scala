@@ -365,6 +365,9 @@ object MultimodalOps {
     }
     def list(listType: String, body: Array[Byte]): Array[Byte] =
       chunk("LIST", fcc(listType) ++ body)
+    require(frames.nonEmpty,
+      "writeAviMjpeg needs at least one frame (nFrames >= 1): an AVI " +
+        "with an empty movi list has no defined dwSuggestedBufferSize")
     val maxFrame = frames.map(_.length).max
     val avih = le32(1000000 / fps) ++ le32(maxFrame * fps) ++ le32(0) ++
       le32(0x10 /* AVIF_HASINDEX */) ++ le32(frames.length) ++ le32(0) ++

@@ -30,6 +30,27 @@ class BenchLineSpec extends AnyFunSuite {
         "plan the next encoding change a round BEFORE the cap, not at it")
   }
 
+  test("failure messages persist as valid JSON strings with root cause (r10 verdict #2)") {
+    // quotes, backslashes, newlines, control chars must survive into
+    // BENCH_FULL.json parseably; long messages are capped
+    val escaped = Bench.jsonString("a \"quoted\" \\path\nline2\u0001")
+    assert(escaped == "\"a \\\"quoted\\\" \\\\path\\nline2\\u0001\"")
+    // the escaped literal round-trips through a JSON parser shape check:
+    // no raw quote/backslash/control chars remain inside the literal
+    val inner = escaped.drop(1).dropRight(1)
+    assert(!inner.replaceAll("\\\\.", "").exists(c => c == '"' || c == '\\' || c < ' '))
+    assert(Bench.jsonString("x" * 1000).length <= 400 + 7)
+    assert(Bench.jsonString(null) == "\"null\"", "null message must not throw")
+    // wrapped failures report the ROOT cause too (executor OOMs surface
+    // wrapped in SparkException — the cause is the diagnosis)
+    val root = new OutOfMemoryError("heap")
+    val wrapped = new RuntimeException("stage failed", root)
+    val d = Bench.describeFailure(wrapped)
+    assert(d.contains("stage failed") && d.contains("OutOfMemoryError") &&
+      d.contains("heap"), d)
+    assert(Bench.describeFailure(root) == root.toString)
+  }
+
   test("short keys are unique and legend-invertible") {
     val names = SparkEntry.queries.keys.toSeq
     val short = Bench.shortKeys(names)

@@ -95,6 +95,21 @@ class ScaleConfSpec extends AnyFunSuite {
     // unknown cluster master with no conf: Spark's stock 1g default
     assert(ScaleConf.executorMemoryBytes("spark://host:7077")
       == 1024L * MiB)
+    // suffix-less spark.executor.memory is MiB in Spark's own parsing
+    // (getSizeAsMb) — parseMemory's bare-bytes rule must not read
+    // "2048" as 2 KB on this fallback path (r10 ADVICE)
+    val prev = sys.props.get("spark.executor.memory")
+    try {
+      sys.props("spark.executor.memory") = "2048"
+      assert(ScaleConf.executorMemoryBytes("spark://host:7077")
+        == 2048L * MiB)
+      sys.props("spark.executor.memory") = "3g"
+      assert(ScaleConf.executorMemoryBytes("spark://host:7077")
+        == 3L * GiB)
+    } finally prev match {
+      case Some(v) => sys.props("spark.executor.memory") = v
+      case None => sys.props.remove("spark.executor.memory")
+    }
     // and the derived broadcast threshold actually shrinks with it:
     // 2 GiB executors stay at the stock 10 MiB however big the driver is
     val s = ScaleConf.derive(10L * GiB, 8,

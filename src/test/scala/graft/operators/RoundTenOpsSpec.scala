@@ -219,6 +219,47 @@ class RoundTenOpsSpec extends SparkSpec {
     }
   }
 
+  test("pipeline_bpe_apply: 32-merge chain fully merges the textbook vocab (merge-count scaling)") {
+    // enough iterations to exhaust every adjacent pair (≤ 16 needed for
+    // low/lower/newest/widest; the trainer stops early when none
+    // remain) — every single-word doc must collapse to ONE token whose
+    // md5 is md5(word). r10's corpus×merges form was only ever
+    // exercised at 5 merges; this pins the vocab-memoized chain depth.
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = (
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val out = CorpusOps.bpeApply(docs, merges = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    out.foreach { case (id, nw, nt, h) =>
+      val w = words(id.toInt)
+      assert(nw == 1L && nt == 1L, s"doc $id ($w): $nt tokens after full merge")
+      assert(h == md5hex(w), s"doc $id ($w): md5 mismatch")
+    }
+  }
+
+  test("pipeline_bpe_apply: zero-word documents survive the join+regroup") {
+    // the vocab-memoized form regroups after a posexplode — an inner
+    // explode/join would silently DROP empty docs; they must keep the
+    // map-only form's contract: n_words 0, n_tokens 0, md5 of ""
+    val docs = Seq((0L, "low low"), (1L, ""), (2L, "   "))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.bpeApply(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    val emptyMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out.keySet == Set(0L, 1L, 2L), "empty docs must not vanish")
+    assert(out(1L) == ((0L, 0L, emptyMd5)), s"empty doc row: ${out(1L)}")
+    assert(out(2L) == ((0L, 0L, emptyMd5)), s"blank doc row: ${out(2L)}")
+    assert(out(0L)._1 == 2L)
+  }
+
   test("retrieval_recall_at_k equals the manual intersection of its two retrievers") {
     val emb = Tables.embeddings(spark, sf())
     val exact = VectorOps.batchCosineTopK(emb).collect()
