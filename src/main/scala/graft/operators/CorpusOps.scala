@@ -94,7 +94,9 @@ object CorpusOps {
     * `text_zipf` rule: counts stay integer through every join; the one
     * ln per (source, lang) cell is computed from identical integer
     * operands via identical IEEE divisions on both engines, rounded to
-    * 6dp per term, and summed as DECIMAL — partitioning-independent. */
+    * 6dp per term, and summed as DECIMAL — partitioning-independent.
+    *
+    * scan-guard: corpus_lang_drift */
   def langDrift(documents: DataFrame): DataFrame = {
     val sl = graft.plans.PlanPins.lazyPin(
       documents.groupBy("source", "lang").agg(count(lit(1)).as("n")))
@@ -201,7 +203,9 @@ object CorpusOps {
     * selection is a per-stratum row_number window (strata are few and
     * large — the window's per-stratum sort is the cost; at extreme
     * stratum sizes the md5-threshold overshoot + exact re-rank variant
-    * would bound it, the same two-phase shape as `topk_per_group`). */
+    * would bound it, the same two-phase shape as `topk_per_group`).
+    *
+    * scan-guard: sample_neyman */
   def sampleNeyman(documents: DataFrame, budget: Int = 200): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dec = "decimal(38,0)"
@@ -482,7 +486,9 @@ object CorpusOps {
     * run logs before and after its passes — sizes, vocabulary breadth
     * proxies, duplication and emptiness rates. One scan, one aggregate
     * (count-distincts expand map-side), all-integer: cheap enough to run
-    * per ingest batch at any corpus size. */
+    * per ingest batch at any corpus size.
+    *
+    * scan-guard: corpus_stats */
   def corpusStats(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
@@ -654,7 +660,9 @@ object CorpusOps {
     * compiled n-gram kernel — no shuffle), folded into ONE global
     * aggregate of conditional counts; the 5-row funnel is exploded from
     * that single row driver-side. One pass over the corpus, one
-    * all-integer aggregation row on the wire. */
+    * all-integer aggregation row on the wire.
+    *
+    * scan-guard: corpus_funnel */
   def corpusFunnel(documents: DataFrame, minWords: Int = 15, minChars: Int = 100,
                    maxAvgWordLen: Double = 4.75): DataFrame = {
     val nWords = size(words(col("text")))
@@ -906,7 +914,11 @@ object CorpusOps {
     * leftmost-non-overlapping by construction. No oracle (iterative
     * array folds are not reasonably SQL-expressible in DuckDB);
     * RoundNineOpsSpec pins the textbook low/lower/newest/widest
-    * example's exact 5-merge sequence. */
+    * example's exact 5-merge sequence.
+    *
+    * scan-guard: exempt (returns a driver-built LocalRelation; the
+    * pinned word-freq table is released before return, so the result
+    * plan has nothing to count — RoundNineOpsSpec covers behavior) */
   def bpeMerges(documents: DataFrame, merges: Int = 5): DataFrame = {
     val spark = documents.sparkSession
     val wordFreq = graft.plans.PlanPins.lazyPin(documents
@@ -976,7 +988,9 @@ object CorpusOps {
     * back, and the emit is a map-only `explode(sequence(1, n))` — the
     * corpus is scanned once and never shuffled. Output volume is
     * Σ n_epochs·|source| rows by DESIGN (an up-sampler emits what it
-    * up-samples); everything stays exact integers. */
+    * up-samples); everything stays exact integers.
+    *
+    * scan-guard: pipeline_repeat_epochs */
   def repeatEpochs(documents: DataFrame, maxEpochs: Int = 4): DataFrame = {
     // lazy-pinned: both consumers (the per-source factor aggregate and
     // the emit join) read the MATERIALIZED (doc_id, source, n_tok)
@@ -1236,7 +1250,9 @@ object CorpusOps {
     * partial agg); the λ table is BUCKETS rows (64) and broadcasts; the
     * per-doc weight is one groupBy(doc_id) over pre-collapsed
     * (doc, bucket, count) rows — never the token stream. The target
-    * fit reuses the same bucketed pass (one corpus scan total). */
+    * fit reuses the same bucketed pass (one corpus scan total).
+    *
+    * scan-guard: corpus_dsir_weights */
   def dsirWeights(documents: DataFrame, buckets: Int = 64): DataFrame = {
     val toks = documents
       .select(col("doc_id"), col("lang"),

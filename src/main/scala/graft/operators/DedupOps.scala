@@ -102,7 +102,9 @@ object DedupOps {
     * shuffles. The 128-bit key replaces [[exactByHash]]'s text-keyed
     * collision settle: a false merge needs an xxhash64 collision on BOTH
     * seeds (~n²/2¹²⁸ — beyond 10¹² docs this is < 10⁻¹⁴, vs ~n²/2⁶⁴ for
-    * a single 64-bit key, which at corpus scale is a real hazard). */
+    * a single 64-bit key, which at corpus scale is a real hazard).
+    *
+    * scan-guard: dedup_exact_normalized */
   def exactNormalized(documents: DataFrame): DataFrame = {
     val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
     val keepers = documents

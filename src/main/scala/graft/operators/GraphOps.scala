@@ -97,7 +97,9 @@ object GraphOps {
     * histogram collapses to O(distinct degrees) rows map-side and is
     * lazy-pinned (two consumers: the output rows and the side totals);
     * side totals re-attach by a 2-row broadcast. Guarded by
-    * PlanGuardSpec's scan-count map (1 lineitem + 1 orders scan). */
+    * PlanGuardSpec's scan-count map (1 lineitem + 1 orders scan).
+    *
+    * scan-guard: graph_degree_stats */
   def degreeStats(orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val co = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
@@ -148,7 +150,9 @@ object GraphOps {
     * fan-out. The closing-edge check is one equi semi-join of wedge
     * endpoints against the oriented edge list. The corpus is scanned
     * exactly TWICE (the self-join's two sides, while materializing the
-    * pinned edge list) — PlanGuardSpec asserts it. */
+    * pinned edge list) — PlanGuardSpec asserts it.
+    *
+    * scan-guard: graph_triangles */
   def triangles(lineitem: DataFrame, minSupport: Int = 2): DataFrame = {
     val li = lineitem.select(col("l_orderkey").as("ok"),
       col("l_partkey").as("s"))

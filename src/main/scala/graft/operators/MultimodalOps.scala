@@ -169,7 +169,9 @@ object MultimodalOps {
     * through plain relational aggregation (`length` on binary = byte
     * count), and the synthetic payload is column-expressible so DuckDB
     * replays it. One scan, one partial+final agg — no decode on this
-    * path, which is the point: inventory must not pay codec cost. */
+    * path, which is the point: inventory must not pay codec cost.
+    *
+    * scan-guard: multimodal_stats */
   def mediaStats(documents: DataFrame): DataFrame =
     attachMedia(documents)
       .select(col("meta.format").as("format"),

@@ -341,7 +341,9 @@ object Joins {
     * sf10 enumeration, an hour-scale job on 32 cores; 0 disables). The
     * estimate is an upper bound on candidate rows (≈ 2× true pairs at
     * uniform density), costs one scan of a single long column, and is
-    * the insurance premium a doomed multi-day job never gets to refund. */
+    * the insurance premium a doomed multi-day job never gets to refund.
+    *
+    * scan-guard: join_interval_overlap */
   def intervalOverlap(events: DataFrame, windowSecs: Int = 600): DataFrame = {
     val spark = events.sparkSession
     val e = events
@@ -683,7 +685,9 @@ object Aggs {
 
   /** `agg_conditional`: filtered aggregation (`FILTER (WHERE ...)` /
     * count_if shape) — one pass computing per-group metrics over
-    * different predicates, instead of N self-joins. */
+    * different predicates, instead of N self-joins.
+    *
+    * scan-guard: agg_conditional */
   def conditional(orders: DataFrame): DataFrame =
     orders
       .groupBy("o_orderpriority")

@@ -42,7 +42,9 @@ object RetrievalOps {
     * rounded to integer MICRO-units before the per-doc sum — integer
     * summation is order-free, so the aggregate is exact under any
     * partitioning (the lone libm call, ln, sits behind the same 1e-6
-    * rounding that `fn_math` established for cross-engine ulp noise). */
+    * rounding that `fn_math` established for cross-engine ulp noise).
+    *
+    * scan-guard: retrieval_bm25 */
   def bm25(documents: DataFrame, terms: Seq[String] = defaultQuery,
            k: Int = 20): DataFrame = {
     val toks = words(lower(col("text")))

@@ -167,7 +167,9 @@ object StreamBatchOps {
     * shared pre-agg of this family), lazily checkpointed so the stats
     * branch and the flag join consume ONE scan (ts_gapfill's
     * ReuseExchange lesson); the per-type stats are a 3-column agg over
-    * O(types × hours) rows, broadcast back; the flag is map-only. */
+    * O(types × hours) rows, broadcast back; the flag is map-only.
+    *
+    * scan-guard: ts_anomaly */
   def anomaly(events: DataFrame, k: Int = 3): DataFrame = {
     val dec = "decimal(38,0)"
     val hourly = events.filter(col("ts").isNotNull)
@@ -595,7 +597,9 @@ object StreamBatchOps {
     * spine + fill are its consumers — scan-count-guarded); the EWMA
     * join fans the O(types·hours) FILLED series by the 24-row weight
     * table (broadcast), never raw events; one partial+final sum
-    * collapses back to O(types·hours). */
+    * collapses back to O(types·hours).
+    *
+    * scan-guard: ts_ewma */
   def ewma(events: DataFrame, alpha: Double = 0.25,
            horizon: Int = 24): DataFrame = {
     val spark = events.sparkSession
@@ -657,7 +661,9 @@ object StreamBatchOps {
     * PlanGuardSpec's scan-count map); the dense spine is generated
     * distributed from the 1-row bounds; the lag fan-out multiplies the
     * O(hours) FILLED series — never raw events — by maxLag+1, then one
-    * O(lags)-row aggregate. */
+    * O(lags)-row aggregate.
+    *
+    * scan-guard: ts_cross_corr */
   def crossCorr(events: DataFrame, xType: String = "view",
                 yType: String = "click", maxLag: Int = 12): DataFrame = {
     val hourly = events.filter(col("ts").isNotNull &&

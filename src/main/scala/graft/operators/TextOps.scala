@@ -178,7 +178,9 @@ object TextOps {
     * doc_id self-join re-attaching predictions; the matrix collapses to
     * O(langs²) rows map-side and the per-lang totals re-attach by
     * broadcast. (The DuckDB oracle composes the langid SQL + a join
-    * instead — same result, the join is fine at oracle scale.) */
+    * instead — same result, the join is fine at oracle scale.)
+    *
+    * scan-guard: corpus_langid_confusion */
   def langIdConfusion(documents: DataFrame): DataFrame = {
     val markers = langProfiles
     val words = split(lower(col("text")), " ")
@@ -197,7 +199,12 @@ object TextOps {
       .select(col("lang"),
         when(col("best.score") > 0, col("best.lang")).otherwise(lit("und"))
           .as("pred_lang"))
-    val cell = pred.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+    // the O(langs²) cell table has two consumers (output rows + per-lang
+    // totals) — unpinned, each re-ran the corpus scoring scan: the r11
+    // scan-claim sweep measured 2 documents scans against the one-scan
+    // claim above the moment the claim became guarded
+    val cell = graft.plans.PlanPins.lazyPin(
+      pred.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n")))
     val perLang = cell.groupBy("lang").agg(sum(col("n")).as("lang_total"))
     cell.join(broadcast(perLang), Seq("lang"))
       .select(col("lang"), col("pred_lang"), col("n"),
@@ -420,20 +427,6 @@ object TextOps {
       .orderBy("doc_id", "rnk")
   }
 
-  /** `text_gopher_quality` (round 9): the Gopher/MassiveText rule-based
-    * quality gate (Rae et al. 2021, "Scaling Language Models: ...
-    * Gopher", App. A — the public filtering recipe most large text
-    * pipelines start from): word-count bounds, mean-word-length bounds,
-    * symbol-to-word ratio, alphabetic-word fraction, and a minimum
-    * distinct-stopword requirement. Every rule is evaluated in EXACT
-    * integer arithmetic — ratios become cross-multiplied comparisons
-    * (3·wc ≤ word_chars ≤ 10·wc instead of 3 ≤ mean ≤ 10) — so the
-    * whole gate is bit-identical cross-engine and fully oracled.
-    *
-    * Scale shape: map-only column math over one corpus scan (HOF
-    * size/filter/aggregate — all codegen); no shuffle before the
-    * display sort. Emits per-rule flags, not just the verdict, because
-    * production runs tune thresholds from the rule-level fail counts. */
   /** `text_kn_bigram`: interpolated Kneser-Ney bigram probabilities for
     * the corpus's top-50 bigrams — the smoothing every n-gram language
     * model uses (and n-gram LMs are the classic corpus-quality /
@@ -461,7 +454,9 @@ object TextOps {
     * FileScans). The top-50 cut is a TakeOrdered; only those 50 rows
     * join the stats (broadcast of the 50-row side). Guarded by
     * PlanGuardSpec's scan-count map: exactly one `FileScan .*documents`
-    * in the expanded plan. */
+    * in the expanded plan.
+    *
+    * scan-guard: text_kn_bigram */
   def knBigram(documents: DataFrame, topN: Int = 50): DataFrame = {
     val ws = filter(split(lower(col("text")), " "), w => w =!= "")
     val bigrams = filter(
@@ -494,6 +489,22 @@ object TextOps {
       .orderBy(col("cnt").desc, col("w1"), col("w2"))
   }
 
+  /** `text_gopher_quality` (round 9): the Gopher/MassiveText rule-based
+    * quality gate (Rae et al. 2021, "Scaling Language Models: ...
+    * Gopher", App. A — the public filtering recipe most large text
+    * pipelines start from): word-count bounds, mean-word-length bounds,
+    * symbol-to-word ratio, alphabetic-word fraction, and a minimum
+    * distinct-stopword requirement. Every rule is evaluated in EXACT
+    * integer arithmetic — ratios become cross-multiplied comparisons
+    * (3·wc ≤ word_chars ≤ 10·wc instead of 3 ≤ mean ≤ 10) — so the
+    * whole gate is bit-identical cross-engine and fully oracled.
+    *
+    * Scale shape: map-only column math over one corpus scan (HOF
+    * size/filter/aggregate — all codegen); no shuffle before the
+    * display sort. Emits per-rule flags, not just the verdict, because
+    * production runs tune thresholds from the rule-level fail counts.
+    *
+    * scan-guard: text_gopher_quality */
   def gopherQuality(documents: DataFrame): DataFrame = {
     val ws = filter(split(col("text"), " "), w => w =!= "")
     val wc = size(ws).cast("long")

@@ -400,7 +400,10 @@ object VectorOps {
     * of the touched cells serves ALL probes, instead of |probes|
     * corpus-semi-joins. The pair table and the probe vectors broadcast
     * (both bounded by |probes|); a probe set too large to broadcast
-    * becomes an equi-join on the same keys, same plan otherwise. */
+    * becomes an equi-join on the same keys, same plan otherwise.
+    *
+    * scan-guard: exempt (probes the session-cached IvfIndex — an
+    * InMemoryRelation; there is no file scan in the plan to count) */
   def ivfProbeBatch(index: IvfIndex, probes: DataFrame, k: Int = 10,
                     nprobe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -626,7 +629,9 @@ object VectorOps {
     * each element 7dp-quantized to DECIMAL(18,7), so Σv and Σv² are
     * order-free exact decimal sums; mean/variance convert the exact
     * sums to double in ONE mirrored expression (q/n − (s/n)²) and round
-    * 6dp — bit-identical cross-engine. */
+    * 6dp — bit-identical cross-engine.
+    *
+    * scan-guard: emb_dim_stats */
   def dimStats(embeddings: DataFrame): DataFrame = {
     val q = round(col("v").cast("double"), 7).cast("decimal(18,7)")
     val dn = col("n").cast("double")
@@ -683,7 +688,9 @@ object VectorOps {
     * shuffle; the tiny sums table is lazy-pinned (three consumers:
     * pair cells + two dim-sum broadcasts — unpinned, the corpus
     * explode would run three times) and the dim-sum re-attachments
-    * ride broadcasts. Nothing corpus-sized crosses the wire. */
+    * ride broadcasts. Nothing corpus-sized crosses the wire.
+    *
+    * scan-guard: emb_covariance */
   def covariance(embeddings: DataFrame, dim: Int = 64): DataFrame = {
     val M = 10000000L // 10^7: the 7dp quantization unit
     // quantized augmented vector: element 0 is the constant 1.0 → M;
