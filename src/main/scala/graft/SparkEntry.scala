@@ -287,6 +287,16 @@ object SparkEntry {
     // tokenizer APPLICATION with the learned merges baked in as fold
     // literals (✗: chained array folds, the bpe-trainer rule)
     "pipeline_bpe_apply" -> ((s, d) => CorpusOps.bpeApply(Tables.documents(s, d))),
+    // --- round-11 wave ---
+    "graph_components" -> ((s, d) => GraphOps.components(Tables.lineitem(s, d))),
+    "ts_interp_linear" -> ((s, d) => StreamBatchOps.interpLinear(Tables.events(s, d))),
+    "ts_ohlc_bars" -> ((s, d) => StreamBatchOps.ohlcBars(Tables.events(s, d))),
+    "agg_linreg" -> ((s, d) => Aggs.linreg(Tables.events(s, d))),
+    "agg_weighted_median" -> ((s, d) => Aggs.weightedMedian(Tables.lineitem(s, d))),
+    "scan_csv" -> ((s, d) => Scans.scanCsv(Tables.events(s, d))),
+    "fn_url" -> ((s, d) => ScalarFns.fnUrl(Tables.documents(s, d))),
+    "pipeline_interleave_sources" -> ((s, d) =>
+      CorpusOps.interleaveSources(Tables.documents(s, d))),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -2890,6 +2900,162 @@ object SparkEntry {
           |  c.n * 1000000 // t.lang_total AS lang_share_micro
           |FROM cell c JOIN tot t USING (lang)
           |ORDER BY 1, 2""".stripMargin),
+
+    // ---- round-11 wave ----
+
+    // the same min-reachable-node labels the Spark pointer-jump loop
+    // converges to, replayed as a recursive reachability CTE over the
+    // support-thresholded co-purchase projection (the triangles graph)
+    "graph_components" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+        |pairs AS (
+        |  SELECT a.s AS a, b.s AS b
+        |  FROM li a JOIN li b USING (ok)
+        |  WHERE a.s < b.s
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(DISTINCT ok) >= 2),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |labels AS (
+        |  SELECT a AS node, least(a, MIN(b)) AS cluster
+        |  FROM reach GROUP BY a),
+        |sizes AS (SELECT cluster, COUNT(*) AS n_nodes
+        |          FROM labels GROUP BY cluster)
+        |SELECT n_nodes, COUNT(*) AS n_components,
+        |  MIN(cluster) AS min_component
+        |FROM sizes GROUP BY n_nodes ORDER BY n_nodes""".stripMargin,
+
+    // gap rows take the straight line between their observed neighbors;
+    // den > 0 in every gap, so DuckDB's flooring // matches the Spark
+    // side's pmod-adjusted DIV exactly
+    "ts_interp_linear" ->
+      """WITH hourly AS (
+        |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+        |    COUNT(*) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT event_type, min(h) AS lo, max(h) AS hi
+        |      FROM hourly GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        |  FROM r),
+        |j AS (
+        |  SELECT s.event_type, CAST(epoch(s.h) AS BIGINT) AS hour_s, hourly.n
+        |  FROM spine s LEFT JOIN hourly
+        |    ON s.event_type = hourly.event_type AND s.h = hourly.h),
+        |k AS (
+        |  SELECT event_type, hour_s, n,
+        |    last_value(n IGNORE NULLS) OVER wp AS pn,
+        |    last_value(CASE WHEN n IS NOT NULL THEN hour_s END IGNORE NULLS)
+        |      OVER wp AS ph,
+        |    first_value(n IGNORE NULLS) OVER wn AS nn,
+        |    first_value(CASE WHEN n IS NOT NULL THEN hour_s END IGNORE NULLS)
+        |      OVER wn AS nh
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY event_type ORDER BY hour_s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY event_type ORDER BY hour_s
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, hour_s, n,
+        |  CAST(CASE WHEN n IS NOT NULL THEN n * 1000000
+        |    ELSE pn * 1000000
+        |      + ((nn - pn) * (hour_s - ph) * 1000000) // (nh - ph)
+        |  END AS BIGINT) AS n_interp_micro
+        |FROM k ORDER BY event_type, hour_s""".stripMargin,
+
+    // open/close via arg_min/arg_max on the unique event_id — the same
+    // deterministic selection as Spark's min_by/max_by
+    "ts_ohlc_bars" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s,
+        |    event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL)
+        |SELECT event_type, hour_s, COUNT(*) AS n_ticks,
+        |  arg_min(cents, event_id) AS open_cents,
+        |  MAX(cents) AS high_cents,
+        |  MIN(cents) AS low_cents,
+        |  arg_max(cents, event_id) AS close_cents
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // sufficient statistics in HUGEINT (the Spark side's DECIMAL(38,0));
+    // den > 0 for any group with time spread, so // (floor) matches the
+    // pmod-adjusted DIV on negative slopes too
+    "agg_linreg" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS HUGEINT) - 1704067200 AS x,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS y
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |s AS (
+        |  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        |  FROM t GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_events,
+        |  CAST(((n * sxy - sx * sy) * 1000000000) // (n * sxx - sx * sx)
+        |    AS BIGINT) AS slope_nano,
+        |  CAST((sy * sxx - sx * sxy) // (n * sxx - sx * sx)
+        |    AS BIGINT) AS intercept_cents
+        |FROM s ORDER BY event_type""".stripMargin,
+
+    // cumulative weight crosses half the total at the weighted median;
+    // equal-price runs collapse to the same selected price either way
+    "agg_weighted_median" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    SUM(CAST(l_quantity AS BIGINT)) OVER (
+        |      PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    SUM(CAST(l_quantity AS BIGINT)) OVER (
+        |      PARTITION BY l_returnflag) AS totw
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(MAX(totw) AS BIGINT) AS total_weight,
+        |  MIN(CASE WHEN cumw * 2 >= totw THEN l_extendedprice END)
+        |    AS wmedian_price
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the round-trip is lossless (shortest-round-trip double formatting
+    // re-parses exactly), so the oracle is the source projection
+    "scan_csv" ->
+      """SELECT event_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // the synthesized URL decomposes into known substrings — the oracle
+    // rebuilds each part with string concatenation
+    "fn_url" ->
+      """SELECT doc_id,
+        |  'https://' || source || '.example.org/' || lang || '/doc/'
+        |    || CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR)
+        |    || '&lang=' || lang AS url,
+        |  source || '.example.org' AS host,
+        |  '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR) AS path,
+        |  'id=' || CAST(doc_id AS VARCHAR) || '&lang=' || lang AS query,
+        |  lang AS lang_param
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // pos = r·S + s is a bijection over (source rank, in-source rank) —
+    // md5 of the doc_id string is the shared cross-engine shuffle key
+    "pipeline_interleave_sources" ->
+      """WITH src AS (
+        |  SELECT source,
+        |    CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS si
+        |  FROM (SELECT DISTINCT source FROM documents) s),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_src FROM src),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT)
+        |      AS r
+        |  FROM documents)
+        |SELECT r.doc_id, r.source, r.r * n.n_src + src.si AS pos
+        |FROM r JOIN src USING (source) CROSS JOIN n
+        |ORDER BY pos""".stripMargin,
   )
 
   /** DuckDB oracle for `text_langid`, generated from

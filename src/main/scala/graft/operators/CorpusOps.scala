@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-preparation operators a large-scale training-data pipeline
@@ -1420,5 +1421,45 @@ object CorpusOps {
             x => x.getField("s")),
           " | ")).as("tokens_md5"))
       .orderBy("doc_id")
+  }
+
+  /** `pipeline_interleave_sources`: deterministic round-robin training
+    * order across sources — the standard online-mixing layout (one
+    * example per source in turn, each source internally hash-shuffled)
+    * that keeps every gradient batch source-balanced without a global
+    * random shuffle. Position of a document = `r · S + s` where r is
+    * its md5-hash rank WITHIN its source, s the source's rank among the
+    * S sources — a bijection, so `pos` is a total order both engines
+    * derive identically (md5 is the shared cross-engine hash, the
+    * sample_stratified device).
+    *
+    * Scale shape: the corpus is scanned exactly TWICE — the rank pass
+    * (one shuffle on source + in-partition sort; per-source-sequential
+    * is the operator's inherent shape — a skewed mega-source would salt
+    * via Skew.distributedRowNumber per source at 100 TB) and the
+    * source-index aggregate, whose scan prunes to the ONE `source`
+    * column. The index is lazy-pinned (two consumers: the broadcast
+    * join and the source count — unpinned, the count re-ran the
+    * aggregate, a third scan); its rank window sits ABOVE an aggregate,
+    * the global-window guard's allowed class. The final ORDER BY is
+    * presentation only.
+    *
+    * scan-guard: pipeline_interleave_sources */
+  def interleaveSources(documents: DataFrame): DataFrame = {
+    val wSrc = Window.orderBy("source")
+    val idx = graft.plans.PlanPins.lazyPin(
+      documents.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .select(col("source"),
+          (row_number().over(wSrc) - 1).cast("long").as("si")))
+    val nSrc = idx.agg(count(lit(1)).as("n_src"))
+    val wIn = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    documents.select(col("doc_id"), col("source"))
+      .withColumn("r", (row_number().over(wIn) - 1).cast("long"))
+      .join(broadcast(idx), Seq("source"))
+      .crossJoin(broadcast(nSrc))
+      .select(col("doc_id"), col("source"),
+        (col("r") * col("n_src") + col("si")).as("pos"))
+      .orderBy("pos")
   }
 }

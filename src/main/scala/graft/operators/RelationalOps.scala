@@ -54,6 +54,32 @@ object Scans {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .orderBy("event_id")
+
+  /** `scan_csv`: CSV serde round-trip — serialize each event to a CSV
+    * line and re-parse it through Spark's REAL CSV reader (`from_csv` /
+    * UnivocityParser — the same parser `spark.read.csv` drives per
+    * file split), typed back to (BIGINT, STRING, DOUBLE). The double
+    * survives exactly because Java's shortest-round-trip double
+    * formatting is re-parse-exact; event_type carries no delimiter or
+    * quote characters in the generator, making the line well-formed by
+    * construction. The oracle checks the round-trip is lossless by
+    * selecting the source columns directly.
+    *
+    * Scale shape: map-only over ONE corpus scan (serde is per-row
+    * codegen'd work, embarrassingly parallel across splits — exactly
+    * how a 100 TB CSV ingest parallelizes); no shuffle but the
+    * presentation sort. scan-guard: scan_csv */
+  def scanCsv(events: DataFrame): DataFrame = {
+    val line = concat_ws(",",
+      col("event_id"), col("event_type"),
+      col("value").cast("string"))
+    val schema = StructType.fromDDL("eid BIGINT, etype STRING, v DOUBLE")
+    events
+      .select(from_csv(line, schema, Map.empty[String, String]).as("r"))
+      .select(col("r.eid").as("event_id"), col("r.etype").as("event_type"),
+        col("r.v").as("value"))
+      .orderBy("event_id")
+  }
 }
 
 /** Filters / projections / predicates (SURVEY §2-B). All predicates are
@@ -823,6 +849,101 @@ object Aggs {
       .select(col("event_type"), col("n"), col("p50"), col("p90"), col("p99"))
       .orderBy("event_type")
   }
+
+  /** `agg_linreg`: per-type ordinary-least-squares fit of event value
+    * (integer cents) against event time — the trend line behind every
+    * drift monitor and seasonally-naive forecast ("is purchase value
+    * creeping up, and how fast?"). Emits slope in nano-cents/second and
+    * intercept in whole cents at the 2024-01-01 origin.
+    *
+    * Exactness: x = epoch seconds − 1704067200 (a FIXED origin — a
+    * per-group min would need a second pass and buys nothing), y =
+    * exact integer cents; the five sufficient statistics (n, Σx, Σy,
+    * Σxy, Σx²) are EXACT DECIMAL(38,0) sums (order-free — a raw BIGINT
+    * Σx² wraps once a type holds ~10⁵ year-spread rows; ANSI mode would
+    * abort). The closed forms
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²),
+    *   intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − Σx²)
+    * use integral division truncating toward zero — Spark's DIV and
+    * DuckDB's // share that convention (measured on negative
+    * numerators), so down-trends agree exactly. Headroom: the widest
+    * term (the 10⁹-scaled slope numerator, ~n²·x̄·ȳ·10⁹) stays under
+    * 10³⁸ through ~10⁹ rows/group at the generator's one-month time
+    * spread — past that, center both axes on presummed means (a second
+    * pass) before the products.
+    *
+    * Scale shape: ONE corpus scan, one partial+final hash aggregation
+    * to O(types) rows of sufficient statistics; the quotients run on
+    * the tiny aggregate. No window, no join, no sort (the ORDER BY is
+    * over O(types) rows).
+    *
+    * scan-guard: agg_linreg */
+  def linreg(events: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val x = (unix_timestamp(col("ts")) - 1704067200L).cast(d38)
+    val y = (col("value").cast(DecimalType(18, 2)) * 100).cast(d38)
+    events.filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type"), x.as("x"), y.as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      // den > 0 whenever a group has ≥ 2 distinct timestamps; DIV is
+      // integral division truncating toward zero — exactly DuckDB's //
+      // (measured: both give -7/2 = -3), so negative slopes agree too
+      // (a long `/` would pass through double and lose exactness past
+      // 2^53)
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("slo",
+        (col("n") * col("sxy") - col("sx") * col("sy")) *
+          lit(1000000000L).cast(d38))
+      .withColumn("ico", col("sy") * col("sxx") - col("sx") * col("sxy"))
+      .select(col("event_type"), col("n").cast("long").as("n_events"),
+        expr("slo DIV den").cast("long").as("slope_nano"),
+        expr("ico DIV den").cast("long")
+          .as("intercept_cents"))
+      .orderBy("event_type")
+  }
+
+  /** `agg_weighted_median`: quantity-weighted median of line-item price
+    * per return flag — the weighted-quantile selection behind
+    * "median price per UNIT sold" (plain median over-weights small
+    * orders) and, in the corpus world, token-weighted quality cuts.
+    * The weighted median is the smallest price whose cumulative weight
+    * reaches half the total: one cumulative-sum window + a conditional
+    * min, on an order with a unique tiebreak so both engines rank
+    * identically (equal-price runs collapse to the same answer either
+    * way). Output price is the raw stored double (selection, not
+    * arithmetic — bit-identical across engines); weights are exact
+    * integer quantity units.
+    *
+    * Scale shape: one shuffle on the group key + in-partition sort
+    * (the per-group-sequential window family), then a partial+final
+    * conditional aggregate — no self-join, no second shuffle. Skewed
+    * flags are bounded by the per-flag sort, the operator's honest
+    * price (same envelope as agg_percentiles_exact).
+    *
+    * scan-guard: agg_weighted_median */
+  def weightedMedian(lineitem: DataFrame): DataFrame = {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice").asc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("l_returnflag")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    lineitem
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("qty"))
+      .withColumn("cumw", sum(col("qty")).over(w))
+      .withColumn("totw", sum(col("qty")).over(wTot))
+      .groupBy("l_returnflag")
+      .agg(max(col("totw")).as("total_weight"),
+        min(when(col("cumw") * 2 >= col("totw"),
+          col("l_extendedprice"))).as("wmedian_price"))
+      .orderBy("l_returnflag")
+  }
 }
 
 /** Window functions (SURVEY §2-B "Window functions"). Each is one
@@ -1089,6 +1210,33 @@ object ScalarFns {
         regexp_replace(col("p_name"), "[aeiou]", "").as("devoweled"),
         col("p_name").rlike("^[a-z]+ [a-z]+$").as("two_words"))
       .orderBy("p_partkey")
+
+  /** `fn_url`: URL construction + decomposition — the canonicalization
+    * primitive every web-corpus pipeline leans on (URL-keyed dedup,
+    * domain-level quota caps, provenance joins all start by splitting a
+    * URL into host/path/query). The Spark side exercises the REAL URL
+    * parser (`parse_url`, codegen'd `ParseUrl` over java.net.URI); the
+    * synthesized inputs (one URL per document from its source/lang/id)
+    * make the decomposition exactly string-checkable, so the oracle can
+    * replay it with string functions and every output is a
+    * deterministic UTF-8 string.
+    *
+    * Scale shape: map-only over ONE corpus scan — no shuffle but the
+    * final presentation sort. scan-guard: fn_url */
+  def fnUrl(documents: DataFrame): DataFrame = {
+    val url = concat(lit("https://"), col("source"), lit(".example.org/"),
+      col("lang"), lit("/doc/"), col("doc_id"),
+      lit("?id="), col("doc_id"), lit("&lang="), col("lang"))
+    documents
+      .select(col("doc_id"), url.as("url"))
+      .select(
+        col("doc_id"), col("url"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY")).as("query"),
+        parse_url(col("url"), lit("QUERY"), lit("lang")).as("lang_param"))
+      .orderBy("doc_id")
+  }
 
   /** `fn_date`. */
   def fnDate(orders: DataFrame): DataFrame =

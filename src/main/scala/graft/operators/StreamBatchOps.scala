@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Batch-equivalent forms of the streaming windowed aggregations
   * (SURVEY §2-B "Streaming"). The same expressions run unchanged in a
@@ -704,5 +705,92 @@ object StreamBatchOps {
           6)).as("corr")
       })
       .orderBy("lag")
+  }
+
+  /** `ts_interp_linear`: linear interpolation of gap hours in the hourly
+    * count series per event type — the fill strategy a downstream model
+    * wants when LOCF ([[gapfill]]) would manufacture plateaus (rate
+    * features, capacity forecasts): a missing hour between two observed
+    * hours takes the straight-line value between them.
+    *
+    * Exactness: observed counts and epoch-second hour keys are BIGINTs;
+    * an interpolated micro-unit value is
+    * `prev·10^6 + ((next − prev)·(h − h_prev)·10^6) DIV (h_next − h_prev)`
+    * — exact integer arithmetic both engines replay bit-for-bit:
+    * Spark's `DIV` and DuckDB's `//` both truncate toward zero
+    * (measured on negative numerators), so down-slope gaps agree too.
+    * The spine's endpoints are observed by construction, so every gap
+    * has both neighbors.
+    *
+    * Scale shape: ONE corpus scan into the hourly pre-agg (lazy-pinned;
+    * consumers: per-type ranges + the fill join — the gapfill shape,
+    * scan-count-guarded); the spine generates distributed from the tiny
+    * ranges table; the carry windows partition by type over the
+    * O(types·hours) series, never raw events.
+    *
+    * scan-guard: ts_interp_linear */
+  def interpLinear(events: DataFrame): DataFrame = {
+    val hourly = events.filter(col("ts").isNotNull)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), unix_timestamp(col("h")).as("hour_s"), col("n"))
+      .transform(graft.plans.PlanPins.lazyPin)
+    val ranges = hourly.groupBy("event_type")
+      .agg(min(col("hour_s")).as("lo"), max(col("hour_s")).as("hi"))
+    val spine = ranges.select(col("event_type"),
+      explode(expr("sequence(lo, hi, 3600)")).as("hour_s"))
+    val wPrev = Window.partitionBy("event_type").orderBy("hour_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("event_type").orderBy("hour_s")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsH = when(col("n").isNotNull, col("hour_s"))
+    spine.join(hourly, Seq("event_type", "hour_s"), "left_outer")
+      .select(col("event_type"), col("hour_s"), col("n"),
+        last(col("n"), ignoreNulls = true).over(wPrev).as("pn"),
+        last(obsH, ignoreNulls = true).over(wPrev).as("ph"),
+        first(col("n"), ignoreNulls = true).over(wNext).as("nn"),
+        first(obsH, ignoreNulls = true).over(wNext).as("nh"))
+      .withColumn("num",
+        (col("nn") - col("pn")) * (col("hour_s") - col("ph")) * 1000000L)
+      .withColumn("den", col("nh") - col("ph"))
+      .select(col("event_type"), col("hour_s"), col("n"),
+        when(col("n").isNotNull, col("n") * 1000000L)
+          .otherwise(col("pn") * 1000000L + expr("num DIV den"))
+          .cast("long").as("n_interp_micro"))
+      .orderBy("event_type", "hour_s")
+  }
+
+  /** `ts_ohlc_bars`: per-hour open/high/low/close bars of the event
+    * `value` stream per event type — the downsampling every monitoring
+    * and market-style dashboard draws, and the standard compression of
+    * a raw tick stream into a fixed-rate feature series.
+    *
+    * Exactness: `value` carries 2 decimal digits in the generator, so
+    * `CAST(value AS DECIMAL(18,2)) · 100` is an EXACT integer-cent
+    * quantization; open/close pick the cents at the min/max `event_id`
+    * within the bar (`min_by`/`max_by` — event_id is unique, so the
+    * selection is deterministic), high/low are plain max/min. All five
+    * outputs are BIGINTs.
+    *
+    * Scale shape: ONE corpus scan, one partial+final hash aggregation
+    * on (type, hour) — min_by/max_by/max/min/count all have map-side
+    * partial merges, so the shuffle carries O(types·hours) pre-merged
+    * bars, not raw events. No window, no join.
+    *
+    * scan-guard: ts_ohlc_bars */
+  def ohlcBars(events: DataFrame): DataFrame = {
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+    events.filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_s"),
+        col("event_id"), cents.as("cents"))
+      .groupBy("event_type", "hour_s")
+      .agg(
+        count(lit(1)).as("n_ticks"),
+        min_by(col("cents"), col("event_id")).as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        max_by(col("cents"), col("event_id")).as("close_cents"))
+      .orderBy("event_type", "hour_s")
   }
 }

@@ -631,7 +631,19 @@ class PlanGuardSpec extends SparkSpec {
         "orders", 1),
       // the keeper semi-join's probe side is the second honest scan
       ("dedup_exact_normalized", () => DedupOps.exactNormalized(docs),
-        "documents", 2))
+        "documents", 2),
+      // r11 wave: every new one-pass claim lands with its guard entry
+      // in the same commit (the sweep makes forgetting loud)
+      ("ts_interp_linear", () => StreamBatchOps.interpLinear(events),
+        "events", 1),
+      ("ts_ohlc_bars", () => StreamBatchOps.ohlcBars(events), "events", 1),
+      ("agg_linreg", () => Aggs.linreg(events), "events", 1),
+      ("agg_weighted_median", () => Aggs.weightedMedian(li), "lineitem", 1),
+      ("fn_url", () => ScalarFns.fnUrl(docs), "documents", 1),
+      ("scan_csv", () => Scans.scanCsv(events), "events", 1),
+      // rank pass + the source-column-pruned index aggregate
+      ("pipeline_interleave_sources",
+        () => CorpusOps.interleaveSources(docs), "documents", 2))
   }
 
   test("scan-count guards: every ONE-pass scaladoc claim executes exactly that many file scans (r9 verdict #2)") {

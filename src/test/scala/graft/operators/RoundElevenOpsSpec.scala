@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Hand-computed semantic pins for the round-11 oracled wave. The
+  * DuckDB oracle proves cross-engine agreement at sf0.01; these prove
+  * the SEMANTICS are the intended ones on fixtures small enough to
+  * verify on paper.
+  */
+class RoundElevenOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graph_components: two planted components collapse to the size histogram") {
+    // orders 10,11 each ship {1,2,3} (support-2 triangle → one
+    // component of 3); orders 20,21 ship {8,9} (one component of 2);
+    // order 30 ships {3,8} ONCE — below support, must not merge them
+    val li = (Seq(10L, 11L).flatMap(o => Seq(1L, 2L, 3L).map((o, _))) ++
+      Seq(20L, 21L).flatMap(o => Seq(8L, 9L).map((o, _))) ++
+      Seq((30L, 3L), (30L, 8L)))
+      .toDF("l_orderkey", "l_partkey")
+    val out = GraphOps.components(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((2L, 1L, 8L), (3L, 1L, 1L)))
+  }
+
+  test("graph_components: driver union-find and the pointer-jump tier agree") {
+    // maxDriverEdges = 0 forces the DedupOps.clusters tier on the same
+    // fixture — identical histogram proves tier equivalence (same
+    // min-reachable labels, so even min_component matches)
+    val li = (Seq(10L, 11L).flatMap(o => Seq(1L, 2L, 3L).map((o, _))) ++
+      Seq(20L, 21L).flatMap(o => Seq(8L, 9L).map((o, _))))
+      .toDF("l_orderkey", "l_partkey")
+    val viaLoop = GraphOps.components(li, maxDriverEdges = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(viaLoop.toSeq == Seq((2L, 1L, 8L), (3L, 1L, 1L)))
+  }
+
+  test("graph_components: the pair plan scans the corpus exactly twice (the scaladoc claim)") {
+    // the result frame reads clusters' label checkpoint, which the
+    // PlanGuardSpec pin-origin walk cannot attribute — so the 2-scan
+    // claim is asserted here on the pair plan itself (self-join = two
+    // honest lineitem scans, the same floor triangles is guarded at)
+    val pairs = GraphOps.coPurchaseEdges(Tables.lineitem(spark, sf()), 2)
+    val scans = pairs.queryExecution.executedPlan.treeString
+      .linesIterator.count(l =>
+        l.contains("FileScan") && l.contains("lineitem.parquet"))
+    assert(scans == 2, s"expected 2 lineitem scans, got $scans")
+  }
+
+  test("ts_interp_linear: up-slope gap takes the straight line") {
+    // type a: n=2 at h0, n=8 at h0+3h → gaps at +1h/+2h interpolate to
+    // 4e6 and 6e6 micro-units ((8−2)·k·10⁶ // 3 steps)
+    val ev = Seq((1L, "2024-01-01 00:10:00", "a", 1.0),
+      (2L, "2024-01-01 00:20:00", "a", 1.0),
+      (3L, "2024-01-01 03:00:00", "a", 1.0)).flatMap {
+      case (id, ts, t, v) => Seq((id, ts, t, v))
+    } ++ (10L to 16L).map(i => (i, "2024-01-01 03:05:00", "a", 1.0))
+    val df = ev.toDF("event_id", "ts_s", "event_type", "value")
+      .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+        col("event_type"), col("value"))
+    val out = StreamBatchOps.interpLinear(df).collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+        r.getLong(3)))
+    val h0 = out.head._1
+    assert(out.toSeq == Seq(
+      (h0, 2L, 2000000L),
+      (h0 + 3600, -1L, 4000000L),
+      (h0 + 7200, -1L, 6000000L),
+      (h0 + 10800, 8L, 8000000L)))
+  }
+
+  test("ts_interp_linear: down-slope gap truncates toward zero like DuckDB's //") {
+    // n=5 at h0, n=1 at h0+3h: gap values 5e6 + (−4e6·k)//3 =
+    // 3666667 (k=1), 2333334 (k=2) — trunc, NOT floor (…666 / …333)
+    val rows = (1L to 5L).map(i => (i, "2024-01-01 00:30:00", "a", 1.0)) :+
+      (9L, "2024-01-01 03:30:00", "a", 1.0)
+    val df = rows.toDF("event_id", "ts_s", "event_type", "value")
+      .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+        col("event_type"), col("value"))
+    val out = StreamBatchOps.interpLinear(df).collect().map(_.getLong(3))
+    assert(out.toSeq == Seq(5000000L, 3666667L, 2333334L, 1000000L))
+  }
+
+  test("ts_ohlc_bars: open/close follow event_id order, high/low the values") {
+    val ev = Seq((1L, "2024-01-01 05:10:00", "a", 10.50),
+      (2L, "2024-01-01 05:20:00", "a", 9.25),
+      (3L, "2024-01-01 05:30:00", "a", 11.00),
+      (4L, "2024-01-01 06:10:00", "a", 7.77))
+      .toDF("event_id", "ts_s", "event_type", "value")
+      .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+        col("event_type"), col("value"))
+    val out = StreamBatchOps.ohlcBars(ev).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6)))
+    assert(out.toSeq == Seq(
+      (3L, 1050L, 1100L, 925L, 1100L),
+      (1L, 777L, 777L, 777L, 777L)))
+  }
+
+  test("agg_linreg: a perfect line recovers slope and intercept exactly") {
+    // y = 300 + 2x cents at x ∈ {0, 100, 200} seconds past the origin
+    // → slope_nano = 2·10⁹, intercept_cents = 300
+    val ev = Seq((1L, 0L, 3.00), (2L, 100L, 5.00), (3L, 200L, 7.00))
+      .toDF("event_id", "x", "value")
+      .select(col("event_id"),
+        timestamp_seconds(col("x") + 1704067200L).as("ts"),
+        lit("a").as("event_type"), col("value"))
+    val r = Aggs.linreg(ev).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == (3L, 2000000000L, 300L))
+  }
+
+  test("agg_linreg: negative slope truncates toward zero on both engines") {
+    // y = 1000 − x cents at x ∈ {0, 3}: slope = −1 cent/s exactly;
+    // then x ∈ {0, 3} with y {1000, 998}: slope −2/3 → nano −666666666
+    val ev = Seq((1L, 0L, 10.00), (2L, 3L, 9.98))
+      .toDF("event_id", "x", "value")
+      .select(col("event_id"),
+        timestamp_seconds(col("x") + 1704067200L).as("ts"),
+        lit("a").as("event_type"), col("value"))
+    val r = Aggs.linreg(ev).collect()(0)
+    assert(r.getLong(2) == -666666666L, s"got ${r.getLong(2)}")
+    assert(r.getLong(3) == 1000L)
+  }
+
+  test("agg_weighted_median: quantity weight shifts the median to the heavy row") {
+    // prices 1,2,3 with weights 1,1,5: cumw 1,2,7; first price with
+    // 2·cumw ≥ 7 is 3.0 (unweighted median would be 2.0)
+    val li = Seq(("A", 1.0, 10L, 1, 1.0), ("A", 2.0, 11L, 1, 1.0),
+      ("A", 3.0, 12L, 1, 5.0), ("R", 4.0, 13L, 1, 2.0))
+      .toDF("l_returnflag", "l_extendedprice", "l_orderkey",
+        "l_linenumber", "l_quantity")
+    val out = Aggs.weightedMedian(li).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("A", 7L, 3.0), ("R", 2L, 4.0)))
+  }
+
+  test("scan_csv: the serde round-trip is lossless for long/string/double") {
+    val ev = Seq((42L, "click", 490.02), (7L, "view", 0.01))
+      .toDF("event_id", "event_type", "value")
+    val out = Scans.scanCsv(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((7L, "view", 0.01), (42L, "click", 490.02)))
+  }
+
+  test("fn_url: parse_url decomposes the synthesized URL into the known parts") {
+    val docs = Seq((7L, "hello", "en", "srcA", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = ScalarFns.fnUrl(docs).collect()(0)
+    assert(r.getString(1) == "https://srcA.example.org/en/doc/7?id=7&lang=en")
+    assert(r.getString(2) == "srcA.example.org")
+    assert(r.getString(3) == "/en/doc/7")
+    assert(r.getString(4) == "id=7&lang=en")
+    assert(r.getString(5) == "en")
+  }
+
+  test("pipeline_interleave_sources: positions are a bijection that alternates sources") {
+    val docs = (1L to 4L).map(i =>
+        (i, s"t$i", "en", if (i <= 2) "s0" else "s1", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusOps.interleaveSources(docs).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(out.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L), "pos must be dense")
+    assert(out.map(_._1).toSeq == Seq("s0", "s1", "s0", "s1"),
+      "round-robin must alternate sources")
+  }
+
+  test("pipeline_interleave_sources: in-source order is the md5 shuffle, not doc_id") {
+    // with enough docs the md5 order must differ from doc_id order
+    // (the interleave is a deterministic SHUFFLE, not an id sort)
+    val docs = (1L to 64L).map(i => (i, s"t$i", "en", "s0", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ids = CorpusOps.interleaveSources(docs).collect().map(_.getLong(0))
+    assert(ids.sorted.toSeq == (1L to 64L).toSeq)
+    assert(ids.toSeq != (1L to 64L).toSeq, "order must be hash-shuffled")
+  }
+}
