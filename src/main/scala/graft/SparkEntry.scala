@@ -297,6 +297,9 @@ object SparkEntry {
     "fn_url" -> ((s, d) => ScalarFns.fnUrl(Tables.documents(s, d))),
     "pipeline_interleave_sources" -> ((s, d) =>
       CorpusOps.interleaveSources(Tables.documents(s, d))),
+    // top-PC outlier list (✗: iterative eigensolve, the KMeans driver
+    // pattern; PcaSpec recovers a planted dominant axis)
+    "emb_pca_top" -> ((s, d) => VectorOps.pcaTop(Tables.embeddings(s, d))),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

@@ -749,4 +749,75 @@ object VectorOps {
           .cast("long").as("cov_micro"))
       .orderBy("i", "j")
   }
+
+  /** `emb_pca_top`: top principal component of the embedding space —
+    * the first step of whitening, PCA-dim-reduction, and the classic
+    * "dominant direction" diagnostic (a rogue feature or duplicated
+    * template shows up as one huge eigenvalue). Emits the top-`topK`
+    * vectors by |projection onto the top PC| with their scores in
+    * micro-units, plus the eigenvalue — the outlier list a curation
+    * pass reviews.
+    *
+    * Architecture — the driver/cluster split that holds at 100 TB:
+    *  1. DISTRIBUTED: the exact [[covariance]] sufficient statistics
+    *     (one corpus scan, map-side collapse to O(dim²) cells);
+    *  2. DRIVER: collect the dim·(dim+1)/2 cells (~2k rows at dim 64 —
+    *     the Skew-boundary/KMeans collect pattern, O(dim²) NEVER
+    *     O(corpus)) and power-iterate the dense matrix (deterministic
+    *     all-ones start, fixed `iters`, sign pinned by making the
+    *     largest-|coordinate| positive);
+    *  3. DISTRIBUTED: broadcast the eigenvector as literals and score
+    *     every embedding in one map-only pass; centering is a constant
+    *     shift (dot(x−μ, v) = dot(x,v) − dot(μ,v)), so the mean rides
+    *     a 1-row broadcast from a narrow 64-avg aggregate. Top-k is a
+    *     TakeOrdered, never a global sort.
+    *
+    * Three corpus scans total (covariance, mean, projection), each
+    * map-collapsing before its shuffle. No oracle (✗): the eigensolve
+    * is an iterative float computation — PcaSpec recovers a PLANTED
+    * dominant axis (|cos| > 0.99), pins the deterministic sign
+    * convention, and checks the score extremes land on the planted
+    * outliers. The covariance pin is released here after the collect
+    * (the caller's release walk cannot reach it from the projection
+    * plan).
+    *
+    * scan-guard: exempt (covariance and the mean aggregate execute at
+    * construction time behind driver collects; the result plan carries
+    * only the single projection scan) */
+  def pcaTop(embeddings: DataFrame, dim: Int = 64, topK: Int = 20,
+             iters: Int = 100): DataFrame = {
+    val cov = covariance(embeddings, dim)
+    val cells = cov.collect()
+    org.apache.spark.sql.graftbridge.ColumnBridge.releaseAllCheckpoints(cov)
+    val c = Array.ofDim[Double](dim, dim)
+    cells.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val v = r.getLong(2) / 1e6
+      c(i)(j) = v; c(j)(i) = v
+    }
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim))
+    var lambda = 0.0
+    (1 to iters).foreach { _ =>
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => c(i)(j) * v(j)).sum)
+      lambda = math.sqrt(w.map(x => x * x).sum)
+      if (lambda > 0) v = w.map(_ / lambda)
+    }
+    // deterministic sign: the largest-|coordinate| axis points positive
+    val pivot = (0 until dim).maxBy(i => (math.abs(v(i)), -i))
+    if (v(pivot) < 0) v = v.map(-_)
+    val mean = embeddings.select(
+      (0 until dim).map(d =>
+        avg(element_at(col("embedding"), d + 1).cast("double")).as(s"m$d")): _*)
+      .collect()(0)
+    val shift = (0 until dim).map(d => mean.getDouble(d) * v(d)).sum
+    val score = (0 until dim).map(d =>
+      element_at(col("embedding"), d + 1).cast("double") * lit(v(d)))
+      .reduce(_ + _) - lit(shift)
+    embeddings
+      .select(col("vec_id"), (score * 1e6).cast("long").as("score_micro"),
+        lit(math.round(lambda * 1e6)).as("eigenvalue_micro"))
+      .orderBy(abs(col("score_micro")).desc, col("vec_id"))
+      .limit(topK)
+  }
 }

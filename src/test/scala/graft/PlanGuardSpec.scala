@@ -638,7 +638,8 @@ class PlanGuardSpec extends SparkSpec {
         "events", 1),
       ("ts_ohlc_bars", () => StreamBatchOps.ohlcBars(events), "events", 1),
       ("agg_linreg", () => Aggs.linreg(events), "events", 1),
-      ("agg_weighted_median", () => Aggs.weightedMedian(li), "lineitem", 1),
+      // histogram pass + the median-bucket selection pass
+      ("agg_weighted_median", () => Aggs.weightedMedian(li), "lineitem", 2),
       ("fn_url", () => ScalarFns.fnUrl(docs), "documents", 1),
       ("scan_csv", () => Scans.scanCsv(events), "events", 1),
       // rank pass + the source-column-pruned index aggregate
