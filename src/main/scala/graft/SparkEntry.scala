@@ -300,6 +300,9 @@ object SparkEntry {
     // top-PC outlier list (✗: iterative eigensolve, the KMeans driver
     // pattern; PcaSpec recovers a planted dominant axis)
     "emb_pca_top" -> ((s, d) => VectorOps.pcaTop(Tables.embeddings(s, d))),
+    "ts_rolling_slope" -> ((s, d) => StreamBatchOps.rollingSlope(Tables.events(s, d))),
+    "graph_jaccard_links" -> ((s, d) => GraphOps.jaccardLinks(Tables.lineitem(s, d))),
+    "emb_dim_quantiles" -> ((s, d) => VectorOps.dimQuantiles(Tables.embeddings(s, d))),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -3044,6 +3047,77 @@ object SparkEntry {
 
     // pos = r·S + s is a bijection over (source rank, in-source rank) —
     // md5 of the doc_id string is the shared cross-engine shuffle key
+    // windowed sufficient statistics in HUGEINT; den = 0 (single-point
+    // window) is NULL on both engines via NULLIF / when
+    "ts_rolling_slope" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s,
+        |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) - 1704067200 AS x,
+        |    COUNT(*) AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3),
+        |s AS (
+        |  SELECT event_type, hour_s,
+        |    CAST(COUNT(*) OVER w AS HUGEINT) AS k,
+        |    CAST(SUM(x) OVER w AS HUGEINT) AS sx,
+        |    CAST(SUM(y) OVER w AS HUGEINT) AS sy,
+        |    CAST(SUM(x * y) OVER w AS HUGEINT) AS sxy,
+        |    CAST(SUM(x * x) OVER w AS HUGEINT) AS sxx
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY x
+        |    RANGE BETWEEN 82800 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, hour_s, CAST(k AS BIGINT) AS n_hours,
+        |  CAST(((k * sxy - sx * sy) * 1000000000)
+        |    // NULLIF(k * sxx - sx * sx, 0) AS BIGINT) AS slope_nano
+        |FROM s ORDER BY event_type, hour_s""".stripMargin,
+
+    // the oracle affords the direct rank-window selection at sf0.01;
+    // both pick the element at rank ceil(p·n/100) of the SAME exact
+    // 10^-7-unit quantization (the emb_covariance device), so the
+    // Spark side's two-pass bucket selection must land on it
+    "emb_dim_quantiles" ->
+      """WITH idx AS (
+        |  SELECT CAST(unnest(generate_series(0, 63)) AS INTEGER) AS k),
+        |el AS (
+        |  SELECT idx.k AS d,
+        |    CAST(CAST(ROUND(CAST(embedding[idx.k + 1] AS DOUBLE), 7)
+        |      AS DECIMAL(18,7)) * 10000000 AS BIGINT) AS q7
+        |  FROM embeddings CROSS JOIN idx),
+        |r AS (
+        |  SELECT d, q7,
+        |    row_number() OVER (PARTITION BY d ORDER BY q7) AS rn,
+        |    COUNT(*) OVER (PARTITION BY d) AS n
+        |  FROM el)
+        |SELECT d, CAST(MAX(n) AS BIGINT) AS n,
+        |  MAX(CASE WHEN rn = (1 * n + 99) // 100 THEN q7 END) AS p01_e7,
+        |  MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN q7 END) AS p50_e7,
+        |  MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN q7 END) AS p99_e7
+        |FROM r GROUP BY d ORDER BY d""".stripMargin,
+
+    // candidate pairs from the wedge join (common-neighbor pairs only);
+    // existing edges drop via the null-extended left join
+    "graph_jaccard_links" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+        |pairs AS (
+        |  SELECT a.s AS a, b.s AS b FROM li a JOIN li b USING (ok)
+        |  WHERE a.s < b.s GROUP BY 1, 2
+        |  HAVING COUNT(DISTINCT ok) >= 2),
+        |adj AS (SELECT a AS u, b AS v FROM pairs
+        |        UNION ALL SELECT b, a FROM pairs),
+        |deg AS (SELECT u, COUNT(*) AS d FROM adj GROUP BY 1),
+        |cand AS (
+        |  SELECT x.u AS a, y.u AS b, COUNT(*) AS inter
+        |  FROM adj x JOIN adj y ON x.v = y.v
+        |  WHERE x.u < y.u GROUP BY 1, 2),
+        |ne AS (
+        |  SELECT c.a, c.b, c.inter FROM cand c
+        |  LEFT JOIN pairs p ON c.a = p.a AND c.b = p.b
+        |  WHERE p.a IS NULL)
+        |SELECT ne.a, ne.b, ne.inter, da.d AS da, db.d AS db,
+        |  ne.inter * 1000000 // (da.d + db.d - ne.inter) AS jaccard_micro
+        |FROM ne JOIN deg da ON da.u = ne.a JOIN deg db ON db.u = ne.b
+        |ORDER BY jaccard_micro DESC, ne.a, ne.b LIMIT 50""".stripMargin,
+
     "pipeline_interleave_sources" ->
       """WITH src AS (
         |  SELECT source,

@@ -228,6 +228,52 @@ object GraphOps {
           .as("clustering_micro"))
   }
 
+  /** `graph_jaccard_links`: neighborhood-Jaccard link prediction over
+    * the support-thresholded co-purchase graph — the classic
+    * "customers who bought X also bought Y" candidate generator: rank
+    * NON-adjacent part pairs by |N(u)∩N(v)| / |N(u)∪N(v)| and surface
+    * the top `topK` as predicted links. Jaccard in integer micro-units
+    * (inter·10⁶ DIV (du + dv − inter)); ties break on (a, b), so the
+    * cut is deterministic.
+    *
+    * Scale shape: the corpus-sized stage is the shared
+    * [[coPurchaseEdges]] projection (the self-join's two scans,
+    * lazy-pinned — four consumers: wedge join's two sides, the degree
+    * union, the adjacency anti-join); everything after runs on the
+    * O(|E|) edge table — candidate pairs come from the wedge join
+    * (common-neighbor pairs only, never all-pairs), degrees re-attach
+    * by broadcast, existing edges drop via one anti-join, and the
+    * top-k cut is a TakeOrdered. scan-guard: graph_jaccard_links */
+  def jaccardLinks(lineitem: DataFrame, minSupport: Int = 2,
+                   topK: Int = 50): DataFrame = {
+    val edges = graft.plans.PlanPins.lazyPin(
+      coPurchaseEdges(lineitem, minSupport))
+    // symmetrized adjacency in ONE pass over the pin (the pagerank
+    // explode device)
+    val adj = edges.select(explode(array(
+        struct(col("a").as("u"), col("b").as("v")),
+        struct(col("b").as("u"), col("a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("d"))
+    // candidate pairs share >= 1 neighbor: wedge join at the common
+    // neighbor v — bounded by sum over v of C(deg_v, 2), the wedge
+    // count the triangle census already measures as sparse here
+    val cand = adj.select(col("v").as("n"), col("u").as("a"))
+      .join(adj.select(col("v").as("n"), col("u").as("b")), Seq("n"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    val nonEdge = cand.join(edges, Seq("a", "b"), "left_anti")
+    nonEdge
+      .join(broadcast(deg.select(col("u").as("a"), col("d").as("da"))),
+        Seq("a"))
+      .join(broadcast(deg.select(col("u").as("b"), col("d").as("db"))),
+        Seq("b"))
+      .select(col("a"), col("b"), col("inter"), col("da"), col("db"),
+        expr("inter * 1000000 DIV (da + db - inter)").as("jaccard_micro"))
+      .orderBy(col("jaccard_micro").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
   /** `graph_components`: connected components of the part co-purchase
     * graph ([[coPurchaseEdges]], the [[triangles]] projection) — the
     * community census that turns an association graph into product

@@ -760,6 +760,54 @@ object StreamBatchOps {
       .orderBy("event_type", "hour_s")
   }
 
+  /** `ts_rolling_slope`: trailing-24-hour OLS slope of the hourly count
+    * series per event type — the rate-of-change alarm signal layered on
+    * the same pre-agg `ts_rolling` smooths ("is traffic accelerating,
+    * and how fast, right now?"). For each full-history hour, the
+    * least-squares slope over the hours observed in its trailing 24 h
+    * RANGE window, in nano-counts/second.
+    *
+    * Exactness: x = epoch seconds − 1704067200 (the agg_linreg fixed
+    * origin, keeping x² ≤ ~10¹³ over a year), y = the hourly count;
+    * the five windowed sufficient statistics are exact BIGINT window
+    * sums (k ≤ 24 terms each, far under overflow); the closed-form
+    * quotient runs in DECIMAL(38,0) with truncating DIV — the measured
+    * Spark-DIV ≡ DuckDB-// convention, so down-slopes agree exactly.
+    * Gap hours are simply absent (k < 24 windows with ≥ 2 points still
+    * emit — the honest observed-points fit); single-point windows are
+    * NULL on both engines (den = 0 → NULLIF).
+    *
+    * Scale shape: ONE corpus scan into the hourly pre-agg; every
+    * window runs over the O(types·hours) aggregate with a value-RANGE
+    * frame (the ts_rolling device — row frames would silently span
+    * gaps); the quotient is per pre-agg row. scan-guard: ts_rolling_slope */
+  def rollingSlope(events: DataFrame): DataFrame = {
+    val hourly = events.filter(col("ts").isNotNull)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("y"))
+      .select(col("event_type"), unix_timestamp(col("h")).as("hour_s"),
+        (unix_timestamp(col("h")) - 1704067200L).as("x"), col("y"))
+    val w = Window.partitionBy("event_type").orderBy("x")
+      .rangeBetween(-23L * 3600L, 0L)
+    val d38 = DecimalType(38, 0)
+    hourly
+      .select(col("event_type"), col("hour_s"),
+        count(lit(1)).over(w).as("k"),
+        sum(col("x")).over(w).as("sx"),
+        sum(col("y")).over(w).as("sy"),
+        sum(col("x") * col("y")).over(w).as("sxy"),
+        sum(col("x") * col("x")).over(w).as("sxx"))
+      .withColumn("den", (col("k").cast(d38) * col("sxx").cast(d38) -
+        col("sx").cast(d38) * col("sx").cast(d38)))
+      .withColumn("num", (col("k").cast(d38) * col("sxy").cast(d38) -
+        col("sx").cast(d38) * col("sy").cast(d38)) *
+        lit(1000000000L).cast(d38))
+      .select(col("event_type"), col("hour_s"), col("k").as("n_hours"),
+        when(col("den") =!= 0, expr("num DIV den")).cast("long")
+          .as("slope_nano"))
+      .orderBy("event_type", "hour_s")
+  }
+
   /** `ts_ohlc_bars`: per-hour open/high/low/close bars of the event
     * `value` stream per event type — the downsampling every monitoring
     * and market-style dashboard draws, and the standard compression of

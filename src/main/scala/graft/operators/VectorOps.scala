@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Vector / embedding operators over `embeddings` (`embedding:
   * array<float>` dim 64). Dot products use a compiled custom expression
@@ -748,6 +749,68 @@ object VectorOps {
         ((col("num") - pmod(col("num"), col("den"))) / col("den"))
           .cast("long").as("cov_micro"))
       .orderBy("i", "j")
+  }
+
+  /** `emb_dim_quantiles`: EXACT per-dimension p01/p50/p99 of the
+    * embedding elements — the clipping/winsorizing table a vector
+    * pipeline derives before int8 quantization (`vec_quantize_int8`
+    * clips at min/max; real deployments clip at percentiles so one
+    * outlier doesn't waste the int8 range) and the drift baseline
+    * `emb_dim_stats`' moments can't give (quantiles see shape).
+    * Elements are quantized ONCE to exact BIGINT 10⁻⁷ units (the
+    * emb_covariance device — no doubles cross an engine boundary); the
+    * p-th quantile is the element at rank ceil(p·n/100) in value
+    * order, a selection both engines resolve identically (ties share a
+    * value, so tie ORDER cannot change the answer).
+    *
+    * Scale shape — the agg_weighted_median two-pass DISTRIBUTED
+    * SELECTION, generalized to 3 quantiles × dim groups (a raw
+    * rank-window would sort n rows per dimension — the measured
+    * 57-s-at-sf10 shape this pattern replaced): pass 1 histograms
+    * counts per (dim, fixed value bucket) — map-side collapse to
+    * O(dim·buckets) rows — and locates each target's bucket and
+    * below-weight on the tiny cumulative table; pass 2 re-scans only
+    * the ≤ 3 selected buckets per dimension (a broadcast join) and
+    * rank-picks inside those ~1/buckets slices. The corpus is scanned
+    * exactly twice — guarded.
+    *
+    * scan-guard: emb_dim_quantiles */
+  def dimQuantiles(embeddings: DataFrame,
+                   bucketWidth: Long = 16384L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q7 = (round(col("x").cast("double"), 7).cast(DecimalType(18, 7)) *
+      lit(10000000L).cast(DecimalType(8, 0))).cast("long")
+    val el = embeddings
+      .select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("d"), q7.as("q7"))
+      .withColumn("bucket", expr(s"q7 DIV $bucketWidth"))
+    val wb = el.groupBy("d", "bucket").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("d").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val sel = wb
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wTot))
+      .select(col("d"), col("bucket"), col("cnt"), col("cum"), col("n"),
+        explode(array(lit(1), lit(50), lit(99))).as("p"))
+      .withColumn("r", expr("(p * n + 99) DIV 100"))
+      .filter(col("cum") >= col("r"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("d", "p").orderBy("bucket")))
+      .filter(col("rk") === 1)
+      .select(col("d"), col("p"), col("bucket"),
+        (col("cum") - col("cnt")).as("wbelow"), col("r"), col("n"))
+    val wIn = Window.partitionBy("d", "p").orderBy("q7")
+    el.join(broadcast(sel), Seq("d", "bucket"))
+      .withColumn("rn", row_number().over(wIn))
+      .filter(col("rn") === col("r") - col("wbelow"))
+      .groupBy("d")
+      .agg(max(col("n")).as("n"),
+        max(when(col("p") === 1, col("q7"))).as("p01_e7"),
+        max(when(col("p") === 50, col("q7"))).as("p50_e7"),
+        max(when(col("p") === 99, col("q7"))).as("p99_e7"))
+      .orderBy("d")
   }
 
   /** `emb_pca_top`: top principal component of the embedding space —

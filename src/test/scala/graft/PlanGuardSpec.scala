@@ -644,7 +644,15 @@ class PlanGuardSpec extends SparkSpec {
       ("scan_csv", () => Scans.scanCsv(events), "events", 1),
       // rank pass + the source-column-pruned index aggregate
       ("pipeline_interleave_sources",
-        () => CorpusOps.interleaveSources(docs), "documents", 2))
+        () => CorpusOps.interleaveSources(docs), "documents", 2),
+      ("ts_rolling_slope", () => StreamBatchOps.rollingSlope(events),
+        "events", 1),
+      // the shared co-purchase projection's self-join sides
+      ("graph_jaccard_links", () => GraphOps.jaccardLinks(li),
+        "lineitem", 2),
+      // histogram pass + the selected-buckets rank pass
+      ("emb_dim_quantiles", () => VectorOps.dimQuantiles(emb),
+        "embeddings", 2))
   }
 
   test("scan-count guards: every ONE-pass scaladoc claim executes exactly that many file scans (r9 verdict #2)") {

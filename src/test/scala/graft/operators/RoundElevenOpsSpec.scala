@@ -155,6 +155,60 @@ class RoundElevenOpsSpec extends SparkSpec {
     assert(r.getString(5) == "en")
   }
 
+  test("ts_rolling_slope: a linear hourly ramp recovers its slope per window") {
+    // counts 1,2,3,4 at consecutive hours: every full window's OLS
+    // slope is exactly 1 count/hour = 1/3600 counts/sec → 277777 nano
+    // (trunc); the first window (k=1) has den 0 → NULL
+    val rows = (0 until 4).flatMap { h =>
+      (0 to h).map(i => ((h * 10 + i).toLong,
+        f"2024-01-01 0$h%d:30:00", "a", 1.0))
+    }
+    val df = rows.toDF("event_id", "ts_s", "event_type", "value")
+      .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+        col("event_type"), col("value"))
+    val out = StreamBatchOps.rollingSlope(df).collect()
+      .map(r => (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(out.toSeq == Seq(
+      (1L, None), (2L, Some(277777L)), (3L, Some(277777L)),
+      (4L, Some(277777L))))
+  }
+
+  test("graph_jaccard_links: predicts the missing edge of a near-clique first") {
+    // square 1-2-3-4-1 (support 2 each): diagonals (1,3) and (2,4) are
+    // the non-edges, each with 2 common neighbors and degree 2+2 →
+    // J = 2/(2+2−2) = 1.0; no other candidate pair exists
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    val li = square.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq(10L + i * 2, 11L + i * 2).flatMap(o => Seq((o, a), (o, b)))
+    }.toDF("l_orderkey", "l_partkey")
+    val out = GraphOps.jaccardLinks(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    assert(out.toSeq == Seq((1L, 3L, 2L, 1000000L), (2L, 4L, 2L, 1000000L)))
+  }
+
+  test("graph_jaccard_links: existing edges never appear as predictions") {
+    // triangle {1,2,3}: every candidate pair is already an edge → empty
+    val li = Seq(10L, 11L).flatMap(o => Seq(1L, 2L, 3L).map((o, _)))
+      .toDF("l_orderkey", "l_partkey")
+    assert(GraphOps.jaccardLinks(li).collect().isEmpty)
+  }
+
+  test("emb_dim_quantiles: exact rank selection on a known value ladder") {
+    // dim 0: 0.01..1.00 → p01 = rank 1 = 0.01, p50 = rank 50 = 0.50,
+    // p99 = rank 99 = 0.99; dim 1: −0.50..0.49 → −0.50, −0.01, 0.48
+    // (exercises trunc-div bucketing around zero)
+    val rows = (0 until 100).map { i =>
+      (i.toLong, Array(((i + 1) / 100.0).toFloat, ((i - 50) / 100.0).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = VectorOps.dimQuantiles(df).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0, 100L, 100000L, 5000000L, 9900000L),
+      (1, 100L, -5000000L, -100000L, 4800000L)))
+  }
+
   test("pipeline_interleave_sources: positions are a bijection that alternates sources") {
     val docs = (1L to 4L).map(i =>
         (i, s"t$i", "en", if (i <= 2) "s0" else "s1", 2L))
