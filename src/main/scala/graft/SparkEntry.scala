@@ -303,6 +303,9 @@ object SparkEntry {
     "ts_rolling_slope" -> ((s, d) => StreamBatchOps.rollingSlope(Tables.events(s, d))),
     "graph_jaccard_links" -> ((s, d) => GraphOps.jaccardLinks(Tables.lineitem(s, d))),
     "emb_dim_quantiles" -> ((s, d) => VectorOps.dimQuantiles(Tables.embeddings(s, d))),
+    "ts_streaks" -> ((s, d) => StreamBatchOps.streaks(Tables.events(s, d))),
+    "sink_partitioned" -> ((s, d) => Scans.sinkPartitioned(Tables.documents(s, d))),
+    "pipeline_sft_format" -> ((s, d) => CorpusOps.sftFormat(Tables.documents(s, d))),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -3117,6 +3120,63 @@ object SparkEntry {
         |  ne.inter * 1000000 // (da.d + db.d - ne.inter) AS jaccard_micro
         |FROM ne JOIN deg da ON da.u = ne.a JOIN deg db ON db.u = ne.b
         |ORDER BY jaccard_micro DESC, ne.a, ne.b LIMIT 50""".stripMargin,
+
+    // the elevation test replays n·H > S exactly (HUGEINT there,
+    // DECIMAL(38,0) on the Spark side); islands = hour index − rank
+    "ts_streaks" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s,
+        |    COUNT(*) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS hh,
+        |         CAST(SUM(n) AS HUGEINT) AS s
+        |       FROM hourly GROUP BY 1),
+        |el AS (
+        |  SELECT h.event_type, h.hour_s,
+        |    (h.hour_s // 3600) - row_number() OVER (
+        |      PARTITION BY h.event_type ORDER BY h.hour_s) AS isl
+        |  FROM hourly h JOIN st USING (event_type)
+        |  WHERE CAST(h.n AS HUGEINT) * st.hh > st.s),
+        |isl AS (
+        |  SELECT event_type, isl, COUNT(*) AS len, MIN(hour_s) AS start_s
+        |  FROM el GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT event_type, len, start_s,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY len DESC, start_s ASC) AS rk
+        |  FROM isl)
+        |SELECT event_type, CAST(SUM(len) AS BIGINT) AS elevated_hours,
+        |  COUNT(*) AS n_streaks,
+        |  CAST(MAX(CASE WHEN rk = 1 THEN len END) AS BIGINT) AS longest_len,
+        |  MAX(CASE WHEN rk = 1 THEN start_s END) AS longest_start_s
+        |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // equality proves the partitioned write/read round-trip lost and
+    // duplicated nothing: the oracle aggregates the SOURCE directly
+    "sink_partitioned" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(CAST(SUM(doc_id % 2147483647) AS HUGEINT) % 2147483647
+        |    AS BIGINT) AS id_checksum
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "pipeline_sft_format" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    array_to_string(w[1:8], ' ') AS p,
+        |    array_to_string(w[9:len(w)], ' ') AS c,
+        |    len(w) AS n
+        |  FROM t WHERE len(w) > 8)
+        |SELECT doc_id, md5(p) AS prompt_md5, md5(c) AS completion_md5,
+        |  CAST(8 AS BIGINT) AS prompt_tokens,
+        |  CAST(n - 8 AS BIGINT) AS completion_tokens,
+        |  n <= 64 AS fits_budget
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "pipeline_interleave_sources" ->
       """WITH src AS (

@@ -1423,6 +1423,40 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** `pipeline_sft_format`: synthesize prefix-continuation training
+    * pairs from raw documents — the standard continuation-style
+    * weak-supervision recipe (the shape behind next-token eval sets
+    * and completion-style SFT bootstraps): the first `promptTokens`
+    * words become the prompt, the remainder the completion, documents
+    * too short for both halves drop, and a token budget gates what
+    * fits a training sequence. Emits md5 content addresses for both
+    * halves (the chunking device — grading kilobyte strings is the
+    * oracle's job, hauling them isn't), token counts, and the budget
+    * flag.
+    *
+    * Scale shape: map-only over ONE corpus scan — split, slice, hash,
+    * count per row, embarrassingly parallel across splits; no shuffle
+    * but the presentation sort. scan-guard: pipeline_sft_format */
+  def sftFormat(documents: DataFrame, promptTokens: Int = 8,
+                maxTokens: Int = 64): DataFrame = {
+    val w = words(col("text"))
+    documents
+      .select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) > promptTokens)
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("w"), 1, promptTokens)).as("p"),
+        concat_ws(" ",
+          slice(col("w"), lit(promptTokens + 1), size(col("w")))).as("c"),
+        size(col("w")).cast("long").as("n_tokens"))
+      .select(col("doc_id"),
+        md5(col("p")).as("prompt_md5"),
+        md5(col("c")).as("completion_md5"),
+        lit(promptTokens.toLong).as("prompt_tokens"),
+        (col("n_tokens") - promptTokens).as("completion_tokens"),
+        (col("n_tokens") <= maxTokens).as("fits_budget"))
+      .orderBy("doc_id")
+  }
+
   /** `pipeline_interleave_sources`: deterministic round-robin training
     * order across sources — the standard online-mixing layout (one
     * example per source in turn, each source internally hash-shuffled)

@@ -80,6 +80,44 @@ object Scans {
         col("r.v").as("value"))
       .orderBy("event_id")
   }
+
+  /** `sink_partitioned`: REAL partitioned parquet write + read-back —
+    * the lake-layout sink every corpus pipeline ends in
+    * (`.partitionBy(lang)` → one directory per partition value, the
+    * layout that makes downstream per-language reads partition-prune).
+    * The query WRITES the projected corpus to a deterministic temp
+    * location (overwrite mode — idempotent under bench re-runs), reads
+    * it back through the partition-discovery scan, and emits per-lang
+    * row counts, char sums, and a modular doc-id checksum — equal to
+    * the oracle's direct aggregation over the source iff the
+    * write/read round-trip lost and duplicated nothing.
+    *
+    * Scale shape: the write is one map-only pass fanned into per-lang
+    * directories (dynamic partition insert — each task writes only the
+    * partitions it holds); the read-back aggregation collapses
+    * map-side to O(langs) rows. The checksum is order-free modular
+    * arithmetic (the pipeline_shard_output device), so the result is
+    * partitioning- and file-order-independent.
+    *
+    * scan-guard: exempt (the source scan happens inside the eager
+    * write at construction; the result plan scans the SINK files,
+    * which the lineitem/documents-named guard cannot attribute) */
+  def sinkPartitioned(documents: DataFrame,
+                      outDir: String = ""): DataFrame = {
+    val spark = documents.sparkSession
+    val dir = if (outDir.nonEmpty) outDir
+      else s"${System.getProperty("java.io.tmpdir")}/graft-sink-partitioned"
+    documents.select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val P = lit(2147483647L)
+    spark.read.parquet(dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        pmod(sum(pmod(col("doc_id"), P).cast(DecimalType(38, 0))),
+          P.cast(DecimalType(38, 0))).cast("long").as("id_checksum"))
+      .orderBy("lang")
+  }
 }
 
 /** Filters / projections / predicates (SURVEY §2-B). All predicates are

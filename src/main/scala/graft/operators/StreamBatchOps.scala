@@ -808,6 +808,55 @@ object StreamBatchOps {
       .orderBy("event_type", "hour_s")
   }
 
+  /** `ts_streaks`: above-average streak census per event type — the
+    * "how long has this been elevated?" question every alert review
+    * asks, and the gaps-and-islands pattern in its time-series form.
+    * An hour is ELEVATED when its count strictly exceeds the type's
+    * mean (exact integer test: n·H > S with H = observed hours,
+    * S = Σn — the ts_anomaly device, no float ever compared); a streak
+    * is a maximal run of consecutive elevated hours. Emits per type:
+    * elevated-hour count, streak count, and the longest streak's
+    * length + start (ties → earliest start).
+    *
+    * Scale shape: ONE corpus scan into the hourly pre-agg (lazy-pinned
+    * — two consumers: the per-type moments and the island walk); the
+    * island id (hour index − rank) comes from a per-type window over
+    * the O(types·hours) table; streak collapse is one hash agg; the
+    * longest-streak pick is a rank over the O(streaks) table.
+    *
+    * scan-guard: ts_streaks */
+  def streaks(events: DataFrame): DataFrame = {
+    val hourly = events.filter(col("ts").isNotNull)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), unix_timestamp(col("h")).as("hour_s"),
+        col("n"))
+      .transform(graft.plans.PlanPins.lazyPin)
+    val stats = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("hh"), sum(col("n")).as("s"))
+    val wRank = Window.partitionBy("event_type").orderBy("hour_s")
+    val d38 = DecimalType(38, 0)
+    val islands = hourly.join(broadcast(stats), Seq("event_type"))
+      // n·H > S in DECIMAL(38,0) — a raw long product wraps once a
+      // type sees ~3e9 hour-scaled counts (the ts_anomaly discipline)
+      .filter(col("n").cast(d38) * col("hh").cast(d38) >
+        col("s").cast(d38))
+      .withColumn("isl",
+        expr("hour_s DIV 3600") - row_number().over(wRank))
+      .groupBy("event_type", "isl")
+      .agg(count(lit(1)).as("len"), min(col("hour_s")).as("start_s"))
+    val wBest = Window.partitionBy("event_type")
+      .orderBy(col("len").desc, col("start_s").asc)
+    islands
+      .withColumn("rk", row_number().over(wBest))
+      .groupBy("event_type")
+      .agg(sum(col("len")).as("elevated_hours"),
+        count(lit(1)).as("n_streaks"),
+        max(when(col("rk") === 1, col("len"))).as("longest_len"),
+        max(when(col("rk") === 1, col("start_s"))).as("longest_start_s"))
+      .orderBy("event_type")
+  }
+
   /** `ts_ohlc_bars`: per-hour open/high/low/close bars of the event
     * `value` stream per event type — the downsampling every monitoring
     * and market-style dashboard draws, and the standard compression of

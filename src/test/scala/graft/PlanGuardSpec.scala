@@ -652,7 +652,10 @@ class PlanGuardSpec extends SparkSpec {
         "lineitem", 2),
       // histogram pass + the selected-buckets rank pass
       ("emb_dim_quantiles", () => VectorOps.dimQuantiles(emb),
-        "embeddings", 2))
+        "embeddings", 2),
+      ("ts_streaks", () => StreamBatchOps.streaks(events), "events", 1),
+      ("pipeline_sft_format", () => CorpusOps.sftFormat(docs),
+        "documents", 1))
   }
 
   test("scan-count guards: every ONE-pass scaladoc claim executes exactly that many file scans (r9 verdict #2)") {

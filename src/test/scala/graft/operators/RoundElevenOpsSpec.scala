@@ -209,6 +209,55 @@ class RoundElevenOpsSpec extends SparkSpec {
       (1, 100L, -5000000L, -100000L, 4800000L)))
   }
 
+  test("ts_streaks: islands split on the gap and the longest tie takes the earliest start") {
+    // type a over 6 hours, counts 5,5,1,5,5,1 (mean 3.67): elevated
+    // hours {0,1,3,4} → two streaks of 2; tie → earliest start wins
+    val rows = Seq(0, 1, 3, 4).flatMap(h =>
+      (1 to 5).map(i => ((h * 10 + i).toLong, f"2024-01-01 0$h%d:15:00", "a", 1.0))) ++
+      Seq(2, 5).map(h => ((h * 10).toLong, f"2024-01-01 0$h%d:15:00", "a", 1.0))
+    val df = rows.toDF("event_id", "ts_s", "event_type", "value")
+      .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+        col("event_type"), col("value"))
+    val r = StreamBatchOps.streaks(df).collect()(0)
+    val h0 = java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == (4L, 2L, 2L, h0))
+  }
+
+  test("sink_partitioned: the round-trip aggregates equal the source's") {
+    val docs = Seq((1L, "a.", "en", "s0", 2L), (2L, "b.", "en", "s0", 5L),
+      (3L, "c.", "de", "s1", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink-spec")
+      .toString + "/out"
+    val out = Scans.sinkPartitioned(docs, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("de", 1L, 7L, 3L), ("en", 2L, 7L, 3L)))
+    // the sink really is hive-partitioned by lang
+    val d = new java.io.File(dir)
+    assert(d.listFiles().map(_.getName).toSet
+      .intersect(Set("lang=en", "lang=de")).size == 2)
+  }
+
+  test("pipeline_sft_format: prefix becomes the prompt, budget gates") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = Seq(
+      (1L, "a b c d e f", "en", "s", 1L),   // 6 words: over budget 5
+      (2L, "x y z", "en", "s", 1L),          // 3 words: too short, drops
+      (3L, "p q r s", "en", "s", 1L))        // 4 words: fits
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusOps.sftFormat(docs, promptTokens = 3, maxTokens = 5)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L), "doc 2 must drop")
+    assert(out(0).getLong(4) == 3L && !out(0).getBoolean(5))
+    val r3 = out(1)
+    assert(r3.getString(1) == md5hex("p q r"))
+    assert(r3.getString(2) == md5hex("s"))
+    assert(r3.getLong(3) == 3L && r3.getLong(4) == 1L && r3.getBoolean(5))
+  }
+
   test("pipeline_interleave_sources: positions are a bijection that alternates sources") {
     val docs = (1L to 4L).map(i =>
         (i, s"t$i", "en", if (i <= 2) "s0" else "s1", 2L))
