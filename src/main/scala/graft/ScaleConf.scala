@@ -99,7 +99,7 @@ object ScaleConf {
     * `FileSystem.getContentSummary` instead; the derivation itself is
     * storage-agnostic. */
   def inputBytes(sfDir: String): Long =
-    // URI-schemed paths (file://, hdfs://, s3a://, ...) go through the
+    // URI-schemed paths (file:, hdfs:, cloud object stores) go through the
     // Hadoop FileSystem route — the derivation is storage-agnostic and
     // this makes AUTOSIZE work on any cluster FS, not just local paths
     // (r9 verdict #6). Bare paths keep the java.io walk (same bytes,
@@ -117,7 +117,7 @@ object ScaleConf {
   /** Cluster-FS footprint via the Hadoop `FileSystem` interface —
     * `getContentSummary` is one namenode RPC on HDFS (vs a recursive
     * client-side walk) and works identically on any Hadoop-compatible
-    * store (file://, hdfs://, s3a://, gs://). Non-parquet droppings
+    * store (local file URIs, HDFS, cloud object stores). Non-parquet droppings
     * (_SUCCESS, .crc) are counted; they are bytes-negligible against
     * data files and this is a sizing heuristic, not an invoice. A
     * missing path sizes to 0 like the local walk (derive() then floors
