@@ -306,6 +306,8 @@ object SparkEntry {
     "ts_streaks" -> ((s, d) => StreamBatchOps.streaks(Tables.events(s, d))),
     "sink_partitioned" -> ((s, d) => Scans.sinkPartitioned(Tables.documents(s, d))),
     "pipeline_sft_format" -> ((s, d) => CorpusOps.sftFormat(Tables.documents(s, d))),
+    "agg_gini" -> ((s, d) => Aggs.gini(Tables.events(s, d))),
+    "ts_cusum" -> ((s, d) => StreamBatchOps.cusum(Tables.events(s, d))),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -3160,6 +3162,63 @@ object SparkEntry {
         |  CAST(CAST(SUM(doc_id % 2147483647) AS HUGEINT) % 2147483647
         |    AS BIGINT) AS id_checksum
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // exact Gini from the bounded-domain value histogram: run ranks
+    // r..r+c−1 contribute x·(c·r + c(c−1)/2); both quotient terms
+    // replay with the shared truncating-division convention
+    "agg_gini" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    COUNT(*) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, cents, c,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - c + 1 AS r
+        |  FROM h),
+        |a AS (
+        |  SELECT event_type,
+        |    CAST(SUM(c) AS HUGEINT) AS n,
+        |    SUM(CAST(c AS HUGEINT) * cents) AS sx,
+        |    SUM(CAST(cents AS HUGEINT) * (CAST(c AS HUGEINT) * r
+        |      + (CAST(c AS HUGEINT) * (c - 1)) // 2)) AS t2
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST((2 * t2 * 1000000) // (n * sx)
+        |    - ((n + 1) * 1000000) // n AS BIGINT) AS gini_micro
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    // CUSUM closed form: S_t = P_t − min(min_{j≤t} P_j, 0) over the
+    // H-scaled deviations; alarm when S_t² > k²·(H·Q − S²), k = 4
+    "ts_cusum" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s,
+        |    COUNT(*) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS hh,
+        |    CAST(SUM(n) AS HUGEINT) AS s,
+        |    SUM(CAST(n AS HUGEINT) * n) AS q
+        |  FROM hourly GROUP BY 1),
+        |d AS (
+        |  SELECT h.event_type, h.hour_s, h.n,
+        |    CAST(h.n AS HUGEINT) * st.hh - st.s AS d, st.hh, st.s, st.q
+        |  FROM hourly h JOIN st USING (event_type)),
+        |p AS (
+        |  SELECT *, SUM(d) OVER (PARTITION BY event_type ORDER BY hour_s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        |  FROM d),
+        |cz AS (
+        |  SELECT *, p - least(MIN(p) OVER (
+        |    PARTITION BY event_type ORDER BY hour_s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS cusum
+        |  FROM p)
+        |SELECT event_type, hour_s, n, CAST(cusum AS BIGINT) AS cusum_h
+        |FROM cz WHERE cusum * cusum > 16 * (hh * q - s * s)
+        |ORDER BY event_type, hour_s""".stripMargin,
 
     "pipeline_sft_format" ->
       """WITH t AS (

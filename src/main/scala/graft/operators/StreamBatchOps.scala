@@ -760,6 +760,52 @@ object StreamBatchOps {
       .orderBy("event_type", "hour_s")
   }
 
+  /** `ts_cusum`: one-sided CUSUM drift detection on the hourly count
+    * series per event type — the sequential change detector that
+    * catches SLOW upward drifts `ts_anomaly`'s per-hour z-test misses
+    * (ten consecutive +0.5σ hours never trip a 3σ test; their
+    * cumulative sum does). Emits the alarm hours where the CUSUM
+    * statistic exceeds `k`·σ.
+    *
+    * Exactness — the recursion has a windowed closed form: with
+    * H-scaled deviations dₜ = nₜ·H − S (the ts_autocorr device — exact
+    * integers, no float mean), Sₜ = max(0, Sₜ₋₁ + dₜ) equals
+    * Pₜ − min_{j≤t} Pⱼ where P is the running prefix sum (and P₀ = 0
+    * joins the min via least(min, 0)); the alarm test squares to
+    * Sₜ² > k²·(H·Q − S²) — all DECIMAL(38,0)/HUGEINT, no float ever
+    * compared (σ²·H² = H·Q − S² and Sₜ carries the same H scaling, so
+    * the H² cancels).
+    *
+    * Scale shape: ONE corpus scan into the lazy-pinned hourly pre-agg
+    * (two consumers: moments + the walk — guarded); prefix sum and
+    * running min are one per-type window pass over O(types·hours);
+    * moments re-attach by broadcast. scan-guard: ts_cusum */
+  def cusum(events: DataFrame, k: Int = 4): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val hourly = events.filter(col("ts").isNotNull)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), unix_timestamp(col("h")).as("hour_s"),
+        col("n"))
+      .transform(graft.plans.PlanPins.lazyPin)
+    val stats = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("hh"), sum(col("n")).as("s"),
+        sum(col("n").cast(d38) * col("n").cast(d38)).as("q"))
+    val w = Window.partitionBy("event_type").orderBy("hour_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourly.join(broadcast(stats), Seq("event_type"))
+      .withColumn("d", col("n").cast(d38) * col("hh").cast(d38) -
+        col("s").cast(d38))
+      .withColumn("p", sum(col("d")).over(w))
+      .withColumn("cusum", col("p") - least(min(col("p")).over(w), lit(0)))
+      .filter(col("cusum") * col("cusum") >
+        lit(k * k) * (col("hh").cast(d38) * col("q") -
+          col("s").cast(d38) * col("s").cast(d38)))
+      .select(col("event_type"), col("hour_s"), col("n"),
+        col("cusum").cast("long").as("cusum_h"))
+      .orderBy("event_type", "hour_s")
+  }
+
   /** `ts_rolling_slope`: trailing-24-hour OLS slope of the hourly count
     * series per event type — the rate-of-change alarm signal layered on
     * the same pre-agg `ts_rolling` smooths ("is traffic accelerating,

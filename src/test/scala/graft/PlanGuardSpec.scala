@@ -655,7 +655,9 @@ class PlanGuardSpec extends SparkSpec {
         "embeddings", 2),
       ("ts_streaks", () => StreamBatchOps.streaks(events), "events", 1),
       ("pipeline_sft_format", () => CorpusOps.sftFormat(docs),
-        "documents", 1))
+        "documents", 1),
+      ("agg_gini", () => Aggs.gini(events), "events", 1),
+      ("ts_cusum", () => StreamBatchOps.cusum(events), "events", 1))
   }
 
   test("scan-count guards: every ONE-pass scaladoc claim executes exactly that many file scans (r9 verdict #2)") {

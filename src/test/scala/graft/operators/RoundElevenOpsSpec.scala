@@ -258,6 +258,39 @@ class RoundElevenOpsSpec extends SparkSpec {
     assert(r3.getLong(3) == 3L && r3.getLong(4) == 1L && r3.getBoolean(5))
   }
 
+  test("agg_gini: equal values give zero; a hand-computed split gives 1/6") {
+    // type a: four equal values → G = 0 exactly; type b: cents
+    // {100 x2, 200}: T2 = 100·(2·1+1) + 200·3 = 900, G = 1800/1200 −
+    // 4/3 → micro 1500000 − 1333333 = 166667
+    val ev = (1 to 4).map(i => (i.toLong, "2024-01-01 01:00:00", "a", 1.00)) ++
+      Seq((10L, "2024-01-01 01:00:00", "b", 1.00),
+        (11L, "2024-01-01 01:00:00", "b", 1.00),
+        (12L, "2024-01-01 01:00:00", "b", 2.00))
+    val df = ev.toDF("event_id", "ts_s", "event_type", "value")
+      .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+        col("event_type"), col("value"))
+    val out = Aggs.gini(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("a", 4L, 0L), ("b", 3L, 166667L)))
+  }
+
+  test("ts_cusum: a slow level shift alarms where no single hour would") {
+    // 7 hours at 1 then 3 at 13: every +13 hour is only +2.2σ (a 3σ
+    // z-test stays silent) but the cumulative drift crosses k=4 σ at
+    // the LAST hour: S = 252, 252² = 63504 > 16·(H·Q − S²) = 48384
+    val rows = (0 until 7).map(h =>
+      (h.toLong, f"2024-01-01 0$h%d:30:00", "a", 1.0)) ++
+      (7 until 10).flatMap(h => (0 until 13).map(i =>
+        ((h * 100 + i).toLong, f"2024-01-01 0$h%d:30:00", "a", 1.0)))
+    val df = rows.toDF("event_id", "ts_s", "event_type", "value")
+      .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+        col("event_type"), col("value"))
+    val out = StreamBatchOps.cusum(df).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val h0 = java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond
+    assert(out.toSeq == Seq((h0 + 9 * 3600, 13L, 252L)))
+  }
+
   test("pipeline_interleave_sources: positions are a bijection that alternates sources") {
     val docs = (1L to 4L).map(i =>
         (i, s"t$i", "en", if (i <= 2) "s0" else "s1", 2L))
