@@ -308,6 +308,7 @@ object SparkEntry {
     "pipeline_sft_format" -> ((s, d) => CorpusOps.sftFormat(Tables.documents(s, d))),
     "agg_gini" -> ((s, d) => Aggs.gini(Tables.events(s, d))),
     "ts_cusum" -> ((s, d) => StreamBatchOps.cusum(Tables.events(s, d))),
+    "ts_shape_topk" -> ((s, d) => StreamBatchOps.shapeTopK(Tables.events(s, d))),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -3219,6 +3220,37 @@ object SparkEntry {
         |SELECT event_type, hour_s, n, CAST(cusum AS BIGINT) AS cusum_h
         |FROM cz WHERE cusum * cusum > 16 * (hh * q - s * s)
         |ORDER BY event_type, hour_s""".stripMargin,
+
+    // exact integer squared distance between dense 24-hour day vectors;
+    // absent hours are 0 on both engines via the hod spine
+    "ts_shape_topk" ->
+      """WITH pre AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    EXTRACT(hour FROM ts) AS hod, COUNT(*) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3),
+        |days AS (SELECT DISTINCT event_type, day FROM pre),
+        |hods AS (SELECT unnest(generate_series(0, 23)) AS hod),
+        |dense AS (
+        |  SELECT d.event_type, d.day, h.hod, coalesce(p.n, 0) AS n
+        |  FROM days d CROSS JOIN hods h
+        |  LEFT JOIN pre p ON p.event_type = d.event_type
+        |    AND p.day = d.day AND p.hod = h.hod),
+        |dist AS (
+        |  SELECT a.event_type, a.day AS day_a, b.day AS day_b,
+        |    SUM((a.n - b.n) * (a.n - b.n)) AS dist
+        |  FROM dense a JOIN dense b
+        |    ON a.event_type = b.event_type AND a.hod = b.hod
+        |  WHERE a.day <> b.day
+        |  GROUP BY 1, 2, 3),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type, day_a
+        |    ORDER BY dist, day_b) AS rn
+        |  FROM dist)
+        |SELECT event_type, strftime(day_a, '%Y-%m-%d') AS day_a,
+        |  strftime(day_b, '%Y-%m-%d') AS day_b,
+        |  CAST(dist AS BIGINT) AS dist, rn
+        |FROM rk WHERE rn <= 3
+        |ORDER BY event_type, day_a, rn""".stripMargin,
 
     "pipeline_sft_format" ->
       """WITH t AS (

@@ -760,6 +760,56 @@ object StreamBatchOps {
       .orderBy("event_type", "hour_s")
   }
 
+  /** `ts_shape_topk`: top-k most-similar DAYS per event type by hourly
+    * shape — "which other day looked like this one?" — the time-series
+    * similarity-search primitive (cf. "Time Series Similarity Search
+    * for Streaming Data in Distributed Systems", EDBT 2019; this is
+    * the batch form over the day-vector table) behind incident
+    * post-mortems ("find me days shaped like the outage") and
+    * seasonality sanity checks. Similarity = exact integer squared
+    * Euclidean distance between the two days' 24-hour count vectors
+    * (absent hours count 0 over the dense hod spine).
+    *
+    * Scale shape: ONE corpus scan collapses to the (type, day, hod)
+    * pre-agg (lazy-pinned — the dense fill consumes it twice: day list
+    * + counts); the pairwise stage joins day vectors on (type, hod) —
+    * O(types·days²·24) rows, bounded by the CALENDAR (days² grows with
+    * time span, never with row count); per-day top-k is a rank window
+    * over the O(days²) distance table. scan-guard: ts_shape_topk */
+  def shapeTopK(events: DataFrame, k: Int = 3): DataFrame = {
+    val pre = events.filter(col("ts").isNotNull)
+      .groupBy(col("event_type"),
+        to_date(col("ts")).as("day"),
+        hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n"))
+      .transform(graft.plans.PlanPins.lazyPin)
+    val days = pre.select(col("event_type"), col("day")).distinct()
+    val dense = days
+      .select(col("event_type"), col("day"),
+        explode(sequence(lit(0), lit(23))).as("hod"))
+      .join(pre, Seq("event_type", "day", "hod"), "left_outer")
+      .select(col("event_type"), col("day"), col("hod"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val a = dense.select(col("event_type"), col("day").as("day_a"),
+      col("hod"), col("n").as("na"))
+    val b = dense.select(col("event_type"), col("day").as("day_b"),
+      col("hod"), col("n").as("nb"))
+    val w = Window.partitionBy("event_type", "day_a")
+      .orderBy(col("dist").asc, col("day_b").asc)
+    a.join(b, Seq("event_type", "hod"))
+      .filter(col("day_a") =!= col("day_b"))
+      .groupBy("event_type", "day_a", "day_b")
+      .agg(sum((col("na") - col("nb")) * (col("na") - col("nb")))
+        .as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("event_type"),
+        date_format(col("day_a"), "yyyy-MM-dd").as("day_a"),
+        date_format(col("day_b"), "yyyy-MM-dd").as("day_b"),
+        col("dist"), col("rn").cast("long").as("rn"))
+      .orderBy("event_type", "day_a", "rn")
+  }
+
   /** `ts_cusum`: one-sided CUSUM drift detection on the hourly count
     * series per event type — the sequential change detector that
     * catches SLOW upward drifts `ts_anomaly`'s per-hour z-test misses

@@ -657,7 +657,9 @@ class PlanGuardSpec extends SparkSpec {
       ("pipeline_sft_format", () => CorpusOps.sftFormat(docs),
         "documents", 1),
       ("agg_gini", () => Aggs.gini(events), "events", 1),
-      ("ts_cusum", () => StreamBatchOps.cusum(events), "events", 1))
+      ("ts_cusum", () => StreamBatchOps.cusum(events), "events", 1),
+      ("ts_shape_topk", () => StreamBatchOps.shapeTopK(events),
+        "events", 1))
   }
 
   test("scan-count guards: every ONE-pass scaladoc claim executes exactly that many file scans (r9 verdict #2)") {

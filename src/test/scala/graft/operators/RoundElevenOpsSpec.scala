@@ -291,6 +291,28 @@ class RoundElevenOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((h0 + 9 * 3600, 13L, 252L)))
   }
 
+  test("ts_shape_topk: identical days rank first, a spiked day ranks by its distance") {
+    // three days of type a: d1 and d2 identical (h0=1, h1=1 → dist 0),
+    // d3 spikes h0=5 → dist to both = (5−1)² + (0−1)² = 17
+    val rows = Seq(("2024-01-01", 0, 1), ("2024-01-01", 1, 1),
+      ("2024-01-02", 0, 1), ("2024-01-02", 1, 1),
+      ("2024-01-03", 0, 5)).flatMap { case (d, h, c) =>
+      (0 until c).map(i => ((h * 1000 + i).toLong, f"$d $h%02d:30:00"))
+    }.zipWithIndex.map { case ((_, ts), i) => (i.toLong, ts, "a", 1.0) }
+    val df = rows.toDF("event_id", "ts_s", "event_type", "value")
+      .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+        col("event_type"), col("value"))
+    val out = StreamBatchOps.shapeTopK(df).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", "2024-01-02", 0L, 1L),
+      ("2024-01-01", "2024-01-03", 17L, 2L),
+      ("2024-01-02", "2024-01-01", 0L, 1L),
+      ("2024-01-02", "2024-01-03", 17L, 2L),
+      ("2024-01-03", "2024-01-01", 17L, 1L),
+      ("2024-01-03", "2024-01-02", 17L, 2L)))
+  }
+
   test("pipeline_interleave_sources: positions are a bijection that alternates sources") {
     val docs = (1L to 4L).map(i =>
         (i, s"t$i", "en", if (i <= 2) "s0" else "s1", 2L))
