@@ -52,6 +52,50 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ohlc bars aggregation streams: min_by/max_by state finalizes under the watermark") {
+    // the EXACT expressions StreamBatchOps.ohlcBars aggregates with
+    // (integer cents, min_by/max_by on event_id) running as a
+    // streaming query — proves the round-11 bar compressor is
+    // watermark-compatible, not batch-only
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    val bars = in.toDF().toDF("event_id", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id"), col("ts"), cents.as("cents"))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_ticks"),
+        min_by(col("cents"), col("event_id")).as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        max_by(col("cents"), col("event_id")).as("close_cents"))
+      .select(col("window.start").as("w"), col("n_ticks"),
+        col("open_cents"), col("high_cents"), col("low_cents"),
+        col("close_cents"))
+    val q = bars.writeStream.format("memory").queryName("ohlcbars")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((1L, ts("2024-01-01 05:10:00"), 10.50),
+        (2L, ts("2024-01-01 05:20:00"), 9.25),
+        (3L, ts("2024-01-01 05:30:00"), 11.00))
+      q.processAllAvailable()
+      assert(spark.table("ohlcbars").count() === 0, "bar still open")
+      in.addData((4L, ts("2024-01-01 08:00:00"), 7.77))
+      q.processAllAvailable()
+      val rows = spark.table("ohlcbars").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+      assert(rows.toSeq === Seq(
+        (ts("2024-01-01 05:00:00"), 3L, 1050L, 1100L, 925L, 1100L)))
+      StreamWindowsArtifact.record("ohlc_streaming", input = 4, output = 1,
+        claim = "ts_ohlc_bars expressions (integer cents, min_by/max_by " +
+          "open/close) run as a watermarked streaming aggregation; the " +
+          "bar finalizes when the watermark passes the hour", q = Some(q))
+    } finally q.stop()
+  }
+
   test("sliding windows assign each event to overlapping windows (batch form)") {
     val ev = Tables.events(spark, sf()).limit(100)
     val slid = ev.select(col("event_id"), window(col("ts"), "1 hour", "15 minutes"))
