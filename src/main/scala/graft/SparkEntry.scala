@@ -309,6 +309,7 @@ object SparkEntry {
     "agg_gini" -> ((s, d) => Aggs.gini(Tables.events(s, d))),
     "ts_cusum" -> ((s, d) => StreamBatchOps.cusum(Tables.events(s, d))),
     "ts_shape_topk" -> ((s, d) => StreamBatchOps.shapeTopK(Tables.events(s, d))),
+    "pipeline_span_corrupt" -> ((s, d) => CorpusOps.spanCorrupt(Tables.documents(s, d))),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -3268,6 +3269,31 @@ object SparkEntry {
         |  CAST(n - 8 AS BIGINT) AS completion_tokens,
         |  n <= 64 AS fits_budget
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // DuckDB's index lambda is 1-based where Spark's is 0-based — the
+    // (i − 1) below aligns the phases exactly
+    "pipeline_span_corrupt" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |s AS (SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) > 0),
+        |m AS (
+        |  SELECT doc_id, n,
+        |    array_to_string(list_filter(
+        |      list_transform(w, (x, i) -> CASE
+        |        WHEN (i - 1) % 21 = 0 THEN '<X>'
+        |        WHEN (i - 1) % 21 < 3 THEN NULL
+        |        ELSE x END), x -> x IS NOT NULL), ' ') AS corrupted,
+        |    array_to_string(list_filter(
+        |      list_transform(w, (x, i) ->
+        |        CASE WHEN (i - 1) % 21 < 3 THEN x END),
+        |      x -> x IS NOT NULL), ' ') AS targets
+        |  FROM s)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST((n - 1) // 21 + 1 AS BIGINT) AS n_spans,
+        |  md5(corrupted) AS corrupted_md5, md5(targets) AS targets_md5
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "pipeline_interleave_sources" ->
       """WITH src AS (

@@ -1457,6 +1457,47 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** `pipeline_span_corrupt`: T5/UL2-style span corruption — the
+    * denoising-objective data prep that turns plain text into
+    * (corrupted input, span targets) training pairs: fixed-period
+    * 3-token spans (one span every `period` tokens ≈ 14% corruption at
+    * the default 21, the published T5 rate) collapse to ONE sentinel
+    * each in the input, and the removed tokens concatenate into the
+    * target sequence. Deterministic positions (period-anchored, not
+    * RNG) make the pair exactly reproducible AND oracle-checkable; the
+    * corrupted/target strings leave as md5 content addresses with
+    * token/span counts.
+    *
+    * Scale shape: map-only over ONE corpus scan — split, index, mask,
+    * hash per row, parallel across splits; no shuffle but the
+    * presentation sort. scan-guard: pipeline_span_corrupt */
+  def spanCorrupt(documents: DataFrame, period: Int = 21,
+                  spanLen: Int = 3): DataFrame = {
+    val w = words(col("text"))
+    // index-lambda transform: phase = 0-based position mod period; a
+    // span's first token becomes the sentinel, the rest drop, and the
+    // dropped tokens concatenate into the target sequence
+    val corrupted = concat_ws(" ", filter(
+      transform(col("w"), (x, i) =>
+        when(i % period === 0, lit("<X>"))
+          .when(i % period < spanLen, lit(null))
+          .otherwise(x)),
+      x => x.isNotNull))
+    val targets = concat_ws(" ", filter(
+      transform(col("w"), (x, i) =>
+        when(i % period < spanLen, x).otherwise(lit(null))),
+      x => x.isNotNull))
+    documents
+      .select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        md5(corrupted).as("corrupted_md5"), md5(targets).as("targets_md5"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"(n_tokens - 1) DIV $period + 1").as("n_spans"),
+        col("corrupted_md5"), col("targets_md5"))
+      .orderBy("doc_id")
+  }
+
   /** `pipeline_interleave_sources`: deterministic round-robin training
     * order across sources — the standard online-mixing layout (one
     * example per source in turn, each source internally hash-shuffled)

@@ -659,7 +659,9 @@ class PlanGuardSpec extends SparkSpec {
       ("agg_gini", () => Aggs.gini(events), "events", 1),
       ("ts_cusum", () => StreamBatchOps.cusum(events), "events", 1),
       ("ts_shape_topk", () => StreamBatchOps.shapeTopK(events),
-        "events", 1))
+        "events", 1),
+      ("pipeline_span_corrupt", () => CorpusOps.spanCorrupt(docs),
+        "documents", 1))
   }
 
   test("scan-count guards: every ONE-pass scaladoc claim executes exactly that many file scans (r9 verdict #2)") {

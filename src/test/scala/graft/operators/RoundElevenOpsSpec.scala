@@ -313,6 +313,28 @@ class RoundElevenOpsSpec extends SparkSpec {
       ("2024-01-03", "2024-01-02", 17L, 2L)))
   }
 
+  test("pipeline_span_corrupt: spans collapse to one sentinel, targets carry the removed tokens") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // period 5, span 3 over 8 words: positions 0,1,2 mask (one <X>),
+    // 3,4 keep, 5,6,7 mask (second span starts at 5) →
+    // corrupted "<X> d e <X>", targets "a b c f g h", spans = 2
+    val docs = Seq((1L, "a b c d e f g h", "en", "s", 1L),
+      (2L, "only one", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusOps.spanCorrupt(docs, period = 5, spanLen = 3).collect()
+    val r1 = out(0)
+    assert((r1.getLong(1), r1.getLong(2)) == (8L, 2L))
+    assert(r1.getString(3) == md5hex("<X> d e <X>"))
+    assert(r1.getString(4) == md5hex("a b c f g h"))
+    // 2 words: single span swallows both → corrupted "<X>", targets all
+    val r2 = out(1)
+    assert((r2.getLong(1), r2.getLong(2)) == (2L, 1L))
+    assert(r2.getString(3) == md5hex("<X>"))
+    assert(r2.getString(4) == md5hex("only one"))
+  }
+
   test("pipeline_interleave_sources: positions are a bijection that alternates sources") {
     val docs = (1L to 4L).map(i =>
         (i, s"t$i", "en", if (i <= 2) "s0" else "s1", 2L))
