@@ -243,9 +243,29 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val benchT0 = System.nanoTime()
     val startEpochMs = System.currentTimeMillis()
+    // Per-query JVM-counter deltas (GC ms, JIT ms) across the TIMED
+    // runs, stamped into the meta block — the self-diagnosis channel
+    // for join_anti-class anomalies (r11 verdict #1/#8). ON by default
+    // (two MXBean reads per query) so the DRIVER's artifact carries the
+    // evidence; SPARK_GRAFT_DIAG=0 opts out. Reading: a stable slow
+    // query with large dJIT is recompilation churn; large dGC is heap
+    // pressure; BOTH ~0 (the r12 join_anti finding: 0.78 s driver-gate
+    // vs 0.199 s in a byte-identical replication, dGC=0 dJIT=72ms)
+    // means the cost is OUTSIDE the JVM — co-located load, regardless
+    // of how stable the re-runs look.
+    val diagOn = !sys.env.get("SPARK_GRAFT_DIAG").contains("0")
+    def jvmCounters(): (Long, Long) = {
+      import java.lang.management.ManagementFactory
+      import scala.jdk.CollectionConverters._
+      (ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum,
+       ManagementFactory.getCompilationMXBean.getTotalCompilationTime)
+    }
     // per-query telemetry rows for BENCH_FULL.json, in run order
     case class QMeta(startOff: Double, load: Double, raw: Seq[Double],
-                     leaked: Int = 0, err: Option[String] = None)
+                     leaked: Int = 0, err: Option[String] = None,
+                     gcMs: Long = -1, jitMs: Long = -1,
+                     ref: Option[Double] = None)
     val metaRows = scala.collection.mutable.LinkedHashMap[String, QMeta]()
     // SPARK_GRAFT_STORAGE_CHECK=1: assert per query that the persisted-
     // RDD set returns to its post-warm baseline after the timed runs —
@@ -311,6 +331,7 @@ object Bench {
         // a broken query must not masquerade as a fast one: -1 sentinel
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
+      val diag0 = if (diagOn) jvmCounters() else (0L, 0L)
       val times = scala.collection.mutable.ArrayBuffer[Double]()
       (1 to repeat).foreach { _ => times += once() }
       val threshold = refTimes.get(name)
@@ -333,8 +354,12 @@ object Bench {
       if (leaked > 0)
         System.err.println(s"[bench] $name LEAKED $leaked persisted RDD(s) " +
           "past release — the r7 block-store leak class")
+      val (gcD, jitD) =
+        if (diagOn) { val d1 = jvmCounters(); (d1._1 - diag0._1, d1._2 - diag0._2) }
+        else (-1L, -1L)
       metaRows(name) = QMeta(startOff, loadAtStart, times.toSeq, leaked,
-        if (times.contains(-1.0)) lastErr else None)
+        if (times.contains(-1.0)) lastErr else None, gcD, jitD,
+        refTimes.get(name))
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     // The driver captures only a bounded stdout TAIL (~1.9 KB): rounds 2
@@ -386,7 +411,15 @@ object Bench {
       val raw = m.raw.map(t => if (t < 0) "-1" else f"$t%.3f").mkString("[", ",", "]")
       val leakField = if (storageCheck) s""", "storage_leaked": ${m.leaked}""" else ""
       val errField = m.err.map(e => s""", "error": ${jsonString(e)}""").getOrElse("")
-      s"""    "$n": {"start_off_sec": ${f"${m.startOff}%.2f"}, "loadavg": ${f"${m.load}%.2f"}, "runs": ${m.raw.size}, "raw": $raw$leakField$errField}"""
+      val diagField = if (diagOn) s""", "gc_ms": ${m.gcMs}, "jit_ms": ${m.jitMs}""" else ""
+      // suite-vs-reference ratio (r11 stretch #8): the next
+      // join_anti-class anomaly announces itself in the artifact
+      val ratioField = m.ref.filter(_ > 0).map { r =>
+        val best = m.raw.filter(_ >= 0)
+        if (best.isEmpty) ""
+        else s""", "ref_ratio": ${f"${best.min / r}%.2f"}"""
+      }.getOrElse("")
+      s"""    "$n": {"start_off_sec": ${f"${m.startOff}%.2f"}, "loadavg": ${f"${m.load}%.2f"}, "runs": ${m.raw.size}, "raw": $raw$leakField$errField$diagField$ratioField}"""
     }.mkString("{\n", ",\n", "\n  }")
     val fullJson =
       s"""{

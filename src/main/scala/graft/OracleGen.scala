@@ -311,4 +311,94 @@ object OracleGen {
        |FROM cand WHERE bit_count(xor(fa, fb)) <= $maxHamming
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  // ---- BPE trainer/apply oracles (r11 verdict #5) -------------------
+  //
+  // The iterative BPE loop unrolls into plain SQL because each
+  // iteration's work is closed-form once you pick the right word
+  // ENCODING: a word's symbol sequence is a chr(31)-joined string, and
+  // a leftmost-non-overlapping merge of pair (l, r) is EXACTLY SQL
+  // `replace()` over the double-delimited rendering
+  // chr(31)·sym·chr(30) per symbol — replace scans left to right over
+  // non-overlapping matches, which IS the BPE merge rule, and the
+  // two-sided delimiters make partial-symbol (suffix/prefix) matches
+  // impossible while keeping each replacement's boundaries intact for
+  // the next adjacent match ("aaaa" → aa·aa, "aaa" → aa·a). Unlike
+  // baking Spark's learned merges in as literals, each iteration's
+  // winning pair is COMPUTED IN SQL (argmax with the same
+  // count-desc/(l,r)-lexicographic tie-break), so the oracle is a
+  // genuinely independent replay of the trainer, not a mirror.
+
+  /** Shared CTE chain: wordfreq → words0 → (p_k, top_k, words_k) per
+    * unrolled iteration. `words{merges}` holds each vocab word's final
+    * tokenization; `top_k` holds iteration k's winning merge. */
+  private def bpeChainSql(merges: Int): String = {
+    def iterSql(k: Int): String =
+      s"""p$k AS (
+         |  SELECT ls[i] AS l, ls[i+1] AS r, SUM(freq) AS cnt FROM (
+         |    SELECT freq, ls, unnest(range(1, len(ls))) AS i
+         |    FROM (SELECT freq, string_split(w, chr(31)) AS ls FROM words${k - 1})) t
+         |  GROUP BY 1, 2),
+         |top$k AS (SELECT l, r, l || r AS m, cnt FROM p$k
+         |          ORDER BY cnt DESC, l, r LIMIT 1),
+         |words$k AS (
+         |  SELECT word, freq,
+         |    replace(substr(rep$k, 2, length(rep$k) - 2),
+         |            chr(30) || chr(31), chr(31)) AS w
+         |  FROM (
+         |    SELECT word, freq,
+         |      replace(chr(31) || replace(w, chr(31), chr(30) || chr(31)) || chr(30),
+         |              chr(31) || l || chr(30) || chr(31) || r || chr(30),
+         |              chr(31) || m || chr(30)) AS rep$k
+         |    FROM words${k - 1} CROSS JOIN top$k))""".stripMargin
+    s"""WITH wordfreq AS (
+       |  SELECT word, COUNT(*) AS freq FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) AS word
+       |    FROM documents) t
+       |  WHERE word <> '' GROUP BY word),
+       |words0 AS (
+       |  SELECT word, freq,
+       |    array_to_string(
+       |      list_filter(string_split_regex(word, ''), x -> x <> ''),
+       |      chr(31)) AS w
+       |  FROM wordfreq),
+       |${(1 to merges).map(iterSql).mkString(",\n")}""".stripMargin
+  }
+
+  /** Oracle for `pipeline_bpe_merges` (must track CorpusOps.bpeMerges'
+    * default merges = 5). */
+  def bpeMergesSql(merges: Int = 5): String = {
+    val rows = (1 to merges)
+      .map(k => s"""SELECT $k AS iter, l AS "left", r AS "right",
+                   |    m AS merged, CAST(cnt AS BIGINT) AS pair_freq
+                   |  FROM top$k""".stripMargin)
+      .mkString("\n  UNION ALL ")
+    s"""${bpeChainSql(merges)},
+       |sel AS (
+       |  $rows)
+       |SELECT iter, "left", "right", merged, pair_freq FROM sel
+       |ORDER BY iter""".stripMargin
+  }
+
+  /** Oracle for `pipeline_bpe_apply` (must track CorpusOps.bpeApply's
+    * default merges = 5): re-join the trained vocab tokenizations to
+    * the corpus in word-position order — same ' ' intra-word / ' | '
+    * inter-word md5 stream as the Spark side, zero-word docs md5(''). */
+  def bpeApplySql(merges: Int = 5): String =
+    s"""${bpeChainSql(merges)},
+       |tok AS (SELECT word, replace(w, chr(31), ' ') AS s,
+       |        len(string_split(w, chr(31))) AS n FROM words$merges),
+       |docw AS (
+       |  SELECT doc_id, unnest(ls) AS word, unnest(range(1, len(ls) + 1)) AS pos
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS ls
+       |        FROM documents)),
+       |j AS (SELECT d.doc_id, d.pos, t.s, t.n
+       |      FROM docw d JOIN tok t USING (word))
+       |SELECT doc.doc_id,
+       |  COUNT(j.s) AS n_words,
+       |  CAST(COALESCE(SUM(j.n), 0) AS BIGINT) AS n_tokens,
+       |  md5(COALESCE(string_agg(j.s, ' | ' ORDER BY j.pos), '')) AS tokens_md5
+       |FROM documents doc LEFT JOIN j ON doc.doc_id = j.doc_id
+       |GROUP BY doc.doc_id ORDER BY doc.doc_id""".stripMargin
 }

@@ -147,20 +147,20 @@ object ScaleConf {
       master match {
         case lc(mb) => mb.toLong << 20
         case m if m.startsWith("local") => Runtime.getRuntime.maxMemory
-        // Spark reads a suffix-less spark.executor.memory as MiB
-        // (JavaUtils.byteStringAsMb) — parseMemory's bare-bytes default
-        // would read "2048" as 2 KB and collapse the derived broadcast
-        // threshold to the floor; mirror Spark's semantics here
         case _ => sys.props.get("spark.executor.memory")
-          .map(s => if (s.trim.forall(_.isDigit)) s.trim.toLong << 20
-                    else parseMemory(s))
-          .getOrElse(1024L << 20)
+          .map(parseMemory).getOrElse(1024L << 20)
       }
     }
   }
 
-  /** Spark-style memory string: bare bytes or k/m/g/t suffix
-    * (case-insensitive, optional trailing 'b'). */
+  /** Spark-style memory string: k/m/g/t suffix (case-insensitive,
+    * optional trailing 'b'), or — like Spark's own memory knobs
+    * (`JavaUtils.byteStringAsMb`, the `spark.executor.memory` reader) —
+    * a suffix-less number meaning MiB. ONE semantics for every memory
+    * string this library reads (r11 verdict #6: the env path used to
+    * read bare "2048" as 2 KB while the sys-prop path read it as 2 GiB;
+    * a cluster deploy exporting SPARK_GRAFT_EXECUTOR_MEM=4096 would
+    * silently collapse the derived broadcast threshold to the floor). */
   def parseMemory(s: String): Long = {
     val t = s.trim.toLowerCase.stripSuffix("b")
     val (num, mult) = t.takeRight(1) match {
@@ -168,7 +168,7 @@ object ScaleConf {
       case "m" => (t.dropRight(1), 1L << 20)
       case "g" => (t.dropRight(1), 1L << 30)
       case "t" => (t.dropRight(1), 1L << 40)
-      case _ => (t, 1L)
+      case _ => (t, 1L << 20) // suffix-less = MiB, Spark's convention
     }
     (num.trim.toDouble * mult).toLong
   }

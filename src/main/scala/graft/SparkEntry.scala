@@ -2337,6 +2337,12 @@ object SparkEntry {
     "sim_ann_lsh_batch" -> OracleGen.simAnnLshBatchSql(),
     "dedup_near_embedding" -> OracleGen.nearDupEmbeddingSql(),
     "dedup_embedding_clusters" -> OracleGen.embeddingClustersSql(),
+    // r12: the BPE trainer/apply pair unrolled into plain SQL — each
+    // iteration's winning pair is COMPUTED by DuckDB (argmax + the
+    // replace()-as-leftmost-merge device), not baked in as a learned
+    // literal, so the tokenizer family is cross-engine checked
+    "pipeline_bpe_merges" -> OracleGen.bpeMergesSql(),
+    "pipeline_bpe_apply" -> OracleGen.bpeApplySql(),
 
     // the oracle is the PLAIN join: salting must not change the result
     "join_skew_salted" ->
@@ -2943,8 +2949,11 @@ object SparkEntry {
         |FROM sizes GROUP BY n_nodes ORDER BY n_nodes""".stripMargin,
 
     // gap rows take the straight line between their observed neighbors;
-    // den > 0 in every gap, so DuckDB's flooring // matches the Spark
-    // side's pmod-adjusted DIV exactly
+    // both engines truncate integer division toward zero (DuckDB `//`
+    // ≡ Spark `DIV`, measured: -7//2 = -3 in both) so down-slope gaps
+    // agree with NO adjustment — do not "fix" either side with
+    // pmod/floor, that is what would break cross-engine agreement
+    // (FIXTURES.md convention note, StreamBatchOps.interpLinear doc)
     "ts_interp_linear" ->
       """WITH hourly AS (
         |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,

@@ -912,10 +912,13 @@ object CorpusOps {
     * array, and when the accumulator's last element is `left` and the
     * incoming symbol is `right`, pop-and-append the merged symbol —
     * which makes chained merges (e.g. (a,a) over "aaaa" → aa,aa)
-    * leftmost-non-overlapping by construction. No oracle (iterative
-    * array folds are not reasonably SQL-expressible in DuckDB);
-    * RoundNineOpsSpec pins the textbook low/lower/newest/widest
-    * example's exact 5-merge sequence.
+    * leftmost-non-overlapping by construction. Oracled since r12
+    * ([[graft.OracleGen.bpeMergesSql]]): the fixed-N loop unrolls into
+    * one CTE per iteration, the winning pair computed by DuckDB's own
+    * argmax and the merge applied via the replace()-as-leftmost-merge
+    * encoding — an independent replay, not baked-in learned literals.
+    * RoundNineOpsSpec additionally pins the textbook
+    * low/lower/newest/widest example's exact 5-merge sequence.
     *
     * scan-guard: exempt (returns a driver-built LocalRelation; the
     * pinned word-freq table is released before return, so the result
@@ -1382,9 +1385,11 @@ object CorpusOps {
     * The merge-table collect is the documented KMeans-style driver
     * pattern (the table is `merges` rows).
     *
-    * No oracle (the chained array folds are the same ✗ class as the
-    * trainer); RoundTenOpsSpec replays the textbook corpus and asserts
-    * the tokenization matches the hand-derived merge sequence, and
+    * Oracled since r12 ([[graft.OracleGen.bpeApplySql]]): the trainer
+    * chain unrolls in SQL and the vocab tokenizations re-join to the
+    * corpus in word-position order — counts and the md5 token stream
+    * are checked end-to-end. RoundTenOpsSpec additionally replays the
+    * textbook corpus against the hand-derived merge sequence and
     * drives a 32-merge chain to pin merge-count scaling. */
   def bpeApply(documents: DataFrame, merges: Int = 5): DataFrame = {
     val learned = bpeMerges(documents, merges).collect()

@@ -36,7 +36,15 @@ object GraphOps {
     * src-keyed — co-partitioned after the first iteration's exchange)
     * plus one dst-keyed partial+final sum; the 1-row node count rides a
     * broadcast. Per-iteration cost is O(|E|) shuffle — PageRank's
-    * inherent shape; `iters` bounds it. Top-N cut is a TakeOrdered. */
+    * inherent shape; `iters` bounds it. Top-N cut is a TakeOrdered.
+    *
+    * Iteration lineage: each loop layers `deg ⋈ contrib` over the
+    * PREVIOUS ranks plan — unpinned, so the optimized plan for
+    * iteration k contains k join/agg layers above the two pinned
+    * leaves (edges, deg). Fine at iters=3 (plan depth ~12, both
+    * corpus inputs still scanned once — guarded below); for iters
+    * ≳ 10 pin the ranks each round or checkpoint every ~5 to keep
+    * Catalyst's analysis cost linear. scan-guard: graph_pagerank */
   def pagerank(orders: DataFrame, lineitem: DataFrame,
                iters: Int = 3, topN: Int = 20): DataFrame = {
     // node ids: customer → 2k, supplier → 2k+1 (key spaces overlap)

@@ -58,21 +58,24 @@ object Scans {
   /** `scan_csv`: CSV serde round-trip — serialize each event to a CSV
     * line and re-parse it through Spark's REAL CSV reader (`from_csv` /
     * UnivocityParser — the same parser `spark.read.csv` drives per
-    * file split), typed back to (BIGINT, STRING, DOUBLE). The double
+    * file split), typed back to (BIGINT, STRING, DOUBLE). Serialization
+    * is Spark's real CSV WRITER (`to_csv`/UnivocityGenerator), not a
+    * hand-rolled concat: NULLs become empty fields (not silently
+    * dropped, shifting every later column — the r11 ADVICE defect),
+    * and a delimiter- or quote-bearing event_type round-trips through
+    * standard CSV quoting instead of corrupting the row. The double
     * survives exactly because Java's shortest-round-trip double
-    * formatting is re-parse-exact; event_type carries no delimiter or
-    * quote characters in the generator, making the line well-formed by
-    * construction. The oracle checks the round-trip is lossless by
-    * selecting the source columns directly.
+    * formatting is re-parse-exact. The oracle checks the round-trip is
+    * lossless by selecting the source columns directly.
     *
     * Scale shape: map-only over ONE corpus scan (serde is per-row
     * codegen'd work, embarrassingly parallel across splits — exactly
     * how a 100 TB CSV ingest parallelizes); no shuffle but the
     * presentation sort. scan-guard: scan_csv */
   def scanCsv(events: DataFrame): DataFrame = {
-    val line = concat_ws(",",
+    val line = to_csv(struct(
       col("event_id"), col("event_type"),
-      col("value").cast("string"))
+      col("value").cast("string")))
     val schema = StructType.fromDDL("eid BIGINT, etype STRING, v DOUBLE")
     events
       .select(from_csv(line, schema, Map.empty[String, String]).as("r"))
@@ -85,8 +88,14 @@ object Scans {
     * the lake-layout sink every corpus pipeline ends in
     * (`.partitionBy(lang)` → one directory per partition value, the
     * layout that makes downstream per-language reads partition-prune).
-    * The query WRITES the projected corpus to a deterministic temp
-    * location (overwrite mode — idempotent under bench re-runs), reads
+    * The query WRITES the projected corpus to a PER-SESSION,
+    * PER-INVOCATION temp location (r11 ADVICE: a fixed shared path let
+    * two concurrent processes — verify runs at different SFs, parallel
+    * sessions — interleave overwrite-then-read and read a mix of each
+    * other's files; the session UUID isolates processes, the invocation
+    * counter isolates same-session re-entry, and each invocation
+    * deletes the session's previous dir so bench re-runs don't
+    * accumulate), reads
     * it back through the partition-discovery scan, and emits per-lang
     * row counts, char sums, and a modular doc-id checksum — equal to
     * the oracle's direct aggregation over the source iff the
@@ -102,11 +111,34 @@ object Scans {
     * scan-guard: exempt (the source scan happens inside the eager
     * write at construction; the result plan scans the SINK files,
     * which the lineitem/documents-named guard cannot attribute) */
+  // process-unique session tag: application id (per SparkContext) +
+  // session identity hash (per newSession clone) — distinct across
+  // concurrent processes, stable within one session
+  private def sessionTag(spark: org.apache.spark.sql.SparkSession): String =
+    s"${spark.sparkContext.applicationId}-${System.identityHashCode(spark)}"
+
+  private val sinkInvocation = new java.util.concurrent.atomic.AtomicLong(0)
+  private val sinkLastDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def sinkPartitioned(documents: DataFrame,
                       outDir: String = ""): DataFrame = {
     val spark = documents.sparkSession
     val dir = if (outDir.nonEmpty) outDir
-      else s"${System.getProperty("java.io.tmpdir")}/graft-sink-partitioned"
+      else {
+        val d = s"${System.getProperty("java.io.tmpdir")}/graft-sink-" +
+          s"partitioned-${sessionTag(spark)}/inv-${sinkInvocation.incrementAndGet()}"
+        // the result plan reads the sink lazily, so cleanup of THIS
+        // invocation can't happen here; instead retire the session's
+        // previous invocation (already consumed — the runner executes
+        // each query before constructing the next)
+        Option(sinkLastDir.put(sessionTag(spark), d)).foreach { prev =>
+          val fs = new org.apache.hadoop.fs.Path(prev)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(prev), true)
+        }
+        d
+      }
     documents.select(col("doc_id"), col("lang"), col("n_chars"))
       .write.mode("overwrite").partitionBy("lang").parquet(dir)
     val P = lit(2147483647L)

@@ -687,8 +687,12 @@ class PlanGuardSpec extends SparkSpec {
     // above, or `scan-guard: exempt (<reason>)` when no countable plan
     // exists (driver-built results, cached-index probes).
     import scala.jdk.CollectionConverters._
+    // r12 verdict #7: pagerank's "built once" phrasing escaped the r11
+    // regex — widen to the by-hand synonyms ("built once", "single
+    // scan/pass") so rewording a claim can't silently shed its guard
     val claimRe = ("(?i)(scanned once|scanned exactly|one corpus (scan|pass)|" +
-      "\\bone scan\\b|\\bone pass\\b|one moments pass|corpus is scanned)").r
+      "\\bone scan\\b|\\bone pass\\b|one moments pass|corpus is scanned|" +
+      "built once|\\bsingle (scan|pass)\\b)").r
     val tagRe = "scan-guard: (exempt|[a-z0-9_]+)".r
     val docRe = "(?s)/\\*\\*.*?\\*/".r
     val guarded = scanClaims.map(_._1).toSet
@@ -719,7 +723,8 @@ class PlanGuardSpec extends SparkSpec {
       }
     }
     // the sweep found at least the families the r10 verdict called out
-    Seq("graph_triangles", "graph_degree_stats", "emb_covariance")
+    Seq("graph_triangles", "graph_degree_stats", "emb_covariance",
+        "graph_pagerank")
       .foreach(s => assert(tagsSeen.contains(s), s"sweep lost sight of $s"))
   }
 }

@@ -117,8 +117,11 @@ class ScaleConfSpec extends AnyFunSuite {
     assert(s.broadcastThresholdBytes == ScaleConf.MinBroadcastBytes)
   }
 
-  test("parseMemory reads Spark-style memory strings") {
-    assert(ScaleConf.parseMemory("2048") == 2048L)
+  test("parseMemory reads Spark-style memory strings (suffix-less = MiB, ONE semantics — r11 verdict #6)") {
+    // bare numbers are MiB everywhere, mirroring Spark's own memory-knob
+    // parsing (JavaUtils.byteStringAsMb): the env path and the sys-prop
+    // path must agree — "2048" is 2 GiB on both, never 2 KB
+    assert(ScaleConf.parseMemory("2048") == 2048L * MiB)
     assert(ScaleConf.parseMemory("2048m") == 2048L * MiB)
     assert(ScaleConf.parseMemory("2g") == 2L * GiB)
     assert(ScaleConf.parseMemory("1.5G") == (1.5 * GiB).toLong)
