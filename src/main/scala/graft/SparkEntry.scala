@@ -310,6 +310,13 @@ object SparkEntry {
     "ts_cusum" -> ((s, d) => StreamBatchOps.cusum(Tables.events(s, d))),
     "ts_shape_topk" -> ((s, d) => StreamBatchOps.shapeTopK(Tables.events(s, d))),
     "pipeline_span_corrupt" -> ((s, d) => CorpusOps.spanCorrupt(Tables.documents(s, d))),
+    // --- round-12 wave ---
+    "retrieval_ndcg" -> ((s, d) => RetrievalOps.ndcgAtK(Tables.embeddings(s, d))),
+    "retrieval_mrr" -> ((s, d) => RetrievalOps.mrrAtK(Tables.embeddings(s, d))),
+    "pipeline_dpo_format" -> ((s, d) => CorpusOps.dpoFormat(Tables.documents(s, d))),
+    "pipeline_length_buckets" -> ((s, d) => CorpusOps.lengthBuckets(Tables.documents(s, d))),
+    "join_bucketed_colocated" -> ((s, d) =>
+      Joins.bucketedColocated(Tables.customer(s, d), Tables.orders(s, d))),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -2850,6 +2857,50 @@ object SparkEntry {
           |  ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
           |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // same composition device as recall_at_k; the discount weights are
+    // the SAME integer literals the Spark plan ships (ndcgDiscountMicro)
+    "retrieval_ndcg" -> {
+      val wts = operators.RetrievalOps.ndcgDiscountMicro(10)
+        .map { case (i, w) => s"($i, $w)" }
+        .mkString(", ")
+      val idcg = operators.RetrievalOps.idcgMicro(10)
+      s"""WITH exact AS (SELECT * FROM (
+         |${simBatchTopkSql}
+         |) t),
+         |ann AS (SELECT * FROM (
+         |${OracleGen.simAnnLshBatchSql()}
+         |) t),
+         |wts(rn, w) AS (VALUES $wts),
+         |rel AS (
+         |  SELECT a.probe_id, a.rn, COALESCE(11 - e.rn, 0) AS rel
+         |  FROM ann a LEFT JOIN exact e
+         |    ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id)
+         |SELECT probe_id,
+         |  CAST(SUM(rel * w) AS BIGINT) AS dcg_units,
+         |  CAST($idcg AS BIGINT) AS idcg_units,
+         |  CAST(SUM(rel * w) * 1000000 // $idcg AS BIGINT) AS ndcg_micro
+         |FROM rel JOIN wts USING (rn)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "retrieval_mrr" ->
+      (s"""WITH exact AS (SELECT * FROM (
+          |${simBatchTopkSql}
+          |) t),
+          |ann AS (SELECT * FROM (
+          |${OracleGen.simAnnLshBatchSql()}
+          |) t),
+          |fh AS (
+          |  SELECT a.probe_id, MIN(CASE WHEN e.vec_id IS NOT NULL
+          |    THEN a.rn END) AS fh
+          |  FROM ann a LEFT JOIN exact e
+          |    ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
+          |  GROUP BY 1)
+          |SELECT probe_id,
+          |  CAST(COALESCE(fh, 0) AS BIGINT) AS first_hit_rank,
+          |  CAST(COALESCE(1000000 // fh, 0) AS BIGINT) AS rr_micro
+          |FROM fh ORDER BY 1""".stripMargin),
+
     // truncated EWMA over the dense per-type spine; the weight literals
     // come from the SAME ewmaWeights call the Spark plan uses (pow
     // differs across libm in the last ulp — shipping identical decimal
@@ -3319,6 +3370,66 @@ object SparkEntry {
         |SELECT r.doc_id, r.source, r.r * n.n_src + src.si AS pos
         |FROM r JOIN src USING (source) CROSS JOIN n
         |ORDER BY pos""".stripMargin,
+
+    // --- round-12 wave ---
+    "pipeline_dpo_format" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang, md5(text) AS content_md5,
+        |    len(list_distinct(ls)) * 1000000 // len(ls) AS score_micro
+        |  FROM (SELECT doc_id, lang, text,
+        |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS ls
+        |        FROM documents)
+        |  WHERE len(ls) > 0),
+        |ranked AS (
+        |  SELECT *,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rnk,
+        |    CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM scored),
+        |chosen AS (
+        |  SELECT lang, rnk AS pair_id, doc_id AS chosen_doc,
+        |    content_md5 AS chosen_md5, score_micro AS chosen_score
+        |  FROM ranked WHERE rnk <= n // 2),
+        |rejected AS (
+        |  SELECT lang, rnk - n // 2 AS pair_id, doc_id AS rejected_doc,
+        |    content_md5 AS rejected_md5, score_micro AS rejected_score
+        |  FROM ranked WHERE rnk > n // 2)
+        |SELECT lang, pair_id, chosen_doc, chosen_md5,
+        |  CAST(chosen_score AS BIGINT) AS chosen_score,
+        |  rejected_doc, rejected_md5,
+        |  CAST(rejected_score AS BIGINT) AS rejected_score,
+        |  CAST(chosen_score - rejected_score AS BIGINT) AS margin_micro
+        |FROM chosen JOIN rejected USING (lang, pair_id)
+        |ORDER BY lang, pair_id""".stripMargin,
+
+    "pipeline_length_buckets" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+        |    WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+        |    WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+        |    WHEN n <= 1024 THEN 1024 WHEN n <= 2048 THEN 2048
+        |    WHEN n <= 4096 THEN 4096 ELSE -1 END AS bucket_cap, n
+        |  FROM (SELECT CAST(len(list_filter(string_split(text, ' '),
+        |          x -> x <> '')) AS BIGINT) AS n
+        |        FROM documents))
+        |SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+        |  CAST(CASE WHEN bucket_cap > 0
+        |    THEN bucket_cap * COUNT(*) - SUM(n) ELSE 0 END AS BIGINT)
+        |    AS pad_tokens,
+        |  CAST(CASE WHEN bucket_cap > 0
+        |    THEN SUM(n) * 1000000 // (bucket_cap * COUNT(*))
+        |    ELSE 1000000 END AS BIGINT) AS util_micro
+        |FROM t GROUP BY bucket_cap ORDER BY bucket_cap""".stripMargin,
+
+    // the oracle is the PLAIN join+agg: bucketed storage must not
+    // change the result, only the plan (the join_skew_salted device)
+    "join_bucketed_colocated" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** DuckDB oracle for `text_langid`, generated from

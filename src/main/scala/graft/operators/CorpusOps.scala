@@ -1462,6 +1462,96 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** `pipeline_dpo_format`: synthesize preference pairs from a
+    * quality-scored corpus — the weak-supervision recipe that bootstraps
+    * DPO/RLHF-style training sets before human labels exist: within each
+    * language, rank documents by a quality score, split the ranking in
+    * half, and pair rank i (top half → `chosen`) with rank i + half
+    * (bottom half → `rejected`), so every pair carries a positive score
+    * margin and the pairing is deterministic. The score is the
+    * distinct-word ratio in exact micro-units (vocabulary richness —
+    * repetitive boilerplate scores low; any scalar scorer slots in).
+    * Documents are addressed by id + content md5 (the sft_format
+    * device: grading kilobyte strings is the oracle's job, hauling them
+    * isn't).
+    *
+    * Scale shape: ONE corpus scan collapses map-only to a 4-column
+    * per-doc score table (text is dropped before anything shuffles);
+    * the per-lang rank is one window over that narrow table (the
+    * interleave-sources shape — salt a mega-language via
+    * Skew.distributedRowNumber at 100 TB); the chosen↔rejected match
+    * is a self-join on (lang, rank) — rank-keyed, equi-join, never
+    * all-pairs. scan-guard: pipeline_dpo_format */
+  def dpoFormat(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = words(lower(col("text")))
+    val scored = documents
+      .select(col("doc_id"), col("lang"),
+        md5(col("text")).as("content_md5"), w.as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), col("lang"), col("content_md5"),
+        // BIGINT before the multiply: a >2147-distinct-word document
+        // would overflow INT under ANSI (DuckDB's len() is BIGINT-native)
+        expr("CAST(size(array_distinct(w)) AS BIGINT) * 1000000 DIV size(w)")
+          .as("score_micro"))
+    val rankW = Window.partitionBy("lang")
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    val half = Window.partitionBy("lang")
+    val ranked = graft.plans.PlanPins.lazyPin(scored
+      .withColumn("rank", row_number().over(rankW))
+      .withColumn("n", count(lit(1)).over(half)))
+    val chosen = ranked.filter(col("rank") <= expr("n DIV 2"))
+      .select(col("lang"), col("rank").as("pair_id"),
+        col("doc_id").as("chosen_doc"), col("content_md5").as("chosen_md5"),
+        col("score_micro").as("chosen_score"))
+    val rejected = ranked.filter(col("rank") > expr("n DIV 2"))
+      .select(col("lang"), expr("rank - n DIV 2").as("pair_id"),
+        col("doc_id").as("rejected_doc"),
+        col("content_md5").as("rejected_md5"),
+        col("score_micro").as("rejected_score"))
+    chosen.join(rejected, Seq("lang", "pair_id"))
+      .select(col("lang"), col("pair_id").cast("long").as("pair_id"),
+        col("chosen_doc"), col("chosen_md5"), col("chosen_score"),
+        col("rejected_doc"), col("rejected_md5"), col("rejected_score"),
+        (col("chosen_score") - col("rejected_score")).as("margin_micro"))
+      .orderBy("lang", "pair_id")
+  }
+
+  /** `pipeline_length_buckets`: length-grouped batching accounting —
+    * assign every document to a power-of-2 token-length bucket (the
+    * standard padding-efficiency device: batching same-bucket sequences
+    * bounds pad waste at < 50%, vs unbounded waste batching arbitrary
+    * lengths to the global max) and emit the table a batch scheduler
+    * consumes: per-bucket doc count, token mass, padded cost at the
+    * bucket cap, and utilization in exact micro-units. The ladder is a
+    * FIXED integer CASE (16 … 4096, then an overflow bucket), not
+    * pow(2, ceil(log2 n)) — float log at exact powers of two is a
+    * cross-engine ulp trap; a literal ladder is exact in both engines.
+    *
+    * Scale shape: ONE corpus scan, map-only token count + ladder CASE
+    * per row, collapsing map-side to O(|ladder|) rows — the whole
+    * output is ≤ 10 rows at any corpus size; no shuffle carries more.
+    * scan-guard: pipeline_length_buckets */
+  def lengthBuckets(documents: DataFrame): DataFrame = {
+    val ladder = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L)
+    val n = size(words(col("text"))).cast("long")
+    val bucket = ladder.reverse.foldLeft(lit(-1L)) { (acc, cap) =>
+      when(n <= cap, lit(cap)).otherwise(acc) // -1 = overflow bucket
+    }
+    documents
+      .select(bucket.as("bucket_cap"), n.as("nt"))
+      .groupBy("bucket_cap")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("total_tokens"))
+      .select(col("bucket_cap"), col("n_docs"), col("total_tokens"),
+        when(col("bucket_cap") > 0,
+          col("bucket_cap") * col("n_docs") - col("total_tokens"))
+          .otherwise(lit(0L)).as("pad_tokens"),
+        when(col("bucket_cap") > 0,
+          expr("total_tokens * 1000000 DIV (bucket_cap * n_docs)"))
+          .otherwise(lit(1000000L)).as("util_micro"))
+      .orderBy("bucket_cap")
+  }
+
   /** `pipeline_span_corrupt`: T5/UL2-style span corruption — the
     * denoising-objective data prep that turns plain text into
     * (corrupted input, span targets) training pairs: fixed-period

@@ -113,8 +113,9 @@ object Scans {
     * which the lineitem/documents-named guard cannot attribute) */
   // process-unique session tag: application id (per SparkContext) +
   // session identity hash (per newSession clone) — distinct across
-  // concurrent processes, stable within one session
-  private def sessionTag(spark: org.apache.spark.sql.SparkSession): String =
+  // concurrent processes, stable within one session. Shared with
+  // Joins.bucketedColocated (the same concurrent-run isolation need).
+  private[operators] def sessionTag(spark: org.apache.spark.sql.SparkSession): String =
     s"${spark.sparkContext.applicationId}-${System.identityHashCode(spark)}"
 
   private val sinkInvocation = new java.util.concurrent.atomic.AtomicLong(0)
@@ -274,6 +275,63 @@ object Joins {
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
+
+  private val bucketInvocation = new java.util.concurrent.atomic.AtomicLong(0)
+  private val bucketLast =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
+
+  /** `join_bucketed_colocated`: the co-located join `join_inner`'s
+    * scaladoc promises — write BOTH sides as bucketed tables on the join
+    * key (`bucketBy(16, custkey)` + in-bucket sort, Spark's bucketing
+    * DDL), read them back, and sort-merge join WITHOUT an Exchange: the
+    * scan's bucket layout already satisfies the join's required
+    * HashClusteredDistribution, so the shuffle that dominates every
+    * repeated fact⋈fact join at 100 TB is paid ONCE at write time and
+    * amortized over every subsequent join on that key (the lake-layout
+    * contract: bucketed storage is how a warehouse co-locates repeated
+    * joins). The merge hint forces the SMJ path so the demonstration
+    * cannot silently degrade to a broadcast; BucketedJoinSpec asserts
+    * the sort-merge join has ZERO shuffle exchanges beneath it (the
+    * only exchange in the plan is the O(segments) aggregation above).
+    * Result equals the plain join+agg — the oracle checks exactly
+    * that.
+    *
+    * Tables/paths are per-session + per-invocation (the sink_partitioned
+    * isolation device) and each invocation retires the session's
+    * previous one.
+    *
+    * scan-guard: exempt (the input scans happen inside the eager
+    * bucketed writes at construction; the result plan scans the SINK
+    * tables, which the source-named guard cannot attribute) */
+  def bucketedColocated(customer: DataFrame, orders: DataFrame,
+                        buckets: Int = 16): DataFrame = {
+    val spark = customer.sparkSession
+    val tag = Scans.sessionTag(spark)
+    val inv = bucketInvocation.incrementAndGet()
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-bucketed-$tag/inv-$inv"
+    val (tc, to) = (s"graft_bkt_cust_$inv", s"graft_bkt_ord_$inv")
+    Option(bucketLast.put(tag, (base, tc, to))).foreach {
+      case (prevBase, pc, po) =>
+        spark.sql(s"DROP TABLE IF EXISTS $pc")
+        spark.sql(s"DROP TABLE IF EXISTS $po")
+        val fs = new org.apache.hadoop.fs.Path(prevBase)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(prevBase), true)
+    }
+    customer.select(col("c_custkey"), col("c_mktsegment"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$base/cust").saveAsTable(tc)
+    orders.select(col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$base/ord").saveAsTable(to)
+    spark.table(tc).hint("merge")
+      .join(spark.table(to), col("c_custkey") === col("o_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), Num.dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
 
   /** `join_full_outer`: per-nation customer vs supplier presence — rows
     * survive from BOTH sides (nations with customers but no suppliers and

@@ -170,4 +170,79 @@ object RetrievalOps {
         expr("n_hit * 1000000 DIV n_exact").as("recall_micro"))
       .orderBy("probe_id")
   }
+
+  /** Position-discount weights for NDCG@k in exact integer micro-units:
+    * w(i) = round(10^6 / log2(i + 1)). Computed ONCE here and shipped as
+    * the same integer literals to both engines (the ewmaWeights device —
+    * log2 differs across libm in the last ulp, an integer table cannot).
+    * PUBLIC: the SparkEntry oracle inlines these values. */
+  def ndcgDiscountMicro(k: Int): Seq[(Int, Long)] =
+    (1 to k).map(i =>
+      i -> math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+
+  /** Ideal DCG in the same units: relevance grades are k..1 (the exact
+    * list's ranks, best first), already in ideal order. */
+  def idcgMicro(k: Int): Long =
+    ndcgDiscountMicro(k).map { case (i, w) => (k - i + 1).toLong * w }.sum
+
+  /** `retrieval_ndcg`: NDCG@k of the approximate retriever against
+    * exact ground truth, per probe — recall@k ([[recallAtK]]) says
+    * whether the right neighbors are PRESENT; NDCG says whether they
+    * arrive in the right ORDER, which is what a reranker-less retrieval
+    * stack actually serves. Graded relevance of a candidate is its
+    * exact-list gain (k − exact_rank + 1; absent → 0); the position
+    * discount is the integer micro-unit table [[ndcgDiscountMicro]], so
+    * DCG = Σ rel·w(rank) is an exact BIGINT sum (order-free) and
+    * ndcg_micro = dcg·10^6 DIV idcg is exact integer division — the
+    * whole metric is bit-identical cross-engine despite scoring an
+    * "approximate" method (both retrievers are deterministic and
+    * oracled on their own; this is a pure composition, the recallAtK
+    * device).
+    *
+    * Scale shape: both retriever plans keep their audited shapes; the
+    * metric joins two k·|probes|-row tables on (probe_id, vec_id),
+    * attaches the k-row discount table as a literal map (no join), and
+    * collapses to O(|probes|) rows. */
+  def ndcgAtK(embeddings: DataFrame, k: Int = 10): DataFrame = {
+    val exact = VectorOps.batchCosineTopK(embeddings, k = k)
+      .select(col("probe_id"), col("vec_id"),
+        (lit(k) - col("rn") + 1).cast("long").as("rel"))
+    val ann = VectorOps.annLshBatch(embeddings, k = k)
+      .select(col("probe_id"), col("vec_id"), col("rn"))
+    val wMap = typedlit(ndcgDiscountMicro(k).toMap)
+    val idcg = idcgMicro(k)
+    ann.join(exact, Seq("probe_id", "vec_id"), "left")
+      .na.fill(0L, Seq("rel"))
+      .select(col("probe_id"),
+        (col("rel") * element_at(wMap, col("rn"))).as("g"))
+      .groupBy("probe_id")
+      .agg(sum(col("g")).as("dcg_units"))
+      .select(col("probe_id"), col("dcg_units"),
+        lit(idcg).as("idcg_units"),
+        expr(s"dcg_units * 1000000 DIV $idcg").as("ndcg_micro"))
+      .orderBy("probe_id")
+  }
+
+  /** `retrieval_mrr`: mean-reciprocal-rank inputs per probe — the
+    * position of the FIRST true neighbor in the approximate list (the
+    * "how far does a user scroll" metric; the single-number companion
+    * to [[ndcgAtK]]'s full-list grade). rr_micro = 10^6 DIV
+    * first_hit_rank, 0 when no true neighbor surfaces — exact integers
+    * end to end, same composition-of-oracled-retrievers device.
+    *
+    * Scale shape: identical to [[recallAtK]] — two k·|probes|-row
+    * tables join on (probe_id, vec_id) and collapse to O(|probes|). */
+  def mrrAtK(embeddings: DataFrame, k: Int = 10): DataFrame = {
+    val exact = VectorOps.batchCosineTopK(embeddings, k = k)
+      .select(col("probe_id"), col("vec_id"), lit(1).as("hit"))
+    val ann = VectorOps.annLshBatch(embeddings, k = k)
+      .select(col("probe_id"), col("vec_id"), col("rn"))
+    ann.join(exact, Seq("probe_id", "vec_id"), "left")
+      .groupBy("probe_id")
+      .agg(min(when(col("hit") === 1, col("rn"))).as("fh"))
+      .select(col("probe_id"),
+        coalesce(col("fh"), lit(0)).cast("long").as("first_hit_rank"),
+        coalesce(expr("1000000 DIV fh"), lit(0L)).as("rr_micro"))
+      .orderBy("probe_id")
+  }
 }

@@ -661,6 +661,11 @@ class PlanGuardSpec extends SparkSpec {
       ("ts_shape_topk", () => StreamBatchOps.shapeTopK(events),
         "events", 1),
       ("pipeline_span_corrupt", () => CorpusOps.spanCorrupt(docs),
+        "documents", 1),
+      // r12 wave: every new one-pass claim lands with its guard entry
+      ("pipeline_dpo_format", () => CorpusOps.dpoFormat(docs),
+        "documents", 1),
+      ("pipeline_length_buckets", () => CorpusOps.lengthBuckets(docs),
         "documents", 1))
   }
 

@@ -18,7 +18,8 @@ object StreamWindowsArtifact {
     "dedup_within_watermark", "bus_pipeline_windowed_agg",
     "transform_with_state_rocksdb", "map_groups_with_state",
     "stream_stream_inner", "stream_stream_left_outer",
-    "bus_join_checkpoint_resume", "ohlc_streaming")
+    "bus_join_checkpoint_resume", "ohlc_streaming",
+    "bus_corpus_gate_resume")
 
   private def jstr(s: String) =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""

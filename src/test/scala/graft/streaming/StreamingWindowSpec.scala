@@ -457,6 +457,91 @@ class StreamingWindowSpec extends SparkSpec {
         "restored across checkpoint resume expires the replayed late click")
   }
 
+  test("a §2-C corpus operator runs INSIDE the bus runner; dedup state survives checkpoint stop/resume (r11 verdict #4)") {
+    // The reference's whole premise is processor-inside-pipeline
+    // (pubsub_pipeline.py:62,181): the processor slot holds the user's
+    // logic and the runner owns pull/ack/publish. Until now every §2-C
+    // operator was proven in batch and the runner was proven with
+    // identity/serde transforms — this closes the composition: the
+    // corpus-prep QUALITY GATE (the exact library stage object from
+    // CorpusOps.corpusPrepPipeline, not a re-implementation) plus the
+    // exact-dedup stage in its streaming form (dropDuplicates state)
+    // run in the transform slot, and the dedup state provably SURVIVES
+    // a checkpoint stop/resume: a wave-2 duplicate of a wave-1 document
+    // is suppressed by restored state, not by anything in wave 2.
+    import graft.sources.InMemoryBus
+    val id = java.util.UUID.randomUUID().toString.take(8)
+    val inTopic = s"corpus-in-$id"; val inSub = s"corpus-insub-$id"
+    val outTopic = s"corpus-out-$id"; val outSub = s"corpus-outsub-$id"
+    InMemoryBus.createTopic(inTopic); InMemoryBus.createSubscription(inTopic, inSub)
+    InMemoryBus.createTopic(outTopic); InMemoryBus.createSubscription(outTopic, outSub)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    val ckpt = java.nio.file.Files.createTempDirectory("corpus-gate-ckpt").toString
+    // the LIBRARY quality gate (minWords = 4), pulled from the batch
+    // pipeline's stage list — streaming-compatible because it is a pure
+    // stateless projection+filter
+    val qualityGate = graft.operators.CorpusOps
+      .corpusPrepPipeline(spark.range(0).toDF(), minWords = 4)
+      .stages.collectFirst { case ("quality_gate", f) => f }.get
+    def mkPipeline() = new Pipeline(spark, inSub, outTopic,
+      JsonSerde(schema),
+      transform = df => {
+        val docs = df.select(col("payload.doc_id").as("doc_id"),
+          col("payload.text").as("text"))
+        // exact_dedup's streaming form: the batch stage's row_number
+        // window is not streamable; dropDuplicates IS its streaming
+        // equivalent (keep-first per text, state-store backed)
+        qualityGate(docs).dropDuplicates("text")
+          .select("doc_id", "text", "n_words")
+      },
+      checkpointDir = ckpt)
+    def good(i: Long) = s"""{"doc_id":$i,"text":"unique document body number $i"}"""
+    def dupOf(i: Long, as: Long) = s"""{"doc_id":$as,"text":"unique document body number $i"}"""
+    def short(i: Long) = s"""{"doc_id":$i,"text":"too short"}"""
+    def outDocs(): Seq[(Long, String)] = InMemoryBus.payloads(outSub)
+      .map(b => new String(b, "UTF-8"))
+      .map { j =>
+        val r = spark.range(1).select(
+          from_json(lit(j), schema.add("n_words", "int")).as("p"))
+          .select(col("p.doc_id"), col("p.text")).head()
+        (r.getLong(0), r.getString(1))
+      }
+
+    // wave 1: two good docs, an in-batch duplicate, a low-quality doc
+    Seq(good(1), good(2), dupOf(1, as = 3), short(4))
+      .foreach(m => InMemoryBus.publish(inTopic, m.getBytes("UTF-8")))
+    val q1 = mkPipeline().start(availableNow = true)
+    q1.awaitTermination(60000)
+    val run1 = outDocs()
+    assert(run1.map(_._2).sorted ===
+      Seq("unique document body number 1", "unique document body number 2"),
+      s"wave 1 must emit each unique quality-passing text once: $run1")
+
+    // wave 2, NEW pipeline instance on the SAME checkpoint: a cross-run
+    // duplicate of doc 1's text (the resume probe), one fresh doc, one
+    // more low-quality doc
+    Seq(dupOf(1, as = 5), good(6), short(7))
+      .foreach(m => InMemoryBus.publish(inTopic, m.getBytes("UTF-8")))
+    val q2 = mkPipeline().start(availableNow = true)
+    q2.awaitTermination(60000)
+    val run2 = outDocs().drop(run1.size)
+    assert(run2.map(_._1) === Seq(6L),
+      s"restored dedup state must suppress the wave-2 duplicate and " +
+        s"pass only the fresh doc: $run2")
+    val stateRows = q2.recentProgress.toSeq
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      .map(_.numRowsTotal)
+    assert(stateRows.nonEmpty && stateRows.max === 3L,
+      s"dedup state must hold the 3 unique texts (2 restored + 1 new): $stateRows")
+    StreamWindowsArtifact.record("bus_corpus_gate_resume", input = 7,
+      output = run1.size + run2.size,
+      claim = "CorpusOps quality gate (library stage) + streaming exact " +
+        "dedup run inside the bus runner's transform slot; state restored " +
+        "on checkpoint resume suppresses a cross-run duplicate",
+      q = Some(q2))
+  }
+
   override def afterAll(): Unit = {
     // refresh docs/STREAMWINDOWS.json only when the whole family ran
     StreamWindowsArtifact.flushIfComplete()
