@@ -331,7 +331,12 @@ object OracleGen {
 
   /** Shared CTE chain: wordfreq → words0 → (p_k, top_k, words_k) per
     * unrolled iteration. `words{merges}` holds each vocab word's final
-    * tokenization; `top_k` holds iteration k's winning merge. */
+    * tokenization; `top_k` holds iteration k's winning merge. When the
+    * vocabulary exhausts mergeable pairs before `merges` iterations,
+    * `top_k` is empty and the iteration is a NO-OP (LEFT JOIN ON TRUE +
+    * CASE fallback to the previous encoding), matching the Spark
+    * trainer's early stop — a CROSS JOIN here would silently empty every
+    * downstream CTE instead (r12 ADVICE). */
   private def bpeChainSql(merges: Int): String = {
     def iterSql(k: Int): String =
       s"""p$k AS (
@@ -343,14 +348,15 @@ object OracleGen {
          |          ORDER BY cnt DESC, l, r LIMIT 1),
          |words$k AS (
          |  SELECT word, freq,
-         |    replace(substr(rep$k, 2, length(rep$k) - 2),
-         |            chr(30) || chr(31), chr(31)) AS w
+         |    CASE WHEN l IS NULL THEN wprev$k ELSE
+         |      replace(substr(rep$k, 2, length(rep$k) - 2),
+         |              chr(30) || chr(31), chr(31)) END AS w
          |  FROM (
-         |    SELECT word, freq,
+         |    SELECT word, freq, w AS wprev$k, l,
          |      replace(chr(31) || replace(w, chr(31), chr(30) || chr(31)) || chr(30),
          |              chr(31) || l || chr(30) || chr(31) || r || chr(30),
          |              chr(31) || m || chr(30)) AS rep$k
-         |    FROM words${k - 1} CROSS JOIN top$k))""".stripMargin
+         |    FROM words${k - 1} LEFT JOIN top$k ON TRUE))""".stripMargin
     s"""WITH wordfreq AS (
        |  SELECT word, COUNT(*) AS freq FROM (
        |    SELECT unnest(string_split(lower(text), ' ')) AS word

@@ -3056,8 +3056,9 @@ object SparkEntry {
         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // sufficient statistics in HUGEINT (the Spark side's DECIMAL(38,0));
-    // den > 0 for any group with time spread, so // (floor) matches the
-    // pmod-adjusted DIV on negative slopes too
+    // DuckDB's // and Spark's DIV both TRUNCATE toward zero (measured:
+    // -7//2 = -3 on both engines), so negative slopes agree without any
+    // adjustment — do not "fix" either side to floor semantics
     "agg_linreg" ->
       """WITH t AS (
         |  SELECT event_type,

@@ -1547,7 +1547,14 @@ object CorpusOps {
           col("bucket_cap") * col("n_docs") - col("total_tokens"))
           .otherwise(lit(0L)).as("pad_tokens"),
         when(col("bucket_cap") > 0,
-          expr("total_tokens * 1000000 DIV (bucket_cap * n_docs)"))
+          // DECIMAL(38,0) sufficient-stat arithmetic (the agg_linreg
+          // device): total_tokens * 1e6 in BIGINT overflows past ~9.2e12
+          // tokens per bucket — well below 100 TB corpus scale; DuckDB's
+          // SUM(BIGINT) promotes to HUGEINT so the engines would diverge
+          // exactly there. DIV on decimals still returns BIGINT and
+          // util_micro ≤ 1e6 always fits.
+          expr("CAST(total_tokens AS DECIMAL(38,0)) * 1000000 " +
+            "DIV (CAST(bucket_cap AS DECIMAL(38,0)) * n_docs)"))
           .otherwise(lit(1000000L)).as("util_micro"))
       .orderBy("bucket_cap")
   }

@@ -119,37 +119,98 @@ object Scans {
     s"${spark.sparkContext.applicationId}-${System.identityHashCode(spark)}"
 
   private val sinkInvocation = new java.util.concurrent.atomic.AtomicLong(0)
-  private val sinkLastDir =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def sinkPartitioned(documents: DataFrame,
                       outDir: String = ""): DataFrame = {
     val spark = documents.sparkSession
     val dir = if (outDir.nonEmpty) outDir
-      else {
-        val d = s"${System.getProperty("java.io.tmpdir")}/graft-sink-" +
-          s"partitioned-${sessionTag(spark)}/inv-${sinkInvocation.incrementAndGet()}"
-        // the result plan reads the sink lazily, so cleanup of THIS
-        // invocation can't happen here; instead retire the session's
-        // previous invocation (already consumed — the runner executes
-        // each query before constructing the next)
-        Option(sinkLastDir.put(sessionTag(spark), d)).foreach { prev =>
-          val fs = new org.apache.hadoop.fs.Path(prev)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          fs.delete(new org.apache.hadoop.fs.Path(prev), true)
-        }
-        d
-      }
+      else s"${System.getProperty("java.io.tmpdir")}/graft-sink-" +
+        s"partitioned-${sessionTag(spark)}/inv-${sinkInvocation.incrementAndGet()}"
     documents.select(col("doc_id"), col("lang"), col("n_chars"))
       .write.mode("overwrite").partitionBy("lang").parquet(dir)
     val P = lit(2147483647L)
-    spark.read.parquet(dir)
+    val out = spark.read.parquet(dir)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
         pmod(sum(pmod(col("doc_id"), P).cast(DecimalType(38, 0))),
           P.cast(DecimalType(38, 0))).cast("long").as("id_checksum"))
       .orderBy("lang")
+    // the result plan reads the sink lazily, so cleanup of THIS
+    // invocation can't happen here; the janitor retires it once the
+    // returned frame is unreachable (retire-at-next-construction assumed
+    // strict construct-then-execute serialization and could delete a dir
+    // a concurrent thread's un-executed frame still needs — r12 ADVICE)
+    if (outDir.isEmpty) SinkJanitor.register(spark, sessionTag(spark) + "/sink",
+      dir, Nil, out)
+    out
+  }
+}
+
+/** Retire-when-safe cleanup for the eager-write operators
+  * ([[Scans.sinkPartitioned]], [[Joins.bucketedColocated]]): each writes a
+  * per-invocation temp sink at CONSTRUCTION time that the returned frame
+  * re-scans lazily at every execution, so "delete the previous invocation
+  * at the next construction" (the pre-r13 scheme) raced with any
+  * concurrent thread still holding an un-executed previous frame, and
+  * leaked the session's final invocation outright (r12 ADVICE).
+  *
+  * Scheme: the newest sink per (session, operator) key is strongly
+  * tracked; the displaced previous sink moves to a pending set holding a
+  * WEAK reference to its owning frame. A pending sink is deleted (tables
+  * dropped, dir removed) only after its frame becomes unreachable — an
+  * unreachable frame can never lazily re-scan the sink, so deletion is
+  * race-free by construction; live frames keep their data no matter the
+  * interleaving. Sweeps piggyback on constructions (no timer thread), and
+  * a JVM shutdown hook removes every remaining dir — catalog entries die
+  * with the JVM, so the hook only needs file deletion and must not touch
+  * the (possibly already-stopped) session.
+  *
+  * Caveat: a sink's lifetime is tied to the frame `register` is handed —
+  * frames DERIVED from it (`.filter`, `.union`) do not extend it. The two
+  * registered operators return terminal presentation frames the registry
+  * consumes directly, so derivation does not arise. */
+private[operators] object SinkJanitor {
+  private final case class Entry(dir: String, tables: Seq[String],
+                                 owner: java.lang.ref.WeakReference[AnyRef])
+  private val newest = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+  private val pending =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Entry]()
+
+  def register(spark: org.apache.spark.sql.SparkSession, key: String,
+               dir: String, tables: Seq[String], ownerFrame: AnyRef): Unit = {
+    val e = Entry(dir, tables, new java.lang.ref.WeakReference[AnyRef](ownerFrame))
+    Option(newest.put(key, e)).foreach(pending.add)
+    sweep(spark)
+  }
+
+  private def sweep(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val it = pending.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.owner.get() == null) {
+        it.remove()
+        // saveAsTable entries live in the shared external catalog, so any
+        // session clone of the same context can drop them
+        e.tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+        val p = new org.apache.hadoop.fs.Path(e.dir)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    }
+  }
+
+  private def deleteLocal(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteLocal))
+    f.delete(); ()
+  }
+
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val all = new java.util.ArrayList[Entry]()
+      pending.forEach(e => { all.add(e); () })
+      newest.values.forEach(e => { all.add(e); () })
+      all.forEach(e => deleteLocal(new java.io.File(e.dir)))
+    }, "graft-sink-janitor"))
   }
 }
 
@@ -277,8 +338,6 @@ object Joins {
       .orderBy("c_custkey")
 
   private val bucketInvocation = new java.util.concurrent.atomic.AtomicLong(0)
-  private val bucketLast =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
 
   /** `join_bucketed_colocated`: the co-located join `join_inner`'s
     * scaladoc promises — write BOTH sides as bucketed tables on the join
@@ -297,8 +356,8 @@ object Joins {
     * that.
     *
     * Tables/paths are per-session + per-invocation (the sink_partitioned
-    * isolation device) and each invocation retires the session's
-    * previous one.
+    * isolation device); superseded invocations are retired by
+    * [[SinkJanitor]] once their result frame is unreachable.
     *
     * scan-guard: exempt (the input scans happen inside the eager
     * bucketed writes at construction; the result plan scans the SINK
@@ -310,14 +369,6 @@ object Joins {
     val inv = bucketInvocation.incrementAndGet()
     val base = s"${System.getProperty("java.io.tmpdir")}/graft-bucketed-$tag/inv-$inv"
     val (tc, to) = (s"graft_bkt_cust_$inv", s"graft_bkt_ord_$inv")
-    Option(bucketLast.put(tag, (base, tc, to))).foreach {
-      case (prevBase, pc, po) =>
-        spark.sql(s"DROP TABLE IF EXISTS $pc")
-        spark.sql(s"DROP TABLE IF EXISTS $po")
-        val fs = new org.apache.hadoop.fs.Path(prevBase)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(prevBase), true)
-    }
     customer.select(col("c_custkey"), col("c_mktsegment"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "c_custkey").sortBy("c_custkey")
@@ -326,11 +377,13 @@ object Joins {
       .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "o_custkey").sortBy("o_custkey")
       .option("path", s"$base/ord").saveAsTable(to)
-    spark.table(tc).hint("merge")
+    val out = spark.table(tc).hint("merge")
       .join(spark.table(to), col("c_custkey") === col("o_custkey"))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_orders"), Num.dsum(col("o_totalprice")).as("revenue"))
       .orderBy("c_mktsegment")
+    SinkJanitor.register(spark, tag + "/bucketed", base, Seq(tc, to), out)
+    out
   }
 
   /** `join_full_outer`: per-nation customer vs supplier presence — rows

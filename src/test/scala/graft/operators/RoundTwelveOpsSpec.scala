@@ -104,17 +104,27 @@ class RoundTwelveOpsSpec extends SparkSpec {
     assert(got.toSeq === exp.toSeq)
     // the bucketed layout must satisfy the join's distribution: zero
     // exchanges beneath the SMJ (the one exchange in the plan is the
-    // aggregation above it)
-    val exec = Joins.bucketedColocated(customer, orders)
-      .queryExecution.executedPlan
-    val smj = exec.collect {
-      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
-    }
-    assert(smj.nonEmpty, s"merge hint must yield a sort-merge join:\n$exec")
-    val shufflesBelow = smj.head.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-    }
-    assert(shufflesBelow.isEmpty,
-      s"bucketed scan must satisfy the join distribution, found shuffle:\n${smj.head}")
+    // aggregation above it). Under AQE (default in Spark 4.x) TreeNode
+    // .collect can never see the SMJ: both the unexecuted
+    // AdaptiveSparkPlanExec wrapper AND the materialized QueryStageExec
+    // stages are LEAF nodes that hide their subtrees (this spec shipped
+    // red in r12 for exactly that). Pin AQE off for the plan-shape half,
+    // the PlanGuardSpec:344 device — the bucketed-scan property is
+    // AQE-independent.
+    val conf = spark.conf
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val exec = Joins.bucketedColocated(customer, orders)
+        .queryExecution.executedPlan
+      val smj = exec.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.nonEmpty, s"merge hint must yield a sort-merge join:\n$exec")
+      val shufflesBelow = smj.head.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shufflesBelow.isEmpty,
+        s"bucketed scan must satisfy the join distribution, found shuffle:\n${smj.head}")
+    } finally conf.unset("spark.sql.adaptive.enabled")
   }
 }
