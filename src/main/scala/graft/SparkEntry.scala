@@ -317,6 +317,14 @@ object SparkEntry {
     "pipeline_length_buckets" -> ((s, d) => CorpusOps.lengthBuckets(Tables.documents(s, d))),
     "join_bucketed_colocated" -> ((s, d) =>
       Joins.bucketedColocated(Tables.customer(s, d), Tables.orders(s, d))),
+    // --- round-13 wave ---
+    "graph_bfs_depths" -> ((s, d) => GraphOps.bfsDepths(Tables.lineitem(s, d))),
+    "ts_local_extrema" -> ((s, d) => StreamBatchOps.localExtrema(Tables.events(s, d))),
+    "text_readability" -> ((s, d) => TextOps.readability(Tables.documents(s, d))),
+    "dedup_url_canonical" -> ((s, d) => DedupOps.urlCanonical(Tables.documents(s, d))),
+    "scan_merge_schema" -> ((s, d) => Scans.scanMergeSchema(Tables.documents(s, d))),
+    "pipeline_anneal_mix" -> ((s, d) => CorpusOps.annealMix(Tables.documents(s, d))),
+    "corpus_snapshot_diff" -> ((s, d) => CorpusOps.snapshotDiff(Tables.documents(s, d))),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -3430,6 +3438,153 @@ object SparkEntry {
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // ---- round-13 wave ----
+
+    // the depth-capped walk (w.d < 32) is part of the semantics: both
+    // engines stop at 32 hops, so MIN(d) is the BFS depth for every
+    // node within the cap and -1 marks disconnected-or-beyond
+    "graph_bfs_depths" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+        |pairs AS (
+        |  SELECT a.s AS a, b.s AS b
+        |  FROM li a JOIN li b USING (ok)
+        |  WHERE a.s < b.s
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(DISTINCT ok) >= 2),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS node FROM edges),
+        |seeds AS (SELECT node FROM nodes ORDER BY node LIMIT 8),
+        |walk(node, d) AS (
+        |  SELECT node, 0 FROM seeds
+        |  UNION
+        |  SELECT e.b, w.d + 1 FROM walk w JOIN edges e ON e.a = w.node
+        |  WHERE w.d < 32),
+        |dep AS (SELECT node, MIN(d) AS depth FROM walk GROUP BY node)
+        |SELECT CAST(COALESCE(dep.depth, -1) AS BIGINT) AS depth,
+        |  COUNT(*) AS n_nodes, MIN(n.node) AS min_node
+        |FROM nodes n LEFT JOIN dep ON n.node = dep.node
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // events nanos are µs-aligned (generator invariant), so epoch_us
+    // ordering here equals Spark's µs-truncated ts ordering exactly
+    "ts_local_extrema" ->
+      """WITH t AS (
+        |  SELECT event_type, epoch_us(ts) AS us, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |w AS (
+        |  SELECT event_type, event_id, cents,
+        |    lag(cents) OVER win AS p, lead(cents) OVER win AS n
+        |  FROM t WINDOW win AS (PARTITION BY event_type ORDER BY us, event_id)),
+        |f AS (
+        |  SELECT event_type, event_id, cents,
+        |    CASE WHEN p IS NOT NULL AND n IS NOT NULL
+        |      AND cents > p AND cents > n THEN 1 ELSE 0 END AS is_max,
+        |    CASE WHEN p IS NOT NULL AND n IS NOT NULL
+        |      AND cents < p AND cents < n THEN 1 ELSE 0 END AS is_min
+        |  FROM w)
+        |SELECT event_type, COUNT(*) AS n_points,
+        |  CAST(SUM(is_max) AS BIGINT) AS n_maxima,
+        |  CAST(SUM(is_min) AS BIGINT) AS n_minima,
+        |  COALESCE(MAX(CASE WHEN is_max = 1 THEN cents END), -1) AS peak_cents,
+        |  COALESCE(MIN(CASE WHEN is_min = 1 THEN cents END), -1) AS trough_cents,
+        |  COALESCE(MIN(CASE WHEN is_max = 1 THEN event_id END), -1)
+        |    AS first_peak_event,
+        |  COALESCE(MIN(CASE WHEN is_min = 1 THEN event_id END), -1)
+        |    AS first_trough_event
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // * and // share precedence (left-assoc) in BOTH engines, so
+    // a*b//c parses as (a*b)//c on each side; operands non-negative
+    "text_readability" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS BIGINT) AS n_words,
+        |    GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+        |      1) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+        |      AS n_syllables
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_words, n_sentences, n_syllables,
+        |    206835000 - 1015000 * n_words // n_sentences
+        |      - 84600000 * n_syllables // n_words AS fre_micro
+        |  FROM t WHERE n_words > 0)
+        |SELECT doc_id, n_words, n_sentences, n_syllables, fre_micro,
+        |  CASE WHEN fre_micro >= 90000000 THEN 'very_easy'
+        |       WHEN fre_micro >= 60000000 THEN 'standard'
+        |       WHEN fre_micro >= 30000000 THEN 'difficult'
+        |       ELSE 'very_difficult' END AS band
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // independent derivation, not a regex mirror: the synthesis makes
+    // "canonical page" ≡ (lang, doc_id DIV 4), so the oracle counts
+    // quartets directly — any canonicalization step Spark gets wrong
+    // (unstripped fragment, case-sensitive host, surviving utm param)
+    // inflates n_canonical and mismatches
+    "dedup_url_canonical" ->
+      """SELECT lang, COUNT(*) AS n_urls,
+        |  COUNT(DISTINCT doc_id // 4) AS n_canonical,
+        |  COUNT(*) - COUNT(DISTINCT doc_id // 4) AS n_dup_urls
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the sink_partitioned device: aggregate the SOURCE directly —
+    // equality proves the two-generation write + mergeSchema read
+    // invented and lost nothing
+    "scan_merge_schema" ->
+      """SELECT lang, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_with_quality,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars % 100 ELSE 0 END)
+        |    AS BIGINT) AS total_quality
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "pipeline_anneal_mix" ->
+      """WITH perdoc AS (
+        |  SELECT source, CAST(len(w) AS BIGINT) AS nt,
+        |    CAST(len(list_distinct(w)) AS BIGINT) * 1000000 // len(w) AS q
+        |  FROM (SELECT source,
+        |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |        FROM documents)
+        |  WHERE len(w) > 0),
+        |persrc AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(nt) AS HUGEINT) AS tokens,
+        |    CAST(SUM(q) AS HUGEINT) // COUNT(*) AS q_micro
+        |  FROM perdoc GROUP BY 1),
+        |tot AS (SELECT SUM(tokens) AS tot_tokens,
+        |          SUM(tokens * q_micro) AS tot_tq FROM persrc)
+        |SELECT source, n_docs, CAST(tokens AS BIGINT) AS tokens,
+        |  CAST(q_micro AS BIGINT) AS q_micro,
+        |  CAST(tokens * 1000000 // tot_tokens AS BIGINT) AS w1_micro,
+        |  CAST(tokens * q_micro * 1000000 // tot_tq AS BIGINT) AS w2_micro,
+        |  CAST(tokens * q_micro * (tot_tokens * 10 // 100) // tot_tq AS BIGINT)
+        |    AS anneal_tokens
+        |FROM persrc, tot ORDER BY source""".stripMargin,
+
+    "corpus_snapshot_diff" ->
+      """WITH snap_a AS (
+        |  SELECT doc_id, lang, md5(text) AS h FROM documents
+        |  WHERE doc_id % 3 <> 0),
+        |snap_b AS (
+        |  SELECT doc_id, lang,
+        |    md5(CASE WHEN doc_id % 6 = 2 THEN text || ' v2' ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 3 <> 1)
+        |SELECT COALESCE(a.lang, b.lang) AS lang,
+        |  CAST(SUM(CASE WHEN a.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_added,
+        |  CAST(SUM(CASE WHEN b.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  CAST(SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+        |    AND a.h <> b.h THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(SUM(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unchanged
+        |FROM snap_a a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 

@@ -1639,4 +1639,100 @@ object CorpusOps {
         (col("r") * col("n_src") + col("si")).as("pos"))
       .orderBy("pos")
   }
+
+  /** `pipeline_anneal_mix` (round 13): two-phase data-mixture schedule —
+    * the published curriculum device (phase 1: sample sources by token
+    * mass; phase 2, the final ~10% "anneal", upweight high-quality
+    * sources) reduced to the table a sampler consumes: per source, its
+    * token mass, mean quality, and the exact per-phase sampling weights
+    * plus the anneal-phase token allocation.
+    *
+    * Quality is the dpo_format scorer (distinct-word ratio in exact
+    * micro-units); phase-1 weight is token-mass-proportional, phase-2
+    * weight is (tokens × quality)-proportional. All arithmetic is
+    * integer / DECIMAL(38,0) with truncating DIV (both engines truncate
+    * toward zero), so weights are bit-exact cross-engine; the
+    * tokens×quality×1e6 numerator runs in DECIMAL(38,0) because BIGINT
+    * overflows past ~9.2e3 source-tokens×quality (the length_buckets
+    * overflow class).
+    *
+    * Scale shape: ONE corpus scan collapses map-only to O(sources)
+    * rows (per-doc token count + distinct ratio, then partial+final
+    * agg); the two grand totals ride 1-row broadcasts. No shuffle
+    * carries more than the source table. scan-guard: pipeline_anneal_mix */
+  def annealMix(documents: DataFrame, annealPct: Int = 10): DataFrame = {
+    val w = words(lower(col("text")))
+    val perDoc = documents
+      .select(col("source"), w.as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("source"),
+        expr("CAST(size(w) AS BIGINT)").as("nt"),
+        expr("CAST(size(array_distinct(w)) AS BIGINT) * 1000000 DIV size(w)")
+          .as("q_micro"))
+    // pinned: O(sources) rows with TWO consumers (the totals aggregate
+    // and the weight projection) — unpinned, each would re-run the
+    // corpus scan underneath
+    val perSrc = graft.plans.PlanPins.lazyPin(perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tokens"),
+        expr("sum(q_micro) DIV count(1)").as("q_micro")))
+    val totals = perSrc.agg(
+      sum(col("tokens")).as("tot_tokens"),
+      sum(expr("CAST(tokens AS DECIMAL(38,0)) * q_micro")).as("tot_tq"))
+    perSrc.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("tokens"), col("q_micro"),
+        expr("CAST(tokens AS DECIMAL(38,0)) * 1000000 DIV tot_tokens")
+          .cast("long").as("w1_micro"),
+        expr("CAST(tokens AS DECIMAL(38,0)) * q_micro * 1000000 DIV tot_tq")
+          .cast("long").as("w2_micro"),
+        expr(s"CAST(tokens AS DECIMAL(38,0)) * q_micro * " +
+          s"(tot_tokens * $annealPct DIV 100) DIV tot_tq")
+          .cast("long").as("anneal_tokens"))
+      .orderBy("source")
+  }
+
+  /** `corpus_snapshot_diff` (round 13): incremental-ingest audit — diff
+    * two corpus snapshots by document id + content hash and report, per
+    * language, how many documents were added, removed, changed
+    * (same id, different content), and unchanged. This is the
+    * before-you-retrain report every periodically-refreshed lake needs:
+    * a crawl refresh that silently REMOVES half a language, or rewrites
+    * documents in place, shows up here and nowhere else.
+    *
+    * Snapshots are synthesized deterministically from the one corpus
+    * (old = doc_id % 3 ≠ 0, new = doc_id % 3 ≠ 1; new-side text gains a
+    * " v2" suffix when doc_id % 6 = 2, planting knowable in-place
+    * changes), so the oracle replays the diff exactly.
+    *
+    * Scale shape: TWO corpus scans (one per snapshot branch — inherent
+    * to diffing) collapse map-only to (doc_id, lang, md5) triples;
+    * the diff is ONE full-outer equi-join on doc_id (id-partitioned,
+    * co-located at 100 TB when both snapshots are id-bucketed — the
+    * join_bucketed_colocated layout) and the per-lang rollup is
+    * O(langs). Text never shuffles. scan-guard: corpus_snapshot_diff */
+  def snapshotDiff(documents: DataFrame): DataFrame = {
+    def snap(keepMod: Int) = documents
+      .filter(pmod(col("doc_id"), lit(3)) =!= keepMod)
+      .select(col("doc_id"), col("lang"),
+        md5(when(pmod(col("doc_id"), lit(6)) === 2 && lit(keepMod) === 1,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+          .as("h"))
+    val old = snap(0).select(col("doc_id"), col("lang").as("lang_a"),
+      col("h").as("h_a"))
+    val neu = snap(1).select(col("doc_id"), col("lang").as("lang_b"),
+      col("h").as("h_b"))
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("lang_a"), col("lang_b")).as("lang"),
+        when(col("h_a").isNull, 1L).otherwise(0L).as("added"),
+        when(col("h_b").isNull, 1L).otherwise(0L).as("removed"),
+        when(col("h_a").isNotNull && col("h_b").isNotNull &&
+          col("h_a") =!= col("h_b"), 1L).otherwise(0L).as("changed"),
+        when(col("h_a").isNotNull && col("h_b").isNotNull &&
+          col("h_a") === col("h_b"), 1L).otherwise(0L).as("unchanged"))
+      .groupBy("lang")
+      .agg(sum(col("added")).as("n_added"),
+        sum(col("removed")).as("n_removed"),
+        sum(col("changed")).as("n_changed"),
+        sum(col("unchanged")).as("n_unchanged"))
+      .orderBy("lang")
+  }
 }

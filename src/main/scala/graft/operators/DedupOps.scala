@@ -811,4 +811,57 @@ object DedupOps {
         col("cos_centroid"), col("keep"))
       .orderBy("vec_id")
   }
+
+  /** `dedup_url_canonical` (round 13): URL-keyed exact dedup through a
+    * real canonicalization pipeline — the web-corpus first pass that
+    * runs BEFORE any content hashing, because a crawl stores the same
+    * page under `HTTPS://HOST/x`, `https://host/x/`, `…/x#frag`, and
+    * `…/x?utm_source=feed` and content-dedup would pay four fetches and
+    * four near-dup comparisons for what one string normalization
+    * removes. Canonical steps (each a standard rule): drop the
+    * fragment, strip `utm_*` tracking parameters (dropping an
+    * emptied-out `?`), lowercase the scheme+host (ONLY that — paths are
+    * case-sensitive), strip one trailing slash.
+    *
+    * URLs are synthesized deterministically from doc fields (the
+    * fn_url device): quartets of documents (doc_id DIV 4) in the same
+    * language share a canonical page, and doc_id % 4 picks which messy
+    * variant each holds, so the dup structure is exactly replayable by
+    * the oracle. Emitted per language: raw vs canonical URL counts and
+    * the duplicate surplus a canonicalizing fetcher saves.
+    *
+    * Scale shape: ONE corpus scan; the canonicalization is map-only
+    * string rewriting (regexp_replace chain, codegen'd); the rollup
+    * needs per-lang DISTINCT canonicals — one shuffle keyed on
+    * (lang, canonical) with map-side partial distinct, then O(langs)
+    * rows. Text never leaves the scan. scan-guard: dedup_url_canonical */
+  def urlCanonical(documents: DataFrame): DataFrame = {
+    val page = concat(lit("www.example.org/"), col("lang"), lit("/doc/"),
+      expr("doc_id DIV 4"))
+    val messy = when(pmod(col("doc_id"), lit(4)) === 0,
+        concat(lit("https://"), page))
+      .when(pmod(col("doc_id"), lit(4)) === 1,
+        concat(lit("HTTPS://WWW.EXAMPLE.ORG/"), col("lang"), lit("/doc/"),
+          expr("doc_id DIV 4")))
+      .when(pmod(col("doc_id"), lit(4)) === 2,
+        concat(lit("https://"), page, lit("?utm_source=feed&utm_campaign=x")))
+      .otherwise(concat(lit("https://"), page, lit("/#frag")))
+    // the canonicalization pipeline, step by step over the messy string
+    val noFrag = regexp_replace(messy, "#.*$", "")
+    val noUtm = regexp_replace(
+      regexp_replace(noFrag, """\?utm_[^#]*$""", ""),
+      """&utm_[^&#]*""", "")
+    val lowHost = concat(
+      lower(regexp_extract(noUtm, "^[^/]*//[^/]*", 0)),
+      regexp_extract(noUtm, "^[^/]*//[^/]*(.*)$", 1))
+    val canon = regexp_replace(lowHost, "/$", "")
+    documents
+      .select(col("lang"), canon.as("canonical"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("canonical")).as("n_canonical"))
+      .select(col("lang"), col("n_urls"), col("n_canonical"),
+        (col("n_urls") - col("n_canonical")).as("n_dup_urls"))
+      .orderBy("lang")
+  }
 }

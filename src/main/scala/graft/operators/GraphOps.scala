@@ -370,4 +370,111 @@ object GraphOps {
         min(col("cluster")).as("min_component"))
       .orderBy("n_nodes")
   }
+
+  /** `graph_bfs_depths` (round 13): multi-source BFS hop distances over
+    * the part co-purchase graph ([[coPurchaseEdges]], the
+    * [[components]] projection) — the reachability PROFILE a component
+    * census can't give: how far the graph extends from a seed set
+    * (here: the `nSeeds` smallest node ids — deterministic), which is
+    * the primitive behind crawl-frontier depth budgeting, influence
+    * radius, and "how many hops from trusted seeds is this domain"
+    * corpus weighting (the TrustRank shape). Emits the depth HISTOGRAM
+    * (depth → node count + smallest node at that depth), O(diameter)
+    * rows at any graph size; unreached nodes (disconnected, or beyond
+    * `maxDepth`) land in the depth = -1 row. Both engines cap the walk
+    * at the same `maxDepth`, making the cap part of the semantics.
+    *
+    * Scale shape — the [[components]] two-tier device, same probe and
+    * rationale. The corpus-sized projection executes ONCE through a
+    * limit(max+1)-bounded collect:
+    *
+    *  - |E| ≤ `maxDriverEdges` (the normal case — the support
+    *    threshold keeps the projection at 10³-10⁴ edges across SFs):
+    *    driver BFS over the collected adjacency — O(|V|+|E|), no
+    *    per-round job-scheduling overhead.
+    *  - |E| > `maxDriverEdges`: distributed frontier expansion — each
+    *    round is ONE edge⋈frontier equi-join (src-keyed, co-partitioned
+    *    after round 1) plus an anti-join against the visited set; the
+    *    frontier only ever holds (node, depth) pairs, never corpus
+    *    rows, and O(log …) is bounded by min(diameter, maxDepth)
+    *    rounds. Frontier/visited persist per round and unpersist on
+    *    exit (the pagerank iteration-lineage note: depth > ~10 would
+    *    want checkpoints; maxDepth rounds stay shallow because each
+    *    round's plan builds on a MATERIALIZED persist, not lineage).
+    *
+    * scan-guard: exempt (the projection materializes behind the probe
+    * collect / per-round persists the pin-origin walk cannot attribute;
+    * the 2-scan claim is asserted on the pair plan in
+    * RoundElevenOpsSpec for the shared projection) */
+  def bfsDepths(lineitem: DataFrame, minSupport: Int = 2, nSeeds: Int = 8,
+                maxDepth: Int = 32, maxDriverEdges: Int = 2000000): DataFrame = {
+    val spark = lineitem.sparkSession
+    import spark.implicits._
+    val pairs = coPurchaseEdges(lineitem, minSupport)
+    val probe = pairs.limit(maxDriverEdges + 1).collect()
+    val depths: DataFrame =
+      if (probe.length <= maxDriverEdges) {
+        val adj = scala.collection.mutable.Map
+          .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+        probe.foreach { row =>
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+          adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+        }
+        val seeds = adj.keys.toSeq.sorted.take(nSeeds)
+        val depth = scala.collection.mutable.Map.empty[Long, Int]
+        seeds.foreach(s => depth(s) = 0)
+        var frontier = seeds
+        var d = 0
+        while (frontier.nonEmpty && d < maxDepth) {
+          d += 1
+          frontier = frontier.flatMap(adj(_))
+            .filter(n => !depth.contains(n)).distinct
+          frontier.foreach(n => depth(n) = d)
+        }
+        adj.keys.toSeq.map(n => (n, depth.getOrElse(n, -1).toLong))
+          .toDF("node", "depth")
+      } else {
+        // distributed tier: frontier expansion over the symmetrized
+        // edge table; every intermediate is O(frontier), never corpus
+        val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+          .persist()
+        val nodes = edges.select(col("src").as("node")).distinct().persist()
+        val seeds = nodes.orderBy("node").limit(nSeeds)
+          .withColumn("depth", lit(0L))
+        var visited = seeds.persist()
+        var frontier = seeds
+        var d = 0L
+        var frontierSize = frontier.count()
+        while (frontierSize > 0 && d < maxDepth) {
+          d += 1
+          val next = edges
+            .join(frontier.select(col("node").as("src")), Seq("src"))
+            .select(col("dst").as("node")).distinct()
+            .join(visited, Seq("node"), "left_anti")
+            .withColumn("depth", lit(d)).persist()
+          frontierSize = next.count()
+          val grown = visited.unionAll(next).persist()
+          grown.count()
+          visited.unpersist()
+          frontier = next
+          visited = grown
+        }
+        // roll up to the O(diameter) histogram DISTRIBUTED (the per-node
+        // table is O(|V|) and must never collect), then land the tiny
+        // result locally so the per-round persists can release here
+        val hist = nodes.join(visited, Seq("node"), "left")
+          .select(col("node"), coalesce(col("depth"), lit(-1L)).as("depth"))
+          .groupBy("depth")
+          .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        edges.unpersist(); nodes.unpersist(); visited.unpersist()
+        return hist.toDF("depth", "n_nodes", "min_node").orderBy("depth")
+      }
+    depths
+      .groupBy("depth")
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
+      .orderBy("depth")
+  }
 }

@@ -145,6 +145,56 @@ object Scans {
       dir, Nil, out)
     out
   }
+
+  /** `scan_merge_schema` (round 13): schema-evolution read — a lake's
+    * snapshots gain columns over time (here: an older snapshot without
+    * and a newer WITH a `quality_score` column), and the reader must
+    * union them WITHOUT rewriting history: parquet `mergeSchema` gives
+    * the union schema with nulls where an older file lacks the column —
+    * the append-only contract that makes adding a column at 100 TB a
+    * metadata operation instead of a full rewrite. The result audits
+    * the merged read per language: row count, how many rows carry the
+    * new column, and exact sums over both generations — equal to direct
+    * aggregation over the source iff merging invented/lost nothing.
+    *
+    * Snapshots split deterministically (v1 = even doc_id, without the
+    * column; v2 = odd, with quality_score = n_chars % 100), so the
+    * DuckDB oracle recomputes the audit straight from `documents` (the
+    * sink_partitioned device — the oracle checks THROUGH the round
+    * trip, not the files).
+    *
+    * Scale shape: the two snapshot writes are one map-only corpus scan
+    * each (construction-time, inherent to producing two generations);
+    * the merged read prunes to 3-4 columns per file group and the audit
+    * collapses map-side to O(langs). Footer schema-merge cost rides the
+    * driver's parallel footer read, bounded by file count not bytes.
+    *
+    * scan-guard: exempt (the source scans happen inside the eager
+    * snapshot writes at construction; the result plan scans the SINK
+    * files, which the documents-named guard cannot attribute) */
+  def scanMergeSchema(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-mergeschema-" +
+      s"${sessionTag(spark)}/inv-${sinkInvocation.incrementAndGet()}"
+    documents.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/v1")
+    documents.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        pmod(col("n_chars"), lit(100)).as("quality_score"))
+      .write.mode("overwrite").parquet(s"$dir/v2")
+    val out = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/v1", s"$dir/v2")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("quality_score")).as("n_with_quality"),
+        sum(col("n_chars")).as("total_chars"),
+        coalesce(sum(col("quality_score")), lit(0L)).as("total_quality"))
+      .orderBy("lang")
+    SinkJanitor.register(spark, sessionTag(spark) + "/mergeschema",
+      dir, Nil, out)
+    out
+  }
 }
 
 /** Retire-when-safe cleanup for the eager-write operators

@@ -986,4 +986,54 @@ object StreamBatchOps {
         max_by(col("cents"), col("event_id")).as("close_cents"))
       .orderBy("event_type", "hour_s")
   }
+
+  /** `ts_local_extrema` (round 13): strict local peaks and troughs per
+    * series — a point is a local maximum when its value is strictly
+    * above BOTH neighbors in (ts, event_id) order (symmetric for
+    * minima; series endpoints, having one neighbor, never qualify).
+    * This is the turning-point census behind alerting ("how jittery is
+    * this metric"), peak-rate capacity planning, and — corpus-side —
+    * burst detection in ingest volume series. Values compare in exact
+    * integer cents (the ohlc device), so tie handling (plateaus are NOT
+    * extrema under strict comparison) is bit-identical cross-engine.
+    *
+    * Emits O(event types) rows: point/extremum counts, the highest
+    * peak and lowest trough values, and the earliest extremum of each
+    * kind (min event_id among that kind's extrema — deterministic).
+    * Types whose series never turns (monotone) emit zero counts with
+    * -1 sentinels.
+    *
+    * Scale shape: one scan of events; lag/lead ride one window shuffle
+    * keyed by event_type (partition-local sort; at 100 TB a hot type
+    * re-keys by (type, day) with boundary rows exchanged — the
+    * ts_rolling salt note applies); the rollup collapses to O(types).
+    * scan-guard: ts_local_extrema */
+  def localExtrema(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+    events.filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        cents.as("cents"))
+      .withColumn("p", lag(col("cents"), 1).over(w))
+      .withColumn("n", lead(col("cents"), 1).over(w))
+      .withColumn("is_max",
+        (col("p").isNotNull && col("n").isNotNull &&
+          col("cents") > col("p") && col("cents") > col("n")).cast("long"))
+      .withColumn("is_min",
+        (col("p").isNotNull && col("n").isNotNull &&
+          col("cents") < col("p") && col("cents") < col("n")).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("is_max")).as("n_maxima"),
+        sum(col("is_min")).as("n_minima"),
+        coalesce(max(when(col("is_max") === 1, col("cents"))), lit(-1L))
+          .as("peak_cents"),
+        coalesce(min(when(col("is_min") === 1, col("cents"))), lit(-1L))
+          .as("trough_cents"),
+        coalesce(min(when(col("is_max") === 1, col("event_id"))), lit(-1L))
+          .as("first_peak_event"),
+        coalesce(min(when(col("is_min") === 1, col("event_id"))), lit(-1L))
+          .as("first_trough_event"))
+      .orderBy("event_type")
+  }
 }

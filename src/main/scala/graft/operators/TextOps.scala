@@ -661,4 +661,48 @@ object TextOps {
         when(col("logit") > 0, lit("keep")).otherwise(lit("drop")).as("label"))
       .orderBy("doc_id")
   }
+
+  /** `text_readability` (round 13): Flesch reading-ease per document in
+    * EXACT micro-points — the classic curriculum/quality axis the
+    * length- and repetition-based filters miss (a short document of
+    * long-winded sentences reads "hard" and belongs late in a
+    * curriculum; a children's-book sentence cadence reads "easy").
+    * Counts are the corpus conventions: words = nonempty
+    * whitespace-split tokens; sentences = `[.!?]+` runs (min 1 so the
+    * ratio is total); syllables = `[aeiouy]+` vowel groups in the
+    * lowercased text (the standard heuristic; consonant-only tokens
+    * contribute 0).
+    *
+    * FRE = 206.835 − 1.015·(W/S) − 84.6·(Syll/W), here in micro-points
+    * with truncating integer DIV at each ratio (both engines truncate
+    * toward zero; operands are non-negative): fre_micro = 206_835_000
+    * − 1_015_000·W DIV S − 84_600_000·Syll DIV W. Numerators stay
+    * below 2⁶³ for any document under ~10¹¹ syllables — bounded by the
+    * row, not the corpus, so 100 TB-safe. The band is a CASE ladder on
+    * the canonical 90/60/30 cuts.
+    *
+    * Scale shape: map-only over ONE corpus scan (two regexp counts +
+    * a split per row), no shuffle but the presentation sort.
+    * scan-guard: text_readability */
+  def readability(documents: DataFrame): DataFrame = {
+    val nWords = size(filter(split(col("text"), " "), w => w =!= ""))
+      .cast("long")
+    val nSentences = greatest(
+      regexp_count(col("text"), lit("""[.!?]+""")).cast("long"), lit(1L))
+    val nSyllables =
+      regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+    documents
+      .select(col("doc_id"), nWords.as("n_words"),
+        nSentences.as("n_sentences"), nSyllables.as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .withColumn("fre_micro",
+        expr("206835000 - 1015000 * n_words DIV n_sentences" +
+          " - 84600000 * n_syllables DIV n_words"))
+      .withColumn("band",
+        when(col("fre_micro") >= 90000000L, lit("very_easy"))
+          .when(col("fre_micro") >= 60000000L, lit("standard"))
+          .when(col("fre_micro") >= 30000000L, lit("difficult"))
+          .otherwise(lit("very_difficult")))
+      .orderBy("doc_id")
+  }
 }

@@ -666,7 +666,18 @@ class PlanGuardSpec extends SparkSpec {
       ("pipeline_dpo_format", () => CorpusOps.dpoFormat(docs),
         "documents", 1),
       ("pipeline_length_buckets", () => CorpusOps.lengthBuckets(docs),
-        "documents", 1))
+        "documents", 1),
+      // r13 wave
+      ("pipeline_anneal_mix", () => CorpusOps.annealMix(docs),
+        "documents", 1),
+      ("text_readability", () => TextOps.readability(docs), "documents", 1),
+      ("dedup_url_canonical", () => DedupOps.urlCanonical(docs),
+        "documents", 1),
+      ("ts_local_extrema", () => StreamBatchOps.localExtrema(events),
+        "events", 1),
+      // the two snapshot branches — inherent to diffing
+      ("corpus_snapshot_diff", () => CorpusOps.snapshotDiff(docs),
+        "documents", 2))
   }
 
   test("scan-count guards: every ONE-pass scaladoc claim executes exactly that many file scans (r9 verdict #2)") {

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 /** Hand-computed semantic pins for the round-13 fixes and wave. */
@@ -40,5 +42,134 @@ class RoundThirteenOpsSpec extends SparkSpec {
     assert(appB.toSeq === Seq(
       (1L, 4L, 4L, md5hex("ab | ab | ab | cd")),
       (2L, 3L, 3L, md5hex("ab | cd | cd"))))
+  }
+
+  // ---- round-13 wave fixtures ----
+
+  /** Co-purchase fixture: a 0-1-2 chain and a separate 3-4 edge, every
+    * pair supported by 2 distinct orders (the threshold). */
+  private def liChain = Seq(
+    (10L, 0L), (10L, 1L), (11L, 0L), (11L, 1L),
+    (12L, 1L), (12L, 2L), (13L, 1L), (13L, 2L),
+    (14L, 3L), (14L, 4L), (15L, 3L), (15L, 4L))
+    .toDF("l_orderkey", "l_partkey")
+
+  test("graph_bfs_depths: chain depths from a single seed; far component lands in -1") {
+    // seed = node 0 (nSeeds = 1): 0 at depth 0, 1 at 1, 2 at 2; the
+    // {3,4} component is unreached -> two nodes at -1, min node 3
+    val got = GraphOps.bfsDepths(liChain, nSeeds = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((-1L, 2L, 3L), (0L, 1L, 0L), (1L, 1L, 1L),
+      (2L, 1L, 2L)))
+  }
+
+  test("graph_bfs_depths: maxDepth caps the walk; distributed tier agrees with driver tier") {
+    val capped = GraphOps.bfsDepths(liChain, nSeeds = 1, maxDepth = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(capped.toSeq === Seq((-1L, 3L, 2L), (0L, 1L, 0L), (1L, 1L, 1L)))
+    // maxDriverEdges = 0 forces the frontier-join tier — same result
+    val dist = GraphOps.bfsDepths(liChain, nSeeds = 1, maxDriverEdges = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(dist.toSeq === Seq((-1L, 2L, 3L), (0L, 1L, 0L), (1L, 1L, 1L),
+      (2L, 1L, 2L)))
+  }
+
+  private def eventsFrom(rows: Seq[(Long, String, Long, Double)]) =
+    rows.map { case (e, ty, s, v) => (e, ty, java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(s)), v) }
+      .toDF("event_id", "event_type", "ts", "value")
+      .withColumn("user_id", lit(1L)).withColumn("props", lit("{}"))
+
+  test("ts_local_extrema: strict peaks/troughs; plateaus and endpoints never qualify; monotone series emits sentinels") {
+    // series t: 1, 3, 2, 5, 5, 4 -> one max (3: above 1 and 2), one min
+    // (2: below 3 and 5); the 5,5 plateau is NOT a strict max; series
+    // m: 1, 2, 3 monotone -> zero extrema, -1 sentinels
+    val ev = eventsFrom(Seq(
+      (1L, "t", 100L, 1.0), (2L, "t", 200L, 3.0), (3L, "t", 300L, 2.0),
+      (4L, "t", 400L, 5.0), (5L, "t", 500L, 5.0), (6L, "t", 600L, 4.0),
+      (7L, "m", 100L, 1.0), (8L, "m", 200L, 2.0), (9L, "m", 300L, 3.0)))
+    val got = StreamBatchOps.localExtrema(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(got.toSeq === Seq(
+      ("m", 3L, 0L, 0L, -1L, -1L, -1L, -1L),
+      ("t", 6L, 1L, 1L, 300L, 200L, 2L, 3L)))
+  }
+
+  test("text_readability: FRE micro-points and bands on paper") {
+    val docs = Seq(
+      (1L, "The cat sat."),   // W=3 S=1 Syll=3 (e,a,a)
+      (2L, "aa bb cc dd"),    // W=4 S=1 (min) Syll=1 (aa)
+      (3L, "Go. Stop! Why?"), // W=3 S=3 Syll=3 (o,o,y)
+      (4L, ""))               // zero words -> dropped
+      .toDF("doc_id", "text")
+    val got = TextOps.readability(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    // doc1: 206835000 - 1015000*3/1 - 84600000*3/3 = 119190000
+    // doc2: 206835000 - 1015000*4/1 - 84600000*1/4 = 181625000
+    // doc3: 206835000 - 3045000/3 - 84600000*3/3 = 121220000
+    assert(got.toSeq === Seq(
+      (1L, 3L, 1L, 3L, 119190000L, "very_easy"),
+      (2L, 4L, 1L, 1L, 181625000L, "very_easy"),
+      (3L, 3L, 3L, 3L, 121220000L, "very_easy")))
+  }
+
+  test("dedup_url_canonical: all four messy variants collapse to one canonical page") {
+    // doc_ids 0..3 are one quartet (same lang) holding the four messy
+    // variants — upper host, utm params, trailing slash + fragment —
+    // so n_canonical = 1 proves every canonicalization step fired;
+    // doc 4 starts the next quartet, doc 5 is another language
+    val docs = (0L to 4L).map(i => (i, "x", "en", "s", 1L)) :+
+      ((5L, "x", "fr", "s", 1L))
+    val df = docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = DedupOps.urlCanonical(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(("en", 5L, 2L, 3L), ("fr", 1L, 1L, 0L)))
+  }
+
+  test("scan_merge_schema: merged two-generation read audits exactly as the source") {
+    val docs = Seq((0L, "en", 10L), (1L, "en", 230L), (2L, "fr", 7L),
+      (3L, "fr", 105L)).toDF("doc_id", "lang", "n_chars")
+    val got = Scans.scanMergeSchema(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // v2 (odd ids) carries quality = n_chars % 100: en doc1 -> 30,
+    // fr doc3 -> 5
+    assert(got.toSeq === Seq(("en", 2L, 1L, 240L, 30L),
+      ("fr", 2L, 1L, 112L, 5L)))
+  }
+
+  test("pipeline_anneal_mix: phase weights and anneal allocation on paper") {
+    // A: 10 tokens q=200000 + 10 tokens q=1000000 -> 20 tokens, q=600000
+    // B: 10 tokens q=1000000
+    // tot_tokens=30 (anneal budget = 3), tot_tq = 22e6
+    val docs = Seq(
+      (1L, "a b a b a b a b a b", "A"),
+      (2L, "c d e f g h i j k l", "A"),
+      (3L, "m n o p q r s t u v", "B"))
+      .map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = CorpusOps.annealMix(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // w1: 20e6//30=666666 | 10e6//30=333333
+    // w2: 12e12//22e6=545454 | 10e12//22e6=454545
+    // anneal: 12e6*3//22e6=1 | 10e6*3//22e6=1 (truncation undershoots
+    // the 3-token budget — by design, never over-allocates)
+    assert(got.toSeq === Seq(
+      ("A", 2L, 20L, 600000L, 666666L, 545454L, 1L),
+      ("B", 1L, 10L, 1000000L, 333333L, 454545L, 1L)))
+  }
+
+  test("corpus_snapshot_diff: added/removed/changed/unchanged partition the id space") {
+    // ids 0..6: old = {1,2,4,5}, new = {0,2,3,5,6}; id 2 (≡2 mod 6)
+    // changes content in the new snapshot
+    val docs = (0L to 6L).map(i => (i, s"text $i", "en", "s", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = CorpusOps.snapshotDiff(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq === Seq(("en", 3L, 2L, 1L, 1L)))
   }
 }
