@@ -1477,15 +1477,41 @@ object CorpusOps {
     *
     * Scale shape: ONE corpus scan collapses map-only to a 4-column
     * per-doc score table (text is dropped before anything shuffles);
-    * the per-lang rank is one window over that narrow table (the
-    * interleave-sources shape — salt a mega-language via
-    * Skew.distributedRowNumber at 100 TB); the chosen↔rejected match
-    * is a self-join on (lang, rank) — rank-keyed, equi-join, never
-    * all-pairs. scan-guard: pipeline_dpo_format */
+    * the per-lang rank is one window over that narrow table, EXCEPT for
+    * mega-languages. The tier is decided by an O(langs) construction
+    * probe over a COLUMN-PRUNED lang-only scan (the graph_components
+    * probe device — the probe never touches text): a language whose row
+    * count exceeds `spark.graft.dpo.maxLangRows` (default 5e7 — roughly
+    * what one window task should sort; a 90%-English 100 TB corpus puts
+    * ~10¹¹ rows in ONE window partition otherwise) routes through the
+    * salt tier. There the score table is pinned ONCE (the single
+    * corpus scan; every downstream frame reads the visible checkpoint
+    * — no pin-over-pin chaining, which the release walk would leak)
+    * and split by literal lang lists (NULL lang stays on the window
+    * path); mega rows rank via [[Skew.distributedRowNumber]] on
+    * (lang, score desc, doc_id) — range-partitioned local ranks +
+    * broadcast offsets — rebased per language by subtracting the
+    * language's first global rank (an O(mega-langs) aggregate,
+    * broadcast); per-lang sizes ride a broadcast of the O(langs) count
+    * table. The chosen↔rejected match is a self-join on (lang, rank)
+    * — rank-keyed, equi-join, never all-pairs.
+    * scan-guard: pipeline_dpo_format */
   def dpoFormat(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = documents.sparkSession
+    val maxLangRows = spark.conf
+      .getOption("spark.graft.dpo.maxLangRows").map(_.toLong)
+      .getOrElse(50000000L)
+    // tier probe: lang-only scan (parquet prunes every other column),
+    // O(langs) rows to the driver. NULL lang never salts (a null-safe
+    // split would need <=> keys — the quota_cap lesson — and a null
+    // "language" is not a mega-language worth the machinery).
+    val megaLangs = documents.filter(col("lang").isNotNull)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxLangRows)
+      .collect().map(_.getString(0)).toSeq.sorted
     val w = words(lower(col("text")))
-    val scored = documents
+    val scoredPlan = documents
       .select(col("doc_id"), col("lang"),
         md5(col("text")).as("content_md5"), w.as("w"))
       .filter(size(col("w")) > 0)
@@ -1496,10 +1522,35 @@ object CorpusOps {
           .as("score_micro"))
     val rankW = Window.partitionBy("lang")
       .orderBy(col("score_micro").desc, col("doc_id"))
-    val half = Window.partitionBy("lang")
-    val ranked = graft.plans.PlanPins.lazyPin(scored
-      .withColumn("rank", row_number().over(rankW))
-      .withColumn("n", count(lit(1)).over(half)))
+    val ranked =
+      if (megaLangs.isEmpty)
+        // the common path: identical to the pre-tier plan — one pinned
+        // rank table, rank + size windows sharing one lang shuffle
+        graft.plans.PlanPins.lazyPin(scoredPlan
+          .withColumn("rank", row_number().over(rankW).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("lang"))))
+      else {
+        // salt tier: pin the score table ONCE; window branch, salt
+        // branch, and the count table all read the visible checkpoint
+        val scored = graft.plans.PlanPins.lazyPin(scoredPlan)
+        val counts = scored.groupBy("lang").agg(count(lit(1)).as("n"))
+        val windowRanked = scored
+          .filter(!coalesce(col("lang").isin(megaLangs: _*), lit(false)))
+          .withColumn("rank", row_number().over(rankW).cast("long"))
+        // global rank over (lang, score desc, id) — contiguous per lang
+        // by construction — rebased to per-lang ranks by each language's
+        // first global rank (O(mega-langs) rows, broadcast)
+        val megaGlobal = Skew.distributedRowNumber(
+          scored.filter(col("lang").isin(megaLangs: _*)), 0,
+          col("lang"), col("score_micro").desc, col("doc_id"))
+        val starts = megaGlobal.groupBy("lang").agg(min(col("rn")).as("_start"))
+        val megaRanked = megaGlobal
+          .join(broadcast(starts), Seq("lang"))
+          .withColumn("rank", col("rn") - col("_start") + 1L)
+          .drop("rn", "_start")
+        windowRanked.unionByName(megaRanked)
+          .join(broadcast(counts), Seq("lang"))
+      }
     val chosen = ranked.filter(col("rank") <= expr("n DIV 2"))
       .select(col("lang"), col("rank").as("pair_id"),
         col("doc_id").as("chosen_doc"), col("content_md5").as("chosen_md5"),

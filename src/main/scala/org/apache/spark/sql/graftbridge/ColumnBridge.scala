@@ -127,12 +127,19 @@ object ColumnBridge {
     plan.collect { case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id }
 
   /** Same, over a physical plan (`RDDScanExec` / `ExternalRDDScanExec`
-    * leaves), so executed-plan guards can also see through checkpoints. */
+    * leaves), so executed-plan guards can also see through checkpoints.
+    * Both AQE wrappers are LEAF nodes that hide their subtrees from
+    * TreeNode.collect: the unexecuted `AdaptiveSparkPlanExec` AND — once
+    * the frame has run — the materialized `QueryStageExec` stages (the
+    * r12/r13 AQE-leaf class); descend into both explicitly so guards
+    * see the same pins before and after execution. */
   def checkpointRddIdsExec(
       plan: org.apache.spark.sql.execution.SparkPlan): Seq[Int] =
     plan.collect {
       case r: org.apache.spark.sql.execution.RDDScanExec => Seq(r.rdd.id)
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         checkpointRddIdsExec(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        checkpointRddIdsExec(q.plan)
     }.flatten
 }

@@ -162,6 +162,39 @@ class RoundThirteenOpsSpec extends SparkSpec {
       ("B", 1L, 10L, 1000000L, 333333L, 454545L, 1L)))
   }
 
+  test("pipeline_dpo_format: mega-language salt tier ranks identically to the window path") {
+    // en (6 docs) crosses the 3-row knob -> distributedRowNumber tier;
+    // fr (2 docs) stays on the window path; results must be identical
+    // to the all-window default
+    val docs = Seq(
+      (1L, "a a a a", "en"), (2L, "a b c d", "en"), (3L, "a b a b", "en"),
+      (4L, "x y z x", "en"), (5L, "x y z w", "en"), (6L, "x x y z", "en"),
+      (7L, "u v w x", "fr"), (8L, "u u v w", "fr"))
+      .map { case (id, t, l) => (id, t, l, "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5), r.getString(6), r.getLong(7), r.getLong(8)))
+      .toSeq
+    val base = rows(CorpusOps.dpoFormat(docs))
+    assert(base.nonEmpty)
+    val conf = spark.conf
+    try {
+      conf.set("spark.graft.dpo.maxLangRows", "3")
+      val salted = CorpusOps.dpoFormat(docs)
+      val got = rows(salted) // execute first: pin origins register on execution
+      // the salt tier is structurally visible: window branch ∪ rebased
+      // distributedRowNumber branch (the default plan has no Union) —
+      // inside the rank pin, so read the origin-expanded plan
+      val expanded = graft.plans.PlanPins.expandedExecuted(salted)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/tmp/dpo_plan.txt"), expanded)
+      assert(expanded.contains("Union"),
+        "mega tier did not activate under the 3-row knob")
+      assert(got === base)
+    } finally conf.unset("spark.graft.dpo.maxLangRows")
+  }
+
   test("corpus_snapshot_diff: added/removed/changed/unchanged partition the id space") {
     // ids 0..6: old = {1,2,4,5}, new = {0,2,3,5,6}; id 2 (≡2 mod 6)
     // changes content in the new snapshot
