@@ -815,8 +815,8 @@ object DedupOps {
   /** `dedup_url_canonical` (round 13): URL-keyed exact dedup through a
     * real canonicalization pipeline — the web-corpus first pass that
     * runs BEFORE any content hashing, because a crawl stores the same
-    * page under `HTTPS://HOST/x`, `https://host/x/`, `…/x#frag`, and
-    * `…/x?utm_source=feed` and content-dedup would pay four fetches and
+    * page under an upper-cased host, a trailing slash, a `#fragment`,
+    * and a `?utm_source=...` tail, and content-dedup would pay four fetches and
     * four near-dup comparisons for what one string normalization
     * removes. Canonical steps (each a standard rule): drop the
     * fragment, strip `utm_*` tracking parameters (dropping an

@@ -195,6 +195,35 @@ class RoundThirteenOpsSpec extends SparkSpec {
     } finally conf.unset("spark.graft.dpo.maxLangRows")
   }
 
+  test("SinkJanitor: a superseded sink survives while its frame is reachable, dies once it is not") {
+    // the r12 ADVICE race: retire-at-next-construction deleted a dir a
+    // concurrent un-executed frame still needed. The janitor's contract:
+    // deletion only after the owning frame becomes unreachable.
+    val tmp = java.nio.file.Files.createTempDirectory("janitor-spec")
+    val dirA = tmp.resolve("a"); val dirB = tmp.resolve("b")
+    java.nio.file.Files.createDirectories(dirA)
+    java.nio.file.Files.createDirectories(dirB)
+    var ownerA: AnyRef = new Object
+    SinkJanitor.register(spark, "janitor-spec-key", dirA.toString, Nil, ownerA)
+    // displace A with B while A's owner is still strongly held: A must
+    // survive any number of sweeps
+    SinkJanitor.register(spark, "janitor-spec-key", dirB.toString, Nil, new Object)
+    assert(java.nio.file.Files.exists(dirA),
+      "janitor deleted a sink whose owner is still reachable")
+    // drop the owner; once the weak ref clears, the next register sweeps A
+    ownerA = null
+    val deadline = System.currentTimeMillis + 10000
+    var gone = false
+    while (!gone && System.currentTimeMillis < deadline) {
+      System.gc()
+      SinkJanitor.register(spark, "janitor-spec-key2",
+        tmp.resolve("c").toString, Nil, new Object)
+      gone = !java.nio.file.Files.exists(dirA)
+      if (!gone) Thread.sleep(100)
+    }
+    assert(gone, "janitor never reclaimed an unreachable sink")
+  }
+
   test("corpus_snapshot_diff: added/removed/changed/unchanged partition the id space") {
     // ids 0..6: old = {1,2,4,5}, new = {0,2,3,5,6}; id 2 (≡2 mod 6)
     // changes content in the new snapshot
