@@ -325,6 +325,10 @@ object SparkEntry {
     "scan_merge_schema" -> ((s, d) => Scans.scanMergeSchema(Tables.documents(s, d))),
     "pipeline_anneal_mix" -> ((s, d) => CorpusOps.annealMix(Tables.documents(s, d))),
     "corpus_snapshot_diff" -> ((s, d) => CorpusOps.snapshotDiff(Tables.documents(s, d))),
+    // --- round-13 wave 2 ---
+    "dedup_span_rewrite" -> ((s, d) => DedupOps.spanRewrite(Tables.documents(s, d))),
+    "corpus_quality_reliability" -> ((s, d) => TextOps.qualityReliability(Tables.documents(s, d))),
+    "ts_gap_islands" -> ((s, d) => StreamBatchOps.gapIslands(Tables.events(s, d))),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -3586,6 +3590,86 @@ object SparkEntry {
         |    AS n_unchanged
         |FROM snap_a a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // round-13 wave 2. The oracle decides first-occurrence with a
+    // ROW_NUMBER window where Spark uses the skew-proof min-struct
+    // aggregate — different plans, same deterministic keeper set
+    "dedup_span_rewrite" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |spans AS (
+        |  SELECT doc_id, lang, CAST(i AS BIGINT) AS block_idx,
+        |    (len(ws) + 4) // 5 AS n_spans,
+        |    array_to_string(ws[(i*5+1):(i*5+5)], ' ') AS span
+        |  FROM w, UNNEST(range((len(ws) + 4) // 5)) AS t(i)
+        |  WHERE len(ws) > 0),
+        |marked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(span)
+        |    ORDER BY doc_id, block_idx) AS occ
+        |  FROM spans)
+        |SELECT doc_id, MAX(lang) AS lang,
+        |  CAST(MAX(n_spans) AS BIGINT) AS n_spans,
+        |  COUNT(*) AS n_kept,
+        |  CAST(SUM(len(string_split(span, ' '))) AS BIGINT) AS kept_words,
+        |  md5(string_agg(span, ' ' ORDER BY block_idx)) AS rewrite_md5
+        |FROM marked WHERE occ = 1
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // gold bit by cross-multiplication (2·distinct ≥ n) — no division,
+    // no rounding anywhere; decile from ROW_NUMBER, not ntile, so the
+    // bucket formula is the same literal arithmetic on both engines
+    "corpus_quality_reliability" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS f_words,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |        x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'to')) AS f_stop,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |      AS f_digits,
+        |    len(regexp_extract_all(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |      + len(regexp_extract_all(text, '\d{9,}')) AS f_pii,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    2*f_words + 5*f_stop - 30*f_digits - 1000*f_pii - 127 AS logit,
+        |    CASE WHEN len(w) > 0 AND 2*len(list_distinct(w)) >= len(w)
+        |      THEN 1 ELSE 0 END AS gold
+        |  FROM f),
+        |r AS (
+        |  SELECT logit, gold,
+        |    ROW_NUMBER() OVER (ORDER BY logit, doc_id) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM l)
+        |SELECT (rn-1)*10//n AS decile, COUNT(*) AS n_docs,
+        |  CAST(SUM(gold) AS BIGINT) AS n_gold,
+        |  CAST(SUM(gold) AS BIGINT)*1000000//COUNT(*) AS gold_micro,
+        |  MIN(logit) AS lo_logit, MAX(logit) AS hi_logit
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ts_gap_islands" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |r AS (
+        |  SELECT user_id, day,
+        |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS grp
+        |  FROM d),
+        |i AS (
+        |  SELECT user_id, grp, COUNT(*) AS len, MIN(day) AS start_day
+        |  FROM r GROUP BY 1, 2)
+        |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |  COUNT(*) AS n_islands, MAX(len) AS longest_island,
+        |  MIN(start_day) AS first_day,
+        |  MAX(start_day + len - 1) AS last_day,
+        |  MAX(start_day + len - 1) - MIN(start_day) + 1
+        |    - CAST(SUM(len) AS BIGINT) AS gap_days
+        |FROM i GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** DuckDB oracle for `text_langid`, generated from

@@ -864,4 +864,72 @@ object DedupOps {
         (col("n_urls") - col("n_canonical")).as("n_dup_urls"))
       .orderBy("lang")
   }
+
+  /** `dedup_span_rewrite` (round 13 wave 2): span-level global dedup that
+    * REWRITES documents instead of dropping them — the CCNet-shaped pass
+    * (Wenzek et al., "CCNet", LREC 2020 — paragraph-hash dedup across
+    * shards) re-expressed at word-block grain: each doc splits into
+    * non-overlapping `k`-word spans; a span instance survives iff it is
+    * the corpus-wide FIRST occurrence of its content (order by
+    * (doc_id, block_idx) — deterministic, replayable); surviving spans
+    * reassemble in block order into the rewritten doc. This is the
+    * complement of [[dupSpans]] (census) and [[filterDupSpans]] (whole-doc
+    * drop): boilerplate is cut, the prose around it survives. Docs whose
+    * every span is seen earlier vanish — exactly the rewrite semantics
+    * (output IS the surviving corpus + per-doc loss accounting:
+    * n_spans, n_kept, kept_words, md5 of the rewritten text).
+    *
+    * Scale shape: span synthesis is map-only (`sequence`/`slice` inside
+    * codegen — no intermediate word explode). First-occurrence is
+    * decided by a groupBy(span-hash) min-struct aggregate, NOT a window:
+    * partial aggregation collapses a hot span (boilerplate duplicated
+    * 10^9 times at 100 TB) map-side, where a row_number window would
+    * pull every instance through one task. The keeper table then
+    * re-joins the span stream on hash (AQE splits any residual hot-hash
+    * probe task; the probe side streams, nothing buffers), and
+    * reassembly is one doc_id-keyed shuffle of SURVIVING spans only.
+    * Two corpus scans — the honest floor for the build/probe pair (the
+    * dedup_exact_normalized class); span text crosses a shuffle once.
+    * scan-guard: dedup_span_rewrite */
+  def spanRewrite(documents: DataFrame, k: Int = 5): DataFrame = {
+    val words = filter(split(col("text"), " "), w => w =!= "")
+    // span synthesis: one codegen'd projection — block texts are sliced
+    // out of the word array in place, no per-word explode ever exists
+    val spans = documents
+      .select(col("doc_id"), col("lang"), words.as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), col("lang"),
+        expr(s"(size(ws) + ${k - 1}) DIV $k").as("n_spans"),
+        posexplode(transform(
+          // `/` on Columns is DOUBLE division — integer block count must
+          // go through DIV (and sequence needs matching integral types)
+          sequence(lit(0L), expr(s"(size(ws) + ${k - 1}) DIV $k - 1")),
+          i => array_join(slice(col("ws"), i * k + lit(1), lit(k)), " "))))
+      .withColumnRenamed("pos", "block_idx")
+      .withColumnRenamed("col", "span")
+      .withColumn("h", md5(col("span")))
+    // first-occurrence decision: min-struct AGGREGATE (map-side partial
+    // combine — skew-proof), never a hash-partitioned window
+    val firsts = spans
+      .select(col("h"), col("doc_id"), col("block_idx"))
+      .groupBy("h")
+      .agg(min(struct(col("doc_id"), col("block_idx"))).as("first"))
+    spans.join(firsts, Seq("h"))
+      .filter(col("first.doc_id") === col("doc_id") &&
+        col("first.block_idx") === col("block_idx"))
+      .groupBy("doc_id")
+      .agg(
+        max(col("lang")).as("lang"),
+        max(col("n_spans")).as("n_spans"),
+        count(lit(1)).as("n_kept"),
+        sum(size(split(col("span"), " ")).cast("long")).as("kept_words"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("block_idx"), col("span")))),
+            s => s.getField("span")),
+          " ")).as("rewrite_md5"))
+      .select(col("doc_id"), col("lang"), col("n_spans"), col("n_kept"),
+        col("kept_words"), col("rewrite_md5"))
+      .orderBy("doc_id")
+  }
 }

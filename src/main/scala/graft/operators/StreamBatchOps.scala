@@ -1036,4 +1036,48 @@ object StreamBatchOps {
           .as("first_trough_event"))
       .orderBy("event_type")
   }
+
+  /** `ts_gap_islands` (round 13 wave 2): per-user activity islands — the
+    * classic gaps-and-islands analysis at (user, calendar-day) grain:
+    * maximal runs of consecutive active days, found with the
+    * day − row_number grouping device (consecutive days share a constant
+    * difference). Emits the per-user engagement-shape feature row a
+    * retention model consumes: active days, island count, longest
+    * island, first/last day, and interior gap days (span − active) —
+    * the complement of [[retention]]'s cohort view ("how often do users
+    * come back" vs "in what RHYTHM"). Exact integers end to end (epoch
+    * day = trunc-division of epoch seconds, both engines).
+    *
+    * Scale shape: distinct-FIRST — the (user, day) distinct runs with
+    * map-side partial combine, so raw event volume collapses before the
+    * first shuffle (never repartition raw events by user). The per-user
+    * window then ranks ≤ calendar-days rows per user (bounded by days
+    * since epoch — skew-immune by construction), and both rollups ride
+    * the window's (user_id) partitioning exchange-free.
+    * scan-guard: ts_gap_islands */
+  def gapIslands(events: DataFrame): DataFrame = {
+    val d = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"),
+        expr("unix_timestamp(ts) DIV 86400").as("day"))
+      .distinct()
+    val wU = Window.partitionBy("user_id").orderBy("day")
+    val islands = d
+      .withColumn("grp", col("day") - row_number().over(wU))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+    islands
+      .groupBy("user_id")
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_islands"),
+        max(col("len")).as("longest_island"),
+        min(col("start_day")).as("first_day"),
+        max(col("start_day") + col("len") - 1).as("last_day"))
+      .withColumn("gap_days",
+        col("last_day") - col("first_day") + 1 - col("n_active_days"))
+      .select(col("user_id"), col("n_active_days"), col("n_islands"),
+        col("longest_island"), col("first_day"), col("last_day"),
+        col("gap_days"))
+      .orderBy("user_id")
+  }
 }

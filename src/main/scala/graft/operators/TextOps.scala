@@ -705,4 +705,61 @@ object TextOps {
           .otherwise(lit("very_difficult")))
       .orderBy("doc_id")
   }
+
+  /** `corpus_quality_reliability` (round 13 wave 2): calibration audit of
+    * the model-tier quality scorer ([[qualityModel]]'s integer logit)
+    * against an INDEPENDENT gold heuristic (lexical-diversity bit:
+    * 2·distinct_words ≥ words over lowercased tokens — the dpo_format
+    * micro-score device, division eliminated by cross-multiplying so no
+    * engine ever rounds). The corpus is ranked by (logit, doc_id) and cut
+    * into 10 equal-mass score deciles; per decile: doc count, gold hits,
+    * gold rate in exact micro units, and the logit span. Read as a
+    * reliability table: gold_micro monotone in decile = the scorer agrees
+    * with the heuristic; the sf corpora actually expose ANTI-calibration
+    * (long docs score high on the logit, low on diversity) — exactly the
+    * disagreement report a data-quality stack runs before trusting a
+    * filter model at 100 TB.
+    *
+    * Scale shape: ONE corpus scan collapses map-only to a 3-column
+    * (doc_id, logit, gold) score table; the global rank is
+    * [[Skew.distributedRowNumber]] (range-repartition + broadcast
+    * offsets — no single-task window, the dpo_format salt-tier device);
+    * N arrives as a 1-row broadcast (max rank — no second count pass);
+    * decile arithmetic is exact BIGINT ((rn−1)·10 DIV n); the rollup is
+    * one 10-key shuffle. Text never leaves the scan.
+    * scan-guard: corpus_quality_reliability */
+  def qualityReliability(documents: DataFrame): DataFrame = {
+    val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+    val words = filter(split(col("text"), " "), w => w =!= "")
+    val stops = filter(split(lower(col("text")), " "),
+      w => w === "the" || w === "a" || w === "of" || w === "to")
+    val lw = filter(split(lower(col("text")), " "), w => w =!= "")
+    val logit = lit(2L) * size(words).cast("long") +
+      lit(5L) * size(stops).cast("long") -
+      lit(30L) * (length(col("text")) -
+        length(regexp_replace(col("text"), "[0-9]", ""))).cast("long") -
+      lit(1000L) * (regexp_count(col("text"), lit(email)) +
+        regexp_count(col("text"), lit("""\d{9,}"""))).cast("long") -
+      lit(127L)
+    val gold = when(size(lw) > 0 &&
+        lit(2L) * size(array_distinct(lw)).cast("long") >=
+          size(lw).cast("long"), 1L)
+      .otherwise(0L)
+    val scored = documents.select(col("doc_id"), logit.as("logit"),
+      gold.as("gold"))
+    val ranked = graft.operators.Skew.distributedRowNumber(
+      scored, 0, col("logit"), col("doc_id"))
+    val n = ranked.agg(max(col("rn")).as("n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("decile", expr("((rn - 1) * 10) DIV n"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("gold")).as("n_gold"),
+        min(col("logit")).as("lo_logit"),
+        max(col("logit")).as("hi_logit"))
+      .withColumn("gold_micro", expr("n_gold * 1000000 DIV n_docs"))
+      .select(col("decile"), col("n_docs"), col("n_gold"),
+        col("gold_micro"), col("lo_logit"), col("hi_logit"))
+      .orderBy("decile")
+  }
 }

@@ -677,7 +677,15 @@ class PlanGuardSpec extends SparkSpec {
         "events", 1),
       // the two snapshot branches — inherent to diffing
       ("corpus_snapshot_diff", () => CorpusOps.snapshotDiff(docs),
-        "documents", 2))
+        "documents", 2),
+      // r13 wave 2: keeper-aggregate build side + span probe side —
+      // the dedup_exact_normalized build/probe floor
+      ("dedup_span_rewrite", () => DedupOps.spanRewrite(docs),
+        "documents", 2),
+      ("corpus_quality_reliability",
+        () => TextOps.qualityReliability(docs), "documents", 1),
+      ("ts_gap_islands", () => StreamBatchOps.gapIslands(events),
+        "events", 1))
   }
 
   test("scan-count guards: every ONE-pass scaladoc claim executes exactly that many file scans (r9 verdict #2)") {

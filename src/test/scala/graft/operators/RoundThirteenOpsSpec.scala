@@ -234,4 +234,65 @@ class RoundThirteenOpsSpec extends SparkSpec {
         r.getLong(4)))
     assert(got.toSeq === Seq(("en", 3L, 2L, 1L, 1L)))
   }
+
+  // ---- round-13 wave 2 fixtures ----
+
+  test("dedup_span_rewrite: first occurrence survives, later copies cut, fully-deduped docs vanish") {
+    // k=5 blocks. doc 1 owns both spans; doc 2 repeats doc 1's first
+    // block (cut) and keeps its short tail; doc 3 is ENTIRELY doc 1's
+    // second block -> vanishes from the output; doc 4 repeats its own
+    // first block twice internally -> self-dedup keeps only block 0.
+    val docs = Seq(
+      (1L, "a b c d e f g h i j", "en"),
+      (2L, "a b c d e x y", "en"),
+      (3L, "f g h i j", "en"),
+      (4L, "p q r s t p q r s t p q r s t", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = DedupOps.spanRewrite(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    assert(got.toSeq === Seq(
+      (1L, "en", 2L, 2L, 10L, md5hex("a b c d e f g h i j")),
+      (2L, "en", 2L, 1L, 2L, md5hex("x y")),
+      (4L, "en", 3L, 1L, 5L, md5hex("p q r s t"))))
+  }
+
+  test("corpus_quality_reliability: logit rank, decile arithmetic, and the gold bit edge") {
+    // logits ("a" IS a stopword):
+    //         d0 "x"*5 -> 2*5-127 = -117, gold 2*1<5 -> 0
+    //         d1 "a b c" -> 2*3+5-127 = -116, gold 1
+    //         d2 "the the" -> 2*2+5*2-127 = -113, gold 2*1>=2 -> 1 (equality edge)
+    //         d3 digits+PII -> 2*3+5-30*11-1000-127 = -1446, gold 1
+    // rank asc: d3,d0,d1,d2 -> deciles (rn-1)*10 DIV 4 = 0,2,5,7
+    val docs = Seq(
+      (0L, "x x x x x"), (1L, "a b c"), (2L, "the the"),
+      (3L, "a 12345678901 b"))
+      .toDF("doc_id", "text")
+    val got = TextOps.qualityReliability(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      (0L, 1L, 1L, 1000000L, -1446L, -1446L),
+      (2L, 1L, 0L, 0L, -117L, -117L),
+      (5L, 1L, 1L, 1000000L, -116L, -116L),
+      (7L, 1L, 1L, 1000000L, -113L, -113L)))
+  }
+
+  test("ts_gap_islands: islands split on missing days; same-day repeats collapse") {
+    def t(day: Long, off: Long = 0L) =
+      new java.sql.Timestamp((day * 86400L + off) * 1000L)
+    // user 1: days {0,1,2, 5,6, 9} (day 0 twice) -> 3 islands, longest 3,
+    // span 10, gaps 4; user 2: single day -> 1 singleton island, 0 gaps
+    val events = Seq(
+      (t(0), 1L), (t(0, 3600), 1L), (t(1), 1L), (t(2), 1L),
+      (t(5), 1L), (t(6), 1L), (t(9), 1L),
+      (t(3), 2L))
+      .toDF("ts", "user_id")
+    val got = StreamBatchOps.gapIslands(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq === Seq(
+      (1L, 6L, 3L, 3L, 0L, 9L, 4L),
+      (2L, 1L, 1L, 1L, 3L, 3L, 0L)))
+  }
 }
