@@ -56,6 +56,40 @@ trait Bus {
   def read(name: String, from: Long, until: Long): Seq[InMemoryBus.BusMessage]
   def commit(name: String, upTo: Long): Unit
   def payloads(name: String): Seq[Array[Byte]]
+
+  // --- pull lease (the modify_ack_deadline analog, round 13) ---------
+  // Pub/Sub gives every outstanding message an ack deadline that the
+  // client library extends in the background while processing runs
+  // (modifyAckDeadline); expiry ⇒ redelivery to another consumer. In the
+  // offset-log model the analog is a SUBSCRIPTION-WIDE pull lease over
+  // the uncommitted backlog: while one consumer's lease is active a
+  // competing consumer pulls nothing; if the holder stalls past its
+  // deadline without extending, the lease expires and the backlog is
+  // deliverable again (at-least-once redelivery, same contract as a
+  // restart). Deadlines are in the bus's deterministic LOGICAL clock
+  // (micros; ticks on publish, advanced explicitly in tests) so lease
+  // semantics are replayable, never wall-clock flaky.
+
+  /** Logical-clock "now" in micros (the clock publishes tick). */
+  def nowMicros(): Long
+
+  /** Advance the logical clock (test support — how a spec makes a lease
+    * expire deterministically). */
+  def advanceClock(byMicros: Long): Unit
+
+  /** Acquire (or renew, for the same holder) the subscription's pull
+    * lease until `deadlineMicros`. Returns false while a DIFFERENT
+    * holder's unexpired lease is active — the caller must back off and
+    * not pull. */
+  def acquireLease(name: String, holder: String, deadlineMicros: Long): Boolean
+
+  /** The `modify_ack_deadline` analog: move the ACTIVE lease's deadline
+    * (the slow-batch heartbeat). Never acquires: returns false if the
+    * lease is held by someone else, already expired, or released — a
+    * late extension MUST fail, that is what makes expiry-redelivery
+    * sound. Setting a deadline ≤ now is the nack shape: the holder
+    * surrenders the backlog for immediate redelivery. */
+  def modifyAckDeadline(name: String, holder: String, newDeadlineMicros: Long): Boolean
   // --- fault injection / test support --------------------------------
   def failNextPulls(name: String, n: Int): Unit
   def failNextCommits(name: String, n: Int): Unit
@@ -101,6 +135,8 @@ final class BusCore extends Bus {
     var capPulls: Int = 0
     var capPerPull: Long = Long.MaxValue
     var failCommits: Int = 0
+    var leaseHolder: String = null
+    var leaseUntil: Long = 0L
   }
 
   private val topics = new ConcurrentHashMap[String, ArrayBuffer[Subscription]]()
@@ -178,6 +214,39 @@ final class BusCore extends Bus {
       throw new AckRpcError(s"injected ack-RPC loss on $name")
     }
     s.committed = math.max(s.committed, upTo)
+    // the ack ends the outstanding work the lease was protecting
+    s.leaseHolder = null
+    s.leaseUntil = 0L
+  }
+
+  override def nowMicros(): Long = clock.get()
+
+  override def advanceClock(byMicros: Long): Unit = {
+    clock.addAndGet(byMicros); ()
+  }
+
+  private def leaseActive(s: Subscription): Boolean =
+    s.leaseHolder != null && clock.get() < s.leaseUntil
+
+  override def acquireLease(name: String, holder: String,
+                            deadlineMicros: Long): Boolean = synchronized {
+    val s = sub(name)
+    if (leaseActive(s) && s.leaseHolder != holder) false
+    else {
+      s.leaseHolder = holder
+      s.leaseUntil = deadlineMicros
+      true
+    }
+  }
+
+  override def modifyAckDeadline(name: String, holder: String,
+                                 newDeadlineMicros: Long): Boolean = synchronized {
+    val s = sub(name)
+    if (!leaseActive(s) || s.leaseHolder != holder) false
+    else {
+      s.leaseUntil = newDeadlineMicros
+      true
+    }
   }
 
   override def capNextPulls(name: String, maxPerPull: Long, times: Int): Unit =

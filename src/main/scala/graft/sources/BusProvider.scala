@@ -84,7 +84,10 @@ private class BusTable(props: Map[String, String]) extends Table with SupportsRe
             retryBackoffMs = Option(options.get("retryBackoffMs")).map(_.toLong).getOrElse(100L),
             respectDeadline = Option(options.get("respectDeadline")).exists(_.toBoolean),
             maxBytesPerPull = Option(options.get("maxBytesPerPull")).map(_.toLong)
-              .getOrElse(Long.MaxValue))
+              .getOrElse(Long.MaxValue),
+            leaseMicros = Option(options.get("leaseMicros")).map(_.toLong).getOrElse(0L),
+            leaseHeartbeatMs = Option(options.get("leaseHeartbeatMs")).map(_.toLong)
+              .getOrElse(500L))
       }
     }
 }
@@ -98,7 +101,9 @@ private class BusMicroBatchStream(subscription: String, busSpec: String,
                                   bulkLimit: Int,
                                   maxPullRetries: Int, readPartitions: Int,
                                   retryBackoffMs: Long, respectDeadline: Boolean,
-                                  maxBytesPerPull: Long)
+                                  maxBytesPerPull: Long,
+                                  leaseMicros: Long = 0L,
+                                  leaseHeartbeatMs: Long = 500L)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -111,6 +116,40 @@ private class BusMicroBatchStream(subscription: String, busSpec: String,
   private val bus: Bus = BusRegistry.resolve(busSpec)
 
   @volatile private var availableNowEnd: Option[Long] = None
+
+  // --- pull-lease management (modify_ack_deadline analog, round 13) ---
+  // Option `leaseMicros` > 0 turns on competing-consumer protection:
+  // each poll (re)acquires the subscription lease for that many logical
+  // micros, and a daemon heartbeat extends the ACTIVE lease every
+  // `leaseHeartbeatMs` of wall time — the Pub/Sub client library's
+  // background lease-management loop, so a batch slower than the base
+  // deadline is not redelivered to a competitor mid-flight. The
+  // heartbeat only ever EXTENDS (modifyAckDeadline fails closed after
+  // commit released the lease or after expiry) — it can never resurrect
+  // a lost lease, which is what keeps expiry-redelivery sound.
+  private val leaseHolder = s"$subscription@${java.util.UUID.randomUUID()}"
+  private val heartbeat =
+    new java.util.concurrent.atomic.AtomicReference[
+      java.util.concurrent.ScheduledExecutorService](null)
+
+  private def ensureHeartbeat(): Unit =
+    if (leaseMicros > 0 && heartbeat.get() == null) {
+      val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+        (r: Runnable) => {
+          val t = new Thread(r, s"bus-lease-$subscription")
+          t.setDaemon(true)
+          t
+        })
+      if (heartbeat.compareAndSet(null, ex)) {
+        ex.scheduleAtFixedRate(() => {
+          try bus.modifyAckDeadline(subscription, leaseHolder,
+            bus.nowMicros() + leaseMicros)
+          catch { case _: Throwable => () } // transport hiccup: next tick retries
+          ()
+        }, leaseHeartbeatMs, leaseHeartbeatMs,
+          java.util.concurrent.TimeUnit.MILLISECONDS)
+      } else ex.shutdownNow()
+    }
 
   /** Iterative bounded retry around a bus pull — the reference's
     * deadline-retry loop without its unbounded recursion (§2-D), with its
@@ -147,8 +186,16 @@ private class BusMicroBatchStream(subscription: String, busSpec: String,
       "latestOffset(Offset, ReadLimit) should be called instead")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val end = availableNowEnd.getOrElse(pullEndOffset())
     val from = start.asInstanceOf[BusOffset].offset
+    if (leaseMicros > 0) {
+      // competing-consumer gate: no lease, no pull — report no progress
+      // and let the holder (or expiry) decide when this backlog is ours
+      if (!bus.acquireLease(subscription, leaseHolder,
+          bus.nowMicros() + leaseMicros))
+        return BusOffset(from)
+      ensureHeartbeat()
+    }
+    val end = availableNowEnd.getOrElse(pullEndOffset())
     val rowCapped = limit match {
       case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
         math.min(end, from + rl.maxRows())
@@ -219,7 +266,17 @@ private class BusMicroBatchStream(subscription: String, busSpec: String,
       System.err.println(s"[bus] ack lost on $subscription (will heal): ${e.getMessage}")
     }
 
-  override def stop(): Unit = ()
+  override def stop(): Unit = {
+    val ex = heartbeat.getAndSet(null)
+    if (ex != null) ex.shutdownNow()
+    // surrender an unexpired lease so a successor starts immediately
+    // (nack shape: deadline ≤ now releases without committing)
+    if (leaseMicros > 0) {
+      try bus.modifyAckDeadline(subscription, leaseHolder, bus.nowMicros())
+      catch { case _: Throwable => () }
+    }
+    ()
+  }
 }
 
 /** Carries the bus SPEC string, never a connection: the reader resolves

@@ -179,6 +179,18 @@ final class BusService(port: Int = 0) {
         ps.foreach(writeBytes(out, _))
       case "reset" =>
         core.reset(); out.writeInt(0)
+      case "nowMicros" =>
+        out.writeInt(0); out.writeLong(core.nowMicros())
+      case "advanceClock" =>
+        core.advanceClock(in.readLong()); out.writeInt(0)
+      case "acquireLease" =>
+        val s = in.readUTF(); val h = in.readUTF(); val d = in.readLong()
+        val ok = core.acquireLease(s, h, d)
+        out.writeInt(0); out.writeBoolean(ok)
+      case "modifyAckDeadline" =>
+        val s = in.readUTF(); val h = in.readUTF(); val d = in.readLong()
+        val ok = core.modifyAckDeadline(s, h, d)
+        out.writeInt(0); out.writeBoolean(ok)
       case other =>
         err(out, 4, s"unknown op: $other")
     }
@@ -368,6 +380,29 @@ final class SocketBus(host: String, port: Int) extends Bus {
 
   override def reset(): Unit = call { (in, out) =>
     out.writeUTF("reset"); out.flush(); expectOk(in)
+  }
+
+  override def nowMicros(): Long = call { (in, out) =>
+    out.writeUTF("nowMicros"); out.flush(); expectOk(in); in.readLong()
+  }
+
+  override def advanceClock(byMicros: Long): Unit = call { (in, out) =>
+    out.writeUTF("advanceClock"); out.writeLong(byMicros)
+    out.flush(); expectOk(in)
+  }
+
+  override def acquireLease(name: String, holder: String,
+                            deadlineMicros: Long): Boolean = call { (in, out) =>
+    out.writeUTF("acquireLease"); out.writeUTF(name); out.writeUTF(holder)
+    out.writeLong(deadlineMicros)
+    out.flush(); expectOk(in); in.readBoolean()
+  }
+
+  override def modifyAckDeadline(name: String, holder: String,
+                                 newDeadlineMicros: Long): Boolean = call { (in, out) =>
+    out.writeUTF("modifyAckDeadline"); out.writeUTF(name); out.writeUTF(holder)
+    out.writeLong(newDeadlineMicros)
+    out.flush(); expectOk(in); in.readBoolean()
   }
 
   /** Liveness probe (launcher handshake helper). */

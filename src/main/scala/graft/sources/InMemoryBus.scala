@@ -92,4 +92,14 @@ object InMemoryBus extends Bus {
     core.failPublishesAfter(topic, after, n)
   /** Test support: drop all topics/subscriptions. */
   override def reset(): Unit = core.reset()
+  /** Logical-clock now (see [[Bus.nowMicros]]). */
+  override def nowMicros(): Long = core.nowMicros()
+  /** Test support: advance the logical clock (lease-expiry driver). */
+  override def advanceClock(byMicros: Long): Unit = core.advanceClock(byMicros)
+  /** Acquire/renew the subscription pull lease (see [[Bus.acquireLease]]). */
+  override def acquireLease(name: String, holder: String, deadlineMicros: Long): Boolean =
+    core.acquireLease(name, holder, deadlineMicros)
+  /** The modify_ack_deadline analog (see [[Bus.modifyAckDeadline]]). */
+  override def modifyAckDeadline(name: String, holder: String, newDeadlineMicros: Long): Boolean =
+    core.modifyAckDeadline(name, holder, newDeadlineMicros)
 }
