@@ -102,7 +102,16 @@ final class Pipeline(
       * `"socket://host:port"` to a [[graft.sources.BusService]] daemon
       * in its own process. Only the SPEC crosses to executors; every
       * JVM resolves its own transport. */
-    busSpec: String = "memory") {
+    busSpec: String = "memory",
+    /** Pull-lease base deadline in logical micros (0 = off): the
+      * `modify_ack_deadline` analog — while this pipeline's batch is in
+      * flight the subscription's backlog is not deliverable to a
+      * competing consumer, and the source's background heartbeat keeps
+      * the lease alive past slow batches (see
+      * [[graft.sources.Bus.modifyAckDeadline]]). */
+    leaseMicros: Long = 0L,
+    /** Wall-clock heartbeat period for lease extension. */
+    leaseHeartbeatMs: Long = 500L) {
 
   /** Stable pipeline identity for idempotence-key namespacing: derived
     * from the checkpoint location, which is exactly the unit that defines
@@ -124,6 +133,8 @@ final class Pipeline(
       .option("retryBackoffMs", retryBackoffMs)
       .option("respectDeadline", respectDeadline)
       .option("maxBytesPerPull", maxBytesPerPull)
+      .option("leaseMicros", leaseMicros)
+      .option("leaseHeartbeatMs", leaseHeartbeatMs)
       .load()
       .withColumn("payload", serde.deserialize(col("value")))
 

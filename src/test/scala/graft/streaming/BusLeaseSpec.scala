@@ -146,4 +146,34 @@ class BusLeaseStreamingSpec extends SparkSpec {
     assert(InMemoryBus.acquireLease(sub, "rival",
       InMemoryBus.nowMicros() + 1000000L))
   }
+
+  test("Pipeline runner with leasing on: bounded run delivers, acks, and frees the lease") {
+    import org.apache.spark.sql.functions.col
+    val id = java.util.UUID.randomUUID().toString.take(8)
+    val inTopic = s"pl-in-$id"; val inSub = s"pl-insub-$id"
+    val outTopic = s"pl-out-$id"; val outSub = s"pl-outsub-$id"
+    InMemoryBus.createTopic(inTopic); InMemoryBus.createSubscription(inTopic, inSub)
+    InMemoryBus.createTopic(outTopic); InMemoryBus.createSubscription(outTopic, outSub)
+    val payload = """{"data":"x"}"""
+    (1 to 5).foreach(_ => InMemoryBus.publish(inTopic, payload.getBytes(UTF_8)))
+
+    val schema = new org.apache.spark.sql.types.StructType().add("data", "string")
+    val q = new Pipeline(
+      spark, inSub, outTopic, JsonSerde(schema),
+      df => df.select(col("payload.*")),
+      Files.createTempDirectory("graft-lease-pl-ckpt").toString,
+      leaseMicros = 1000000L, leaseHeartbeatMs = 50L)
+      .start(availableNow = true)
+    q.awaitTermination(60000)
+
+    assert(InMemoryBus.payloads(outSub).map(new String(_, UTF_8)) ===
+      Seq.fill(5)(payload))
+    val deadline = System.currentTimeMillis + 20000
+    while (System.currentTimeMillis < deadline &&
+      InMemoryBus.committedOffset(inSub) < 5) Thread.sleep(50)
+    assert(InMemoryBus.committedOffset(inSub) === 5)
+    // lease either released by the final commit or nacked at stop
+    assert(InMemoryBus.acquireLease(inSub, "successor",
+      InMemoryBus.nowMicros() + 1000L))
+  }
 }
