@@ -87,7 +87,9 @@ private class BusTable(props: Map[String, String]) extends Table with SupportsRe
               .getOrElse(Long.MaxValue),
             leaseMicros = Option(options.get("leaseMicros")).map(_.toLong).getOrElse(0L),
             leaseHeartbeatMs = Option(options.get("leaseHeartbeatMs")).map(_.toLong)
-              .getOrElse(500L))
+              .getOrElse(500L),
+            startAtCommitted = Option(options.get("startAtCommitted"))
+              .exists(_.toBoolean))
       }
     }
 }
@@ -103,7 +105,8 @@ private class BusMicroBatchStream(subscription: String, busSpec: String,
                                   retryBackoffMs: Long, respectDeadline: Boolean,
                                   maxBytesPerPull: Long,
                                   leaseMicros: Long = 0L,
-                                  leaseHeartbeatMs: Long = 500L)
+                                  leaseHeartbeatMs: Long = 500L,
+                                  startAtCommitted: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -236,8 +239,22 @@ private class BusMicroBatchStream(subscription: String, busSpec: String,
     * per pull, `pubsub_pipeline.py:172-193` — the engine's point is to
     * beat that bound). Slice count never exceeds the row count. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[BusOffset].offset
+    val s0 = start.asInstanceOf[BusOffset].offset
     val e = end.asInstanceOf[BusOffset].offset
+    // `startAtCommitted` (round 13, the lease-handoff fast-forward): any
+    // offset below the subscription's committed prefix is BY DEFINITION
+    // acked — processed and published by some consumer — so a takeover
+    // whose checkpoint start lags the prefix (it snapshotted its initial
+    // offset while the previous holder was still working) clamps the
+    // batch to the unacked suffix instead of re-emitting acked work.
+    // Driver-side, stateless, and monotone-safe: committed only advances,
+    // and our own acks land strictly between batches, so the clamp can
+    // never skip an unprocessed row. Default OFF: the at-least-once
+    // replay contract (crash-before-checkpoint re-emits, idempotent
+    // sinks absorb) stays byte-identical unless a user opts in.
+    val s = if (startAtCommitted)
+      math.max(s0, math.min(bus.committedOffset(subscription), e))
+    else s0
     if (e <= s) Array.empty
     else {
       val n = math.min(readPartitions.toLong, e - s).toInt

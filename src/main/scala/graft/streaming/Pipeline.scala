@@ -111,7 +111,12 @@ final class Pipeline(
       * [[graft.sources.Bus.modifyAckDeadline]]). */
     leaseMicros: Long = 0L,
     /** Wall-clock heartbeat period for lease extension. */
-    leaseHeartbeatMs: Long = 500L) {
+    leaseHeartbeatMs: Long = 500L,
+    /** Lease-handoff fast-forward: clamp every batch to the bus's
+      * committed prefix, so a takeover whose checkpoint lags another
+      * consumer's acks never re-emits acked work (default off — the
+      * at-least-once replay contract unchanged). */
+    startAtCommitted: Boolean = false) {
 
   /** Stable pipeline identity for idempotence-key namespacing: derived
     * from the checkpoint location, which is exactly the unit that defines
@@ -135,6 +140,7 @@ final class Pipeline(
       .option("maxBytesPerPull", maxBytesPerPull)
       .option("leaseMicros", leaseMicros)
       .option("leaseHeartbeatMs", leaseHeartbeatMs)
+      .option("startAtCommitted", startAtCommitted)
       .load()
       .withColumn("payload", serde.deserialize(col("value")))
 

@@ -147,6 +147,46 @@ class BusLeaseStreamingSpec extends SparkSpec {
       InMemoryBus.nowMicros() + 1000000L))
   }
 
+  test("startAtCommitted: a lagging takeover checkpoint skips the acked prefix; default re-emits it") {
+    def drainCount(sub: String, ckpt: String, startAtCommitted: Boolean): Long = {
+      @volatile var n = 0L
+      val q = spark.readStream.format(graft.sources.BusProvider.format)
+        .option("subscription", sub)
+        .option("bulkLimit", 100)
+        .option("startAtCommitted", startAtCommitted)
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          n += b.count()
+        }
+        .start()
+      q.awaitTermination(60000)
+      n
+    }
+    val id = java.util.UUID.randomUUID().toString.take(8)
+    val topic = s"ff-t-$id"; val sub = s"ff-s-$id"
+    InMemoryBus.createTopic(topic)
+    InMemoryBus.createSubscription(topic, sub)
+    // two consumers snapshot their checkpoints at offset 0, pre-traffic —
+    // the lagging-takeover shape (initialOffset ran while the log was empty)
+    val ckptB = Files.createTempDirectory("graft-ff-b").toString
+    val ckptC = Files.createTempDirectory("graft-ff-c").toString
+    assert(drainCount(sub, ckptB, startAtCommitted = true) == 0L)
+    assert(drainCount(sub, ckptC, startAtCommitted = false) == 0L)
+    // another consumer processes and acks the whole backlog
+    (1 to 10).foreach(i => InMemoryBus.publish(topic, s"m$i".getBytes(UTF_8)))
+    InMemoryBus.commit(sub, 10)
+    // takeover: the fast-forward consumer skips the acked prefix entirely;
+    // the default contract re-emits it (at-least-once, idempotent sinks
+    // absorb — BusCrashReplaySpec)
+    assert(drainCount(sub, ckptB, startAtCommitted = true) == 0L,
+      "startAtCommitted re-emitted acked messages")
+    assert(drainCount(sub, ckptC, startAtCommitted = false) == 10L,
+      "default contract unexpectedly skipped the acked prefix")
+  }
+
   test("Pipeline runner with leasing on: bounded run delivers, acks, and frees the lease") {
     import org.apache.spark.sql.functions.col
     val id = java.util.UUID.randomUUID().toString.take(8)
