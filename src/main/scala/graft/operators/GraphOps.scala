@@ -3,6 +3,64 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+/** Session-scoped, FILE-backed cache of the co-purchase projection —
+  * the one corpus-sized stage all four graph queries
+  * (bfs_depths / components / jaccard_links / triangles) rebuild
+  * independently (~20-26 s EACH at sf10 for the identical edge list).
+  * Conf-gated, DEFAULT OFF (`spark.graft.graph.projectionCache`), so
+  * registry/bench semantics are byte-identical unless a session opts
+  * in; an interactive or scheduled graph-family workload flips it on
+  * and pays the self-join once per (corpus, support) instead of once
+  * per query.
+  *
+  * Why a FILE and not a persist/`lazyPin`: the harnesses release every
+  * checkpoint/persist reachable from a result plan after each query
+  * (`ColumnBridge.releaseAllCheckpoints` — the Bench/Verify ownership
+  * contract), so a block-backed cache would be evicted between the
+  * queries it exists to serve. A parquet sink has no block lifecycle:
+  * each query's plan just SCANS it (and the scan replaces the
+  * projection's two corpus scans — the thresholded edge list is
+  * O(10³-10⁴) rows at any measured SF, so the read is trivially
+  * cheap and splittable on a real cluster's shared FS).
+  *
+  * Key = session identity + the projection plan's semantic hash + the
+  * input-file modification snapshot + (via the hash) `minSupport` —
+  * the [[VectorOps.cachedIvfIndex]] recipe, including its staleness
+  * guard: an in-place corpus rewrite changes the snapshot and misses.
+  * The write is eager at CONSTRUCTION (the sink_partitioned
+  * precedent); concurrent constructors of the same key serialize on
+  * `computeIfAbsent`, so exactly one writes. Entries live until JVM
+  * exit — [[SinkJanitor]]'s shutdown hook removes the dirs (a cache
+  * entry is never displaced, so the janitor's weak-ref sweep never
+  * fires for it; per-session entry count is bounded by distinct
+  * (corpus, support) pairs a session touches). */
+private[operators] object GraphProjectionCache {
+  private[operators] val ConfKey = "spark.graft.graph.projectionCache"
+  private val dirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private[operators] def entryCount: Int = dirs.size()
+
+  def apply(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    if (!spark.conf.get(ConfKey, "false").toBoolean) return pairs
+    val key = s"${System.identityHashCode(spark)}:" +
+      s"${pairs.queryExecution.analyzed.semanticHash()}:" +
+      s"${VectorOps.inputSnapshot(pairs)}"
+    val dir = dirs.computeIfAbsent(key, _ => {
+      val d = s"${System.getProperty("java.io.tmpdir")}/graft-graphproj-" +
+        s"${Scans.sessionTag(spark)}/p${seq.incrementAndGet()}"
+      pairs.write.mode("overwrite").parquet(d)
+      SinkJanitor.register(spark, s"graphproj/$key", d, Nil, spark)
+      d
+    })
+    // explicit schema: a zero-edge projection writes no row groups, and
+    // schema inference would fail on the empty dir
+    spark.read.schema(pairs.schema).parquet(dir)
+  }
+}
+
 /** Graph analytics over relational edge sets. The near-dup clustering
   * family (DedupOps.clusters) already covers connected components; this
   * adds the other workhorse, PageRank — the centrality score behind
@@ -167,17 +225,21 @@ object GraphOps {
     * (bounded by (lineitems-per-order choose 2)), the projection's only
     * corpus-sized stage. Returned UNPINNED: [[triangles]] lazy-pins it
     * (five consumers), [[components]] hands it to DedupOps.clusters,
-    * which persists the pair table itself. */
+    * which persists the pair table itself. With
+    * [[GraphProjectionCache]] enabled (conf-gated, default off) the
+    * returned frame scans the session's cached parquet copy instead —
+    * same rows, zero corpus scans after the first build. */
   private[operators] def coPurchaseEdges(lineitem: DataFrame,
                                          minSupport: Int): DataFrame = {
     val li = lineitem.select(col("l_orderkey").as("ok"),
       col("l_partkey").as("s"))
-    li.join(li.withColumnRenamed("s", "t"), Seq("ok"))
+    val pairs = li.join(li.withColumnRenamed("s", "t"), Seq("ok"))
       .filter(col("s") < col("t"))
       .select(col("s").as("a"), col("t").as("b"), col("ok"))
       .groupBy("a", "b").agg(countDistinct(col("ok")).as("support"))
       .filter(col("support") >= minSupport)
       .select("a", "b")
+    GraphProjectionCache(pairs)
   }
 
   def triangles(lineitem: DataFrame, minSupport: Int = 2): DataFrame = {

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+
+/** GraphProjectionCache (round 13, ROADMAP deferred #3): the graph
+  * family's shared co-purchase projection behind a conf-gated,
+  * file-backed, session-scoped cache. Assertions:
+  *
+  *  - conf OFF (the default): construction registers NOTHING — the
+  *    committed registry/bench behavior is untouched;
+  *  - conf ON: first construction writes exactly one cache entry, the
+  *    second construction of the same (corpus, support) adds none and
+  *    its plan scans ONLY the cache dir (no lineitem files);
+  *  - the cached edge set is row-identical to the uncached projection;
+  *  - `minSupport` is part of the key (different support, new entry);
+  *  - a support high enough to empty the projection round-trips the
+  *    zero-row write (explicit-schema read-back);
+  *  - all four family queries return identical rows cache-on vs off.
+  *
+  * Conf is set on a CLONED session (`newSession`) — the shared spec
+  * session's conf is never mutated (the PlanGuardSpec-race lesson,
+  * r12 verdict). */
+class GraphProjectionCacheSpec extends SparkSpec {
+
+  private def cachedSession() = {
+    val s = spark.newSession()
+    s.conf.set(GraphProjectionCache.ConfKey, "true")
+    s
+  }
+
+  private def edgeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("conf off by default: no cache entries from plain construction") {
+    val before = GraphProjectionCache.entryCount
+    GraphOps.coPurchaseEdges(Tables.lineitem(spark, sf()), 2)
+    assert(GraphProjectionCache.entryCount == before)
+  }
+
+  test("cache hit: one entry, second build scans only the cache dir") {
+    val s = cachedSession()
+    val reference = edgeSet(
+      GraphOps.coPurchaseEdges(Tables.lineitem(spark, sf()), 2))
+    val before = GraphProjectionCache.entryCount
+    val first = GraphOps.coPurchaseEdges(Tables.lineitem(s, sf()), 2)
+    assert(GraphProjectionCache.entryCount == before + 1)
+    assert(edgeSet(first) == reference)
+    val second = GraphOps.coPurchaseEdges(Tables.lineitem(s, sf()), 2)
+    assert(GraphProjectionCache.entryCount == before + 1,
+      "same (corpus, support) must not write a second entry")
+    assert(second.inputFiles.nonEmpty &&
+      second.inputFiles.forall(_.contains("graft-graphproj")),
+      s"cached read must scan the cache dir only: " +
+        second.inputFiles.mkString(", "))
+    assert(edgeSet(second) == reference)
+  }
+
+  test("minSupport is part of the key; empty projection round-trips") {
+    val s = cachedSession()
+    GraphOps.coPurchaseEdges(Tables.lineitem(s, sf()), 2).collect()
+    val c0 = GraphProjectionCache.entryCount
+    val sup3 = GraphOps.coPurchaseEdges(Tables.lineitem(s, sf()), 3)
+    assert(GraphProjectionCache.entryCount == c0 + 1)
+    assert(edgeSet(sup3) ==
+      edgeSet(GraphOps.coPurchaseEdges(Tables.lineitem(spark, sf()), 3)))
+    // a support no pair reaches: zero-row write, schema'd read-back
+    val empty = GraphOps.coPurchaseEdges(Tables.lineitem(s, sf()), 999999)
+    assert(empty.collect().isEmpty)
+    assert(empty.schema.fieldNames.toSeq == Seq("a", "b"))
+  }
+
+  test("all four graph queries: identical rows cache-on vs cache-off") {
+    val s = cachedSession()
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    val liOff = Tables.lineitem(spark, sf())
+    val liOn = Tables.lineitem(s, sf())
+    assert(rows(GraphOps.triangles(liOn)) == rows(GraphOps.triangles(liOff)))
+    assert(rows(GraphOps.jaccardLinks(liOn)) ==
+      rows(GraphOps.jaccardLinks(liOff)))
+    assert(rows(GraphOps.components(liOn)) ==
+      rows(GraphOps.components(liOff)))
+    assert(rows(GraphOps.bfsDepths(liOn)) == rows(GraphOps.bfsDepths(liOff)))
+  }
+}
