@@ -891,11 +891,15 @@ object DedupOps {
     * Two corpus scans — the honest floor for the build/probe pair (the
     * dedup_exact_normalized class); span text crosses a shuffle once.
     * scan-guard: dedup_span_rewrite */
-  def spanRewrite(documents: DataFrame, k: Int = 5): DataFrame = {
+  /** Span synthesis shared by [[spanRewrite]] and [[spanRewriteStream]]:
+    * one codegen'd projection — block texts are sliced out of the word
+    * array in place, no per-word explode ever exists. Stateless, so the
+    * identical plan runs under both batch and streaming (the two forms
+    * diverge only in HOW first-occurrence is decided). Columns:
+    * (doc_id, lang, n_spans, block_idx, span, h). */
+  private[operators] def spanTable(documents: DataFrame, k: Int): DataFrame = {
     val words = filter(split(col("text"), " "), w => w =!= "")
-    // span synthesis: one codegen'd projection — block texts are sliced
-    // out of the word array in place, no per-word explode ever exists
-    val spans = documents
+    documents
       .select(col("doc_id"), col("lang"), words.as("ws"))
       .filter(size(col("ws")) > 0)
       .select(col("doc_id"), col("lang"),
@@ -908,6 +912,10 @@ object DedupOps {
       .withColumnRenamed("pos", "block_idx")
       .withColumnRenamed("col", "span")
       .withColumn("h", md5(col("span")))
+  }
+
+  def spanRewrite(documents: DataFrame, k: Int = 5): DataFrame = {
+    val spans = spanTable(documents, k)
     // first-occurrence decision: min-struct AGGREGATE (map-side partial
     // combine — skew-proof), never a hash-partitioned window
     val firsts = spans
@@ -932,4 +940,82 @@ object DedupOps {
         col("kept_words"), col("rewrite_md5"))
       .orderBy("doc_id")
   }
+
+  /** Streaming twin of [[spanRewrite]] (round-13 deferred #2): the same
+    * span-level first-occurrence dedup as an INCREMENTAL operator —
+    * documents arrive on a stream and a span instance survives iff its
+    * content has never been seen in the stream's history. Rides the
+    * IDENTICAL [[spanTable]] synthesis (stateless, so the projection
+    * plan is shared verbatim); only the first-occurrence decision
+    * changes form: `flatMapGroupsWithState` keyed on the span hash, one
+    * boolean of state per distinct span ever seen (the streaming
+    * exact-dedup gate's `dropDuplicates` shape, but with a DETERMINISTIC
+    * within-batch winner).
+    *
+    * Semantics: across micro-batches, stream order wins (a span seen in
+    * batch N is dead in batch N+1 — state-store backed, surviving
+    * checkpoint stop/resume); within one batch, the (doc_id, block_idx)
+    * minimum wins — so on a single batch (or on a STATIC frame, where
+    * every group starts with empty state) the kept-span set equals the
+    * batch [[spanRewrite]]'s exactly, which is how the spec pins the two
+    * forms together. Output is span-grain (append mode): doc-level
+    * reassembly is a second stateful grouping Spark does not chain after
+    * an arbitrary state op, and all of a doc's spans share a micro-batch
+    * anyway — the consumer reassembles per batch (one `groupBy(doc_id)`
+    * in `foreachBatch`/the bus transform slot, batch-local, stateless).
+    *
+    * Scale shape: per batch, ONE hash-partition shuffle of span
+    * instances (the key the batch op shuffles on), preceded by a
+    * per-partition min-combine (`mapPartitions`, O(distinct hashes per
+    * partition) memory — bounded because micro-batch admission bounds
+    * the batch) so a hot boilerplate span reaches its state task as
+    * ≤ numPartitions candidates, the map-side partial the batch op gets
+    * from its min-struct aggregate. State is one entry per DISTINCT
+    * span hash — 16-byte keys, RocksDB state-store territory at corpus
+    * scale; a bounded-retention variant would swap NoTimeout for
+    * watermark TTL (the `dropDuplicatesWithinWatermark` trade: bounded
+    * state, dedup only within the horizon). */
+  def spanRewriteStream(documents: DataFrame, k: Int = 5)
+      : org.apache.spark.sql.Dataset[KeptSpan] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = documents.sparkSession
+    import spark.implicits._
+    def minOf(a: SpanInstance, b: SpanInstance): SpanInstance =
+      if (a.doc_id < b.doc_id ||
+        (a.doc_id == b.doc_id && a.block_idx < b.block_idx)) a else b
+    spanTable(documents, k).as[SpanInstance]
+      .mapPartitions { it =>
+        // partition-local min-combine: the hot-hash guard (see scaladoc)
+        val best = scala.collection.mutable.HashMap.empty[String, SpanInstance]
+        it.foreach { s =>
+          best.updateWith(s.h) {
+            case Some(cur) => Some(minOf(cur, s))
+            case None => Some(s)
+          }
+        }
+        best.valuesIterator
+      }
+      .groupByKey(_.h)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[SpanInstance], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val w = it.reduce(minOf)
+            Iterator(KeptSpan(w.doc_id, w.lang, w.n_spans, w.block_idx, w.span))
+          }
+      }
+  }
 }
+
+/** Span instance flowing into [[DedupOps.spanRewriteStream]]'s state op
+  * (the [[DedupOps.spanTable]] row shape). */
+private[operators] case class SpanInstance(
+  doc_id: Long, lang: String, n_spans: Long, block_idx: Int,
+  span: String, h: String)
+
+/** A surviving (corpus-first) span instance emitted by
+  * [[DedupOps.spanRewriteStream]]. */
+case class KeptSpan(
+  doc_id: Long, lang: String, n_spans: Long, block_idx: Int, span: String)
