@@ -243,6 +243,14 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val benchT0 = System.nanoTime()
     val startEpochMs = System.currentTimeMillis()
+    // Bench hygiene (r13 verdict #6): stamp the loadavg at START too and
+    // warn loudly when the box is already busy — ambient-vs-regression
+    // adjudication of a committed artifact starts from this line.
+    val loadavgStart = osBean.getSystemLoadAverage
+    if (loadavgStart > 4.0)
+      System.err.println(f"[bench] WARNING: loadavg $loadavgStart%.2f at " +
+        "start — this box is not quiet; treat the artifact's timings as " +
+        "ambient-contaminated and re-run on a quiet box before committing")
     // Per-query JVM-counter deltas (GC ms, JIT ms) across the TIMED
     // runs, stamped into the meta block — the self-diagnosis channel
     // for join_anti-class anomalies (r11 verdict #1/#8). ON by default
@@ -431,6 +439,7 @@ object Bench {
          |  "force": ${if (forceAll) 1 else 0},
          |  "warm_runs": $warm,
          |  "start_epoch_ms": $startEpochMs,
+         |  "loadavg_start": ${f"$loadavgStart%.2f"},
          |  "loadavg_end": ${f"${osBean.getSystemLoadAverage}%.2f"},
          |  "outlier_defense": {"enabled": $outlierOn, "k": $outlierK, "floor_sec": $outlierFloor, "retries": $outlierRetries, "ref_queries": ${refTimes.size}},
          |  "failed": ${failed.mkString("[", ",", "]")},

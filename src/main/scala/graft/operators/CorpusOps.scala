@@ -1534,9 +1534,16 @@ object CorpusOps {
         // branch, and the count table all read the visible checkpoint
         val scored = graft.plans.PlanPins.lazyPin(scoredPlan)
         val counts = scored.groupBy("lang").agg(count(lit(1)).as("n"))
+        // the window branch computes `n` with the same count window as
+        // the common path — NOT the counts join: an equi-join on lang
+        // is null-rejecting, so it would silently drop NULL-lang rows
+        // (which stay on this branch by contract) whenever the tier
+        // activates (r13 ADVICE). A non-mega lang's rows live entirely
+        // on this branch, so the window count equals the global count.
         val windowRanked = scored
           .filter(!coalesce(col("lang").isin(megaLangs: _*), lit(false)))
           .withColumn("rank", row_number().over(rankW).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
         // global rank over (lang, score desc, id) — contiguous per lang
         // by construction — rebased to per-lang ranks by each language's
         // first global rank (O(mega-langs) rows, broadcast)
@@ -1544,12 +1551,14 @@ object CorpusOps {
           scored.filter(col("lang").isin(megaLangs: _*)), 0,
           col("lang"), col("score_micro").desc, col("doc_id"))
         val starts = megaGlobal.groupBy("lang").agg(min(col("rn")).as("_start"))
+        // mega langs are non-null by construction (the tier probe
+        // filters isNotNull), so the equi-joins here reject nothing
         val megaRanked = megaGlobal
           .join(broadcast(starts), Seq("lang"))
           .withColumn("rank", col("rn") - col("_start") + 1L)
           .drop("rn", "_start")
-        windowRanked.unionByName(megaRanked)
           .join(broadcast(counts), Seq("lang"))
+        windowRanked.unionByName(megaRanked)
       }
     val chosen = ranked.filter(col("rank") <= expr("n DIV 2"))
       .select(col("lang"), col("rank").as("pair_id"),

@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * the one corpus-sized stage all four graph queries
   * (bfs_depths / components / jaccard_links / triangles) rebuild
   * independently (~20-26 s EACH at sf10 for the identical edge list).
-  * Conf-gated, DEFAULT OFF (`spark.graft.graph.projectionCache`), so
-  * registry/bench semantics are byte-identical unless a session opts
-  * in; an interactive or scheduled graph-family workload flips it on
-  * and pays the self-join once per (corpus, support) instead of once
-  * per query.
+  * Conf-gated, DEFAULT ON since round 14 (`spark.graft.graph
+  * .projectionCache`; the r13 verdict measured the family collapse
+  * 162-217 s → 4.7-14.3 s at sf10 and made flipping the default the
+  * round's top item): a session pays the self-join once per
+  * (corpus, support) instead of once per query. Set the conf `false`
+  * to opt out (the plan-shape specs do, to assert the uncached
+  * two-scan shape); results are row-identical either way
+  * (GraphProjectionCacheSpec's equivalence test).
   *
   * Why a FILE and not a persist/`lazyPin`: the harnesses release every
   * checkpoint/persist reachable from a result plan after each query
@@ -42,9 +45,22 @@ private[operators] object GraphProjectionCache {
 
   private[operators] def entryCount: Int = dirs.size()
 
+  /** Entries owned by `spark` (keys are session-identity-prefixed) —
+    * the spec's counter: suites run in parallel and, with the cache on
+    * by default, OTHER suites' graph constructions move the global
+    * count concurrently; a per-session count is race-free because each
+    * spec asserts against its own cloned session. */
+  private[operators] def entryCountFor(
+      spark: org.apache.spark.sql.SparkSession): Int = {
+    val prefix = s"${System.identityHashCode(spark)}:"
+    var n = 0
+    dirs.keySet().forEach(k => if (k.startsWith(prefix)) n += 1)
+    n
+  }
+
   def apply(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
-    if (!spark.conf.get(ConfKey, "false").toBoolean) return pairs
+    if (!spark.conf.get(ConfKey, "true").toBoolean) return pairs
     val key = s"${System.identityHashCode(spark)}:" +
       s"${pairs.queryExecution.analyzed.semanticHash()}:" +
       s"${VectorOps.inputSnapshot(pairs)}"
@@ -226,9 +242,10 @@ object GraphOps {
     * corpus-sized stage. Returned UNPINNED: [[triangles]] lazy-pins it
     * (five consumers), [[components]] hands it to DedupOps.clusters,
     * which persists the pair table itself. With
-    * [[GraphProjectionCache]] enabled (conf-gated, default off) the
+    * [[GraphProjectionCache]] enabled (conf-gated, DEFAULT ON) the
     * returned frame scans the session's cached parquet copy instead —
-    * same rows, zero corpus scans after the first build. */
+    * same rows, zero corpus scans after the first build; the two-scan
+    * claims below are asserted with the conf pinned off. */
   private[operators] def coPurchaseEdges(lineitem: DataFrame,
                                          minSupport: Int): DataFrame = {
     val li = lineitem.select(col("l_orderkey").as("ok"),
@@ -520,6 +537,12 @@ object GraphOps {
           val grown = visited.unionAll(next).persist()
           grown.count()
           visited.unpersist()
+          // release the PREVIOUS round's frontier now that `next` and
+          // `grown` are materialized — without this every round's small
+          // cached frontier lingered for the session's life (r13
+          // ADVICE). Round 1's frontier is the seeds object == the old
+          // `visited`, already released just above (no-op here).
+          if (!(frontier eq next)) frontier.unpersist()
           frontier = next
           visited = grown
         }
@@ -531,7 +554,11 @@ object GraphOps {
           .groupBy("depth")
           .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-        edges.unpersist(); nodes.unpersist(); visited.unpersist()
+        edges.unpersist(); nodes.unpersist()
+        // the final round's frontier (== the last `next`) is distinct
+        // from `visited` whenever the loop ran — release it too
+        if (!(frontier eq visited)) frontier.unpersist()
+        visited.unpersist()
         return hist.toDF("depth", "n_nodes", "min_node").orderBy("depth")
       }
     depths

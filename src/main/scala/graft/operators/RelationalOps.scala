@@ -216,20 +216,30 @@ object Scans {
   * with the JVM, so the hook only needs file deletion and must not touch
   * the (possibly already-stopped) session.
   *
-  * Caveat: a sink's lifetime is tied to the frame `register` is handed —
-  * frames DERIVED from it (`.filter`, `.union`) do not extend it. The two
-  * registered operators return terminal presentation frames the registry
-  * consumes directly, so derivation does not arise. */
+  * Lifetime anchors: when `register` is handed a Dataset, the entry
+  * weak-references BOTH the frame wrapper AND its analyzed logical plan,
+  * and deletes only once every anchor is unreachable. Derived frames
+  * (`.filter`, `.union`) and retained `QueryExecution`s keep the analyzed
+  * plan (or its scan subtree's owner) reachable, so "caller kept only a
+  * derived frame while the wrapper was GC'd" no longer deletes a sink a
+  * re-execution still needs (r13 ADVICE). Non-Dataset owners (e.g. a
+  * session, for entries that should live to JVM exit) anchor as-is. */
 private[operators] object SinkJanitor {
   private final case class Entry(dir: String, tables: Seq[String],
-                                 owner: java.lang.ref.WeakReference[AnyRef])
+                                 owners: Seq[java.lang.ref.WeakReference[AnyRef]])
   private val newest = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
   private val pending =
     java.util.concurrent.ConcurrentHashMap.newKeySet[Entry]()
 
   def register(spark: org.apache.spark.sql.SparkSession, key: String,
                dir: String, tables: Seq[String], ownerFrame: AnyRef): Unit = {
-    val e = Entry(dir, tables, new java.lang.ref.WeakReference[AnyRef](ownerFrame))
+    val anchors: Seq[AnyRef] = ownerFrame match {
+      case ds: org.apache.spark.sql.Dataset[_] =>
+        Seq(ds, ds.queryExecution.analyzed)
+      case other => Seq(other)
+    }
+    val e = Entry(dir, tables,
+      anchors.map(new java.lang.ref.WeakReference[AnyRef](_)))
     Option(newest.put(key, e)).foreach(pending.add)
     sweep(spark)
   }
@@ -238,7 +248,7 @@ private[operators] object SinkJanitor {
     val it = pending.iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (e.owner.get() == null) {
+      if (e.owners.forall(_.get() == null)) {
         it.remove()
         // saveAsTable entries live in the shared external catalog, so any
         // session clone of the same context can drop them

@@ -213,10 +213,17 @@ final class BusCore extends Bus {
       s.failCommits -= 1
       throw new AckRpcError(s"injected ack-RPC loss on $name")
     }
-    s.committed = math.max(s.committed, upTo)
-    // the ack ends the outstanding work the lease was protecting
-    s.leaseHolder = null
-    s.leaseUntil = 0L
+    // the ack ends the outstanding work the lease was protecting — but
+    // ONLY an advancing commit is an ack. A stale commit (upTo <= the
+    // committed offset, e.g. a lagging consumer's replayed checkpoint)
+    // must not evict the ACTIVE holder's lease: that would reopen the
+    // mid-flight competing-consumer window the lease exists to close
+    // (r13 ADVICE).
+    if (upTo > s.committed) {
+      s.committed = upTo
+      s.leaseHolder = null
+      s.leaseUntil = 0L
+    }
   }
 
   override def nowMicros(): Long = clock.get()

@@ -587,6 +587,15 @@ class PlanGuardSpec extends SparkSpec {
     def emb = Tables.embeddings(spark, sf())
     def orders = Tables.orders(spark, sf())
     def li = Tables.lineitem(spark, sf())
+    // the co-purchase-projection consumers assert the UNCACHED two-scan
+    // shape; since r14 the GraphProjectionCache defaults ON (the plan
+    // would scan the cache parquet, zero lineitem files), so those
+    // claims construct against a conf-off clone
+    def liNoCache = {
+      val s = spark.newSession()
+      s.conf.set("spark.graft.graph.projectionCache", "false")
+      Tables.lineitem(s, sf())
+    }
     Seq(
       ("text_kn_bigram", () => TextOps.knBigram(docs), "documents", 1),
       ("pipeline_repeat_epochs", () => CorpusOps.repeatEpochs(docs),
@@ -608,7 +617,7 @@ class PlanGuardSpec extends SparkSpec {
         "orders", 1),
       // r10 judge measured 10 lineitem scans (unpinned edges/deg) —
       // the self-join's two sides are the honest floor
-      ("graph_triangles", () => GraphOps.triangles(li), "lineitem", 2),
+      ("graph_triangles", () => GraphOps.triangles(liNoCache), "lineitem", 2),
       ("graph_degree_stats/lineitem", () => GraphOps.degreeStats(orders, li),
         "lineitem", 1),
       ("graph_degree_stats/orders", () => GraphOps.degreeStats(orders, li),
@@ -648,7 +657,7 @@ class PlanGuardSpec extends SparkSpec {
       ("ts_rolling_slope", () => StreamBatchOps.rollingSlope(events),
         "events", 1),
       // the shared co-purchase projection's self-join sides
-      ("graph_jaccard_links", () => GraphOps.jaccardLinks(li),
+      ("graph_jaccard_links", () => GraphOps.jaccardLinks(liNoCache),
         "lineitem", 2),
       // histogram pass + the selected-buckets rank pass
       ("emb_dim_quantiles", () => VectorOps.dimQuantiles(emb),

@@ -2,15 +2,17 @@ package graft.operators
 
 import graft.{SparkSpec, Tables}
 
-/** GraphProjectionCache (round 13, ROADMAP deferred #3): the graph
-  * family's shared co-purchase projection behind a conf-gated,
-  * file-backed, session-scoped cache. Assertions:
+/** GraphProjectionCache (round 13; DEFAULT ON since round 14 — the r13
+  * verdict's top item): the graph family's shared co-purchase
+  * projection behind a conf-gated, file-backed, session-scoped cache.
+  * Assertions:
   *
-  *  - conf OFF (the default): construction registers NOTHING — the
-  *    committed registry/bench behavior is untouched;
-  *  - conf ON: first construction writes exactly one cache entry, the
-  *    second construction of the same (corpus, support) adds none and
-  *    its plan scans ONLY the cache dir (no lineitem files);
+  *  - conf ON (now the default): first construction writes exactly one
+  *    cache entry, the second construction of the same
+  *    (corpus, support) adds none and its plan scans ONLY the cache
+  *    dir (no lineitem files);
+  *  - conf OFF: construction registers NOTHING for that session — the
+  *    pre-r14 plan shape is one conf away;
   *  - the cached edge set is row-identical to the uncached projection;
   *  - `minSupport` is part of the key (different support, new entry);
   *  - a support high enough to empty the projection round-trips the
@@ -19,7 +21,9 @@ import graft.{SparkSpec, Tables}
   *
   * Conf is set on a CLONED session (`newSession`) — the shared spec
   * session's conf is never mutated (the PlanGuardSpec-race lesson,
-  * r12 verdict). */
+  * r12 verdict) — and entry counts are PER-SESSION
+  * (`entryCountFor`): with the cache on by default, concurrently
+  * running suites move the global count. */
 class GraphProjectionCacheSpec extends SparkSpec {
 
   private def cachedSession() = {
@@ -28,25 +32,36 @@ class GraphProjectionCacheSpec extends SparkSpec {
     s
   }
 
+  private def uncachedSession() = {
+    val s = spark.newSession()
+    s.conf.set(GraphProjectionCache.ConfKey, "false")
+    s
+  }
+
   private def edgeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-  test("conf off by default: no cache entries from plain construction") {
-    val before = GraphProjectionCache.entryCount
-    GraphOps.coPurchaseEdges(Tables.lineitem(spark, sf()), 2)
-    assert(GraphProjectionCache.entryCount == before)
+  test("conf defaults ON; a conf-off session registers no entries") {
+    val sDefault = spark.newSession()
+    assert(GraphProjectionCache.entryCountFor(sDefault) == 0)
+    GraphOps.coPurchaseEdges(Tables.lineitem(sDefault, sf()), 2)
+    assert(GraphProjectionCache.entryCountFor(sDefault) == 1,
+      "default-on session must write a cache entry at construction")
+    val sOff = uncachedSession()
+    GraphOps.coPurchaseEdges(Tables.lineitem(sOff, sf()), 2)
+    assert(GraphProjectionCache.entryCountFor(sOff) == 0,
+      "conf-off session must not register cache entries")
   }
 
   test("cache hit: one entry, second build scans only the cache dir") {
     val s = cachedSession()
     val reference = edgeSet(
-      GraphOps.coPurchaseEdges(Tables.lineitem(spark, sf()), 2))
-    val before = GraphProjectionCache.entryCount
+      GraphOps.coPurchaseEdges(Tables.lineitem(uncachedSession(), sf()), 2))
     val first = GraphOps.coPurchaseEdges(Tables.lineitem(s, sf()), 2)
-    assert(GraphProjectionCache.entryCount == before + 1)
+    assert(GraphProjectionCache.entryCountFor(s) == 1)
     assert(edgeSet(first) == reference)
     val second = GraphOps.coPurchaseEdges(Tables.lineitem(s, sf()), 2)
-    assert(GraphProjectionCache.entryCount == before + 1,
+    assert(GraphProjectionCache.entryCountFor(s) == 1,
       "same (corpus, support) must not write a second entry")
     assert(second.inputFiles.nonEmpty &&
       second.inputFiles.forall(_.contains("graft-graphproj")),
@@ -58,11 +73,11 @@ class GraphProjectionCacheSpec extends SparkSpec {
   test("minSupport is part of the key; empty projection round-trips") {
     val s = cachedSession()
     GraphOps.coPurchaseEdges(Tables.lineitem(s, sf()), 2).collect()
-    val c0 = GraphProjectionCache.entryCount
+    val c0 = GraphProjectionCache.entryCountFor(s)
     val sup3 = GraphOps.coPurchaseEdges(Tables.lineitem(s, sf()), 3)
-    assert(GraphProjectionCache.entryCount == c0 + 1)
-    assert(edgeSet(sup3) ==
-      edgeSet(GraphOps.coPurchaseEdges(Tables.lineitem(spark, sf()), 3)))
+    assert(GraphProjectionCache.entryCountFor(s) == c0 + 1)
+    assert(edgeSet(sup3) == edgeSet(
+      GraphOps.coPurchaseEdges(Tables.lineitem(uncachedSession(), sf()), 3)))
     // a support no pair reaches: zero-row write, schema'd read-back
     val empty = GraphOps.coPurchaseEdges(Tables.lineitem(s, sf()), 999999)
     assert(empty.collect().isEmpty)
@@ -73,7 +88,7 @@ class GraphProjectionCacheSpec extends SparkSpec {
     val s = cachedSession()
     def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.collect().map(_.toString).toSeq
-    val liOff = Tables.lineitem(spark, sf())
+    val liOff = Tables.lineitem(uncachedSession(), sf())
     val liOn = Tables.lineitem(s, sf())
     assert(rows(GraphOps.triangles(liOn)) == rows(GraphOps.triangles(liOff)))
     assert(rows(GraphOps.jaccardLinks(liOn)) ==

@@ -41,8 +41,12 @@ class RoundElevenOpsSpec extends SparkSpec {
     // the result frame reads clusters' label checkpoint, which the
     // PlanGuardSpec pin-origin walk cannot attribute — so the 2-scan
     // claim is asserted here on the pair plan itself (self-join = two
-    // honest lineitem scans, the same floor triangles is guarded at)
-    val pairs = GraphOps.coPurchaseEdges(Tables.lineitem(spark, sf()), 2)
+    // honest lineitem scans, the same floor triangles is guarded at);
+    // conf-off clone: the projection cache defaults ON since r14 and
+    // would make the plan scan the cache parquet instead
+    val sOff = spark.newSession()
+    sOff.conf.set(GraphProjectionCache.ConfKey, "false")
+    val pairs = GraphOps.coPurchaseEdges(Tables.lineitem(sOff, sf()), 2)
     val scans = pairs.queryExecution.executedPlan.treeString
       .linesIterator.count(l =>
         l.contains("FileScan") && l.contains("lineitem.parquet"))

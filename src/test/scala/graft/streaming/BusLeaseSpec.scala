@@ -51,7 +51,16 @@ class BusLeaseSpec extends AnyFunSuite {
       "late extension after expiry must fail")
     assert(core.acquireLease("s", "B", core.nowMicros() + 10000))
 
-    // commit releases the lease unconditionally (the ack ends the work)
+    // an ADVANCING commit releases the lease (the ack ends the work)
+    core.commit("s", 2)
+    assert(core.acquireLease("s", "B", core.nowMicros() + 10000))
+    // a STALE commit (upTo <= committed) is not an ack: it must not
+    // evict the active holder's lease (r13 ADVICE — a lagging
+    // consumer's replayed checkpoint would reopen the competing window)
+    core.commit("s", 1)
+    core.commit("s", 2)
+    assert(!core.acquireLease("s", "A", core.nowMicros() + 10000),
+      "stale commit evicted the active holder's lease")
     core.commit("s", 3)
     assert(core.acquireLease("s", "A", core.nowMicros() + 10000))
 
