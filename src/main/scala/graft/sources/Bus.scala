@@ -112,8 +112,13 @@ object BusRegistry {
       require(i > 0, s"bus spec must be socket://host:port, got: $spec")
       new SocketBus(hp.substring(0, i), hp.substring(i + 1).toInt)
     case other =>
-      throw new IllegalArgumentException(
-        s"unknown bus spec '$other' (expected 'memory' or 'socket://host:port')")
+      // external transports plug in by scheme ([[BusFactories]]) — the
+      // GcpPubsubBus wiring path, kept out of the match so the engine
+      // never depends on a client jar
+      BusFactories.resolve(other).getOrElse(
+        throw new IllegalArgumentException(
+          s"unknown bus spec '$other' (expected 'memory', " +
+            "'socket://host:port', or a BusFactories-registered scheme)"))
   }
 }
 
