@@ -514,6 +514,81 @@ object MultimodalOps {
       energy: Long,
       zero_crossings: Long)
 
+  /** WAVE codec SPI providers, resolved ONCE per JVM (lazily, so each
+    * executor initializes its own). `AudioSystem.write` and
+    * `AudioSystem.getAudioInputStream` funnel EVERY call through
+    * `JDK13Services.getProviders` — a SYNCHRONIZED static that re-runs
+    * the full ServiceLoader scan each time (no cache on the providers
+    * path in JDK 17). At two lookups per row (encode + decode) × 32
+    * task threads, the global lock serialized the whole stage: jstack
+    * sampling of the sf10 solo run put the majority of on-CPU frames
+    * inside `getProviders` (134.8 s solo). Calling the SAME provider
+    * objects directly — the real codec classes the JDK itself
+    * dispatches to — removes the lock and the rescan; the r14 sf10
+    * solo after this fix is the BENCH_NOTES "audio decoder reuse"
+    * entry. */
+  private lazy val wavWriters: Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator().asScala.toSeq
+  }
+  private lazy val wavReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toSeq
+  }
+
+  /** `AudioSystem.write(..., WAVE, out)` without the per-call provider
+    * scan: first cached writer supporting WAVE for this stream. */
+  private def writeWave(ais: javax.sound.sampled.AudioInputStream,
+                        out: java.io.OutputStream): Unit = {
+    val t = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    wavWriters.find(_.isFileTypeSupported(t, ais)) match {
+      case Some(w) => w.write(ais, t, out); ()
+      case None => // no SPI visible (exotic runtime): the slow, safe path
+        javax.sound.sampled.AudioSystem.write(ais, t, out); ()
+    }
+  }
+
+  /** The reader that last succeeded, tried FIRST on the next payload:
+    * probing readers in ServiceLoader order re-enters the synchronized
+    * provider scan through the back door — `SoftMidiAudioFileReader`
+    * (listed before the WAVE reader) probes via `MidiSystem
+    * .getSequence`, which calls the SAME `JDK13Services.getProviders`
+    * per attempt (second jstack pass: ~95 of ~96 decode frames inside
+    * the MIDI probe). A homogeneous payload column hits the hint every
+    * row; a mixed column pays one mis-probe per format CHANGE, not per
+    * row. */
+  @volatile private var lastGoodReader
+      : javax.sound.sampled.spi.AudioFileReader = null
+
+  /** `AudioSystem.getAudioInputStream` without the per-call provider
+    * scan; a fresh ByteArrayInputStream per attempt replaces the
+    * mark/reset dance (wrapping the array allocates nothing big). */
+  private def readAudio(payload: Array[Byte])
+      : javax.sound.sampled.AudioInputStream = {
+    val hint = lastGoodReader
+    if (hint != null) {
+      try return hint.getAudioInputStream(new ByteArrayInputStream(payload))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => }
+    }
+    wavReaders.foreach { r =>
+      if (r ne hint) {
+        try {
+          val ais = r.getAudioInputStream(new ByteArrayInputStream(payload))
+          lastGoodReader = r
+          return ais
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException =>
+        }
+      }
+    }
+    // no SPI matched/visible: the slow, safe path (throws the same
+    // UnsupportedAudioFileException on genuinely bad bytes)
+    javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(payload))
+  }
+
   /** Deterministic 16-bit PCM waveform for clip `id` — integer
     * arithmetic only, so any executor regenerates identical samples
     * (the audio analog of [[synthImage]]). */
@@ -554,9 +629,8 @@ object MultimodalOps {
           }
           val ais = new javax.sound.sampled.AudioInputStream(
             new ByteArrayInputStream(pcm), fmt, n.toLong)
-          val baos = new ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(ais,
-            javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+          val baos = new ByteArrayOutputStream(pcm.length + 64)
+          writeWave(ais, baos)
           MediaRow(id, baos.toByteArray, MediaMeta("wav", sampleRate, 16))
         }
       }.toDF()
@@ -576,8 +650,7 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, payload) =>
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new ByteArrayInputStream(payload))
+          val ais = readAudio(payload)
           val fmt = ais.getFormat
           require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
             s"unsupported WAV shape: $fmt")

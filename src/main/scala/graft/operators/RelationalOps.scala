@@ -564,36 +564,43 @@ object Joins {
     * quadratic nested loop, so the plan survives when both sides are
     * fact-sized, unlike a BNLJ.
     *
-    * TIME-ORDERED EMIT-ONCE enumeration (round-6 sf10 finding): pair
-    * COUNT is quadratic in arrival density — at sf10 (10M events over
-    * 30 days × 10-min windows) there are ~2.3·10¹⁰ true overlapping
-    * pairs, and the original form both over-enumerated (4 candidate
-    * rows per pair: 2 shared buckets × both orientations) and shuffled
-    * every surviving id pair through a `.distinct()` (~370 GB at sf10;
-    * measured 294 s wall). This form enumerates each pair ONCE, by
-    * time order: the LATER event (time-ties broken by id) contributes
-    * only its START bucket — one row, no explode — and the EARLIER side
-    * explodes over its covered buckets, which always include the later
-    * start's bucket (s_min ≤ s_max < e_min). With equal-length
-    * intervals the residual `sb − sa < window` is the whole overlap
-    * predicate, dedup is gone entirely (no bucket can repeat a pair:
-    * the later side appears in one bucket), and the only exchange after
-    * the explode carries one partial count per (type, type, partition).
+    * SORTED-SWEEP enumeration (round 14; supersedes the r6 emit-once
+    * bucket join): pair COUNT is quadratic in arrival density — at sf10
+    * (10M events over 30 days × 10-min windows) there are ~2.3·10¹⁰
+    * true overlapping pairs — so the floor is O(true pairs) CPU, and
+    * the only question is the cost PER PAIR. The r6 bucket hash-join
+    * paid a hash probe + residual filter + codegen row plumbing per
+    * CANDIDATE (2 candidates per true pair at width-w buckets): 161 s
+    * at sf10. This form pays an array read + branch + counter bump per
+    * TRUE pair: the time axis is range-SLICED (slice width derived from
+    * the start-bucket histogram, ≥ window so an event overlaps at most
+    * the next slice), each event lands in its own slice plus — when its
+    * window crosses the boundary — an `own=false` copy in the next
+    * slice (≤ 2 rows per event, same bound as the old explode), and
+    * each slice sorts by (s, id) and runs a two-pointer sliding window:
+    * every retained window entry IS a true pair for the current
+    * `own=true` row (sort order makes the strict (s, id) time-order
+    * test vacuous), counted into a dense per-(type, type) array.
+    * A pair is owned by exactly one slice — the LATER event's own
+    * slice — so nothing deduplicates; the shuffle carries one row per
+    * event copy (≤ 2n) and one partial count row per (slice,
+    * type-pair). Measured at sf10: 161.2 s → 9.7 s solo (16.6×,
+    * ~13 ns per true pair; BENCH_NOTES round-14 entry) — the hash
+    * probe per candidate was the dominant cost.
     * The group labels stay in ID order (type of the lower id first,
-    * matching the oracle), reconstructed per pair from the time-ordered
-    * row. The pair set is never materialized or shuffled at any scale;
-    * what remains is the honest O(true pairs) enumeration CPU inside
-    * each bucket — ~2.3·10¹⁰ pairs touched in 166 s on 32 cores at sf10
-    * (was 294 s; candidate rows per true pair fell from 4 to 2 — the
-    * residual 2× is the bucket-granularity tradeoff: width-w buckets
-    * admit starts from two buckets per probe, and narrower buckets buy
-    * precision at the cost of a larger earlier-side explode). At 100 TB
-    * an analyst who needs only CONCURRENCY numbers (not the pair
-    * multiset) should prefer [[graft.operators.StreamBatchOps
-    * .concurrency]] (`ts_concurrency`) — the O(n·types) sweep count that
-    * answers the concurrency question without enumerating pairs (0.57 s
-    * vs 166 s at sf10) — over any pair join; this operator is the
-    * pair-exact form, for when the pair multiset itself is the product.
+    * matching the oracle), one branch per pair. At 100 TB an analyst
+    * who needs only CONCURRENCY numbers (not the pair multiset) should
+    * still prefer [[graft.operators.StreamBatchOps.concurrency]]
+    * (`ts_concurrency`) — the O(n·types) sweep count that answers the
+    * concurrency question without enumerating pairs — over any
+    * pair-exact form; this operator is for when the pair multiset
+    * itself is the product.
+    *
+    * Skew: a slice's work is quadratic in ITS density, so a burst
+    * hot-spot concentrates; slice width tracks the global span (4
+    * slices per shuffle partition) and the budget guard below prices
+    * the total before anything runs — the same fail-fast that covers
+    * uniform density covers the burst.
     *
     * PAIR-BUDGET GUARD (round 7, r6 verdict #5): because the output is
     * inherently quadratic in arrival density, a 100× scale-up can turn
@@ -613,51 +620,131 @@ object Joins {
     * scan-guard: join_interval_overlap */
   def intervalOverlap(events: DataFrame, windowSecs: Int = 600): DataFrame = {
     val spark = events.sparkSession
+    import spark.implicits._
+    val w = windowSecs.toLong
     val e = events
       .select(col("event_id"), col("event_type"),
         unix_timestamp(col("ts")).as("s"))
     val maxEstPairs = spark.conf
       .getOption("spark.graft.intervalOverlap.maxEstPairs")
       .map(_.toLong).getOrElse(100_000_000_000L)
-    if (maxEstPairs > 0) {
+    // ONE stats pass over the narrow (s) column: the pair-budget
+    // estimate AND the bucket bounds the slice map needs
+    val stats = {
       import org.apache.spark.sql.expressions.Window
       val h = e.groupBy(expr(s"s DIV $windowSecs").as("bucket"))
         .agg(count(lit(1)).as("n"))
       val prev = lag(col("n"), 1, 0).over(Window.orderBy("bucket"))
-      val est = h.select(col("n"), prev.as("np"))
-        .agg(sum(col("n") * (col("n") + col("np"))).as("est"))
-        .head().getLong(0)
-      if (est > maxEstPairs)
-        throw new IllegalStateException(
-          s"join_interval_overlap: estimated candidate pairs ($est) exceed " +
-            s"spark.graft.intervalOverlap.maxEstPairs ($maxEstPairs). The pair " +
-            "multiset is quadratic in arrival density; if you need concurrency " +
-            "counts rather than the pairs themselves, use ts_concurrency " +
-            "(StreamBatchOps.concurrency) — O(n·types), no pair enumeration. " +
-            "To proceed anyway, raise the budget conf (0 disables the guard).")
+      h.select(col("bucket"), col("n"), prev.as("np"))
+        .agg(sum(col("n") * (col("n") + col("np"))).as("est"),
+          min(col("bucket")).as("minb"), max(col("bucket")).as("maxb"))
+        .head()
     }
-    // the earlier side covers [s, s+w]: ≤2 window-width buckets
-    // (integer DIV: `/` on Columns is double division, Sequence rejects it)
-    val earlier = e.withColumn("bucket",
-        explode(sequence(expr(s"s DIV $windowSecs"),
-          expr(s"(s + $windowSecs) DIV $windowSecs"))))
-      .select(col("bucket"), col("event_id").as("id_a"),
-        col("event_type").as("et_a"), col("s").as("sa"))
-    // the later side contributes exactly its start bucket: one row
-    val later = e.select(expr(s"s DIV $windowSecs").as("bucket"),
-      col("event_id").as("id_b"), col("event_type").as("et_b"),
-      col("s").as("sb"))
-    earlier.join(later, "bucket")
-      // strict time order (id breaks ties) + fixed-length overlap
-      .filter((col("sa") < col("sb") ||
-          (col("sa") === col("sb") && col("id_a") < col("id_b"))) &&
-        col("sb") - col("sa") < lit(windowSecs.toLong))
-      // oracle labels are ID-ordered: type of the lower id first
-      .select(
-        when(col("id_a") < col("id_b"), col("et_a")).otherwise(col("et_b")).as("et_a"),
-        when(col("id_a") < col("id_b"), col("et_b")).otherwise(col("et_a")).as("et_b"))
+    if (stats.isNullAt(0)) // empty input: keep the output schema
+      return e.limit(0).select(col("event_type").as("et_a"),
+        col("event_type").as("et_b"), lit(0L).as("n_pairs"))
+    val (est, minB, maxB) =
+      (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    if (maxEstPairs > 0 && est > maxEstPairs)
+      throw new IllegalStateException(
+        s"join_interval_overlap: estimated candidate pairs ($est) exceed " +
+          s"spark.graft.intervalOverlap.maxEstPairs ($maxEstPairs). The pair " +
+          "multiset is quadratic in arrival density; if you need concurrency " +
+          "counts rather than the pairs themselves, use ts_concurrency " +
+          "(StreamBatchOps.concurrency) — O(n·types), no pair enumeration. " +
+          "To proceed anyway, raise the budget conf (0 disables the guard).")
+    // slice map: ~4 slices per shuffle partition for balance; width in
+    // whole window-buckets so an event's window crosses at most one
+    // slice boundary (bucket b only ever pairs into buckets b, b+1)
+    val targetSlices =
+      math.max(1, spark.sessionState.conf.numShufflePartitions * 4)
+    val bucketsPerSlice = math.max(1L, (maxB - minB + 1) / targetSlices)
+    val sliceOf = (b: String) => s"(($b) - $minB) DIV $bucketsPerSlice"
+    val sOwn = expr(sliceOf(s"s DIV $windowSecs"))
+    val sNext = expr(sliceOf(s"s DIV $windowSecs + 1"))
+    // own copy always; an own=false copy into the NEXT slice only when
+    // the boundary cuts this event's window (≤ 2 rows per event)
+    val copies = e.select(col("event_id"), col("event_type"), col("s"),
+        explode(when(sNext =!= sOwn,
+          array(struct(sOwn.as("slice"), lit(true).as("own")),
+            struct(sNext.as("slice"), lit(false).as("own"))))
+          .otherwise(array(struct(sOwn.as("slice"), lit(true).as("own")))))
+          .as("c"))
+      .select(col("c.slice"), col("c.own"), col("s"), col("event_id"),
+        col("event_type"))
+    val partials = copies
+      .repartition(col("slice"))
+      .sortWithinPartitions(col("slice"), col("s"), col("event_id"))
+      .as[(Long, Boolean, Long, Long, String)]
+      .mapPartitions { it =>
+        // ring buffer of the live window (parallel arrays, pow-2 cap)
+        var cap = 1024
+        var bs = new Array[Long](cap); var bid = new Array[Long](cap)
+        var bt = new Array[Int](cap)
+        var head = 0; var size = 0
+        // dense (type, type) counters; stride grows by rebuild if a
+        // partition ever sees more distinct types than the stride
+        var stride = 64
+        var counts = new Array[Long](stride * stride)
+        val typeIdx = scala.collection.mutable.HashMap.empty[String, Int]
+        val typeNames = scala.collection.mutable.ArrayBuffer.empty[String]
+        var curSlice = Long.MinValue
+        def tIdx(t: String): Int = typeIdx.getOrElse(t, {
+          val i = typeNames.size
+          if (i >= stride) { // rebuild into a wider stride
+            val ns = stride * 2
+            val nc = new Array[Long](ns * ns)
+            var a = 0
+            while (a < stride) {
+              System.arraycopy(counts, a * stride, nc, a * ns, stride)
+              a += 1
+            }
+            stride = ns; counts = nc
+          }
+          typeIdx(t) = i; typeNames += t; i
+        })
+        it.foreach { case (slice, own, s, id, et) =>
+          if (slice != curSlice) { curSlice = slice; head = 0; size = 0 }
+          val mask = cap - 1
+          while (size > 0 && s - bs(head) >= w) {
+            head = (head + 1) & mask; size -= 1
+          }
+          val t = tIdx(et)
+          if (own) {
+            // every retained entry is a true pair: sort order already
+            // encodes (sa < sb) OR (sa == sb AND id_a < id_b)
+            var i = 0
+            while (i < size) {
+              val j = (head + i) & mask
+              val k = if (bid(j) < id) bt(j) * stride + t
+                      else t * stride + bt(j)
+              counts(k) += 1
+              i += 1
+            }
+          }
+          if (size == cap) { // grow the ring, linearized
+            val nb = new Array[Long](cap * 2); val nid = new Array[Long](cap * 2)
+            val nt = new Array[Int](cap * 2)
+            var i = 0
+            while (i < size) {
+              val j = (head + i) & mask
+              nb(i) = bs(j); nid(i) = bid(j); nt(i) = bt(j); i += 1
+            }
+            bs = nb; bid = nid; bt = nt; head = 0; cap *= 2
+          }
+          val tail = (head + size) & (cap - 1)
+          bs(tail) = s; bid(tail) = id; bt(tail) = t
+          size += 1
+        }
+        for {
+          a <- (0 until typeNames.size).iterator
+          b <- (0 until typeNames.size).iterator
+          n = counts(a * stride + b) if n > 0
+        } yield (typeNames(a), typeNames(b), n)
+      }
+    partials.toDF("et_a", "et_b", "n")
       .groupBy("et_a", "et_b")
-      .agg(count(lit(1)).as("n_pairs"))
+      .agg(sum(col("n")).as("n_pairs"))
       .orderBy("et_a", "et_b")
   }
 

@@ -591,10 +591,17 @@ class PlanGuardSpec extends SparkSpec {
     // shape; since r14 the GraphProjectionCache defaults ON (the plan
     // would scan the cache parquet, zero lineitem files), so those
     // claims construct against a conf-off clone
-    def liNoCache = {
+    def noCacheSession = {
       val s = spark.newSession()
       s.conf.set("spark.graft.graph.projectionCache", "false")
-      Tables.lineitem(s, sf())
+      s
+    }
+    def liNoCache = Tables.lineitem(noCacheSession, sf())
+    // pagerank/degree_stats share the bipartite projection (r14): their
+    // one-scan-per-table claims need both inputs from one conf-off clone
+    def ordersLiNoCache = {
+      val s = noCacheSession
+      (Tables.orders(s, sf()), Tables.lineitem(s, sf()))
     }
     Seq(
       ("text_kn_bigram", () => TextOps.knBigram(docs), "documents", 1),
@@ -611,22 +618,29 @@ class PlanGuardSpec extends SparkSpec {
       ("ts_cross_corr", () => StreamBatchOps.crossCorr(events), "events", 1),
       ("ts_ewma", () => StreamBatchOps.ewma(events), "events", 1),
       ("emb_covariance", () => VectorOps.covariance(emb), "embeddings", 1),
-      ("graph_pagerank/lineitem", () => GraphOps.pagerank(orders, li),
+      ("graph_pagerank/lineitem", () =>
+        { val (o, l) = ordersLiNoCache; GraphOps.pagerank(o, l) },
         "lineitem", 1),
-      ("graph_pagerank/orders", () => GraphOps.pagerank(orders, li),
+      ("graph_pagerank/orders", () =>
+        { val (o, l) = ordersLiNoCache; GraphOps.pagerank(o, l) },
         "orders", 1),
       // r10 judge measured 10 lineitem scans (unpinned edges/deg) —
       // the self-join's two sides are the honest floor
       ("graph_triangles", () => GraphOps.triangles(liNoCache), "lineitem", 2),
-      ("graph_degree_stats/lineitem", () => GraphOps.degreeStats(orders, li),
+      ("graph_degree_stats/lineitem", () =>
+        { val (o, l) = ordersLiNoCache; GraphOps.degreeStats(o, l) },
         "lineitem", 1),
-      ("graph_degree_stats/orders", () => GraphOps.degreeStats(orders, li),
+      ("graph_degree_stats/orders", () =>
+        { val (o, l) = ordersLiNoCache; GraphOps.degreeStats(o, l) },
         "orders", 1),
       // r11: entries surfaced by the scan-claim sweep — every operator
       // below documented a one-pass shape that nothing asserted
       ("retrieval_bm25", () => RetrievalOps.bm25(docs), "documents", 2),
+      // r14 sorted sweep: the stats/guard pass runs EAGERLY at
+      // construction (narrow s-column scan); the returned plan executes
+      // exactly the one sweep scan
       ("join_interval_overlap", () => Joins.intervalOverlap(events),
-        "events", 2),
+        "events", 1),
       ("corpus_langid_confusion", () => TextOps.langIdConfusion(docs),
         "documents", 1),
       ("multimodal_stats", () => MultimodalOps.mediaStats(docs),

@@ -84,11 +84,12 @@ class GraphProjectionCacheSpec extends SparkSpec {
     assert(empty.schema.fieldNames.toSeq == Seq("a", "b"))
   }
 
-  test("all four graph queries: identical rows cache-on vs cache-off") {
+  test("all six graph queries: identical rows cache-on vs cache-off") {
     val s = cachedSession()
+    val sOff = uncachedSession()
     def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.collect().map(_.toString).toSeq
-    val liOff = Tables.lineitem(uncachedSession(), sf())
+    val liOff = Tables.lineitem(sOff, sf())
     val liOn = Tables.lineitem(s, sf())
     assert(rows(GraphOps.triangles(liOn)) == rows(GraphOps.triangles(liOff)))
     assert(rows(GraphOps.jaccardLinks(liOn)) ==
@@ -96,5 +97,12 @@ class GraphProjectionCacheSpec extends SparkSpec {
     assert(rows(GraphOps.components(liOn)) ==
       rows(GraphOps.components(liOff)))
     assert(rows(GraphOps.bfsDepths(liOn)) == rows(GraphOps.bfsDepths(liOff)))
+    // the r14 bipartite projection consumers (custSuppEdges)
+    val oOff = Tables.orders(sOff, sf())
+    val oOn = Tables.orders(s, sf())
+    assert(rows(GraphOps.pagerank(oOn, liOn)) ==
+      rows(GraphOps.pagerank(oOff, liOff)))
+    assert(rows(GraphOps.degreeStats(oOn, liOn)) ==
+      rows(GraphOps.degreeStats(oOff, liOff)))
   }
 }
