@@ -980,21 +980,7 @@ object DedupOps {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = documents.sparkSession
     import spark.implicits._
-    def minOf(a: SpanInstance, b: SpanInstance): SpanInstance =
-      if (a.doc_id < b.doc_id ||
-        (a.doc_id == b.doc_id && a.block_idx < b.block_idx)) a else b
-    spanTable(documents, k).as[SpanInstance]
-      .mapPartitions { it =>
-        // partition-local min-combine: the hot-hash guard (see scaladoc)
-        val best = scala.collection.mutable.HashMap.empty[String, SpanInstance]
-        it.foreach { s =>
-          best.updateWith(s.h) {
-            case Some(cur) => Some(minOf(cur, s))
-            case None => Some(s)
-          }
-        }
-        best.valuesIterator
-      }
+    minCombinedSpans(documents, k)
       .groupByKey(_.h)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -1002,11 +988,103 @@ object DedupOps {
           if (state.exists) Iterator.empty
           else {
             state.update(true)
-            val w = it.reduce(minOf)
+            val w = it.reduce(SpanGateProcessor.minOf)
             Iterator(KeptSpan(w.doc_id, w.lang, w.n_spans, w.block_idx, w.span))
           }
       }
   }
+
+  /** [[spanRewriteStream]] on Spark 4's `transformWithState` — the
+    * arbitrary-state surface that supports STATE-SCHEMA EVOLUTION
+    * (adding fields to the state encoder across restarts; the engine's
+    * preferred surface per SURVEY §2 when a gate's state will grow,
+    * e.g. from "seen" to "seen + first-batch-id"). Semantics are
+    * identical to the fMGWS form — one boolean of state per distinct
+    * span hash, first occurrence wins, (doc_id, block_idx) minimum
+    * within a batch — proven by the shared StreamingSpanRewriteSpec
+    * assertions run against both forms.
+    *
+    * Deployment notes (why BOTH forms ship):
+    *  - `transformWithState` hard-requires the RocksDB state store
+    *    (`spark.sql.streaming.stateStore.providerClass` =
+    *    RocksDBStateStoreProvider); the fMGWS form runs on the default
+    *    HDFS-backed provider too.
+    *  - On a STATIC frame, batch-mode TWS still materializes real state
+    *    stores, and executors resolve the driver's StateStoreCoordinator
+    *    RPC endpoint — which only a streaming stateful query registers.
+    *    In a JVM where no stream has run yet, run any one-batch stateful
+    *    stream first (the spec bootstraps with rate → dropDuplicates →
+    *    noop) or the batch query fails with CANNOT_LOAD_STATE_STORE.
+    *    The fMGWS form has no such requirement.
+    *  - CHECKPOINT MIGRATION: an existing fMGWS checkpoint cannot be
+    *    resumed by a TWS query (different state operator + store
+    *    format). Migrating a live gate means a new checkpoint dir and
+    *    one of: replaying the corpus through the new query to rebuild
+    *    the seen-set, or accepting a duplicate window for spans whose
+    *    history predates the cutover (the same at-least-once window a
+    *    fresh consumer has). */
+  def spanRewriteStreamTws(documents: DataFrame, k: Int = 5)
+      : org.apache.spark.sql.Dataset[KeptSpan] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = documents.sparkSession
+    import spark.implicits._
+    minCombinedSpans(documents, k)
+      .groupByKey(_.h)
+      .transformWithState(new SpanGateProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Shared front half of both streaming span gates: span synthesis +
+    * the partition-local min-combine (the hot-hash guard — a boilerplate
+    * span reaches the state task as ≤ numPartitions candidates). */
+  private def minCombinedSpans(documents: DataFrame, k: Int)
+      : org.apache.spark.sql.Dataset[SpanInstance] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    spanTable(documents, k).as[SpanInstance]
+      .mapPartitions { it =>
+        val best = scala.collection.mutable.HashMap.empty[String, SpanInstance]
+        it.foreach { s =>
+          best.updateWith(s.h) {
+            case Some(cur) => Some(SpanGateProcessor.minOf(cur, s))
+            case None => Some(s)
+          }
+        }
+        best.valuesIterator
+      }
+  }
+}
+
+/** The [[DedupOps.spanRewriteStreamTws]] state processor: one boolean
+  * `ValueState` per distinct span hash — exists ⇒ the span is dead;
+  * first arrival claims it with the (doc_id, block_idx) minimum of the
+  * batch's candidates. TTL is NONE: the gate is exact over the stream's
+  * whole history (the bounded-retention variant would pass a TTLConfig,
+  * the `dropDuplicatesWithinWatermark` trade). */
+private[operators] class SpanGateProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, SpanInstance, KeptSpan] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var seen: ValueState[Boolean] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    seen = getHandle.getValueState[Boolean]("seen",
+      org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[SpanInstance],
+                               timerValues: TimerValues): Iterator[KeptSpan] =
+    if (seen.exists()) Iterator.empty
+    else {
+      seen.update(true)
+      val w = rows.reduce(SpanGateProcessor.minOf)
+      Iterator(KeptSpan(w.doc_id, w.lang, w.n_spans, w.block_idx, w.span))
+    }
+}
+
+private[operators] object SpanGateProcessor {
+  def minOf(a: SpanInstance, b: SpanInstance): SpanInstance =
+    if (a.doc_id < b.doc_id ||
+      (a.doc_id == b.doc_id && a.block_idx < b.block_idx)) a else b
 }
 
 /** Span instance flowing into [[DedupOps.spanRewriteStream]]'s state op
