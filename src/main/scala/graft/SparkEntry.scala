@@ -83,7 +83,13 @@ object SparkEntry {
     "agg_mode" -> ((s, d) => Aggs.modePerGroup(Tables.orders(s, d))),
     "text_quality_rank" -> ((s, d) => CorpusOps.qualityRank(Tables.documents(s, d))),
     "agg_stats" -> ((s, d) => Aggs.stats(Tables.orders(s, d))),
-    "agg_stats_approx" -> ((s, d) => Aggs.statsApprox(Tables.orders(s, d))),
+    // bound-verdict form (r14): raw approx percentiles are
+    // engine-specific, so the registry emits exact min/max/cnt plus a
+    // per-percentile "my sketch's rank error is within 1%" verdict that
+    // BOTH engines compute against their own sketch — hash-comparable,
+    // and a real sketch regression flips it
+    "agg_stats_approx" -> ((s, d) =>
+      Aggs.statsApproxVerified(Tables.orders(s, d))),
     "sample_bottomk" -> ((s, d) => Aggs.sampleBottomK(Tables.lineitem(s, d))),
     // --- windows ---
     "window_rank" -> ((s, d) => Windows.rankInCustomer(Tables.orders(s, d))),
@@ -670,6 +676,31 @@ object SparkEntry {
         |  quantile_disc(o_totalprice, 0.9) AS p90,
         |  COUNT(*) AS cnt
         |FROM orders""".stripMargin,
+
+    // bound-verdict oracle (r13 stretch #8): DuckDB verifies ITS OWN
+    // t-digest approx_quantile against the exact rank, Spark its own
+    // percentile_approx — both emit true iff their sketch's rank error
+    // is within 1% of n on the same rows, and the hash compares exact
+    // fields + verdicts (raw approx values can never hash-match across
+    // two different sketch algorithms)
+    "agg_stats_approx" ->
+      """WITH ap AS (
+        |  SELECT min(o_totalprice) AS min_price,
+        |         max(o_totalprice) AS max_price,
+        |         approx_quantile(o_totalprice, 0.5) AS p50,
+        |         approx_quantile(o_totalprice, 0.9) AS p90,
+        |         count(*) AS cnt
+        |  FROM orders),
+        |r AS (
+        |  SELECT ap.min_price, ap.max_price, ap.cnt,
+        |         sum(CASE WHEN o.o_totalprice <= ap.p50 THEN 1 ELSE 0 END) AS r50,
+        |         sum(CASE WHEN o.o_totalprice <= ap.p90 THEN 1 ELSE 0 END) AS r90
+        |  FROM orders o CROSS JOIN ap
+        |  GROUP BY 1, 2, 3)
+        |SELECT min_price, max_price, cnt,
+        |  abs(r50 * 1000000 - 500000 * cnt) <= 10000 * cnt AS p50_in_bound,
+        |  abs(r90 * 1000000 - 900000 * cnt) <= 10000 * cnt AS p90_in_bound
+        |FROM r ORDER BY cnt""".stripMargin,
 
     "window_rank" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
@@ -2336,6 +2367,36 @@ object SparkEntry {
         |    list_transform(string_split_regex(text, ''), c2 -> CAST(ord(c2) AS BIGINT))),
         |    (a2, c3) -> (a2 * 31 + c3) % 2147483647) AS content_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Bloom shard pre-filter (r14 flip from no-oracle): the key is the
+    // packed 62-bit Rabin pair (chars·2³¹ + words — the same codepoint
+    // polynomials text_fingerprint replays), so the oracle rebuilds the
+    // corpus's Kirsch–Mitzenmacher bit-position set and replays every
+    // probe: maybe_dup = all k=5 positions present. Must track
+    // bloomShardFlags' defaults (bitsLog2=20 → mask 1048575, k=5).
+    "dedup_bloom_shard" ->
+      """WITH keys AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |      list_transform(string_split_regex(text, ''), c2 -> CAST(ord(c2) AS BIGINT))),
+        |      (a2, c3) -> (a2 * 31 + c3) % 2147483647) * 2147483648
+        |    + list_reduce(list_prepend(CAST(5381 AS BIGINT),
+        |        list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+        |          wd -> list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |                  list_transform(string_split_regex(wd, ''), c -> CAST(ord(c) AS BIGINT))),
+        |                (a, c) -> (a * 31 + c) % 2147483647))),
+        |        (h, wh) -> (h * 33 + wh) % 2147483647) AS key
+        |  FROM documents),
+        |probes AS (
+        |  SELECT k.doc_id,
+        |    ((k.key & 4611686018427387903) + i.i * ((k.key >> 32) | 1)) & 1048575 AS pos
+        |  FROM keys k CROSS JOIN (SELECT unnest(range(5)) AS i) i),
+        |cpos AS (SELECT DISTINCT pos FROM probes WHERE doc_id % 2 = 0)
+        |SELECT p.doc_id, CAST(count(c.pos) = 5 AS INT) AS maybe_dup
+        |FROM probes p LEFT JOIN cpos c ON p.pos = c.pos
+        |WHERE p.doc_id % 2 = 1
+        |GROUP BY p.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
 
     // sign-LSH queries: "approximate" only in recall — results are fully
     // deterministic (pure-function hyperplanes), so the generated SQL

@@ -711,18 +711,28 @@ object DedupOps {
     * over the shard. At 100 TB the corpus side reads hashes only
     * (column-pruned scan) and ships kilobytes per partition.
     *
-    * No oracle (declared ✗ like the sketches: DuckDB cannot replicate
-    * xxhash64); RoundNineOpsSpec asserts zero false negatives on the
+    * Oracled since r14 (was ✗ "DuckDB cannot replicate xxhash64" —
+    * fixed by NOT using xxhash64): the key is the packed 62-bit Rabin
+    * pair `rabin_chars·2³¹ + rabin_words` (the [[graft.functions
+    * .ShingleExpressions.rabinFingerprint]] codegen kernels, both plain
+    * codepoint arithmetic mod 2³¹−1 that the `text_fingerprint` oracle
+    * already replays in SQL), so the Kirsch–Mitzenmacher probe
+    * positions are integers BOTH engines derive identically and the
+    * DuckDB oracle rebuilds the corpus's bit-position set and replays
+    * every probe — the full bitset pipeline is hash-compared end to
+    * end. RoundNineOpsSpec still asserts zero false negatives on the
     * planted cross-shard duplicates, the FP bound on disjoint text, and
     * agreement with the exact anti-join ground truth. */
   def bloomShardFlags(documents: DataFrame, bitsLog2: Int = 20,
                       k: Int = 5): DataFrame = {
-    import graft.functions.BloomFilter
-    val corpus = documents.filter(col("doc_id") % 2 === 0)
-      .select(xxhash64(col("text")).as("h"))
+    import graft.functions.{BloomFilter, ShingleExpressions}
+    def key = (ShingleExpressions.rabinFingerprint(col("text"), wordLevel = false) *
+      lit(2147483648L) +
+      ShingleExpressions.rabinFingerprint(col("text"), wordLevel = true)).as("h")
+    val corpus = documents.filter(col("doc_id") % 2 === 0).select(key)
     val bloom = corpus.select(BloomFilter.agg(col("h"), bitsLog2, k).as("bloom"))
     val shard = documents.filter(col("doc_id") % 2 === 1)
-      .select(col("doc_id"), xxhash64(col("text")).as("h"))
+      .select(col("doc_id"), key)
     shard.crossJoin(broadcast(bloom))
       .selectExpr("doc_id",
         s"CAST(${BloomFilter.mightContainExpr("bloom", "h", bitsLog2, k)} AS INT) AS maybe_dup")

@@ -1146,6 +1146,48 @@ object Aggs {
       round(percentile_approx(col("o_totalprice"), lit(0.9), lit(accuracy)), 2).as("p90"),
       count(lit(1)).as("cnt"))
 
+  /** Registry form of [[statsApprox]] with a BOUND-VERDICT oracle (r13
+    * stretch #8 — flips the slug from no-oracle to hash-compared): the
+    * raw approx percentiles are engine-specific (Spark's KLL-style
+    * `percentile_approx` vs DuckDB's t-digest `approx_quantile` return
+    * different values on the same data, so their hashes can never
+    * match), but the CONTRACT both sketches declare is rank accuracy.
+    * So each engine emits, alongside the exact min/max/cnt, a verdict
+    * per percentile: "the exact rank of MY approx value is within
+    * `rankTolPpm` of the target rank" — computed exactly by counting
+    * rows ≤ the sketch's answer. Both engines emit `true` iff their own
+    * sketch honors the guarantee on the same rows, and the hash
+    * compares exact fields + verdicts. The tolerance (default 1% of n)
+    * is ~100× Spark's configured rank error (1/accuracy) and far above
+    * t-digest's observed mid-quantile error, so a pass is deterministic
+    * for any functioning sketch, and a real sketch regression (rank
+    * error past 1%) flips the row to a hash mismatch.
+    *
+    * Scale shape: two scans — the sketch aggregate, then one exact
+    * rank-count pass with the 1-row sketch output broadcast onto it.
+    * Integer-exact verdict: |rank·10⁶ − q_ppm·n| ≤ tol_ppm·n in BIGINT
+    * (safe below ~9·10¹² rows; DECIMAL if anyone runs past that). */
+  def statsApproxVerified(orders: DataFrame, accuracy: Int = 10000,
+                          rankTolPpm: Long = 10000L): DataFrame = {
+    val sketch = orders.agg(
+      min(col("o_totalprice")).as("min_price"),
+      max(col("o_totalprice")).as("max_price"),
+      percentile_approx(col("o_totalprice"), lit(0.5), lit(accuracy)).as("p50"),
+      percentile_approx(col("o_totalprice"), lit(0.9), lit(accuracy)).as("p90"),
+      count(lit(1)).as("cnt"))
+    orders.select(col("o_totalprice")).crossJoin(broadcast(sketch))
+      .groupBy("min_price", "max_price", "cnt")
+      .agg(
+        sum(when(col("o_totalprice") <= col("p50"), 1L).otherwise(0L)).as("r50"),
+        sum(when(col("o_totalprice") <= col("p90"), 1L).otherwise(0L)).as("r90"))
+      .select(col("min_price"), col("max_price"), col("cnt"),
+        (abs(col("r50") * lit(1000000L) - lit(500000L) * col("cnt")) <=
+          lit(rankTolPpm) * col("cnt")).as("p50_in_bound"),
+        (abs(col("r90") * lit(1000000L) - lit(900000L) * col("cnt")) <=
+          lit(rankTolPpm) * col("cnt")).as("p90_in_bound"))
+      .orderBy("cnt")
+  }
+
   /** `agg_percentiles_exact`: EXACT discrete percentiles (p50/p90/p99)
     * of event value per type — the latency-SLO shape (`statsApprox` is
     * the sketch tier; this is the ground truth it is validated
