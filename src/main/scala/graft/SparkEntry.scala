@@ -215,6 +215,8 @@ object SparkEntry {
     "pipeline_decontaminate" -> ((s, d) => CorpusOps.decontaminate(Tables.documents(s, d))),
     "pipeline_pack_chunks" -> ((s, d) => CorpusOps.packChunks(Tables.documents(s, d))),
     "pipeline_pack_text" -> ((s, d) => CorpusOps.packText(Tables.documents(s, d))),
+    "pipeline_pack_sequences" -> ((s, d) =>
+      CorpusOps.packSequences(Tables.documents(s, d))),
     "corpus_stats" -> ((s, d) => CorpusOps.corpusStats(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) => CorpusOps.sampleStratified(Tables.documents(s, d))),
     "sample_neyman" -> ((s, d) => CorpusOps.sampleNeyman(Tables.documents(s, d))),
@@ -1621,6 +1623,51 @@ object SparkEntry {
         |  COUNT(*) AS n_docs,
         |  CAST(SUM(n) AS BIGINT) AS chunk_tokens
         |FROM c GROUP BY 1 ORDER BY chunk""".stripMargin,
+
+    // next-fit-decreasing bin packing (r14): the recursive CTE replays
+    // the SAME two-level algorithm — rank by (n DESC, doc_id), split
+    // into 32 rank-defined ranges, per-range sequential next-fit (one
+    // row per iteration per range), O(ranges) prefix renumber. Must
+    // track packSequences' defaults (budget 256, 32 ranges).
+    "pipeline_pack_sequences" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |fit AS (
+        |  SELECT doc_id, n_tokens,
+        |    row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM toks WHERE n_tokens <= 256),
+        |r AS (
+        |  SELECT doc_id, n_tokens, rn,
+        |    (rn - 1) // ((n + 31) // 32) AS range_id,
+        |    row_number() OVER (PARTITION BY (rn - 1) // ((n + 31) // 32)
+        |                       ORDER BY rn) AS idx
+        |  FROM fit),
+        |scan AS (
+        |  SELECT range_id, idx, doc_id, n_tokens,
+        |    CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+        |  FROM r WHERE idx = 1
+        |  UNION ALL
+        |  SELECT r.range_id, r.idx, r.doc_id, r.n_tokens,
+        |    CASE WHEN s.fill + r.n_tokens > 256 THEN s.bin + 1 ELSE s.bin END,
+        |    CASE WHEN s.fill + r.n_tokens > 256 THEN r.n_tokens
+        |         ELSE s.fill + r.n_tokens END
+        |  FROM scan s JOIN r ON r.range_id = s.range_id AND r.idx = s.idx + 1),
+        |bins AS (SELECT range_id, max(bin) + 1 AS bins_used FROM scan GROUP BY 1),
+        |offs AS (
+        |  SELECT range_id,
+        |    CAST(COALESCE(SUM(bins_used) OVER (ORDER BY range_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM bins)
+        |SELECT s.doc_id, s.n_tokens, s.range_id,
+        |  CAST(s.bin + o.off AS BIGINT) AS bin_id, 0 AS oversize
+        |FROM scan s JOIN offs o USING (range_id)
+        |UNION ALL
+        |SELECT doc_id, n_tokens, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), 1
+        |FROM toks WHERE n_tokens > 256
+        |ORDER BY doc_id""".stripMargin,
 
     // md5-prefix stratified sampling: 25% for en, 50% otherwise
     "sample_stratified" ->

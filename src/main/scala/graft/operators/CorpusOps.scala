@@ -143,6 +143,93 @@ object CorpusOps {
         sum("n_chars").as("total_chars"))
       .orderBy("stage")
 
+  /** `pipeline_pack_sequences` (round 14 — the deferred r13 audit's
+    * conclusion): trainer-side BIN PACKING, the semantics
+    * [[packChunks]]/[[packText]] deliberately do NOT have — docs are
+    * REORDERED, every bin is ≤ `budget` STRICTLY, and padding waste is
+    * the output metric (concat-and-chunk preserves order, lets chunks
+    * straddle, and is 100%-utilized by construction; the question it
+    * cannot answer is "how many padded sequences, at what
+    * utilization"). Algorithm: NEXT-FIT-DECREASING over the
+    * deterministic (n_tokens DESC, doc_id) order, range-partitioned —
+    * the global rank splits into `nRanges` content-defined ranges
+    * (by rank, NOT physical partitions, so the assignment is
+    * partitioning-independent), each range runs a fresh sequential
+    * next-fit scan, and the per-range bin counts renumber globally via
+    * an O(ranges) driver prefix. Range boundaries cost at most one
+    * partially-open bin each (≤ nRanges extra bins total) — the price
+    * of parallelizing an inherently sequential scan, pinned by the
+    * oracle which replays the SAME two-level algorithm. Next-fit (not
+    * first-fit) is the pick the r13 audit recorded: first-fit's open-
+    * bin SET is inherently sequential state, while next-fit's state is
+    * one (bin, fill) pair per range — and NFD's practical waste on
+    * long-tail corpora is comparable. Docs over `budget` get an
+    * explicit overflow row class (range_id = bin_id = −1, oversize 1):
+    * a packer must surface them, not silently truncate.
+    *
+    * Output: one row per document — (doc_id, n_tokens, range_id,
+    * bin_id, oversize) — the full assignment; per-bin fill/waste/count
+    * are one groupBy away and fully determined by it.
+    *
+    * Scale shape: ONE corpus scan (the token-count projection is
+    * lazy-pinned; the oversize branch and the rank path both read the
+    * pin), [[Skew.distributedRowNumber]] for the global order (range
+    * repartition + local ranks + O(partitions) offsets — no
+    * single-task window), one hash exchange of 16-byte (doc, tokens)
+    * rows into the per-range scans, and an O(ranges) driver stitch.
+    * scan-guard: pipeline_pack_sequences */
+  def packSequences(documents: DataFrame, budget: Int = 256,
+                    nRanges: Int = 32): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val toks = graft.plans.PlanPins.lazyPin(
+      documents.select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_tokens")))
+    val oversize = toks.filter(col("n_tokens") > budget)
+      .select(col("doc_id"), col("n_tokens"),
+        lit(-1L).as("range_id"), lit(-1L).as("bin_id"), lit(1).as("oversize"))
+    val ranked = Skew.distributedRowNumber(
+      toks.filter(col("n_tokens") <= budget), 0,
+      col("n_tokens").desc, col("doc_id"))
+    val nRow = broadcast(ranked.agg(count(lit(1)).as("__n")))
+    val withRange = ranked.crossJoin(nRow)
+      .withColumn("range_id",
+        expr(s"(rn - 1) DIV ((__n + ${nRanges - 1}) DIV $nRanges)"))
+    val packedLocal = graft.plans.PlanPins.lazyPin(withRange
+      .select(col("doc_id"), col("n_tokens"), col("range_id"), col("rn"))
+      .repartition(nRanges, col("range_id"))
+      .sortWithinPartitions(col("range_id"), col("rn"))
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        // fresh next-fit per range; ranges sharing a hash partition
+        // reset at the range switch (sorted by range first)
+        var curRange = -1L; var fill = 0L; var bin = 0L
+        it.map { case (docId, n, range, _) =>
+          if (range != curRange) { curRange = range; fill = 0L; bin = 0L }
+          if (fill + n > budget) { bin += 1; fill = 0L }
+          fill += n
+          (docId, n, range, bin)
+        }
+      }.toDF("doc_id", "n_tokens", "range_id", "local_bin"))
+    // O(ranges) driver prefix: global bin_id = local bin + the bins all
+    // earlier ranges used
+    val bins = packedLocal.groupBy("range_id")
+      .agg((max(col("local_bin")) + 1L).as("bins"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = bins.scanLeft((0L, 0L)) { case ((_, acc), (rg, b)) =>
+      (rg, acc + b)
+    }.sliding(2).collect { case Array((_, off), (rg, _)) => (rg, off) }.toSeq
+    val offDf = spark.createDataFrame(
+      if (offsets.isEmpty) Seq((-1L, 0L)) else offsets)
+      .toDF("range_id", "__off")
+    packedLocal.join(broadcast(offDf), Seq("range_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("range_id"),
+        (col("local_bin") + coalesce(col("__off"), lit(0L))).as("bin_id"),
+        lit(0).as("oversize"))
+      .unionByName(oversize)
+      .orderBy("doc_id")
+  }
+
   /** `pipeline_pack_chunks`: concatenation packing — assign documents (in
     * doc_id order) to fixed-token-budget chunks by the running token
     * count, the concat-and-chunk sequence-packing shape (a document whose

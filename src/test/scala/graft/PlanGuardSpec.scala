@@ -690,6 +690,10 @@ class PlanGuardSpec extends SparkSpec {
         "documents", 1),
       ("pipeline_length_buckets", () => CorpusOps.lengthBuckets(docs),
         "documents", 1),
+      // r14: bin packing — token projection pinned once; oversize branch
+      // and the rank path both read the pin
+      ("pipeline_pack_sequences", () => CorpusOps.packSequences(docs),
+        "documents", 1),
       // r13 wave
       ("pipeline_anneal_mix", () => CorpusOps.annealMix(docs),
         "documents", 1),

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 /** Hand-computed semantic pins for the round-14 fixes. */
@@ -34,5 +36,39 @@ class RoundFourteenOpsSpec extends SparkSpec {
       conf.set("spark.graft.dpo.maxLangRows", "3") // en (6 docs) salts
       assert(rows(CorpusOps.dpoFormat(docs)) === base)
     } finally conf.unset("spark.graft.dpo.maxLangRows")
+  }
+
+  test("pipeline_pack_sequences: hand-computed next-fit-decreasing on two ranges + an oversize doc") {
+    // budget 10, 2 ranges. Fit docs ranked (n DESC, id):
+    // 1(7) 2(6) 3(5) | 4(4) 5(3) -> ceil(5/2)=3 per range.
+    // Range 0 next-fit: 7 -> bin0; 7+6>10 -> bin1; 6+5>10 -> bin2 (3 bins).
+    // Range 1: 4 -> bin0; 4+3=7<=10 -> bin0 (1 bin, global id 3).
+    // Doc 6 (12 tokens) overflows the budget -> explicit oversize row.
+    def txt(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      (1L, txt(7)), (2L, txt(6)), (3L, txt(5)),
+      (4L, txt(4)), (5L, txt(3)), (6L, txt(12)))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = CorpusOps.packSequences(docs, budget = 10, nRanges = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSeq
+    assert(got === Seq(
+      (1L, 7L, 0L, 0L, 0), (2L, 6L, 0L, 1L, 0), (3L, 5L, 0L, 2L, 0),
+      (4L, 4L, 1L, 3L, 0), (5L, 3L, 1L, 3L, 0), (6L, 12L, -1L, -1L, 1)))
+  }
+
+  test("pipeline_pack_sequences: every bin's fill respects the budget on the real corpus") {
+    val docs = graft.Tables.documents(spark, sf())
+    val out = CorpusOps.packSequences(docs) // budget 256
+    val overfilled = out.filter(col("oversize") === 0)
+      .groupBy("bin_id").agg(sum(col("n_tokens")).as("fill"))
+      .filter(col("fill") > 256).count()
+    assert(overfilled == 0L, "a bin exceeded the strict budget")
+    // every oversize row really is over budget, and nothing is dropped
+    assert(out.filter(col("oversize") === 1 && col("n_tokens") <= 256)
+      .count() == 0L)
+    assert(out.count() == docs.count())
   }
 }
