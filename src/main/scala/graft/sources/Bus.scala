@@ -31,6 +31,13 @@ trait Bus {
   def createSubscription(topic: String, name: String): Unit
   def publish(topic: String, data: Array[Byte],
               attributes: Map[String, String] = Map.empty): String
+
+  /** Exact-arity overload for py4j callers (the PySpark shim): Scala
+    * default arguments are not visible as a 2-arg JVM method, so
+    * `jvm...publish(topic, bytes)` needs this. Same semantics. */
+  final def publish(topic: String, data: Array[Byte]): String =
+    publish(topic, data, Map.empty)
+
   def publishIdempotent(topic: String, key: String, data: Array[Byte]): Boolean
 
   /** Publish many payloads in one call — ONE wire round trip on the
