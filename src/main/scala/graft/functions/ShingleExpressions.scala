@@ -75,6 +75,12 @@ object ShingleExpressions {
     * hash (`wordLevel = true`) or raw codepoint rolling hash. */
   def rabinFingerprint(text: Column, wordLevel: Boolean): Column =
     column(RabinFingerprintExpr(expression(text), wordLevel))
+
+  /** Column API: windowed co-occurrence pair hashes →
+    * array<struct<h1: long, h2: long>> (see
+    * [[ShingleKernels.cooccurPairs]]). */
+  def cooccurPairs(text: Column, win: Int): Column =
+    column(CooccurPairsExpr(expression(text), win))
 }
 
 /** Static kernels shared by the interpreted (`nullSafeEval`) and generated
@@ -293,6 +299,56 @@ object ShingleKernels {
     a
   }
 
+  /** Windowed co-occurrence pair hashes (r14, the `text_cooccur_pmi`
+    * inner loop compiled): for tokens t_i, every (t_i, t_{i+j}) with
+    * 1 ≤ j ≤ win becomes one (h1, h2) = (min, max) of the two token
+    * hashes — EXACTLY the interpreted
+    * `flatten(transform(hs, (h,i) => transform(slice(...), ...)))`
+    * chain it replaces (HOFs never enter whole-stage codegen). Token
+    * hashes are Spark's own xxhash64 (XXH64, seed 42) over each
+    * token's byte range — byte-exact with `xxhash64(word)` on the
+    * split tokens, because the ASCII space byte never occurs inside a
+    * multibyte UTF-8 sequence — so the vocabulary dictionary keyed by
+    * `xxhash64(word)` joins back unchanged. Zero string allocation:
+    * tokens are hashed in place from the input's backing bytes. */
+  def cooccurPairs(input: UTF8String, win: Int): ArrayData = {
+    val base = input.getBaseObject
+    val off = input.getBaseOffset
+    val n = input.numBytes
+    // tokenize on the space BYTE: (start, len) ranges, empties dropped
+    var nt = 0
+    var hs = new Array[Long](16)
+    var i = 0
+    while (i < n) {
+      while (i < n && org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && org.apache.spark.unsafe.Platform.getByte(base, off + i) != 0x20) i += 1
+        if (nt == hs.length) hs = java.util.Arrays.copyOf(hs, nt * 2)
+        hs(nt) = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(base, off + start, i - start, 42L)
+        nt += 1
+      }
+    }
+    var m = 0
+    i = 0
+    while (i < nt) { m += math.min(win, nt - 1 - i); i += 1 }
+    val out = new Array[Any](m)
+    var idx = 0
+    i = 0
+    while (i < nt) {
+      var j = 1
+      while (j <= win && i + j < nt) {
+        val a = hs(i); val b = hs(i + j)
+        out(idx) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](math.min(a, b), math.max(a, b)))
+        idx += 1; j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** All k-grams of the space-tokenized input as strings, WITH
     * multiplicity (frequency statistics need every occurrence; dedup
     * signatures use the distinct hashed variant above). */
@@ -458,6 +514,28 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
 }
 
 /** `ngrams(text, k)` — see [[ShingleKernels.ngrams]]. */
+/** `cooccur_pairs(text, win)` — see [[ShingleKernels.cooccurPairs]]. */
+case class CooccurPairsExpr(child: Expression, win: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    new org.apache.spark.sql.types.StructType()
+      .add("h1", org.apache.spark.sql.types.LongType, nullable = false)
+      .add("h2", org.apache.spark.sql.types.LongType, nullable = false),
+    containsNull = false)
+  override def prettyName: String = "cooccur_pairs"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernels.cooccurPairs(input.asInstanceOf[UTF8String], win)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleKernels.cooccurPairs($c, $win)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class NgramsExpr(child: Expression, k: Int) extends UnaryExpression {
 
   override def dataType: DataType =

@@ -1145,10 +1145,13 @@ object CorpusOps {
     // dictionary — joined on the DISTINCT pairs only, AQE picking the
     // strategy (the vocabulary of a web corpus is too large to assume
     // broadcastable). Same 64-bit-collision rule as decontaminate.
-    val hs = transform(ws, w => xxhash64(w))
-    val prs = flatten(transform(hs, (h, i) =>
-      transform(slice(hs, i + lit(2), lit(win)), v =>
-        struct(least(h, v).as("h1"), greatest(h, v).as("h2")))))
+    // r14: the pair fan-out is the COMPILED cooccurPairs kernel — the
+    // previous flatten/transform/slice chain ran interpreted (HOFs
+    // never enter whole-stage codegen) and allocated per pair; the
+    // kernel hashes token byte ranges in place with the same xxhash64
+    // (seed 42), so the word-recovery dictionary joins back unchanged
+    val prs = graft.functions.ShingleExpressions
+      .cooccurPairs(lower(col("text")), win)
     // ONE consumer for the expensive explode plan (and no checkpoint —
     // lazy localCheckpoint materialization bypasses AQE, measured 5× at
     // sf10): the total pair count T never touches the pair table, it's

@@ -1019,6 +1019,12 @@ object DedupOps {
     *    (`spark.sql.streaming.stateStore.providerClass` =
     *    RocksDBStateStoreProvider); the fMGWS form runs on the default
     *    HDFS-backed provider too.
+    *  - The in-stream CORPUS gate (the quality gate + `dropDuplicates`
+    *    composition the runner's transform slot uses) stays as is: its
+    *    state is Spark's BUILT-IN dedup operator's, owned and evolved
+    *    by Spark itself — transformWithState is the surface for CUSTOM
+    *    state like this span gate's, not a replacement for built-in
+    *    stateful operators.
     *  - On a STATIC frame, batch-mode TWS still materializes real state
     *    stores, and executors resolve the driver's StateStoreCoordinator
     *    RPC endpoint — which only a streaming stateful query registers.

@@ -458,16 +458,22 @@ object TextOps {
     *
     * scan-guard: text_kn_bigram */
   def knBigram(documents: DataFrame, topN: Int = 50): DataFrame = {
-    val ws = filter(split(lower(col("text")), " "), w => w =!= "")
-    val bigrams = filter(
-      transform(ws, (w, i) =>
-        when(i + lit(1) < size(ws),
-          struct(w.as("w1"), element_at(ws, i + lit(2)).as("w2")))),
-      g => g.isNotNull)
+    // r14: the bigram stage is the COMPILED ngrams kernel, not the
+    // split/transform/element_at HOF chain — higher-order functions
+    // never enter whole-stage codegen (they eval interpreted inside the
+    // stage; jstack at sf10 put the bulk of on-CPU frames in
+    // ArrayFilter/ArrayTransform.eval), and the kernel emits the same
+    // adjacent pairs with multiplicity in one pass. The w1/w2 split
+    // runs AFTER aggregation, on vocab²-bounded rows, not corpus rows
+    // (bigram strings carry exactly one space, so substring_index is
+    // exact both ways).
     val bc = graft.plans.PlanPins.lazyPin(documents
-      .select(explode(bigrams).as("bg"))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt")))
+      .select(explode(
+        graft.functions.ShingleExpressions.ngrams(lower(col("text")), 2))
+        .as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cnt"))
+      .select(substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"), col("cnt")))
     val fw = bc.groupBy("w1")
       .agg(sum(col("cnt")).as("ctx_total"), count(lit(1)).as("n1_fw"))
     val bw = bc.groupBy("w2").agg(count(lit(1)).as("n1_bw"))
@@ -553,24 +559,26 @@ object TextOps {
     * doc). */
   def repetitionStats(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ws = filter(split(col("text"), " "), w => w =!= "")
-    val bigrams = filter(
-      transform(ws, (w, i) =>
-        when(i + lit(1) < size(ws),
-          concat(w, lit(" "), element_at(ws, i + lit(2))))),
-      g => g.isNotNull)
+    // r14: compiled ngrams kernel instead of the interpreted
+    // split/transform/element_at HOF chain (HOFs never enter
+    // whole-stage codegen — the text_kn_bigram jstack finding; same
+    // adjacent "w1 w2" strings with multiplicity)
     val counts = documents
-      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .select(col("doc_id"), explode(
+        graft.functions.ShingleExpressions.ngrams(col("text"), 2)).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("bg"))
     val top = counts
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("bg").as("top_bigram"), col("cnt"))
+    // word_chars = Σ token lengths = non-space chars (split on ' ' drops
+    // exactly the space chars; empties contribute 0 either way) — a
+    // codegen translate+length instead of the interpreted
+    // aggregate-over-transform fold
     val totals = documents.select(
       col("doc_id"),
-      aggregate(transform(ws, x => length(x).cast("long")),
-        lit(0L), (acc, x) => acc + x).as("word_chars"))
+      length(translate(col("text"), " ", "")).cast("long").as("word_chars"))
     top.join(totals, "doc_id")
       // chars covered by the top bigram's occurrences (span chars minus
       // the joining space, times occurrences), micro-scaled

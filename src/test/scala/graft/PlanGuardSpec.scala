@@ -419,11 +419,12 @@ class PlanGuardSpec extends SparkSpec {
       s"pin hid the explode from the expanded plan:\n$opt")
   }
 
-  test("cooccurPmi: bounded HOF pair expansion, no collection aggregates") {
-    // pair generation must be the map-side transform/flatten expansion
-    // (fan-out = win per token); counts are constant-state aggregates.
-    // The candidate set is checkpoint-pinned, so the guard reads the
-    // PlanPins-expanded plan (base + checkpoint origins) — r7 verdict #1.
+  test("cooccurPmi: compiled bounded pair expansion, no collection aggregates") {
+    // pair generation must be the map-side COMPILED cooccur_pairs kernel
+    // (r14 — the interpreted transform/flatten HOF chain never entered
+    // whole-stage codegen; fan-out is still win per token); counts are
+    // constant-state aggregates. The candidate set is checkpoint-pinned,
+    // so the guard reads the PlanPins-expanded plan — r7 verdict #1.
     val plan = graft.plans.PlanPins.expandedOptimized(CorpusOps.cooccurPmi(docs))
     assert(plan.contains("checkpoint origin (optimized)"),
       s"pin origin missing from expanded plan — guard would be blind:\n$plan")
@@ -431,8 +432,8 @@ class PlanGuardSpec extends SparkSpec {
       s"an origin was evicted (MISSING sentinel) — guard would be blind:\n$plan")
     assert(!plan.contains("collect_list") && !plan.contains("collect_set"),
       s"collection aggregate in cooccurPmi plan:\n$plan")
-    assert(plan.contains("transform") && plan.contains("flatten"),
-      s"pair expansion should be the HOF form:\n$plan")
+    assert(plan.contains("cooccur_pairs"),
+      s"pair expansion should be the compiled kernel:\n$plan")
   }
 
   test("cooccurPmi recovers words for the bounded candidate set only (r6 verdict #4)") {
