@@ -703,23 +703,61 @@ object VectorOps {
       transform(col("embedding"), x =>
         (round(x.cast("double"), 7).cast("decimal(18,7)") *
           lit(M).cast("decimal(8,0)")).cast("long")))
-    // built on col("q") of a SEPARATE projection: transform() is
-    // non-cheap, so CollapseProject keeps the 65-element quantization
-    // out of the 2145 pair references
-    val pairs = flatten(transform(sequence(lit(0), lit(dim)), ia =>
-      transform(sequence(ia, lit(dim)), ib =>
-        struct(ia.as("ia"), ib.as("ib"),
-          (element_at(col("q"), ia + 1) *
-            element_at(col("q"), ib + 1)).as("p")))))
+    // r14: the 2145-pair fan-out is a typed PER-PARTITION accumulator,
+    // not an interpreted nested-transform explode — the HOF chain
+    // evaluated interpreted (never codegen) and materialized
+    // |vectors|·2145 rows into the hash aggregate (~1.4·10⁹ at sf10);
+    // the accumulator keeps two long arrays per partition and emits
+    // O(2145) partial rows per partition, identical integer arithmetic:
+    // per pair p = qᵢ·qⱼ, lo = pmod(p, M) (non-negative), hi =
+    // (p − lo)/M, partials summed per partition then globally — the
+    // same Σhi/Σlo/n by associativity, so the decimal reconstruction
+    // below and the oracle are untouched. Bounds: |q| ≤ ~10⁸ ⇒
+    // |p| ≤ 10¹⁶; per-partition Σhi ≤ rows·10⁹ — long-safe at any
+    // realistic partition size (the GLOBAL sums were already the
+    // binding constraint and are unchanged).
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val M_ = M
     val sums = graft.plans.PlanPins.lazyPin(
       embeddings.select(qarr.as("q"))
-        .select(explode(pairs).as("t"))
-        .selectExpr("t.ia as ia", "t.ib as ib",
-          "(t.p - pmod(t.p, 10000000)) div 10000000 as hi",
-          "pmod(t.p, 10000000) as lo")
+        .as[Array[Long]]
+        .mapPartitions { it =>
+          val d1 = dim + 1
+          val nPairs = d1 * (d1 + 1) / 2
+          val shi = new Array[Long](nPairs)
+          val slo = new Array[Long](nPairs)
+          var n = 0L
+          it.foreach { q =>
+            var idx = 0
+            var ia = 0
+            while (ia < d1) {
+              val qa = q(ia)
+              var ib = ia
+              while (ib < d1) {
+                val p = qa * q(ib)
+                val lo = ((p % M_) + M_) % M_
+                shi(idx) += (p - lo) / M_
+                slo(idx) += lo
+                idx += 1; ib += 1
+              }
+              ia += 1
+            }
+            n += 1
+          }
+          if (n == 0) Iterator.empty
+          else {
+            var idx = -1
+            for {
+              ia <- (0 until d1).iterator
+              ib <- (ia until d1).iterator
+            } yield { idx += 1; (ia, ib, shi(idx), slo(idx), n) }
+          }
+        }
+        .toDF("ia", "ib", "phi", "plo", "pn")
         .groupBy("ia", "ib")
-        .agg(sum(col("hi")).as("shi"), sum(col("lo")).as("slo"),
-          count(lit(1)).as("n")))
+        .agg(sum(col("phi")).as("shi"), sum(col("plo")).as("slo"),
+          sum(col("pn")).as("n")))
     // (0,j) cells: p = M·qⱼ exactly, so lo = 0 and shi IS Σqⱼ (the
     // dim sum in 10^-7 units) — no decimal division needed
     val dims = sums.filter(col("ia") === 0 && col("ib") > 0)
