@@ -1018,24 +1018,49 @@ object Aggs {
         Array(col("n_chars"), col("n_words")), "metric", "value")
       .orderBy("doc_id", "metric")
 
-  /** `agg_stats`: min/max/stddev/exact DISCRETE percentiles. The exact
-    * percentile needs a per-group sort — fine here (single group); at
-    * 100 TB swap to [[statsApprox]] (fixed-size sketch, mergeable).
-    * `percentile_disc` (not the round-4 interpolated `percentile`):
-    * discrete quantiles return an ACTUAL data value, so the oracle
-    * compares exact decimals — interpolation produces a midpoint double
-    * whose last ulp depends on each engine's evaluation order, and a
-    * round(x, 2) at an exact half-cent midpoint then diverges (hit on
-    * DataGen sf data; both engines' discrete index conventions coincide
-    * at every (n, p)). */
-  def stats(orders: DataFrame): DataFrame =
-    orders.agg(
+  /** `agg_stats`: min/max/stddev/exact DISCRETE percentiles. Discrete
+    * quantiles (never the round-4 interpolated `percentile`) return an
+    * ACTUAL data value, so the oracle compares exact decimals —
+    * interpolation produces a midpoint double whose last ulp depends on
+    * each engine's evaluation order, and a round(x, 2) at an exact
+    * half-cent midpoint then diverges (hit on DataGen sf data; both
+    * engines' discrete index conventions coincide at every (n, p)).
+    *
+    * r14 mechanism: RANK SELECTION, not `percentile_disc` — Spark's
+    * exact percentile is a TypedImperativeAggregate that buffers a
+    * value→count map per partition and merges them all on ONE final
+    * task (measured 29.7 s at sf10 for a single-group percentile over
+    * 15M prices). `percentile_disc(p)` ≡ the value at rank ⌈p·n⌉ of
+    * the ascending order, so the query ranks once through
+    * [[graft.operators.Skew.distributedRowNumber]] (range repartition +
+    * local sort — fully parallel, the device agg_percentiles_exact
+    * already uses per group) and picks the two target rows with a
+    * filter + constant-state aggregate; min/max/stddev/count read the
+    * same pinned ranked table, so the corpus still scans once. */
+  def stats(orders: DataFrame): DataFrame = {
+    val ranked = Skew.distributedRowNumber(
+      orders.select(col("o_totalprice"), col("o_orderkey")), 0,
+      col("o_totalprice").asc, col("o_orderkey").asc)
+    val base = ranked.agg(
       min(col("o_totalprice")).as("min_price"),
       max(col("o_totalprice")).as("max_price"),
       round(stddev_samp(col("o_totalprice")), 2).as("stddev_price"),
-      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50"),
-      expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("p90"),
       count(lit(1)).as("cnt"))
+    // ceil(p·n) in exact integers: ⌈n/2⌉ = (n+1) DIV 2,
+    // ⌈9n/10⌉ = (9n+9) DIV 10
+    val picks = ranked
+      .crossJoin(broadcast(base.select(col("cnt"))))
+      .filter(col("rn") === expr("(cnt + 1) DIV 2") ||
+        col("rn") === expr("(9 * cnt + 9) DIV 10"))
+      .agg(
+        max(when(col("rn") === expr("(cnt + 1) DIV 2"),
+          col("o_totalprice"))).as("p50"),
+        max(when(col("rn") === expr("(9 * cnt + 9) DIV 10"),
+          col("o_totalprice"))).as("p90"))
+    base.crossJoin(broadcast(picks))
+      .select(col("min_price"), col("max_price"), col("stddev_price"),
+        col("p50"), col("p90"), col("cnt"))
+  }
 
   /** `agg_conditional`: filtered aggregation (`FILTER (WHERE ...)` /
     * count_if shape) — one pass computing per-group metrics over
