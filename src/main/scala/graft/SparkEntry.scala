@@ -337,6 +337,13 @@ object SparkEntry {
     "dedup_span_rewrite" -> ((s, d) => DedupOps.spanRewrite(Tables.documents(s, d))),
     "corpus_quality_reliability" -> ((s, d) => TextOps.qualityReliability(Tables.documents(s, d))),
     "ts_gap_islands" -> ((s, d) => StreamBatchOps.gapIslands(Tables.events(s, d))),
+    // --- round-14 wave 2 ---
+    "graph_label_prop" -> ((s, d) => GraphOps.labelProp(Tables.lineitem(s, d))),
+    "emb_matryoshka_recall" -> ((s, d) =>
+      VectorOps.matryoshkaRecall(Tables.embeddings(s, d))),
+    "ts_holt" -> ((s, d) => StreamBatchOps.holtForecast(Tables.events(s, d))),
+    "pipeline_token_budget" -> ((s, d) =>
+      CorpusOps.tokenBudgetMix(Tables.documents(s, d))),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -3778,6 +3785,117 @@ object SparkEntry {
         |  MAX(start_day + len - 1) - MIN(start_day) + 1
         |    - CAST(SUM(len) AS BIGINT) AS gap_days
         |FROM i GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // synchronous LPA, 3 unrolled rounds (no recursion: each round is a
+    // fresh aggregation over the PREVIOUS round's labels, which a
+    // recursive CTE's single self-reference can't express cleanly);
+    // plurality vote with ties to the smallest label = Spark's
+    // min(struct(-count, label)) argmax
+    "graph_label_prop" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+        |pairs AS (
+        |  SELECT a.s AS a, b.s AS b
+        |  FROM li a JOIN li b USING (ok)
+        |  WHERE a.s < b.s
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(DISTINCT ok) >= 2),
+        |adj AS (SELECT a AS u, b AS v FROM pairs
+        |        UNION ALL SELECT b, a FROM pairs),
+        |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM adj),
+        |v1 AS (SELECT a.u AS node, l.lbl, COUNT(*) AS c
+        |       FROM adj a JOIN l0 l ON a.v = l.node GROUP BY 1, 2),
+        |l1 AS (SELECT node, lbl FROM (
+        |  SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node
+        |    ORDER BY c DESC, lbl) AS rn FROM v1) WHERE rn = 1),
+        |v2 AS (SELECT a.u AS node, l.lbl, COUNT(*) AS c
+        |       FROM adj a JOIN l1 l ON a.v = l.node GROUP BY 1, 2),
+        |l2 AS (SELECT node, lbl FROM (
+        |  SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node
+        |    ORDER BY c DESC, lbl) AS rn FROM v2) WHERE rn = 1),
+        |v3 AS (SELECT a.u AS node, l.lbl, COUNT(*) AS c
+        |       FROM adj a JOIN l2 l ON a.v = l.node GROUP BY 1, 2),
+        |l3 AS (SELECT node, lbl FROM (
+        |  SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node
+        |    ORDER BY c DESC, lbl) AS rn FROM v3) WHERE rn = 1)
+        |SELECT lbl AS community, COUNT(*) AS n_members,
+        |  MIN(node) AS min_node
+        |FROM l3 GROUP BY lbl
+        |ORDER BY n_members DESC, community""".stripMargin,
+
+    // prefix-truncated cosine rankings vs the full-dim ranking; DuckDB
+    // list slice l[1:d] ≡ Spark slice(e, 1, d); integer outputs only
+    "emb_matryoshka_recall" ->
+      """WITH probes AS (
+        |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS probe
+        |  FROM embeddings WHERE vec_id < 16),
+        |dims AS (SELECT * FROM (VALUES (8), (16), (32), (64)) AS t(d)),
+        |scored AS (
+        |  SELECT p.probe_id, e.vec_id, dims.d,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[])[1:dims.d],
+        |                     probe[1:dims.d])
+        |      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[])[1:dims.d],
+        |                               CAST(e.embedding AS DOUBLE[])[1:dims.d]))
+        |         * sqrt(list_dot_product(probe[1:dims.d], probe[1:dims.d])))
+        |      AS rawcos
+        |  FROM embeddings e CROSS JOIN probes p CROSS JOIN dims
+        |  WHERE e.vec_id <> p.probe_id),
+        |ranked AS (
+        |  SELECT probe_id, vec_id, d,
+        |    ROW_NUMBER() OVER (PARTITION BY probe_id, d
+        |      ORDER BY rawcos DESC, vec_id) AS rn
+        |  FROM scored),
+        |top AS (SELECT probe_id, vec_id, d FROM ranked WHERE rn <= 10),
+        |full_top AS (SELECT probe_id, vec_id FROM top WHERE d = 64)
+        |SELECT t.d, COUNT(*) AS hits,
+        |  CAST(COUNT(*) * 1000000 // 160 AS BIGINT) AS recall_micro
+        |FROM top t JOIN full_top f USING (probe_id, vec_id)
+        |WHERE t.d < 64 GROUP BY t.d ORDER BY t.d""".stripMargin,
+
+    // Holt recurrence replayed by a recursive CTE walking each user's
+    // day index; all arithmetic in BIGINT micro with // (truncation
+    // toward zero, = Scala Long division — measured -7//2 = -3 both)
+    "ts_holt" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT user_id, x,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS t,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM daily),
+        |state(user_id, t, n, l, b) AS (
+        |  SELECT user_id, t, n, x, CAST(0 AS BIGINT) FROM idx WHERE t = 1
+        |  UNION ALL
+        |  SELECT s.user_id, i.t, s.n,
+        |    (i.x + 3 * (s.l + s.b)) // 4,
+        |    (((i.x + 3 * (s.l + s.b)) // 4 - s.l) + s.b) // 2
+        |  FROM state s JOIN idx i
+        |    ON i.user_id = s.user_id AND i.t = s.t + 1)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_days, l AS level_micro,
+        |  b AS trend_micro, l + 7 * b AS forecast7_micro
+        |FROM state WHERE t = n ORDER BY user_id""".stripMargin,
+
+    // per-source token-budget cap, longest-first; the window form is the
+    // oracle's prerogative — the Spark plan uses the distributed prefix
+    // sum, same totals by the contiguous-runs argument
+    "pipeline_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY n_tokens DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS src_cum
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, src_cum
+        |FROM c WHERE src_cum <= 800 ORDER BY doc_id""".stripMargin,
   )
 
   /** DuckDB oracle for `text_langid`, generated from

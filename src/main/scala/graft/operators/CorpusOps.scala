@@ -976,6 +976,44 @@ object CorpusOps {
     capped.unionByName(under).orderBy("doc_id")
   }
 
+  /** `pipeline_token_budget`: per-source TOKEN budget — keep documents,
+    * longest first (n_tokens desc, doc_id tiebreak), until each
+    * source's cumulative token count would exceed `budget`; the first
+    * document that crosses the line is dropped along with everything
+    * after it (strict cap, no straddle — a training-mixture budget is a
+    * hard ceiling, unlike [[packChunks]]' chunk boundaries). The
+    * token-denominated complement of [[quotaCap]] (doc-COUNT cap):
+    * mixture weights are specified in tokens, and a doc-count cap
+    * under-represents sources with short documents.
+    *
+    * Scale shape: one corpus scan projects (doc_id, source, n_tokens);
+    * the per-source running sum rides [[Skew.distributedPrefixSum]]
+    * over the GLOBAL (source, n_tokens desc, doc_id) order — sources
+    * are contiguous runs of that order, so each source's prefix sum is
+    * the global cum minus the source's starting offset, recovered by
+    * one O(sources) aggregate (min(cum − n) per source) broadcast
+    * back. No per-source window: a 100 TB crawl with one mega-domain
+    * would serialize a `Window.partitionBy(source)` through a single
+    * task — the dpo_format salt lesson, solved here by range
+    * partitioning on the full sort key instead.
+    *
+    * scan-guard: pipeline_token_budget */
+  def tokenBudgetMix(documents: DataFrame, budget: Long = 800L): DataFrame = {
+    val toks = documents.select(col("doc_id"), col("source"),
+      size(words(col("text"))).cast("long").as("n_tokens"))
+    val cum = Skew.distributedPrefixSum(toks, 0, "n_tokens",
+      col("source"), col("n_tokens").desc, col("doc_id"))
+    // null-safe key (the quotaCap / dpo_format lesson): groupBy makes a
+    // NULL-source group, a Seq-join would silently drop it
+    val offs = cum.groupBy(col("source").as("__src"))
+      .agg(min(col("cum") - col("n_tokens")).as("__off"))
+    cum.join(broadcast(offs), col("source") <=> col("__src"))
+      .withColumn("src_cum", col("cum") - col("__off"))
+      .filter(col("src_cum") <= budget)
+      .select("doc_id", "source", "n_tokens", "src_cum")
+      .orderBy("doc_id")
+  }
+
   /** `pipeline_bpe_merges`: learn the first `merges` byte-pair-encoding
     * merges from the corpus (Sennrich et al. 2016) — the tokenizer-
     * training pass every LLM pipeline runs before tokenization. Each

@@ -596,4 +596,65 @@ object GraphOps {
       .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
       .orderBy("depth")
   }
+
+  /** `graph_label_prop`: community detection by SYNCHRONOUS label
+    * propagation (Raghavan et al.'s LPA) over the part co-purchase
+    * projection — each node starts labeled with its own id and, for a
+    * fixed `rounds` iterations, adopts the label held by the PLURALITY
+    * of its neighbors (ties broken toward the SMALLEST label, which is
+    * what makes synchronous LPA deterministic; the usual async
+    * random-order variant is not oracle-able). Unlike
+    * [[components]] (reachability — one label per connected component),
+    * a fixed-round plurality vote splits a component along its dense
+    * cores: boilerplate-cluster detection at corpus scale, community
+    * grouping here. Output is community grain: (community label,
+    * member count, smallest member), largest first.
+    *
+    * Scale shape: the corpus-sized stage is the shared projection
+    * (served by [[GraphProjectionCache]] after its first build); each
+    * round is two |E|-bounded hash aggregations — join labels at the
+    * neighbor end (labels table is O(|V|), broadcast-able at any
+    * realistic community-graph scale after thresholding; Catalyst picks
+    * broadcast via size stats, no hint needed), count (node, label)
+    * votes, then one min-struct argmax per node — the same map-side
+    * partial-combine shape every round, no windows, no driver loops.
+    * Fixed `rounds` keeps the plan static (no convergence check =
+    * no per-round action); LPA on co-purchase graphs plateaus in 3-5
+    * sync rounds (each round widens a node's horizon by one hop).
+    *
+    * Reference frame: capability category "enrichment pipelines"
+    * (reference setup.py:8-9) — the community assignment every
+    * source-level mixing policy groups by.
+    *
+    * scan-guard: graph_label_prop */
+  def labelProp(lineitem: DataFrame, minSupport: Int = 2,
+                rounds: Int = 3): DataFrame = {
+    val edges = graft.plans.PlanPins.lazyPin(
+      coPurchaseEdges(lineitem, minSupport))
+    // symmetrized adjacency in ONE pass over the pin (the pagerank
+    // explode device)
+    val adj = edges.select(explode(array(
+        struct(col("a").as("u"), col("b").as("v")),
+        struct(col("b").as("u"), col("a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    var labels = adj.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to rounds) {
+      // votes: each edge (u, v) contributes v's current label to u;
+      // argmax by (count desc, label asc) via one min-struct aggregate
+      // (negated count), never a row_number window over vote rows
+      labels = adj
+        .join(labels.withColumnRenamed("node", "v"), Seq("v"))
+        .groupBy(col("u"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("u"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l")))
+          .as("best"))
+        .select(col("u").as("node"), col("best.l").as("lbl"))
+    }
+    labels
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_node"))
+      .orderBy(col("n_members").desc, col("community"))
+  }
 }

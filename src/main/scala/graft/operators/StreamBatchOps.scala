@@ -1080,4 +1080,59 @@ object StreamBatchOps {
         col("gap_days"))
       .orderBy("user_id")
   }
+
+  /** `ts_holt`: Holt double exponential smoothing (level + linear
+    * trend) of each user's daily value series, plus a 7-day-ahead
+    * forecast — the trend-aware successor of [[ewma]] (which has no
+    * trend term and systematically lags a drifting series). Smoothing
+    * constants are the dyadic α=1/4, β=1/2, and the recurrence runs in
+    * EXACT integer micro-arithmetic:
+    *   l_t = (x_t + 3·(l₋₁ + b₋₁)) quot 4
+    *   b_t = ((l_t − l₋₁) + b₋₁)   quot 2
+    * with `quot` = truncation toward zero — Scala `Long./` here and
+    * DuckDB `//` in the oracle agree (measured: −7/2 = −3 in both; the
+    * series' negative trends make this the load-bearing choice, the
+    * agg_linreg truncation lesson). Per-event values floor to micro
+    * BEFORE the daily sum so both engines add exact longs, never
+    * doubles (the −0.0/fold-order hash class). Init: l₁ = x₁, b₁ = 0.
+    *
+    * Scale shape: one partial+final (user, day) aggregation collapses
+    * the corpus to O(users·days) rows, then ONE shuffle groups each
+    * user's day vector for a typed per-group fold — a recurrence has a
+    * true sequential dependency, so the fold is per-user sequential by
+    * nature; distribution comes from the user key (bounded days/user,
+    * unbounded users — the [[Skew]] hot-user device applies if one
+    * user dominates, but the daily pre-collapse already caps a user's
+    * group at days-of-history rows, not event rows). Output is one row
+    * per user: integers only.
+    *
+    * scan-guard: ts_holt */
+  def holtForecast(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val daily = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .groupBy(col("user_id"),
+        expr("unix_timestamp(ts) DIV 86400").as("day"))
+      .agg(sum(floor(col("value") * lit(1000000)).cast("long")).as("x"))
+    daily.select(col("user_id"), col("day"), col("x"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (uid, it) =>
+        val xs = it.toArray.sortBy(_._2).map(_._3)
+        var l = xs(0)
+        var b = 0L
+        var i = 1
+        while (i < xs.length) {
+          val nl = (xs(i) + 3L * (l + b)) / 4L
+          b = ((nl - l) + b) / 2L
+          l = nl
+          i += 1
+        }
+        (uid, xs.length.toLong, l, b, l + 7L * b)
+      }
+      .toDF("user_id", "n_days", "level_micro", "trend_micro",
+        "forecast7_micro")
+      .orderBy("user_id")
+  }
 }

@@ -133,6 +133,62 @@ object VectorOps {
       .orderBy("probe_id", "rn")
   }
 
+  /** `emb_matryoshka_recall`: retrieval-quality audit of DIMENSION
+    * TRUNCATION — for each probe vector, exact cosine top-k over the
+    * full `fullDim` dims vs top-k over each Matryoshka prefix in
+    * `dims`, reporting per-prefix overlap (recall@k against the
+    * full-dim ranking). This is the measurement behind shipping
+    * truncated MRL embeddings: it answers "how many dims can the
+    * ANN index drop before retrieval degrades", the same audit
+    * [[annIvf]]'s IVF_CURVE runs for nprobe.
+    *
+    * Scale shape: ONE corpus sweep — probes broadcast, every
+    * (candidate, probe) row emits all |dims|+1 prefix scores via a
+    * bounded ×4 explode (each cosine is the compiled sequential-fold
+    * [[dot]] over a codegen `slice`, not an interpreted HOF), then one
+    * shuffle into per-(probe, d) top-k — rank windows are keyed by
+    * (probe_id, d) so Spark's WindowGroupLimit cuts each group to k
+    * map-side before the shuffle. The top table is O(probes·dims·k)
+    * rows — lazy-pinned, since both the full-dim reference branch and
+    * the truncated branches consume it (unpinned, the corpus sweep
+    * would re-run per branch). Integer outputs (hit counts,
+    * micro-recall) — no float hashing hazard; ranking ties break on
+    * vec_id, and the prefix arithmetic is double-widened before
+    * multiply so both engines rank bit-identical cosines.
+    *
+    * scan-guard: emb_matryoshka_recall */
+  def matryoshkaRecall(embeddings: DataFrame, nProbes: Int = 16,
+                       k: Int = 10, dims: Seq[Int] = Seq(8, 16, 32),
+                       fullDim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probes = embeddings.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+    val prefixScores = (dims :+ fullDim).map { d =>
+      struct(lit(d).as("d"),
+        cosine(slice(col("embedding"), 1, d), slice(col("probe"), 1, d))
+          .as("rawcos"))
+    }
+    val scored = embeddings.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        explode(array(prefixScores: _*)).as("s"))
+      .select(col("probe_id"), col("vec_id"),
+        col("s.d").as("d"), col("s.rawcos").as("rawcos"))
+    val w = Window.partitionBy("probe_id", "d")
+      .orderBy(col("rawcos").desc, col("vec_id"))
+    val top = graft.plans.PlanPins.lazyPin(
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select("probe_id", "vec_id", "d"))
+    val fullTop = top.filter(col("d") === fullDim)
+      .select("probe_id", "vec_id")
+    top.filter(col("d") < fullDim)
+      .join(fullTop, Seq("probe_id", "vec_id"), "left_semi")
+      .groupBy("d").agg(count(lit(1)).as("hits"))
+      .select(col("d"), col("hits"),
+        expr(s"hits * 1000000 DIV ${k.toLong * nProbes}").as("recall_micro"))
+      .orderBy("d")
+  }
+
   /** Deterministic pseudo-random hyperplane coefficients in [-1, 1),
     * derived from a hash of (plane index, dimension index) — no RNG
     * state, so executors regenerate identical planes with no driver

@@ -695,6 +695,17 @@ class PlanGuardSpec extends SparkSpec {
       // and the rank path both read the pin
       ("pipeline_pack_sequences", () => CorpusOps.packSequences(docs),
         "documents", 1),
+      // r14 wave 2: the shared co-purchase projection's self-join sides
+      ("graph_label_prop", () => GraphOps.labelProp(liNoCache),
+        "lineitem", 2),
+      // corpus sweep + the pushdown-filtered probe lookup
+      ("emb_matryoshka_recall", () => VectorOps.matryoshkaRecall(emb),
+        "embeddings", 2),
+      ("ts_holt", () => StreamBatchOps.holtForecast(events), "events", 1),
+      // prefix-sum projection pinned once; offsets + keep-filter both
+      // read the pin
+      ("pipeline_token_budget", () => CorpusOps.tokenBudgetMix(docs),
+        "documents", 1),
       // r13 wave
       ("pipeline_anneal_mix", () => CorpusOps.annealMix(docs),
         "documents", 1),

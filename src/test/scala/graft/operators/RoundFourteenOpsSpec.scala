@@ -71,4 +71,86 @@ class RoundFourteenOpsSpec extends SparkSpec {
       .count() == 0L)
     assert(out.count() == docs.count())
   }
+
+  test("graph_label_prop: hand-simulated 3-round sync LPA — absorption and the 2-cycle pair") {
+    // Co-purchase graph: triangle {1,2,3} + pendant 3-4 (one component)
+    // and the isolated pair {10,11}; every edge backed by 2 orders so
+    // minSupport=2 keeps exactly these. Sync LPA by hand:
+    //   r1: 1->2 (tie {2,3}), 2->1, 3->1 (tie {1,2,4}), 4->3,
+    //       10->11, 11->10
+    //   r2: 1->1 (plurality {1,1} from 2,3), 2->1, 3->1, 4->1,
+    //       pair swaps back (the classic sync-LPA 2-cycle)
+    //   r3: component absorbed at label 1; pair mid-swap: 10->11, 11->10
+    // Communities: (1, 4 members, min 1), then the pair's two
+    // singletons — (10, 1, 11) and (11, 1, 10): label vs member differ
+    // mid-cycle, which the spec pins on purpose.
+    val li = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 3L), (3L, 4L), (4L, 3L), (4L, 4L),
+      (5L, 10L), (5L, 11L), (6L, 10L), (6L, 11L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = GraphOps.labelProp(li, minSupport = 2, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 4L, 1L), (10L, 1L, 11L), (11L, 1L, 10L)))
+  }
+
+  test("emb_matryoshka_recall: a prefix-dominant vector displaces a full-dim winner") {
+    // probe 0 = (1,0,0,0). Truncated to 2 dims, vec 1 = (1,0,-1,-1)
+    // scores a perfect 1.0 and (with vec 2) fills top-2, displacing
+    // vec 3 — the full-dim winner. Full top-2 = {3 (cos 1.0),
+    // 2 (0.707)}; trunc top-2 = {1, 2} (both 1.0, id tiebreak).
+    // Overlap = {2} -> hits 1, recall 1/2.
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(1f, 0f, -1f, -1f), 0),
+      (2L, Array(1f, 0f, 1f, 0f), 0),
+      (3L, Array(1f, 0f, 0f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = VectorOps.matryoshkaRecall(emb, nProbes = 1, k = 2,
+      dims = Seq(2), fullDim = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((2, 1L, 500000L)))
+  }
+
+  test("ts_holt: hand-computed integer Holt recurrence incl. the single-day degenerate") {
+    // user 1: day-sums 4e6 then 8e6 micro.
+    //   t1: l=4000000, b=0
+    //   t2: l=(8e6+3*(4e6+0))/4=5000000, b=((5e6-4e6)+0)/2=500000
+    //   forecast7 = 5e6+7*5e5 = 8500000
+    // user 2: one day -> level=x, trend=0, forecast=level.
+    // Two same-day events for user 1 check the pre-sum (1.5+2.5=4).
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 06:00:00")
+    val ts0b = java.sql.Timestamp.valueOf("2024-01-01 18:00:00")
+    val ts1 = java.sql.Timestamp.valueOf("2024-01-02 06:00:00")
+    val events = Seq(
+      (1L, ts0, 1.5), (1L, ts0b, 2.5), (1L, ts1, 8.0),
+      (2L, ts0, 3.0))
+      .toDF("user_id", "ts", "value")
+    val got = StreamBatchOps.holtForecast(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === Seq(
+      (1L, 2L, 5000000L, 500000L, 8500000L),
+      (2L, 1L, 3000000L, 0L, 3000000L)))
+  }
+
+  test("pipeline_token_budget: strict longest-first cap, no straddle, null-safe source") {
+    // source s: docs 3/2/2 tokens, budget 5 -> keep A(3), B(2) (cum 5),
+    // drop C (would make 7). NULL source is its own budget bucket.
+    val docs = Seq(
+      (1L, "a b c", "s"), (2L, "d e", "s"), (3L, "f g", "s"),
+      (4L, "h i j k l m", null))
+      .map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = CorpusOps.tokenBudgetMix(docs, budget = 5L)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq(
+      (1L, Some("s"), 3L, 3L), (2L, Some("s"), 2L, 5L)))
+    // a 6-token NULL-source doc under a budget that admits it survives
+    // the null-safe offset join
+    val got2 = CorpusOps.tokenBudgetMix(docs, budget = 6L)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(got2.contains((4L, None)))
+  }
 }
