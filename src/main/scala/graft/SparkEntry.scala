@@ -344,6 +344,13 @@ object SparkEntry {
     "ts_holt" -> ((s, d) => StreamBatchOps.holtForecast(Tables.events(s, d))),
     "pipeline_token_budget" -> ((s, d) =>
       CorpusOps.tokenBudgetMix(Tables.documents(s, d))),
+    // --- round-14 wave 3 ---
+    "graph_kcore" -> ((s, d) => GraphOps.kcorePeel(Tables.lineitem(s, d))),
+    "agg_chi2" -> ((s, d) => Aggs.chi2(Tables.documents(s, d))),
+    "stream_dedup_batch" -> ((s, d) =>
+      StreamBatchOps.dedupBatch(Tables.events(s, d))),
+    "sim_range_search" -> ((s, d) =>
+      VectorOps.rangeSearch(Tables.embeddings(s, d))),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -3896,6 +3903,97 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, source, n_tokens, src_cum
         |FROM c WHERE src_cum <= 800 ORDER BY doc_id""".stripMargin,
+
+    // 3 unrolled peel passes (fixed-round semantics — full-convergence
+    // k-core is a fixpoint a bag-semantics recursive CTE can't state);
+    // each pass: degree census, filter < k, edge semi-restriction
+    "graph_kcore" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+        |pairs AS (
+        |  SELECT a.s AS a, b.s AS b
+        |  FROM li a JOIN li b USING (ok)
+        |  WHERE a.s < b.s
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(DISTINCT ok) >= 2),
+        |adj0 AS (SELECT a AS u, b AS v FROM pairs
+        |         UNION ALL SELECT b, a FROM pairs),
+        |k1 AS (SELECT u FROM adj0 GROUP BY u HAVING COUNT(*) >= 3),
+        |adj1 AS (SELECT a.u, a.v FROM adj0 a
+        |  JOIN k1 x ON a.u = x.u JOIN k1 y ON a.v = y.u),
+        |k2 AS (SELECT u FROM adj1 GROUP BY u HAVING COUNT(*) >= 3),
+        |adj2 AS (SELECT a.u, a.v FROM adj1 a
+        |  JOIN k2 x ON a.u = x.u JOIN k2 y ON a.v = y.u),
+        |k3 AS (SELECT u FROM adj2 GROUP BY u HAVING COUNT(*) >= 3),
+        |adj3 AS (SELECT a.u, a.v FROM adj2 a
+        |  JOIN k3 x ON a.u = x.u JOIN k3 y ON a.v = y.u)
+        |SELECT u AS node, COUNT(*) AS degree
+        |FROM adj3 GROUP BY u ORDER BY node""".stripMargin,
+
+    // integer micro chi-square; HUGEINT mirrors Spark's DECIMAL(38,0)
+    // for the squared deviation (the util_micro overflow rule); // is
+    // truncating division = Spark DIV
+    "agg_chi2" ->
+      """WITH cells AS (
+        |  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT lang, source, o,
+        |    SUM(o) OVER (PARTITION BY lang) AS r,
+        |    SUM(o) OVER (PARTITION BY source) AS c,
+        |    SUM(o) OVER () AS n
+        |  FROM cells),
+        |e AS (
+        |  SELECT lang, source, o,
+        |    CAST((CAST(r AS HUGEINT) * c * 1000000) // n AS BIGINT)
+        |      AS e_micro
+        |  FROM tot)
+        |SELECT lang, source, o AS observed, e_micro AS expected_micro,
+        |  CAST((CAST(o * 1000000 - e_micro AS HUGEINT)
+        |      * (o * 1000000 - e_micro) * 1000000)
+        |    // (CAST(e_micro AS HUGEINT) * 1000000) AS BIGINT)
+        |    AS chi2_micro
+        |FROM e ORDER BY lang, source""".stripMargin,
+
+    // the window form is the oracle's prerogative — Spark keeps via a
+    // map-side-combined min-struct argmin, same keeper by (ts,
+    // event_id) total order; hour bucket = floor(epoch/3600)·3600 ≡
+    // window(ts, '1 hour').start in the UTC session
+    "stream_dedup_batch" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hour_s
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |r AS (
+        |  SELECT hour_s, user_id, event_type, event_id, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY hour_s, user_id, event_type
+        |      ORDER BY ts, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY hour_s, user_id, event_type) AS n
+        |  FROM e)
+        |SELECT hour_s, user_id, event_type, event_id AS kept_event_id,
+        |  cents AS kept_cents, n - 1 AS n_suppressed
+        |FROM r WHERE rn = 1
+        |ORDER BY hour_s, user_id, event_type""".stripMargin,
+
+    // inclusion decided on floor(cos·10⁶) in BOTH engines — integer
+    // compare, no float boundary; cosine arithmetic double-widened,
+    // same fold order (list_dot_product ≡ the compiled sequential dot)
+    "sim_range_search" ->
+      """WITH p AS (
+        |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS probe
+        |  FROM embeddings WHERE vec_id < 8),
+        |s AS (
+        |  SELECT p.probe_id, e.vec_id,
+        |    CAST(floor(
+        |      list_dot_product(CAST(e.embedding AS DOUBLE[]), probe)
+        |        / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                                 CAST(e.embedding AS DOUBLE[])))
+        |           * sqrt(list_dot_product(probe, probe)))
+        |      * 1000000) AS BIGINT) AS cos_micro
+        |  FROM embeddings e CROSS JOIN p
+        |  WHERE e.vec_id <> p.probe_id)
+        |SELECT probe_id, vec_id, cos_micro FROM s
+        |WHERE cos_micro >= 250000
+        |ORDER BY probe_id, vec_id""".stripMargin,
   )
 
   /** DuckDB oracle for `text_langid`, generated from

@@ -657,4 +657,60 @@ object GraphOps {
       .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_node"))
       .orderBy(col("n_members").desc, col("community"))
   }
+
+  /** `graph_kcore`: k-core refinement by FIXED-ROUND peeling — `rounds`
+    * synchronous passes each remove every node whose degree in the
+    * CURRENT surviving subgraph is below `k` (and all its edges), then
+    * report each survivor's residual degree. The first peel is the
+    * plain degree filter; each later pass catches nodes whose degree
+    * only fell below k because a neighbor was peeled — the cascade that
+    * makes "degree >= k" ≠ "k-core". Fixed rounds keep the plan static
+    * and the oracle expressible (full convergence needs a fixpoint the
+    * bag-semantics recursive CTE can't state); on a thresholded
+    * co-purchase projection the cascade settles in 2-3 passes (each
+    * pass needs a fresh boundary node, and support-thresholding has
+    * already removed the long chains that delay settling). The dense
+    * residue is the hub inventory [[labelProp]] assigns communities to
+    * and [[triangles]] counts closures in.
+    *
+    * Scale shape: the corpus-sized stage is the shared projection
+    * (lazy-pinned; served by [[GraphProjectionCache]]); each pass is
+    * one O(|E|) hash-agg degree census plus two semi-joins of the edge
+    * list against the O(|V|) survivor set (broadcast-able by stats
+    * after thresholding). Each pass's edge list feeds BOTH the next
+    * census and the next semi-join, so the unrolled plan re-evaluates
+    * earlier passes (2^rounds−1 subtree copies at rounds=3: 7 joins/
+    * censuses) — deliberately NOT re-pinned per pass: every copy runs
+    * over the pinned O(|E|) projection leaf, never the corpus, and
+    * nested pins are invisible to the scan-count guard (totalScans
+    * expands one pin level). Degree censuses stay map-side-combined
+    * hash aggs, never per-node count windows (a hub node would buffer
+    * its whole partition in one task). No driver loop, no collect.
+    *
+    * Reference frame: capability category "enrichment pipelines"
+    * (reference setup.py:8-9) — the dense-core flag for hub-document
+    * policies, same family as [[labelProp]] / [[bfsDepths]].
+    *
+    * scan-guard: graph_kcore */
+  def kcorePeel(lineitem: DataFrame, k: Int = 3, minSupport: Int = 2,
+                rounds: Int = 3): DataFrame = {
+    val edges = graft.plans.PlanPins.lazyPin(
+      coPurchaseEdges(lineitem, minSupport))
+    var adj = edges.select(explode(array(
+        struct(col("a").as("u"), col("b").as("v")),
+        struct(col("b").as("u"), col("a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    for (_ <- 1 to rounds) {
+      val survivors = adj.groupBy(col("u"))
+        .agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k)
+        .select(col("u").as("node"))
+      adj = adj.join(survivors.withColumnRenamed("node", "u"),
+          Seq("u"), "left_semi")
+        .join(survivors.withColumnRenamed("node", "v"),
+          Seq("v"), "left_semi")
+    }
+    adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("degree"))
+      .orderBy("node")
+  }
 }

@@ -1346,6 +1346,56 @@ object Aggs {
       .orderBy("event_type")
   }
 
+  /** `agg_chi2`: chi-square contingency analysis of the (lang, source)
+    * cross-tabulation over `documents` — per cell, the observed count,
+    * the independence-expected count, and the cell's chi-square
+    * contribution, all in EXACT integer micro arithmetic. This is the
+    * "is language independent of source" audit a corpus-mixing policy
+    * runs before trusting per-source language quotas; large
+    * contributions flag (source, lang) cells that are over/under
+    * represented. Formula per cell, integer end to end:
+    *   E_micro    = (R·C·10⁶) quot N
+    *   dev_micro  = O·10⁶ − E_micro
+    *   chi2_micro = (dev_micro² · 10⁶) quot (E_micro · 10⁶)
+    * with R/C/N the row/column/grand totals and quot = truncating
+    * division (Spark DIV ≡ DuckDB // — the agg_linreg rule). dev² runs
+    * in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): dev_micro ≤ N·10⁶,
+    * so dev²·10⁶ ≤ N²·10¹⁸ — BIGINT dies past N ≈ 3k docs (the
+    * util_micro overflow lesson); 38 digits hold to N = 10¹⁰ documents.
+    *
+    * Scale shape: ONE corpus scan into a partial+final (lang, source)
+    * count — the only corpus-sized stage; everything after runs on the
+    * |langs|·|sources| cell table (bounded, dozens of rows at ANY
+    * corpus size), where the R/C/N totals are plain unpartitioned-
+    * window sums — null-safe by construction (NULL lang/source are
+    * ordinary groups; a join-based total would need <=> keys — the
+    * dpo_format lesson) and harmless at cell-table cardinality.
+    *
+    * scan-guard: agg_chi2 */
+  def chi2(documents: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val cells = documents.groupBy("lang", "source")
+      .agg(count(lit(1)).as("o"))
+    val wLang = Window.partitionBy("lang")
+    val wSrc = Window.partitionBy("source")
+    val wAll = Window.partitionBy()
+    cells
+      .withColumn("r", sum(col("o")).over(wLang))
+      .withColumn("c", sum(col("o")).over(wSrc))
+      .withColumn("n", sum(col("o")).over(wAll))
+      .withColumn("e_micro",
+        // r·c·10⁶ would pass BIGINT at N ≈ 10⁹ docs — widen BEFORE the
+        // multiply; DIV of decimals lands back in a comfortable long
+        expr("(CAST(r AS DECIMAL(38,0)) * c * 1000000) DIV n"))
+      .withColumn("dev",
+        (col("o") * lit(1000000L) - col("e_micro")).cast(d38))
+      .select(col("lang"), col("source"), col("o").as("observed"),
+        col("e_micro").as("expected_micro"),
+        expr("(dev * dev * 1000000) DIV (CAST(e_micro AS DECIMAL(38,0)) * 1000000)")
+          .cast("long").as("chi2_micro"))
+      .orderBy("lang", "source")
+  }
+
   /** `agg_weighted_median`: quantity-weighted median of line-item price
     * per return flag — the weighted-quantile selection behind
     * "median price per UNIT sold" (plain median over-weights small

@@ -1081,6 +1081,42 @@ object StreamBatchOps {
       .orderBy("user_id")
   }
 
+  /** `stream_dedup_batch`: batch twin of the watermarked streaming
+    * dedup gate — per (1-hour tumbling window, user, event type), keep
+    * the FIRST event (earliest ts, event_id tiebreak) and count the
+    * duplicates it suppressed. This is `dropDuplicates` over
+    * (window, user_id, event_type) as a streaming query (state TTL'd
+    * by the watermark — StreamingWindowSpec's
+    * dropDuplicatesWithinWatermark test proves the state side); here
+    * the identical window semantics run as one batch aggregation so
+    * the DuckDB oracle can pin WHICH row the dedup keeps, which the
+    * streaming arbitrary-arrival-order contract alone can't.
+    *
+    * Scale shape: one partial+final hash aggregation — the keeper is a
+    * min-struct argmin (ts, event_id, cents), map-side combined; never
+    * a row_number window over raw events (a hot (window, user, type)
+    * key would single-task it). Kept value is exact integer cents.
+    *
+    * scan-guard: stream_dedup_batch */
+  def dedupBatch(events: DataFrame): DataFrame = {
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+    events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"), cents.as("cents"))
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"),
+        col("event_type"))
+      .agg(min(struct(col("ts"), col("event_id"), col("cents")))
+          .as("first"),
+        count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("window.start")).as("hour_s"),
+        col("user_id"), col("event_type"),
+        col("first.event_id").as("kept_event_id"),
+        col("first.cents").as("kept_cents"),
+        (col("n_events") - 1).as("n_suppressed"))
+      .orderBy("hour_s", "user_id", "event_type")
+  }
+
   /** `ts_holt`: Holt double exponential smoothing (level + linear
     * trend) of each user's daily value series, plus a 7-day-ahead
     * forecast — the trend-aware successor of [[ewma]] (which has no

@@ -189,6 +189,39 @@ object VectorOps {
       .orderBy("d")
   }
 
+  /** `sim_range_search`: threshold RANGE similarity query — for each
+    * probe, EVERY corpus vector with cosine ≥ τ, not a fixed top-k.
+    * The retrieval mode dedup sweeps and "find all near-copies of this
+    * document" investigations need ([[cosineTopK]] can silently
+    * truncate a dense neighborhood; a range query returns the whole
+    * neighborhood or nothing). Inclusion is decided on the INTEGER
+    * micro-floored cosine (floor(cos·10⁶) ≥ τ_micro) so the oracle
+    * compares integers end to end — no float boundary hazard in either
+    * the filter or the output.
+    *
+    * Scale shape: probes are a broadcast (pushdown-pruned probe scan);
+    * scoring is one MAP-ONLY corpus sweep — compiled sequential-fold
+    * dot, no shuffle at all before the presentation sort (vs top-k's
+    * per-probe heap pass); the τ filter cuts fan-out inside the scan
+    * stage. At 100 TB this is the plan you want: |probes|·|corpus|
+    * comparisons stream through whole-stage codegen, output is only
+    * the matches. For probe sets past broadcast size, the LSH/IVF
+    * bucketed variants ([[annLsh]]/[[annIvf]]) are the scale path.
+    *
+    * scan-guard: sim_range_search */
+  def rangeSearch(embeddings: DataFrame, nProbes: Int = 8,
+                  tauMicro: Long = 250000L): DataFrame = {
+    val probes = embeddings.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+    embeddings.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        floor(cosine(col("embedding"), col("probe")) * lit(1000000L))
+          .cast("long").as("cos_micro"))
+      .filter(col("cos_micro") >= tauMicro)
+      .orderBy("probe_id", "vec_id")
+  }
+
   /** Deterministic pseudo-random hyperplane coefficients in [-1, 1),
     * derived from a hash of (plane index, dimension index) — no RNG
     * state, so executors regenerate identical planes with no driver

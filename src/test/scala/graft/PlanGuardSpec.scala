@@ -706,6 +706,16 @@ class PlanGuardSpec extends SparkSpec {
       // read the pin
       ("pipeline_token_budget", () => CorpusOps.tokenBudgetMix(docs),
         "documents", 1),
+      // r14 wave 3: kcore's projection self-join sides (peel rounds run
+      // on the pinned edge list, not the corpus)
+      ("graph_kcore", () => GraphOps.kcorePeel(liNoCache),
+        "lineitem", 2),
+      ("agg_chi2", () => Aggs.chi2(docs), "documents", 1),
+      ("stream_dedup_batch", () => StreamBatchOps.dedupBatch(events),
+        "events", 1),
+      // corpus sweep + the pushdown-filtered probe lookup
+      ("sim_range_search", () => VectorOps.rangeSearch(emb),
+        "embeddings", 2),
       // r13 wave
       ("pipeline_anneal_mix", () => CorpusOps.annealMix(docs),
         "documents", 1),

@@ -153,4 +153,75 @@ class RoundFourteenOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
     assert(got2.contains((4L, None)))
   }
+
+  test("graph_kcore: the peel CASCADE — a degree-3 node dies in round 2 after its pendant is peeled") {
+    // K4 {1,2,3,4}; node 5 hangs off 1,2 and pendant 6. Degrees:
+    // 1:4, 2:4, 3:3, 4:3, 5:3, 6:1. Round 1 peels 6 (deg 1 < 3);
+    // round 2 peels 5 (deg fell 3 -> 2 — the cascade a plain degree
+    // filter misses); round 3 stable. Survivors: K4 at degree 3 each.
+    // Every edge gets exactly two 2-part orders (support 2, no stray
+    // pairs from wider orders).
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L), (2L, 5L), (5L, 6L))
+    val li = edges.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((2L * i, a), (2L * i, b), (2L * i + 1, a), (2L * i + 1, b))
+    }.toDF("l_orderkey", "l_partkey")
+    val got = GraphOps.kcorePeel(li, k = 3, minSupport = 2, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+  }
+
+  test("agg_chi2: hand-computed integer micro contingency incl. truncating division") {
+    // cells: (en,s1,3) (en,s2,1) (fr,s2,2); N=6, R(en)=4, R(fr)=2,
+    // C(s1)=3, C(s2)=3.
+    //  (en,s1): E=(4*3*1e6)//6=2000000, dev=+1e6, chi2=(1e12*1e6)//(2e12)=500000
+    //  (en,s2): E=2000000, dev=-1e6, chi2=500000
+    //  (fr,s2): E=1000000, dev=+1e6, chi2=1000000
+    val docs = Seq(
+      (1L, "en", "s1"), (2L, "en", "s1"), (3L, "en", "s1"),
+      (4L, "en", "s2"), (5L, "fr", "s2"), (6L, "fr", "s2"))
+      .map { case (id, l, s) => (id, "t", l, s, 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Aggs.chi2(docs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === Seq(
+      ("en", "s1", 3L, 2000000L, 500000L),
+      ("en", "s2", 1L, 2000000L, 500000L),
+      ("fr", "s2", 2L, 1000000L, 1000000L)))
+  }
+
+  test("stream_dedup_batch: min-struct keeper picks earliest (ts, event_id); hour buckets split keys") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1 click, hour 0: id 2 arrives EARLIER than id 1 -> kept
+      (2L, ts("2024-01-01 00:10:00"), 1L, "click", 2.00),
+      (1L, ts("2024-01-01 00:20:00"), 1L, "click", 1.00),
+      // same user+type next hour: separate bucket
+      (3L, ts("2024-01-01 01:05:00"), 1L, "click", 3.00),
+      // tie on ts -> smaller event_id kept
+      (5L, ts("2024-01-01 00:30:00"), 2L, "view", 5.00),
+      (4L, ts("2024-01-01 00:30:00"), 2L, "view", 4.00))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val h0 = 1704067200L // 2024-01-01 00:00 UTC
+    val got = StreamBatchOps.dedupBatch(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got === Seq(
+      (h0, 1L, "click", 2L, 200L, 1L),
+      (h0, 2L, "view", 4L, 400L, 1L),
+      (h0 + 3600L, 1L, "click", 3L, 300L, 0L)))
+  }
+
+  test("sim_range_search: whole neighborhood at the integer micro threshold, probe excluded") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(2f, 0f, 0f, 0f), 0),  // cos 1.0        -> 1000000
+      (2L, Array(1f, 1f, 0f, 0f), 0),  // cos 0.70710678 ->  707106
+      (3L, Array(0f, 1f, 0f, 0f), 0))  // cos 0          -> excluded
+      .toDF("vec_id", "embedding", "label")
+    val got = VectorOps.rangeSearch(emb, nProbes = 1, tauMicro = 700000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((0L, 1L, 1000000L), (0L, 2L, 707106L)))
+  }
 }
