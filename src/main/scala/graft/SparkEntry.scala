@@ -351,6 +351,14 @@ object SparkEntry {
       StreamBatchOps.dedupBatch(Tables.events(s, d))),
     "sim_range_search" -> ((s, d) =>
       VectorOps.rangeSearch(Tables.embeddings(s, d))),
+    // --- round-14 wave 4 ---
+    "emb_mutual_knn" -> ((s, d) =>
+      VectorOps.mutualKnn(Tables.embeddings(s, d))),
+    "pipeline_pack_waste" -> ((s, d) =>
+      CorpusOps.packWaste(Tables.documents(s, d))),
+    "corpus_pareto_sources" -> ((s, d) =>
+      CorpusOps.paretoSources(Tables.documents(s, d))),
+    "agg_benford" -> ((s, d) => Aggs.benford(Tables.events(s, d))),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -3994,6 +4002,123 @@ object SparkEntry {
         |SELECT probe_id, vec_id, cos_micro FROM s
         |WHERE cos_micro >= 250000
         |ORDER BY probe_id, vec_id""".stripMargin,
+
+    // mutual = both directions in each other's top-k; cosine is
+    // bit-symmetric so the equated scores are identical doubles
+    "emb_mutual_knn" ->
+      """WITH nodes AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings WHERE vec_id < 256),
+        |scored AS (
+        |  SELECT a.vec_id, b.vec_id AS nbr_id,
+        |    list_dot_product(a.emb, b.emb)
+        |      / (sqrt(list_dot_product(a.emb, a.emb))
+        |         * sqrt(list_dot_product(b.emb, b.emb))) AS rawcos
+        |  FROM nodes a CROSS JOIN nodes b WHERE a.vec_id <> b.vec_id),
+        |d AS (
+        |  SELECT vec_id, nbr_id, rawcos,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY rawcos DESC, nbr_id) AS rn
+        |  FROM scored),
+        |topk AS (SELECT vec_id, nbr_id, rawcos FROM d WHERE rn <= 5)
+        |SELECT t.vec_id AS id_a, t.nbr_id AS id_b,
+        |  CAST(floor(t.rawcos * 1000000) AS BIGINT) AS cos_micro
+        |FROM topk t JOIN topk u
+        |  ON u.vec_id = t.nbr_id AND u.nbr_id = t.vec_id
+        |WHERE t.vec_id < t.nbr_id
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // the pack_sequences recursive replay, rolled up to bin fill then
+    // fill-percent decile; oversize docs are that slug's own row class
+    "pipeline_pack_waste" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |fit AS (
+        |  SELECT doc_id, n_tokens,
+        |    row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM toks WHERE n_tokens <= 256),
+        |r AS (
+        |  SELECT doc_id, n_tokens, rn,
+        |    (rn - 1) // ((n + 31) // 32) AS range_id,
+        |    row_number() OVER (PARTITION BY (rn - 1) // ((n + 31) // 32)
+        |                       ORDER BY rn) AS idx
+        |  FROM fit),
+        |scan AS (
+        |  SELECT range_id, idx, doc_id, n_tokens,
+        |    CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+        |  FROM r WHERE idx = 1
+        |  UNION ALL
+        |  SELECT r.range_id, r.idx, r.doc_id, r.n_tokens,
+        |    CASE WHEN s.fill + r.n_tokens > 256 THEN s.bin + 1 ELSE s.bin END,
+        |    CASE WHEN s.fill + r.n_tokens > 256 THEN r.n_tokens
+        |         ELSE s.fill + r.n_tokens END
+        |  FROM scan s JOIN r ON r.range_id = s.range_id AND r.idx = s.idx + 1),
+        |bins AS (SELECT range_id, max(bin) + 1 AS bins_used FROM scan GROUP BY 1),
+        |offs AS (
+        |  SELECT range_id,
+        |    CAST(COALESCE(SUM(bins_used) OVER (ORDER BY range_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM bins),
+        |binfill AS (
+        |  SELECT s.bin + o.off AS bin_id,
+        |    CAST(SUM(s.n_tokens) AS BIGINT) AS fill,
+        |    COUNT(*) AS n_docs
+        |  FROM scan s JOIN offs o USING (range_id)
+        |  GROUP BY 1)
+        |SELECT (fill * 10) // 256 AS fill_decile, COUNT(*) AS n_bins,
+        |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(SUM(fill) AS BIGINT) AS total_fill,
+        |  CAST(SUM(256 - fill) AS BIGINT) AS total_waste
+        |FROM binfill GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // NULLS FIRST pinned: Spark asc defaults nulls-first, DuckDB last
+    "corpus_pareto_sources" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    COALESCE(SUM(CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x <> '')) AS BIGINT)), 0) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |r AS (
+        |  SELECT source, n_tokens,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n_tokens DESC,
+        |      source ASC NULLS FIRST) AS INTEGER) AS rank,
+        |    SUM(n_tokens) OVER (ORDER BY n_tokens DESC,
+        |      source ASC NULLS FIRST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+        |    SUM(n_tokens) OVER () AS total
+        |  FROM s)
+        |SELECT source, rank, n_tokens,
+        |  CAST((CAST(cum_tokens AS HUGEINT) * 1000000) // total AS BIGINT)
+        |    AS cum_micro
+        |FROM r ORDER BY rank""".stripMargin,
+
+    // nine compile-time Benford literals (floor(log10(1+1/d)*1e6)) —
+    // no runtime log in either engine; digit by string head, never
+    // log10 (last-ulp digit flips)
+    "agg_benford" ->
+      """WITH c AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |d AS (
+        |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM c WHERE cents > 0),
+        |g AS (SELECT digit, COUNT(*) AS observed FROM d GROUP BY 1),
+        |t AS (SELECT digit, observed, SUM(observed) OVER () AS n FROM g),
+        |e AS (
+        |  SELECT digit, observed,
+        |    CAST((CAST(observed AS HUGEINT) * 1000000) // n AS BIGINT)
+        |      AS observed_micro,
+        |    CAST(CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091
+        |      WHEN 3 THEN 124938 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+        |      WHEN 6 THEN 66946 WHEN 7 THEN 57991 WHEN 8 THEN 51152
+        |      ELSE 45757 END AS BIGINT) AS expected_micro
+        |  FROM t)
+        |SELECT digit, observed, observed_micro, expected_micro,
+        |  observed_micro - expected_micro AS dev_micro
+        |FROM e ORDER BY digit""".stripMargin,
   )
 
   /** DuckDB oracle for `text_langid`, generated from

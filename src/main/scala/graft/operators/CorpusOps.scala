@@ -230,6 +230,76 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** `pipeline_pack_waste`: padding-waste audit of [[packSequences]] —
+    * the rollup the bin-packing scaladoc promised was "one groupBy
+    * away": per fill-percent decile (fill·10 quot budget, 10 = exactly
+    * full), the bin count, packed docs, total fill, and total PADDING
+    * waste (budget − fill, the tokens a trainer burns as pad). This is
+    * the number that decides the packing budget: a waste-heavy low
+    * decile says the budget is too large for the document length
+    * distribution (or next-fit should become best-fit).
+    *
+    * Scale shape: inherits [[packSequences]]' one-scan pipeline (the
+    * decile rollup runs on the O(bins) assignment table: one
+    * partial+final agg to bin grain, a second to decile grain —
+    * bounded 11-row output). Oversize docs (bin −1) are excluded:
+    * they are [[packSequences]]' explicit row class, not bins — and
+    * constant-folding that filter prunes the union branch, so this
+    * plan executes ZERO direct corpus scans (the scan sits inside the
+    * pack pipeline's pin, guarded by pack_sequences' own entry).
+    *
+    * scan-guard: pipeline_pack_waste */
+  def packWaste(documents: DataFrame, budget: Int = 256,
+                nRanges: Int = 32): DataFrame = {
+    packSequences(documents, budget, nRanges)
+      .filter(col("oversize") === 0)
+      .groupBy("bin_id")
+      .agg(sum(col("n_tokens")).as("fill"), count(lit(1)).as("n_docs"))
+      .select(expr(s"(fill * 10) DIV $budget").as("fill_decile"),
+        col("fill"), col("n_docs"))
+      .groupBy("fill_decile")
+      .agg(count(lit(1)).as("n_bins"), sum(col("n_docs")).as("n_docs"),
+        sum(col("fill")).as("total_fill"),
+        sum(lit(budget.toLong) - col("fill")).as("total_waste"))
+      .orderBy("fill_decile")
+  }
+
+  /** `corpus_pareto_sources`: domain-concentration audit — sources
+    * ranked by total token mass (largest first), each with its exact
+    * cumulative corpus share in micro units: the Lorenz curve behind
+    * "the top N domains are X% of the corpus", the first chart every
+    * crawl-mix review opens with. Share arithmetic is integer end to
+    * end: cum_micro = (cumulative tokens · 10⁶) quot total.
+    *
+    * Scale shape: ONE corpus scan into a partial+final per-source
+    * token sum — the only corpus-sized stage; the rank and running
+    * sum are windows over the O(|sources|) aggregate table (bounded at
+    * any corpus size — domains, not documents). NULL source is an
+    * ordinary group; the (n_tokens desc, source ASC NULLS FIRST)
+    * total order is pinned explicitly because the engines' default
+    * NULL placement differs (Spark asc = nulls first, DuckDB = last).
+    *
+    * scan-guard: corpus_pareto_sources */
+  def paretoSources(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySource = documents.groupBy("source")
+      .agg(coalesce(sum(size(words(col("text"))).cast("long")), lit(0L))
+        .as("n_tokens"))
+    val ord = Window.orderBy(col("n_tokens").desc, col("source").asc_nulls_first)
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bySource
+      .withColumn("rank", row_number().over(ord))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(cum))
+      .withColumn("total", sum(col("n_tokens")).over(
+        Window.partitionBy()))
+      .select(col("source"), col("rank"), col("n_tokens"),
+        // cum·10⁶ passes BIGINT at ~10¹³ tokens — a 100 TB corpus is
+        // past it; widen before the multiply (the util_micro rule)
+        expr("(CAST(cum_tokens AS DECIMAL(38,0)) * 1000000) DIV total")
+          .cast("long").as("cum_micro"))
+      .orderBy("rank")
+  }
+
   /** `pipeline_pack_chunks`: concatenation packing — assign documents (in
     * doc_id order) to fixed-token-budget chunks by the running token
     * count, the concat-and-chunk sequence-packing shape (a document whose

@@ -1396,6 +1396,43 @@ object Aggs {
       .orderBy("lang", "source")
   }
 
+  /** `agg_benford`: Benford's-law first-digit audit of event values —
+    * per leading digit 1-9 of the integer cents, the observed count,
+    * observed corpus share in micro, the Benford-expected share
+    * (floor(log₁₀(1+1/d)·10⁶), nine compile-time literals — no runtime
+    * log, no float in either engine), and the deviation. The classic
+    * fabricated-data / broken-instrumentation screen: a value column
+    * that drifts far from Benford at scale is synthetic, truncated, or
+    * unit-mangled upstream.
+    *
+    * Scale shape: one map-only projection (cents → leading digit by
+    * STRING head — pure integer/string ops, no log10 whose last-ulp
+    * could flip a digit) into a partial+final 9-group count; the share
+    * window runs over the 9-row digit table. Count·10⁶ is widened to
+    * DECIMAL(38,0) before the multiply (BIGINT dies at ~10¹³ rows).
+    *
+    * scan-guard: agg_benford */
+  def benford(events: DataFrame): DataFrame = {
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+    val expected = map(
+      (1 to 9).flatMap(d => Seq(lit(d), lit(Seq(301029L, 176091L,
+        124938L, 96910L, 79181L, 66946L, 57991L, 51152L,
+        45757L)(d - 1)))): _*)
+    events
+      .select(cents.as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("observed"))
+      .withColumn("n", sum(col("observed")).over(Window.partitionBy()))
+      .select(col("digit"), col("observed"),
+        expr("(CAST(observed AS DECIMAL(38,0)) * 1000000) DIV n")
+          .cast("long").as("observed_micro"),
+        element_at(expected, col("digit")).as("expected_micro"))
+      .withColumn("dev_micro", col("observed_micro") - col("expected_micro"))
+      .orderBy("digit")
+  }
+
   /** `agg_weighted_median`: quantity-weighted median of line-item price
     * per return flag — the weighted-quantile selection behind
     * "median price per UNIT sold" (plain median over-weights small

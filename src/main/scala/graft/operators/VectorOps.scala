@@ -222,6 +222,53 @@ object VectorOps {
       .orderBy("probe_id", "vec_id")
   }
 
+  /** `emb_mutual_knn`: MUTUAL k-nearest-neighbor graph over a bounded
+    * node set — edge (a, b) exists iff b is in a's exact cosine top-k
+    * AND a is in b's. Mutual-kNN is the standard candidate graph for
+    * semantic-dedup clustering (one-directional kNN links every
+    * outlier to SOMETHING; mutuality is the symmetric-density filter
+    * that keeps clusters tight). Nodes are the `nNodes` lowest ids —
+    * the audit-sample convention ([[matryoshkaRecall]]'s probe set):
+    * the full-corpus scale path is [[DedupOps.semanticIvf]]'s
+    * co-partitioned cell join, whose candidate pairs this operator's
+    * graph is the exact reference for.
+    *
+    * Scale shape: one pushdown-pruned node scan each side of a
+    * broadcast product (nNodes² bounded rows), per-node top-k through
+    * the WindowGroupLimit map-side cut; the directed top-k table
+    * (O(nodes·k)) is lazy-pinned — the mutuality self-join consumes it
+    * twice. Cosine is symmetric at the bit level (elementwise multiply
+    * commutes, fold order unchanged), so the (a, b)/(b, a) scores the
+    * join equates are identical doubles, and the output micro-floor
+    * never straddles a pair. Integer outputs, ties on neighbor id.
+    *
+    * scan-guard: emb_mutual_knn */
+  def mutualKnn(embeddings: DataFrame, nNodes: Int = 256,
+                k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nodes = embeddings.filter(col("vec_id") < nNodes)
+      .select(col("vec_id"), col("embedding"))
+    val others = nodes.select(col("vec_id").as("nbr_id"),
+      col("embedding").as("nbr"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("rawcos").desc, col("nbr_id"))
+    val directed = graft.plans.PlanPins.lazyPin(
+      nodes.crossJoin(broadcast(others))
+        .filter(col("vec_id") =!= col("nbr_id"))
+        .select(col("vec_id"), col("nbr_id"),
+          cosine(col("embedding"), col("nbr")).as("rawcos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select(col("vec_id"), col("nbr_id"), col("rawcos")))
+    val reversed = directed.select(col("nbr_id").as("vec_id"),
+      col("vec_id").as("nbr_id"))
+    directed.filter(col("vec_id") < col("nbr_id"))
+      .join(reversed, Seq("vec_id", "nbr_id"), "left_semi")
+      .select(col("vec_id").as("id_a"), col("nbr_id").as("id_b"),
+        floor(col("rawcos") * lit(1000000L)).cast("long").as("cos_micro"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Deterministic pseudo-random hyperplane coefficients in [-1, 1),
     * derived from a hash of (plane index, dimension index) — no RNG
     * state, so executors regenerate identical planes with no driver

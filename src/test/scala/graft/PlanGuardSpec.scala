@@ -716,6 +716,20 @@ class PlanGuardSpec extends SparkSpec {
       // corpus sweep + the pushdown-filtered probe lookup
       ("sim_range_search", () => VectorOps.rangeSearch(emb),
         "embeddings", 2),
+      // r14 wave 4: the node subset scans both product sides
+      ("emb_mutual_knn", () => VectorOps.mutualKnn(emb),
+        "embeddings", 2),
+      // the rollup's plan executes ZERO direct corpus scans: the
+      // oversize branch (which surfaced the token pin at top level in
+      // pack_sequences) is constant-folded away by the oversize=0
+      // filter, so the one corpus scan sits a pin level deeper —
+      // guarded at 1 by pipeline_pack_sequences' own entry; this entry
+      // still trips if packWaste ever adds a direct documents read
+      ("pipeline_pack_waste", () => CorpusOps.packWaste(docs),
+        "documents", 0),
+      ("corpus_pareto_sources", () => CorpusOps.paretoSources(docs),
+        "documents", 1),
+      ("agg_benford", () => Aggs.benford(events), "events", 1),
       // r13 wave
       ("pipeline_anneal_mix", () => CorpusOps.annealMix(docs),
         "documents", 1),

@@ -213,6 +213,71 @@ class RoundFourteenOpsSpec extends SparkSpec {
       (h0 + 3600L, 1L, "click", 3L, 300L, 0L)))
   }
 
+  test("emb_mutual_knn: one-directional kNN links are dropped, ties break on neighbor id") {
+    // v0 = v3 = (1,0); v1 = (0,1); v2 = (.8,.6). k=2 top lists:
+    //   v0: [v3 cos 1.0, v2 cos .8]      v1: [v2 cos .6, v0 cos 0 (id tie)]
+    //   v2: [v0 cos .8 (id tie with v3), v3]   v3: [v0 1.0, v2 .8]
+    // Mutual: (0,2) (0,3) (2,3). v1→v2 and v1→v0 are one-directional
+    // (neither v2 nor v0 lists v1) — the asymmetry mutuality filters.
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(0f, 1f, 0f, 0f), 0),
+      (2L, Array(0.8f, 0.6f, 0f, 0f), 0),
+      (3L, Array(1f, 0f, 0f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = VectorOps.mutualKnn(emb, nNodes = 4, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.map(t => (t._1, t._2)) === Seq((0L, 2L), (0L, 3L), (2L, 3L)))
+    assert(got(1)._3 === 1000000L) // identical vectors: cos exactly 1
+    // float-widened (.8,.6) is not unit norm: cos lands just UNDER .8
+    assert(got(0)._3 === 799999L && got(2)._3 === 799999L)
+  }
+
+  test("pipeline_pack_waste: decile rollup of hand-packed bins") {
+    // tokens [5,4,3,2], budget 8, one range. Next-fit-decreasing:
+    // bin0 = {5} (5+4 overflows), bin1 = {4,3}, bin2 = {2}.
+    // Fills 5/7/2 -> deciles (f*10 DIV 8) = 6/8/2.
+    val docs = Seq(
+      (1L, "a a a a a"), (2L, "b b b b"), (3L, "c c c"), (4L, "d d"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = CorpusOps.packWaste(docs, budget = 8, nRanges = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === Seq(
+      (2L, 1L, 1L, 2L, 6L), (6L, 1L, 1L, 5L, 3L), (8L, 1L, 2L, 7L, 1L)))
+  }
+
+  test("corpus_pareto_sources: rank ties on source id, NULL source ranks after named ties") {
+    // totals: s1=6, s2=3, s3=3 (tie -> source asc), null=1; total 13
+    val docs = Seq(
+      (1L, "a b c d e f", Some("s1")), (2L, "a b c", Some("s2")),
+      (3L, "x y z", Some("s3")), (4L, "q", None))
+      .map { case (id, t, src) => (id, t, "en", src.orNull, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = CorpusOps.paretoSources(docs)
+      .collect().map(r => (Option(r.getString(0)), r.getInt(1),
+        r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq(
+      (Some("s1"), 1, 6L, 461538L), (Some("s2"), 2, 3L, 692307L),
+      (Some("s3"), 3, 3L, 923076L), (None, 4, 1L, 1000000L)))
+  }
+
+  test("agg_benford: digit from the cents string head; negatives and NULLs excluded") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val events = Seq(
+      (1L, 1.00), (2L, 1.50), (3L, 2.00), (4L, 9.99), (5L, -1.00))
+      .map { case (id, v) => (id, ts0, 1L, "click", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Aggs.benford(events)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === Seq(
+      (1, 2L, 500000L, 301029L, 198971L),
+      (2, 1L, 250000L, 176091L, 73909L),
+      (9, 1L, 250000L, 45757L, 204243L)))
+  }
+
   test("sim_range_search: whole neighborhood at the integer micro threshold, probe excluded") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f, 0f), 0),
