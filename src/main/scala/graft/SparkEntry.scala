@@ -359,6 +359,11 @@ object SparkEntry {
     "corpus_pareto_sources" -> ((s, d) =>
       CorpusOps.paretoSources(Tables.documents(s, d))),
     "agg_benford" -> ((s, d) => Aggs.benford(Tables.events(s, d))),
+    // --- round-14 wave 5 ---
+    "text_vocab_growth" -> ((s, d) =>
+      TextOps.vocabGrowth(Tables.documents(s, d))),
+    "agg_hhi" -> ((s, d) => Aggs.hhi(Tables.events(s, d))),
+    "ts_mk_trend" -> ((s, d) => StreamBatchOps.mkTrend(Tables.events(s, d))),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -4119,6 +4124,72 @@ object SparkEntry {
         |SELECT digit, observed, observed_micro, expected_micro,
         |  observed_micro - expected_micro AS dev_micro
         |FROM e ORDER BY digit""".stripMargin,
+
+    // decile = (rn−1)·10 // n, never ntile (the qualityReliability rule);
+    // first occurrence per word type at word grain
+    "text_vocab_growth" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, text, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM documents),
+        |wd AS (SELECT *, (rn - 1) * 10 // n AS decile FROM ranked),
+        |docstats AS (
+        |  SELECT decile, COUNT(*) AS n_docs,
+        |    COALESCE(SUM(CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x <> '')) AS BIGINT)), 0) AS n_tokens
+        |  FROM wd GROUP BY 1),
+        |fs AS (
+        |  SELECT word, MIN(decile) AS decile FROM (
+        |    SELECT decile,
+        |      UNNEST(list_filter(string_split(text, ' '), x -> x <> ''))
+        |        AS word
+        |    FROM wd) GROUP BY 1),
+        |nt AS (SELECT decile, COUNT(*) AS new_types FROM fs GROUP BY 1)
+        |SELECT d.decile, d.n_docs, d.n_tokens,
+        |  COALESCE(t.new_types, 0) AS new_types,
+        |  CAST(SUM(COALESCE(t.new_types, 0)) OVER (ORDER BY d.decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_types
+        |FROM docstats d LEFT JOIN nt t USING (decile)
+        |ORDER BY d.decile""".stripMargin,
+
+    // squares in HUGEINT ≡ Spark DECIMAL(38,0); NULL user is one
+    // ordinary cell in both engines
+    "agg_hhi" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, COUNT(*) AS n_users,
+        |    CAST(SUM(c) AS BIGINT) AS total_events,
+        |    SUM(CAST(c AS HUGEINT) * c) AS ss
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, n_users, total_events,
+        |  CAST((ss * 1000000)
+        |    // (CAST(total_events AS HUGEINT) * total_events) AS BIGINT)
+        |    AS hhi_micro
+        |FROM t ORDER BY event_type""".stripMargin,
+
+    // pure-integer sign pairs over the daily micro sums (the ts_holt
+    // pre-collapse); single-day users have no pairs in either engine
+    "ts_mk_trend" ->
+      """WITH daily AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.user_id,
+        |    CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END
+        |      AS sgn
+        |  FROM daily a JOIN daily b
+        |    ON a.user_id = b.user_id AND a.day < b.day)
+        |SELECT user_id, COUNT(*) AS n_pairs,
+        |  CAST(SUM(sgn) AS BIGINT) AS s_stat,
+        |  CAST(CASE WHEN SUM(sgn) > 0 THEN 1 WHEN SUM(sgn) < 0 THEN -1
+        |    ELSE 0 END AS INTEGER) AS trend
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 
   /** DuckDB oracle for `text_langid`, generated from

@@ -62,6 +62,14 @@ object ShingleExpressions {
   def dotProduct(a: Column, b: Column): Column =
     column(DotProductExpr(expression(a), expression(b)))
 
+  /** Column API: partial dot products of two numeric arrays at each
+    * prefix checkpoint — ONE compiled traversal emitting
+    * `array(dot(a[0:c₁], b[0:c₁]), …)`; each element is bit-identical
+    * to the full sequential dot of the sliced prefixes (a prefix of a
+    * left-to-right fold IS the fold of the prefix). */
+  def prefixDots(a: Column, b: Column, checkpoints: Seq[Int]): Column =
+    column(PrefixDotsExpr(expression(a), expression(b), checkpoints))
+
   /** Column API: 64-bit SimHash of a space-tokenized text column. */
   def simHash64(text: Column): Column =
     column(SimHash64Expr(expression(text)))
@@ -478,6 +486,82 @@ case class DotProductExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Partial dot products at ascending prefix `checkpoints` in ONE array
+  * traversal — the Matryoshka-truncation scorer. Replaces the
+  * slice-per-prefix form (4 prefixes × 3 dots × 2 slices = up to 24
+  * array allocations per candidate row, measured 467 s at sf10) with a
+  * single allocation-free fold that records the running sum as it
+  * passes each checkpoint. Element i equals `DotProductExpr(slice(a,
+  * 1, cᵢ), slice(b, 1, cᵢ))` bit-for-bit: a prefix of a sequential
+  * left-to-right fold is the fold of the prefix. Fails loudly when an
+  * input is shorter than the last checkpoint (the dimension-mismatch
+  * rule above) rather than returning a plausible partial. */
+case class PrefixDotsExpr(left: Expression, right: Expression,
+                          checkpoints: Seq[Int])
+    extends BinaryExpression {
+  require(checkpoints.nonEmpty && checkpoints.head > 0 &&
+    checkpoints.sliding(2).forall(w => w.size < 2 || w(0) < w(1)),
+    s"prefix_dots: checkpoints must be positive ascending, got $checkpoints")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private def isFloatArr(e: Expression): Boolean = e.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val aF = isFloatArr(left)
+  @transient private lazy val bF = isFloatArr(right)
+  @transient private lazy val cpArr = checkpoints.toArray
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val out = PrefixDotsKernel.compute(a, b, cpArr, aF, bF)
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cpRef = ctx.addReferenceObj("checkpoints", cpArr, "int[]")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.PrefixDotsKernel.compute($a, $b, $cpRef, $aF, $bF));
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Static kernel shared by PrefixDotsExpr's interpreted and generated
+  * paths — one fold, sums recorded at each checkpoint. */
+object PrefixDotsKernel {
+  def compute(a: ArrayData, b: ArrayData, cps: Array[Int],
+              aF: Boolean, bF: Boolean): Array[Double] = {
+    val n = a.numElements()
+    val last = cps(cps.length - 1)
+    if (b.numElements() != n || n < last) throw new IllegalArgumentException(
+      s"prefix_dots: need two length->=$last arrays, got $n vs ${b.numElements()}")
+    val out = new Array[Double](cps.length)
+    var acc = 0.0
+    var i = 0
+    var c = 0
+    while (c < cps.length) {
+      val stop = cps(c)
+      while (i < stop) {
+        val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
+        acc += x * y
+        i += 1
+      }
+      out(c) = acc
+      c += 1
+    }
+    out
+  }
 }
 
 /** `minhash_signature(hashes, n)` — see [[ShingleKernels.minHash]]. */

@@ -676,16 +676,18 @@ object GraphOps {
     * Scale shape: the corpus-sized stage is the shared projection
     * (lazy-pinned; served by [[GraphProjectionCache]]); each pass is
     * one O(|E|) hash-agg degree census plus two semi-joins of the edge
-    * list against the O(|V|) survivor set (broadcast-able by stats
-    * after thresholding). Each pass's edge list feeds BOTH the next
-    * census and the next semi-join, so the unrolled plan re-evaluates
-    * earlier passes (2^rounds−1 subtree copies at rounds=3: 7 joins/
-    * censuses) — deliberately NOT re-pinned per pass: every copy runs
-    * over the pinned O(|E|) projection leaf, never the corpus, and
-    * nested pins are invisible to the scan-count guard (totalScans
-    * expands one pin level). Degree censuses stay map-side-combined
-    * hash aggs, never per-node count windows (a hub node would buffer
-    * its whole partition in one task). No driver loop, no collect.
+    * list against the O(|V|) SURVIVOR PIN. Pinning the survivor set
+    * (not the edge list) is load-bearing twice over: (a) it is what
+    * keeps the unrolled plan LINEAR — the census branch terminates in
+    * a pin leaf instead of duplicating the edge chain, and the first
+    * cut (edges unpinned, tree copied 2^rounds×) measured 233 s at
+    * sf10 of which 203 s was JIT compiling the exploded codegen
+    * classes, vs 3.6 s with the pins; (b) survivor pins are node-grain
+    * leaves, so the lineitem scans stay inside the ONE edges pin where
+    * the scan-count guard sees them (an edge-list pin chain nests them
+    * out of sight). Degree censuses stay map-side-combined hash aggs,
+    * never per-node count windows (a hub node would buffer its whole
+    * partition in one task). No driver loop, no collect.
     *
     * Reference frame: capability category "enrichment pipelines"
     * (reference setup.py:8-9) — the dense-core flag for hub-document
@@ -701,10 +703,11 @@ object GraphOps {
         struct(col("b").as("u"), col("a").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
     for (_ <- 1 to rounds) {
-      val survivors = adj.groupBy(col("u"))
-        .agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k)
-        .select(col("u").as("node"))
+      val survivors = graft.plans.PlanPins.lazyPin(
+        adj.groupBy(col("u"))
+          .agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k)
+          .select(col("u").as("node")))
       adj = adj.join(survivors.withColumnRenamed("node", "u"),
           Seq("u"), "left_semi")
         .join(survivors.withColumnRenamed("node", "v"),

@@ -1433,6 +1433,37 @@ object Aggs {
       .orderBy("digit")
   }
 
+  /** `agg_hhi`: Herfindahl–Hirschman concentration index of each event
+    * type's traffic across users — HHI = Σ shareᵤ², in exact integer
+    * micro: (Σ cntᵤ²)·10⁶ quot total². The concentration screen behind
+    * "is this event type organic or one bot": 10⁶ = monopoly (one user
+    * is all of it), →0 = perfectly dispersed. Complements
+    * [[gini]] (inequality of VALUE mass) and corpus_pareto_sources
+    * (ranked cumulative shares) with the single-number market measure.
+    *
+    * Scale shape: one partial+final (event_type, user) count — the
+    * only corpus-sized stage — then a per-type sum of squares (map-
+    * side combined, |types| output rows). Squares run in
+    * DECIMAL(38,0): cnt² passes BIGINT at ~3·10⁹ events per (type,
+    * user) cell, and Σcnt²·10⁶ long before that (the util_micro
+    * rule). NULL user_id is one ordinary "user" cell in both engines.
+    *
+    * scan-guard: agg_hhi */
+  def hhi(events: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    events
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("c")).as("total_events"),
+        sum(col("c").cast(d38) * col("c").cast(d38)).as("ss"))
+      .select(col("event_type"), col("n_users"), col("total_events"),
+        expr("(ss * 1000000) DIV (CAST(total_events AS DECIMAL(38,0)) * total_events)")
+          .cast("long").as("hhi_micro"))
+      .orderBy("event_type")
+  }
+
   /** `agg_weighted_median`: quantity-weighted median of line-item price
     * per return flag — the weighted-quantile selection behind
     * "median price per UNIT sold" (plain median over-weights small

@@ -1117,6 +1117,46 @@ object StreamBatchOps {
       .orderBy("hour_s", "user_id", "event_type")
   }
 
+  /** `ts_mk_trend`: Mann–Kendall trend statistic per user —
+    * S = Σ_{i<j} sign(x_j − x_i) over the user's daily value sums in
+    * day order, with the pair count n(n−1)/2 and the trend class
+    * sign(S). The standard NONPARAMETRIC monotone-trend test: no
+    * linearity assumption (vs [[RelationalOps]]'s agg_linreg slope),
+    * no smoothing constant (vs [[holtForecast]]), ties contribute 0 —
+    * and S is a pure integer, no float anywhere. Daily values floor
+    * to micro BEFORE the sum (the [[holtForecast]] rule) so both
+    * engines compare exact longs.
+    *
+    * Scale shape: the corpus collapses to O(users·days) in one
+    * partial+final (user, day) aggregation — the only corpus-sized
+    * stage; the pair enumeration is a user-keyed SELF-JOIN of the
+    * lazy-pinned daily table (consumed by both sides), bounded by
+    * days-of-history² per user (calendar-bounded, corpus-size-
+    * independent — the ts_gap_islands argument), never a cross join
+    * of raw events. Sign compare + count ride one map-side-combined
+    * aggregation.
+    *
+    * scan-guard: ts_mk_trend */
+  def mkTrend(events: DataFrame): DataFrame = {
+    val daily = graft.plans.PlanPins.lazyPin(events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .groupBy(col("user_id"),
+        expr("unix_timestamp(ts) DIV 86400").as("day"))
+      .agg(sum(floor(col("value") * lit(1000000)).cast("long")).as("x")))
+    val a = daily.select(col("user_id"), col("day").as("di"),
+      col("x").as("xi"))
+    val b = daily.select(col("user_id"), col("day").as("dj"),
+      col("x").as("xj"))
+    a.join(b, Seq("user_id")).filter(col("di") < col("dj"))
+      .groupBy("user_id")
+      .agg(sum(when(col("xj") > col("xi"), 1L)
+          .when(col("xj") < col("xi"), -1L).otherwise(0L)).as("s_stat"),
+        count(lit(1)).as("n_pairs"))
+      .select(col("user_id"), col("n_pairs"), col("s_stat"),
+        signum(col("s_stat")).cast("int").as("trend"))
+      .orderBy("user_id")
+  }
+
   /** `ts_holt`: Holt double exponential smoothing (level + linear
     * trend) of each user's daily value series, plus a 7-day-ahead
     * forecast — the trend-aware successor of [[ewma]] (which has no

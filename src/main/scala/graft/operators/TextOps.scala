@@ -770,4 +770,51 @@ object TextOps {
         col("gold_micro"), col("lo_logit"), col("hi_logit"))
       .orderBy("decile")
   }
+
+  /** `text_vocab_growth`: vocabulary growth curve (the empirical Heaps
+    * law) — corpus cut into 10 equal-mass deciles by (doc_id) ingest
+    * order; per decile, the docs and tokens it adds and the NEW word
+    * types whose FIRST corpus occurrence falls in it, plus the running
+    * vocabulary size. A flattening curve says the corpus stopped
+    * teaching new surface forms (dedup it harder or diversify
+    * sources); a linear one says the vocabulary is still open — the
+    * first diagnostic a tokenizer-budget review plots.
+    *
+    * Scale shape: the doc rank is [[Skew.distributedRowNumber]] over
+    * (doc_id) — never a single-task global window; its INTERNAL
+    * range-partition pin is what the three consumers (the N count, the
+    * per-decile doc/token rollup, the explode) re-rank over — cheap
+    * local windows, no corpus rescan, and no outer re-pin (a nested
+    * pin would hide the scan from the guard). First occurrence per
+    * word type is one min-aggregation at word grain (type-table sized,
+    * the text_vocab shape, map-side combined); the decile rollups and
+    * the running sum are windows over the 10-row decile table.
+    * Decile = (rn−1)·10 DIV N exactly as in [[qualityReliability]] —
+    * never ntile.
+    *
+    * scan-guard: text_vocab_growth */
+  def vocabGrowth(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = Skew.distributedRowNumber(
+      documents.select(col("doc_id"), col("text")), 0, col("doc_id"))
+    val nRow = broadcast(ranked.agg(count(lit(1)).as("__n")))
+    val withDecile = ranked.crossJoin(nRow)
+      .withColumn("decile", expr("(rn - 1) * 10 DIV __n"))
+    val docStats = withDecile.groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(size(filter(split(col("text"), " "),
+          t => t =!= "")).cast("long")), lit(0L)).as("n_tokens"))
+    val firstSeen = withDecile
+      .select(col("decile"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(min(col("decile")).as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("new_types"))
+    docStats.join(firstSeen, Seq("decile"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .withColumn("cum_types", sum(col("new_types")).over(
+        Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("decile", "n_docs", "n_tokens", "new_types", "cum_types")
+      .orderBy("decile")
+  }
 }

@@ -730,6 +730,11 @@ class PlanGuardSpec extends SparkSpec {
       ("corpus_pareto_sources", () => CorpusOps.paretoSources(docs),
         "documents", 1),
       ("agg_benford", () => Aggs.benford(events), "events", 1),
+      // r14 wave 5
+      ("text_vocab_growth", () => TextOps.vocabGrowth(docs),
+        "documents", 1),
+      ("agg_hhi", () => Aggs.hhi(events), "events", 1),
+      ("ts_mk_trend", () => StreamBatchOps.mkTrend(events), "events", 1),
       // r13 wave
       ("pipeline_anneal_mix", () => CorpusOps.annealMix(docs),
         "documents", 1),

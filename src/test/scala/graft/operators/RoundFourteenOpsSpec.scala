@@ -278,6 +278,55 @@ class RoundFourteenOpsSpec extends SparkSpec {
       (9, 1L, 250000L, 45757L, 204243L)))
   }
 
+  test("text_vocab_growth: first-occurrence deciles, zero-new-type deciles kept at 0") {
+    // 5 docs -> deciles (rn-1)*10 DIV 5 = 0,2,4,6,8. Types: doc1 {a,b},
+    // doc2 {b,c}, doc3 {a}, doc4 {c,a}, doc5 {d}. New types: d0 {a,b}=2,
+    // d2 {c}=1, d4 0, d6 0, d8 {d}=1. cum: 2,3,3,3,4.
+    val docs = Seq(
+      (1L, "a b"), (2L, "b c"), (3L, "a"), (4L, "c a"), (5L, "d"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.vocabGrowth(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === Seq(
+      (0L, 1L, 2L, 2L, 2L), (2L, 1L, 2L, 1L, 3L), (4L, 1L, 1L, 0L, 3L),
+      (6L, 1L, 2L, 0L, 3L), (8L, 1L, 1L, 1L, 4L)))
+  }
+
+  test("agg_hhi: monopoly scores 10^6, even split scores 1/k, NULL user is one cell") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val events = Seq(
+      // 'mono': one user, 3 events -> HHI = 1e6
+      (1L, 1L, "mono"), (2L, 1L, "mono"), (3L, 1L, "mono"),
+      // 'split': two users 2+2 -> (4+4)*1e6 DIV 16 = 500000
+      (4L, 1L, "split"), (5L, 1L, "split"), (6L, 2L, "split"), (7L, 2L, "split"))
+      .map { case (id, u, t) => (id, ts0, u, t, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Aggs.hhi(events)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === Seq(("mono", 1L, 3L, 1000000L), ("split", 2L, 4L, 500000L)))
+  }
+
+  test("ts_mk_trend: S counts sign pairs over daily sums; ties contribute 0; single-day users drop") {
+    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 06:00:00")
+    val events = Seq(
+      // user 1: days 1..4 sums 1,2,2,3 -> pairs: (1,2)+,(1,2)+,(1,3)+,
+      // (2,2)0,(2,3)+,(2,3)+ -> S=5 of 6 pairs, trend +1
+      (1L, ts(1), 1.0), (1L, ts(2), 2.0), (1L, ts(3), 2.0), (1L, ts(4), 3.0),
+      // user 2: 3,1 -> S=-1, trend -1
+      (2L, ts(1), 3.0), (2L, ts(2), 1.0),
+      // user 3: single day -> no pairs, absent
+      (3L, ts(1), 9.0))
+      .map { case (u, t, v) => (u * 100 + t.getTime % 97, t, u, "e", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = StreamBatchOps.mkTrend(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSeq
+    assert(got === Seq((1L, 6L, 5L, 1), (2L, 1L, -1L, -1)))
+  }
+
   test("sim_range_search: whole neighborhood at the integer micro threshold, probe excluded") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f, 0f), 0),
