@@ -364,6 +364,10 @@ object SparkEntry {
       TextOps.vocabGrowth(Tables.documents(s, d))),
     "agg_hhi" -> ((s, d) => Aggs.hhi(Tables.events(s, d))),
     "ts_mk_trend" -> ((s, d) => StreamBatchOps.mkTrend(Tables.events(s, d))),
+    // --- round-14 wave 6 ---
+    "graph_modularity" -> ((s, d) =>
+      GraphOps.modularity(Tables.lineitem(s, d))),
+    "agg_ks_test" -> ((s, d) => Aggs.ksTest(Tables.events(s, d))),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -4190,6 +4194,86 @@ object SparkEntry {
         |  CAST(CASE WHEN SUM(sgn) > 0 THEN 1 WHEN SUM(sgn) < 0 THEN -1
         |    ELSE 0 END AS INTEGER) AS trend
         |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the label_prop vote CTEs verbatim, then Newman contributions in
+    // HUGEINT ≡ Spark DECIMAL(38,0); // truncates like DIV
+    "graph_modularity" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+        |pairs AS (
+        |  SELECT a.s AS a, b.s AS b
+        |  FROM li a JOIN li b USING (ok)
+        |  WHERE a.s < b.s
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(DISTINCT ok) >= 2),
+        |adj AS (SELECT a AS u, b AS v FROM pairs
+        |        UNION ALL SELECT b, a FROM pairs),
+        |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM adj),
+        |v1 AS (SELECT a.u AS node, l.lbl, COUNT(*) AS c
+        |       FROM adj a JOIN l0 l ON a.v = l.node GROUP BY 1, 2),
+        |l1 AS (SELECT node, lbl FROM (
+        |  SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node
+        |    ORDER BY c DESC, lbl) AS rn FROM v1) WHERE rn = 1),
+        |v2 AS (SELECT a.u AS node, l.lbl, COUNT(*) AS c
+        |       FROM adj a JOIN l1 l ON a.v = l.node GROUP BY 1, 2),
+        |l2 AS (SELECT node, lbl FROM (
+        |  SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node
+        |    ORDER BY c DESC, lbl) AS rn FROM v2) WHERE rn = 1),
+        |v3 AS (SELECT a.u AS node, l.lbl, COUNT(*) AS c
+        |       FROM adj a JOIN l2 l ON a.v = l.node GROUP BY 1, 2),
+        |l3 AS (SELECT node, lbl FROM (
+        |  SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node
+        |    ORDER BY c DESC, lbl) AS rn FROM v3) WHERE rn = 1),
+        |mm AS (SELECT COUNT(*) AS m FROM pairs),
+        |e AS (
+        |  SELECT la.lbl AS community, COUNT(*) AS intra_edges
+        |  FROM pairs p
+        |  JOIN l3 la ON p.a = la.node
+        |  JOIN l3 lb ON p.b = lb.node
+        |  WHERE la.lbl = lb.lbl GROUP BY 1),
+        |d AS (
+        |  SELECT l.lbl AS community, COUNT(*) AS degree_sum
+        |  FROM adj a JOIN l3 l ON a.u = l.node GROUP BY 1)
+        |SELECT d.community, COALESCE(e.intra_edges, 0) AS intra_edges,
+        |  d.degree_sum,
+        |  CAST(((CAST(COALESCE(e.intra_edges, 0) AS HUGEINT) * 4 * mm.m
+        |      - CAST(d.degree_sum AS HUGEINT) * d.degree_sum) * 1000000)
+        |    // (CAST(4 AS HUGEINT) * mm.m * mm.m) AS BIGINT) AS q_micro
+        |FROM d LEFT JOIN e USING (community) CROSS JOIN mm
+        |ORDER BY q_micro DESC, community""".stripMargin,
+
+    // cross-multiplied CDF gaps (division eliminated), HUGEINT ≡
+    // DECIMAL(38,0); argmax = smallest cents among maxima
+    "agg_ks_test" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    event_type
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+        |cells AS (
+        |  SELECT cents,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+        |  FROM e GROUP BY 1),
+        |c AS (
+        |  SELECT cents,
+        |    SUM(ca) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cuma,
+        |    SUM(cb) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cumb,
+        |    SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+        |  FROM cells),
+        |g AS (
+        |  SELECT cents, na, nb,
+        |    CAST((abs(CAST(cuma AS HUGEINT) * nb
+        |        - CAST(cumb AS HUGEINT) * na) * 1000000)
+        |      // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS gap_micro
+        |  FROM c)
+        |SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+        |  MAX(gap_micro) AS d_micro,
+        |  (SELECT MIN(cents) FROM g g2
+        |   WHERE g2.gap_micro = (SELECT MAX(gap_micro) FROM g)) AS at_cents
+        |FROM g""".stripMargin,
   )
 
   /** DuckDB oracle for `text_langid`, generated from

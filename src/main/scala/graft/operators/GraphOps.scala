@@ -627,16 +627,22 @@ object GraphOps {
     * source-level mixing policy groups by.
     *
     * scan-guard: graph_label_prop */
-  def labelProp(lineitem: DataFrame, minSupport: Int = 2,
-                rounds: Int = 3): DataFrame = {
-    val edges = graft.plans.PlanPins.lazyPin(
-      coPurchaseEdges(lineitem, minSupport))
-    // symmetrized adjacency in ONE pass over the pin (the pagerank
-    // explode device)
-    val adj = edges.select(explode(array(
+  /** Symmetrized adjacency via a single explode over the pinned edge
+    * list (the pagerank explode device) — shared by [[labelProp]],
+    * [[kcorePeel]], [[modularity]]. Scan behavior belongs to the
+    * callers' guards. scan-guard: exempt (helper over an already
+    * pinned edge list — no countable plan of its own) */
+  private def symmetrize(edges: DataFrame): DataFrame =
+    edges.select(explode(array(
         struct(col("a").as("u"), col("b").as("v")),
         struct(col("b").as("u"), col("a").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
+
+  /** The synchronous-LPA label table at NODE grain after `rounds`
+    * votes — the shared core of [[labelProp]] (community rollup) and
+    * [[modularity]] (partition quality). Each round: one |E|-bounded
+    * vote count + one min-struct argmax, both map-side combined. */
+  private def lpaLabels(adj: DataFrame, rounds: Int): DataFrame = {
     var labels = adj.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     for (_ <- 1 to rounds) {
@@ -653,9 +659,64 @@ object GraphOps {
         .select(col("u").as("node"), col("best.l").as("lbl"))
     }
     labels
+  }
+
+  def labelProp(lineitem: DataFrame, minSupport: Int = 2,
+                rounds: Int = 3): DataFrame = {
+    val edges = graft.plans.PlanPins.lazyPin(
+      coPurchaseEdges(lineitem, minSupport))
+    lpaLabels(symmetrize(edges), rounds)
       .groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_node"))
       .orderBy(col("n_members").desc, col("community"))
+  }
+
+  /** `graph_modularity`: Newman modularity of the [[labelProp]]
+    * partition — per community c, the intra-community edge count e_c,
+    * the degree mass d_c, and the exact-integer micro contribution
+    *   q_micro = (e_c·4m − d_c²)·10⁶ quot (4m²)
+    * (global Q = one sum away; Q > 0 ⇒ denser-than-random cores, the
+    * quality check that tells you whether the LPA communities mean
+    * anything before a mixing policy groups by them). All integer:
+    * edge/degree counts are exact, the division truncates identically
+    * in both engines, and d_c² rides DECIMAL(38,0)/HUGEINT (d_c ≤ 2m;
+    * 4m² passes BIGINT at m ≈ 1.5·10⁹ edges — the util_micro rule).
+    *
+    * Scale shape: the corpus-sized stage is the shared projection
+    * (cached); the LPA label table is lazy-pinned at NODE grain — its
+    * three consumers (both endpoint joins of the intra-edge count +
+    * the degree census) would otherwise re-run the vote rounds per
+    * branch. e_c = one join of the O(|E|) canonical edge list against
+    * the label pin at both ends; d_c = one |E|-bounded census; m is a
+    * 1-row broadcast. No windows, no collect.
+    *
+    * scan-guard: graph_modularity */
+  def modularity(lineitem: DataFrame, minSupport: Int = 2,
+                 rounds: Int = 3): DataFrame = {
+    val edges = graft.plans.PlanPins.lazyPin(
+      coPurchaseEdges(lineitem, minSupport))
+    val labels = graft.plans.PlanPins.lazyPin(
+      lpaLabels(symmetrize(edges), rounds))
+    val m = broadcast(edges.agg(count(lit(1)).as("m")))
+    val intra = edges
+      .join(labels.select(col("node").as("a"), col("lbl").as("la")), Seq("a"))
+      .join(labels.select(col("node").as("b"), col("lbl").as("lb")), Seq("b"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val degree = symmetrize(edges)
+      .join(labels.withColumnRenamed("node", "u"), Seq("u"))
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("degree_sum"))
+    degree.join(intra, Seq("community"), "left")
+      .withColumn("intra_edges", coalesce(col("intra_edges"), lit(0L)))
+      .crossJoin(m)
+      .select(col("community"), col("intra_edges"), col("degree_sum"),
+        expr("""CAST(((CAST(intra_edges AS DECIMAL(38,0)) * 4 * m
+                 - CAST(degree_sum AS DECIMAL(38,0)) * degree_sum) * 1000000)
+                DIV (CAST(4 AS DECIMAL(38,0)) * m * m) AS BIGINT)""")
+          .as("q_micro"))
+      .orderBy(col("q_micro").desc, col("community"))
   }
 
   /** `graph_kcore`: k-core refinement by FIXED-ROUND peeling — `rounds`

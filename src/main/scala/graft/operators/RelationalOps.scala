@@ -1464,6 +1464,55 @@ object Aggs {
       .orderBy("event_type")
   }
 
+  /** `agg_ks_test`: two-sample Kolmogorov–Smirnov distance between two
+    * event types' value distributions — D = max |F_a(v) − F_b(v)| in
+    * EXACT integer micro by cross-multiplication:
+    *   gap_micro(v) = |cum_a(v)·n_b − cum_b(v)·n_a|·10⁶ quot (n_a·n_b)
+    * (division eliminated from the comparison — the
+    * corpus_quality_reliability device), plus the value (cents) where
+    * the max is attained (smallest such cents — deterministic argmax).
+    * The distribution-shift screen: "did click values drift from view
+    * values" with no normality assumption.
+    *
+    * Scale shape: ONE corpus scan into a partial+final per-cents
+    * conditional count — the only corpus-sized stage; the cumulative
+    * sums are windows over the VALUE-grain table (distinct integer
+    * cents, bounded by the price range, not the corpus); the argmax
+    * is a min-struct aggregate, never a sort. cum·n products ride
+    * DECIMAL(38,0)/HUGEINT (n_a·n_b·10⁶ passes BIGINT only to
+    * n ≈ 3·10⁶ — the util_micro rule).
+    *
+    * scan-guard: agg_ks_test */
+  def ksTest(events: DataFrame, typeA: String = "click",
+             typeB: String = "view"): DataFrame = {
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+    val cells = events
+      .filter(col("value").isNotNull &&
+        col("event_type").isin(typeA, typeB))
+      .groupBy(cents.as("cents"))
+      .agg(sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("cb"))
+    val cum = Window.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    cells
+      .withColumn("cuma", sum(col("ca")).over(cum))
+      .withColumn("cumb", sum(col("cb")).over(cum))
+      .withColumn("na", sum(col("ca")).over(tot))
+      .withColumn("nb", sum(col("cb")).over(tot))
+      .withColumn("gap_micro",
+        expr("""CAST((abs(CAST(cuma AS DECIMAL(38,0)) * nb
+                 - CAST(cumb AS DECIMAL(38,0)) * na) * 1000000)
+                DIV (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"""))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(col("gap_micro")).as("d_micro"),
+        min(when(col("gap_micro").isNotNull,
+          struct((-col("gap_micro")).as("ng"), col("cents").as("c"))))
+          .as("am"))
+      .select(col("n_a"), col("n_b"), col("d_micro"),
+        col("am.c").as("at_cents"))
+  }
+
   /** `agg_weighted_median`: quantity-weighted median of line-item price
     * per return flag — the weighted-quantile selection behind
     * "median price per UNIT sold" (plain median over-weights small

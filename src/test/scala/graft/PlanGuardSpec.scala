@@ -735,6 +735,11 @@ class PlanGuardSpec extends SparkSpec {
         "documents", 1),
       ("agg_hhi", () => Aggs.hhi(events), "events", 1),
       ("ts_mk_trend", () => StreamBatchOps.mkTrend(events), "events", 1),
+      // r14 wave 6: the projection self-join sides (labels + censuses
+      // all run over the pinned edge list)
+      ("graph_modularity", () => GraphOps.modularity(liNoCache),
+        "lineitem", 2),
+      ("agg_ks_test", () => Aggs.ksTest(events), "events", 1),
       // r13 wave
       ("pipeline_anneal_mix", () => CorpusOps.annealMix(docs),
         "documents", 1),

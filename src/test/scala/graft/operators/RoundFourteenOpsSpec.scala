@@ -327,6 +327,43 @@ class RoundFourteenOpsSpec extends SparkSpec {
     assert(got === Seq((1L, 6L, 5L, 1), (2L, 1L, -1L, -1)))
   }
 
+  test("graph_modularity: hand-computed Newman contributions on the LPA fixture") {
+    // Same graph as the label_prop spec: triangle {1,2,3} + pendant 3-4
+    // and the pair {10,11}. After 3 sync rounds: {1,2,3,4} -> label 1;
+    // 10 and 11 mid-swap (10->11, 11->10). m=5 edges, 4m^2=100.
+    //   community 1:  intra 4, degree 8 -> (4*20-64)*1e6 // 100 = 160000
+    //   community 10: intra 0, degree 1 (node 11) -> -1e6 // 100 = -10000
+    //   community 11: intra 0, degree 1 (node 10) -> -10000
+    val li = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 3L), (3L, 4L), (4L, 3L), (4L, 4L),
+      (5L, 10L), (5L, 11L), (6L, 10L), (6L, 11L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = GraphOps.modularity(li, minSupport = 2, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === Seq(
+      (1L, 4L, 8L, 160000L), (10L, 0L, 1L, -10000L),
+      (11L, 0L, 1L, -10000L)))
+  }
+
+  test("agg_ks_test: cross-multiplied CDF gap, max at the smallest attaining cents") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // clicks [1,2,3], views [2,4]; gaps at 100/200/300/400 cents =
+    // 333333/166666/500000/0 -> D=500000 at 300
+    val events = Seq(
+      ("click", 1.00), ("click", 2.00), ("click", 3.00),
+      ("view", 2.00), ("view", 4.00),
+      ("error", 9.00)) // other types excluded
+      .zipWithIndex
+      .map { case ((t, v), i) => (i.toLong, ts0, 1L, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Aggs.ksTest(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === Seq((3L, 2L, 500000L, 300L)))
+  }
+
   test("sim_range_search: whole neighborhood at the integer micro threshold, probe excluded") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f, 0f), 0),
