@@ -239,6 +239,33 @@ object OracleGen {
        |SELECT id_a, id_b, round(jac, 6) AS jaccard
        |FROM pairs WHERE jac >= $tau ORDER BY id_a, id_b""".stripMargin
 
+  /** Oracle for `dedup_minhash_calibration` — per matching-lane count
+    * over the pre-τ candidate pairs: pair count, the estimator's
+    * implied similarity, and the mean EXACT shingle Jaccard, all in
+    * integer micro (// ≡ Spark DIV). */
+  def minhashCalibrationSql(nHashes: Int = 32,
+                            rowsPerBand: Int = 4): String = {
+    val laneMatch = (0 until nHashes)
+      .map(i => s"(CASE WHEN sa.s_$i = sb.s_$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH ${nearMinhashCtes(nHashes, rowsPerBand, 0.0)},
+       |m AS (
+       |  SELECT
+       |    ($laneMatch) AS lane_matches,
+       |    CAST((CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) * 1000000)
+       |      // (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+       |      AS BIGINT) AS jac_micro
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.id_a
+       |  JOIN sig sb ON sb.doc_id = c.id_b)
+       |SELECT CAST(lane_matches AS INTEGER) AS lane_matches,
+       |  COUNT(*) AS n_pairs,
+       |  CAST((CAST(lane_matches AS BIGINT) * 1000000) // $nHashes AS BIGINT)
+       |    AS est_micro,
+       |  CAST(SUM(jac_micro) // COUNT(*) AS BIGINT) AS mean_true_micro
+       |FROM m GROUP BY lane_matches ORDER BY lane_matches""".stripMargin
+  }
+
   /** Oracle for `dedup_minhash_clusters` — transitive closure over the
     * verified minhash pairs (same recursive-CTE shape as
     * dedup_jaccard_clusters' oracle). */

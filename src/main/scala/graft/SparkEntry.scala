@@ -368,6 +368,8 @@ object SparkEntry {
     "graph_modularity" -> ((s, d) =>
       GraphOps.modularity(Tables.lineitem(s, d))),
     "agg_ks_test" -> ((s, d) => Aggs.ksTest(Tables.events(s, d))),
+    "dedup_minhash_calibration" -> ((s, d) =>
+      DedupOps.minhashCalibration(Tables.documents(s, d))),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -2488,6 +2490,7 @@ object SparkEntry {
     // replays the full LSH pipeline exactly (round 5: 2 more of the
     // no-oracle family flip to hash-oracled)
     "dedup_near_minhash" -> OracleGen.nearMinhashSql(),
+    "dedup_minhash_calibration" -> OracleGen.minhashCalibrationSql(),
     "dedup_minhash_clusters" -> OracleGen.minhashClustersSql(),
     "corpus_dup_hist" -> OracleGen.clusterSizeHistSql(),
     "dedup_simhash_pairs" -> OracleGen.simhashPairsSql(),

@@ -118,6 +118,77 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** `dedup_minhash_calibration`: ESTIMATOR-CALIBRATION audit of the
+    * MinHash pipeline — for every LSH candidate pair (pre-τ, the same
+    * band machinery as [[nearMinhash]]), the matching-lane count m,
+    * the estimator's implied similarity (m·10⁶ quot 32 = m·31250
+    * exactly) and the MEAN exact shingle Jaccard (integer micro) of
+    * pairs at that lane count. A calibrated estimator tracks the
+    * diagonal; systematic divergence is how you choose nHashes /
+    * rowsPerBand / τ with evidence instead of folklore — the audit a
+    * production dedup sweep runs before trusting LSH recall claims.
+    *
+    * Scale shape: identical candidate generation to [[nearMinhash]]
+    * (band keys shuffle two longs per row, never arrays); ONE enriched
+    * (doc_id, shingles, signature) projection is lazy-pinned — three
+    * consumers (band derivation + both pair reattach sides) would
+    * otherwise re-run the compiled shingle/minhash kernels per branch.
+    * The lane-match count is a per-row-bounded 32-element zip (the
+    * BENCH_NOTES residual-HOF class: bounded per row, not corpus
+    * fan-out); Jaccard arithmetic is pure integer micro — no float
+    * anywhere, so the group means hash-match DuckDB exactly.
+    *
+    * scan-guard: dedup_minhash_calibration */
+  def minhashCalibration(documents: DataFrame, shingleK: Int = 3,
+                         nHashes: Int = 32,
+                         rowsPerBand: Int = 4): DataFrame = {
+    val nBands = nHashes / rowsPerBand
+    val enriched = graft.plans.PlanPins.lazyPin(documents
+      .select(col("doc_id"),
+        ShingleExpressions.shingleHashes(lower(col("text")), shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"),
+        ShingleExpressions.minHashSignature(col("sh"), nHashes).as("sig")))
+    val P = graft.functions.ShingleExpressions.P
+    def bandKey(b: Int): Column =
+      (0 until rowsPerBand).foldLeft(lit(17L): Column) { (acc, j) =>
+        pmod(acc * lit(1009L) +
+          element_at(col("sig"), b * rowsPerBand + j + 1), lit(P))
+      }
+    val banded = enriched.select(
+      col("doc_id"),
+      explode(
+        array((0 until nBands).map(b =>
+          struct(lit(b).as("band"), bandKey(b).as("bh"))): _*)).as("bk"))
+    val cand = banded.select(col("bk"), col("doc_id").as("id_a"))
+      .join(banded.select(col("bk"), col("doc_id").as("id_b")), Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    val union = size(col("sh_a")).cast("long") +
+      size(col("sh_b")).cast("long") - inter
+    reattachHint(
+      reattachHint(cand)
+        .join(enriched.select(col("doc_id").as("id_a"),
+          col("sh").as("sh_a"), col("sig").as("sig_a")), "id_a"))
+      .join(enriched.select(col("doc_id").as("id_b"),
+        col("sh").as("sh_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("inter", inter)
+      .withColumn("uni", union)
+      .select(
+        size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), b => b)).as("lane_matches"),
+        expr("(inter * 1000000) DIV uni").as("jac_micro"))
+      .groupBy("lane_matches")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("jac_micro")).as("sj"))
+      .select(col("lane_matches"),
+        col("n_pairs"),
+        expr(s"(CAST(lane_matches AS BIGINT) * 1000000) DIV $nHashes")
+          .as("est_micro"),
+        expr("sj DIV n_pairs").as("mean_true_micro"))
+      .orderBy("lane_matches")
+  }
+
   /** `dedup_near_minhash`: near-duplicate clustering via shingling →
     * MinHash → banded LSH. Signature: `nHashes` minhashes over word
     * 3-shingles; bands of `rowsPerBand` hashes are hashed to a band key;

@@ -740,6 +740,10 @@ class PlanGuardSpec extends SparkSpec {
       ("graph_modularity", () => GraphOps.modularity(liNoCache),
         "lineitem", 2),
       ("agg_ks_test", () => Aggs.ksTest(events), "events", 1),
+      // enriched (shingles+sig) pin feeds band derivation + both
+      // reattach sides: one corpus scan inside the pin
+      ("dedup_minhash_calibration",
+        () => DedupOps.minhashCalibration(docs), "documents", 1),
       // r13 wave
       ("pipeline_anneal_mix", () => CorpusOps.annealMix(docs),
         "documents", 1),

@@ -364,6 +364,25 @@ class RoundFourteenOpsSpec extends SparkSpec {
     assert(got === Seq((3L, 2L, 500000L, 300L)))
   }
 
+  test("dedup_minhash_calibration: identical docs sit on the (32, 1e6) diagonal point") {
+    // Three byte-identical docs: identical shingle sets and signatures,
+    // so all three pairs land at lane_matches = 32 with exact Jaccard
+    // 10^6 — est_micro = 32*1e6 DIV 32 = 1e6: the diagonal's top end.
+    val same = "the quick brown fox jumps over the lazy dog again"
+    val docs = Seq(
+      (1L, same), (2L, same), (3L, same),
+      (4L, "completely different words here entirely unrelated stream"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = DedupOps.minhashCalibration(docs)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got.contains((32, 3L, 1000000L, 1000000L)))
+    // every group's mean true jaccard and estimate stay in [0, 1e6]
+    assert(got.forall(t => t._3 >= 0 && t._3 <= 1000000L &&
+      t._4 >= 0 && t._4 <= 1000000L))
+  }
+
   test("sim_range_search: whole neighborhood at the integer micro threshold, probe excluded") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f, 0f), 0),
