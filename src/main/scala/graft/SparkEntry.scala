@@ -370,6 +370,7 @@ object SparkEntry {
     "agg_ks_test" -> ((s, d) => Aggs.ksTest(Tables.events(s, d))),
     "dedup_minhash_calibration" -> ((s, d) =>
       DedupOps.minhashCalibration(Tables.documents(s, d))),
+    "ts_theilsen" -> ((s, d) => StreamBatchOps.theilSen(Tables.events(s, d))),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -4277,6 +4278,30 @@ object SparkEntry {
         |  (SELECT MIN(cents) FROM g g2
         |   WHERE g2.gap_micro = (SELECT MAX(gap_micro) FROM g)) AS at_cents
         |FROM g""".stripMargin,
+
+    // lower-median rank selection over the (slope, di, dj) total order;
+    // slope division truncates toward zero in both engines
+    "ts_theilsen" ->
+      """WITH daily AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.user_id, a.day AS di, b.day AS dj,
+        |    (b.x - a.x) // (b.day - a.day) AS slope
+        |  FROM daily a JOIN daily b
+        |    ON a.user_id = b.user_id AND a.day < b.day),
+        |r AS (
+        |  SELECT user_id, slope,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY slope, di, dj) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM p)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+        |  slope AS sen_slope_micro
+        |FROM r WHERE rn = (n + 1) // 2 ORDER BY user_id""".stripMargin,
   )
 
   /** DuckDB oracle for `text_langid`, generated from

@@ -1137,12 +1137,58 @@ object StreamBatchOps {
     * aggregation.
     *
     * scan-guard: ts_mk_trend */
-  def mkTrend(events: DataFrame): DataFrame = {
-    val daily = graft.plans.PlanPins.lazyPin(events
+  /** Lazy-pinned per-(user, day) micro-value sums — the daily collapse
+    * shared by [[mkTrend]] and [[theilSen]] (each call makes its own
+    * pin; the pin exists because the pair self-join consumes both
+    * sides). Values floor to micro BEFORE summing (the [[holtForecast]]
+    * rule) so both engines add exact longs. */
+  private def dailyMicro(events: DataFrame): DataFrame =
+    graft.plans.PlanPins.lazyPin(events
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
       .groupBy(col("user_id"),
         expr("unix_timestamp(ts) DIV 86400").as("day"))
       .agg(sum(floor(col("value") * lit(1000000)).cast("long")).as("x")))
+
+  /** `ts_theilsen`: Theil–Sen robust slope per user — the LOWER MEDIAN
+    * of all pairwise daily slopes (x_j − x_i) quot (d_j − d_i), in
+    * micro-value-per-day. The magnitude companion of [[mkTrend]] (S
+    * gives direction and significance; Theil–Sen gives a slope that
+    * shrugs off outliers where [[RelationalOps]]' least-squares
+    * agg_linreg chases them — up to ~29% contamination). Median = rank
+    * selection at (n+1) quot 2 over the (slope, d_i, d_j) total order
+    * — deterministic, never an interpolating percentile (the
+    * agg_stats exact-percentile rule); slope division truncates toward
+    * zero in both engines.
+    *
+    * Scale shape: the corpus collapses to O(users·days) in the shared
+    * [[dailyMicro]] pin; pairs are the calendar-bounded self-join (the
+    * [[mkTrend]] argument: days² per user, corpus-independent); the
+    * rank and count windows share ONE user-keyed partitioning over
+    * pair rows (bounded per user, skew-immune by the same calendar
+    * bound). Single-day users have no pairs — absent in both engines.
+    *
+    * scan-guard: ts_theilsen */
+  def theilSen(events: DataFrame): DataFrame = {
+    val daily = dailyMicro(events)
+    val a = daily.select(col("user_id"), col("day").as("di"),
+      col("x").as("xi"))
+    val b = daily.select(col("user_id"), col("day").as("dj"),
+      col("x").as("xj"))
+    val w = Window.partitionBy("user_id").orderBy("slope", "di", "dj")
+    val wc = Window.partitionBy("user_id")
+    a.join(b, Seq("user_id")).filter(col("di") < col("dj"))
+      .select(col("user_id"), col("di"), col("dj"),
+        expr("(xj - xi) DIV (dj - di)").as("slope"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wc))
+      .filter(col("rn") === expr("(n + 1) DIV 2"))
+      .select(col("user_id"), col("n").as("n_pairs"),
+        col("slope").as("sen_slope_micro"))
+      .orderBy("user_id")
+  }
+
+  def mkTrend(events: DataFrame): DataFrame = {
+    val daily = dailyMicro(events)
     val a = daily.select(col("user_id"), col("day").as("di"),
       col("x").as("xi"))
     val b = daily.select(col("user_id"), col("day").as("dj"),

@@ -744,6 +744,7 @@ class PlanGuardSpec extends SparkSpec {
       // reattach sides: one corpus scan inside the pin
       ("dedup_minhash_calibration",
         () => DedupOps.minhashCalibration(docs), "documents", 1),
+      ("ts_theilsen", () => StreamBatchOps.theilSen(events), "events", 1),
       // r13 wave
       ("pipeline_anneal_mix", () => CorpusOps.annealMix(docs),
         "documents", 1),

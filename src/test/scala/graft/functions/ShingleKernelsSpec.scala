@@ -82,4 +82,34 @@ class ShingleKernelsSpec extends AnyFunSuite {
       assert(h1 === h2, s"text: '$t'")
     }
   }
+
+  test("prefixDots law: element i is BIT-IDENTICAL to the sequential dot of the sliced prefixes") {
+    // the Matryoshka scorer's correctness hinges on "a prefix of a
+    // left-to-right fold is the fold of the prefix" — pin it against
+    // the single-dot kernel over explicit prefixes, including
+    // cancellation-heavy values where fold order changes bits
+    val gen = Gen.listOfN(64, Gen.chooseNum(-1e6f, 1e6f))
+    val cps = Array(1, 8, 16, 32, 64)
+    (0 until 200).foreach { i =>
+      val a = gen.apply(Gen.Parameters.default, Seed(900L + i)).get.toArray
+      val b = gen.apply(Gen.Parameters.default, Seed(1900L + i)).get.toArray
+      val ad = new GenericArrayData(a)
+      val bd = new GenericArrayData(b)
+      val got = PrefixDotsKernel.compute(ad, bd, cps, aF = true, bF = true)
+      cps.zipWithIndex.foreach { case (c, j) =>
+        var acc = 0.0
+        var k = 0
+        while (k < c) { acc += a(k).toDouble * b(k).toDouble; k += 1 }
+        // bit-level equality, not approximate: the oracle compares
+        // exact doubles after DuckDB computes the same slice fold
+        assert(java.lang.Double.doubleToRawLongBits(got(j)) ===
+          java.lang.Double.doubleToRawLongBits(acc), s"i=$i checkpoint=$c")
+      }
+    }
+    // shorter-than-last-checkpoint input fails loudly, never partial
+    val short = new GenericArrayData(Array.fill(8)(1.0f))
+    intercept[IllegalArgumentException] {
+      PrefixDotsKernel.compute(short, short, cps, aF = true, bF = true)
+    }
+  }
 }

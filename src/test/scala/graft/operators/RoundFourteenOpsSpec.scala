@@ -383,6 +383,28 @@ class RoundFourteenOpsSpec extends SparkSpec {
       t._4 >= 0 && t._4 <= 1000000L))
   }
 
+  test("ts_theilsen: lower-median pairwise slope; negative slopes truncate toward zero") {
+    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 06:00:00")
+    val events = Seq(
+      // user 1: days 1,2,3 = 1/3/2 -> slopes {2e6, 5e5, -1e6}; lower
+      // median (rank 2 of 3 ascending) = 500000
+      (1L, ts(1), 1.0), (1L, ts(2), 3.0), (1L, ts(3), 2.0),
+      // user 2: one pair, slope 3e6
+      (2L, ts(1), 1.0), (2L, ts(2), 4.0),
+      // user 3: single day -> absent
+      (3L, ts(1), 9.0),
+      // user 4: -7 micro over 2 days -> -7 DIV 2 = -3 (toward zero;
+      // floor division would say -4 — the load-bearing choice)
+      (4L, ts(1), 0.0), (4L, ts(3), -0.000007))
+      .zipWithIndex
+      .map { case ((u, t, v), i) => (i.toLong, t, u, "e", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = StreamBatchOps.theilSen(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 3L, 500000L), (2L, 1L, 3000000L),
+      (4L, 1L, -3L)))
+  }
+
   test("sim_range_search: whole neighborhood at the integer micro threshold, probe excluded") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f, 0f), 0),
