@@ -371,6 +371,12 @@ object SparkEntry {
     "dedup_minhash_calibration" -> ((s, d) =>
       DedupOps.minhashCalibration(Tables.documents(s, d))),
     "ts_theilsen" -> ((s, d) => StreamBatchOps.theilSen(Tables.events(s, d))),
+    // --- round-14 wave 7 ---
+    "agg_mannwhitney" -> ((s, d) => Aggs.mannWhitney(Tables.events(s, d))),
+    "corpus_simpson_diversity" -> ((s, d) =>
+      TextOps.simpsonDiversity(Tables.documents(s, d))),
+    "scan_partition_prune" -> ((s, d) =>
+      Scans.scanPartitionPrune(Tables.documents(s, d))),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -4302,6 +4308,67 @@ object SparkEntry {
         |SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
         |  slope AS sen_slope_micro
         |FROM r WHERE rn = (n + 1) // 2 ORDER BY user_id""".stripMargin,
+
+    // doubled midranks keep tied ranks integer: a tie group of size f
+    // after combined rank `bef` has doubled midrank 2·bef+f+1
+    "agg_mannwhitney" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    event_type
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+        |cells AS (
+        |  SELECT cents,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+        |  FROM e GROUP BY 1),
+        |c AS (
+        |  SELECT cents, ca, cb, ca + cb AS f,
+        |    SUM(ca + cb) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) - (ca + cb) AS bef,
+        |    SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+        |  FROM cells),
+        |t AS (
+        |  SELECT CAST(MAX(na) AS BIGINT) AS n_a,
+        |    CAST(MAX(nb) AS BIGINT) AS n_b,
+        |    SUM(CAST(ca AS HUGEINT) * (2 * bef + f + 1)) AS r2
+        |  FROM c)
+        |SELECT n_a, n_b,
+        |  CAST(r2 - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT) AS u2_a,
+        |  CAST(((r2 - CAST(n_a AS HUGEINT) * (n_a + 1)) * 1000000)
+        |    // (CAST(2 AS HUGEINT) * n_a * n_b) AS BIGINT) AS auc_micro
+        |FROM t""".stripMargin,
+
+    // type-table aggregation; repeat mass in HUGEINT ≡ DECIMAL(38,0)
+    "corpus_simpson_diversity" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    UNNEST(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS word
+        |  FROM documents),
+        |g AS (SELECT lang, word, COUNT(*) AS n FROM t GROUP BY 1, 2),
+        |a AS (
+        |  SELECT lang, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |    COUNT(*) AS n_types,
+        |    SUM(CAST(n AS HUGEINT) * (n - 1)) AS rep
+        |  FROM g GROUP BY 1)
+        |SELECT lang, n_tokens, n_types,
+        |  CAST((rep * 1000000)
+        |    // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1)) AS BIGINT)
+        |    AS simpson_micro
+        |FROM a WHERE n_tokens > 1 ORDER BY lang""".stripMargin,
+
+    // the oracle reads the UNPARTITIONED source with the same filter —
+    // pruning must be invisible in the rows (PlanGuardSpec owns the
+    // PartitionFilters assertion); IN drops NULL lang in both engines
+    "scan_partition_prune" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(CAST(SUM(doc_id % 2147483647) AS HUGEINT) % 2147483647
+        |    AS BIGINT) AS id_checksum
+        |FROM documents WHERE lang IN ('en', 'fr')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** DuckDB oracle for `text_langid`, generated from

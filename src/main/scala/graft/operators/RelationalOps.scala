@@ -146,6 +146,44 @@ object Scans {
     out
   }
 
+  /** `scan_partition_prune`: the READ side of [[sinkPartitioned]] —
+    * write the corpus hive-partitioned by `lang`, then read it back
+    * with a partition-key filter and aggregate only the surviving
+    * partitions. The point is the PLAN: the `lang IN (…)` predicate
+    * must resolve at PLANNING time as a `PartitionFilters` entry on
+    * the parquet scan (directory-level pruning — non-matching
+    * partitions are never listed, opened, or row-filtered), which is
+    * the mechanism that makes lake layouts cheap to slice at 100 TB.
+    * PlanGuardSpec asserts the pruned scan shape and that the pruned
+    * read equals the unpruned-then-filtered read row for row. NULL
+    * lang lands in the hive default partition and is dropped by IN in
+    * both engines.
+    *
+    * scan-guard: exempt (the guarded scan is the janitor-managed sink
+    * dir, not a testdata table; the corpus write is eager at
+    * construction) */
+  def scanPartitionPrune(documents: DataFrame, outDir: String = "",
+                         langs: Seq[String] = Seq("en", "fr")): DataFrame = {
+    val spark = documents.sparkSession
+    val dir = if (outDir.nonEmpty) outDir
+      else s"${System.getProperty("java.io.tmpdir")}/graft-scan-" +
+        s"prune-${sessionTag(spark)}/inv-${sinkInvocation.incrementAndGet()}"
+    documents.select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val P = lit(2147483647L)
+    val out = spark.read.parquet(dir)
+      .filter(col("lang").isin(langs: _*))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        pmod(sum(pmod(col("doc_id"), P).cast(DecimalType(38, 0))),
+          P.cast(DecimalType(38, 0))).cast("long").as("id_checksum"))
+      .orderBy("lang")
+    if (outDir.isEmpty) SinkJanitor.register(spark, sessionTag(spark) + "/prune",
+      dir, Nil, out)
+    out
+  }
+
   /** `scan_merge_schema` (round 13): schema-evolution read — a lake's
     * snapshots gain columns over time (here: an older snapshot without
     * and a newer WITH a `quality_score` column), and the reader must
@@ -1511,6 +1549,54 @@ object Aggs {
           .as("am"))
       .select(col("n_a"), col("n_b"), col("d_micro"),
         col("am.c").as("at_cents"))
+  }
+
+  /** `agg_mannwhitney`: Mann–Whitney U between two event types' value
+    * distributions, EXACT under ties via DOUBLED midranks: a tie group
+    * of size f starting after combined rank r has midrank r+(f+1)/2,
+    * i.e. the INTEGER 2r+f+1 in doubled units — so
+    *   R2_a = Σ_v ca(v)·(2·cum_before(v) + f(v) + 1),
+    *   U2_a = R2_a − n_a(n_a+1)          (doubled U, still integer)
+    *   auc_micro = U2_a·10⁶ quot (2·n_a·n_b)
+    * — and U/(n_a·n_b) IS the common-language effect size / AUC ("how
+    * often does a random click value exceed a random view value"), the
+    * rank-based companion of [[ksTest]] (KS finds WHERE distributions
+    * split; U says which one stochastically dominates and by how
+    * much). No float anywhere; no normality assumption.
+    *
+    * Scale shape: identical to [[ksTest]] — one corpus scan into
+    * per-cents conditional counts, then windows over the VALUE-grain
+    * table (bounded by the price range); rank sums ride
+    * DECIMAL(38,0)/HUGEINT (R2 ≤ 2N·n_a passes BIGINT only to
+    * N ≈ 2·10⁹ — the util_micro rule).
+    *
+    * scan-guard: agg_mannwhitney */
+  def mannWhitney(events: DataFrame, typeA: String = "click",
+                  typeB: String = "view"): DataFrame = {
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+    val cells = events
+      .filter(col("value").isNotNull &&
+        col("event_type").isin(typeA, typeB))
+      .groupBy(cents.as("cents"))
+      .agg(sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("cb"))
+    val cum = Window.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    cells
+      .withColumn("f", col("ca") + col("cb"))
+      .withColumn("before", sum(col("f")).over(cum) - col("f"))
+      .withColumn("na", sum(col("ca")).over(tot))
+      .withColumn("nb", sum(col("cb")).over(tot))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum(expr("CAST(ca AS DECIMAL(38,0)) * (2 * before + f + 1)"))
+          .as("r2"))
+      .select(col("n_a"), col("n_b"),
+        expr("CAST(r2 - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) AS BIGINT)")
+          .as("u2_a"),
+        expr("""CAST(((r2 - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1)) * 1000000)
+                DIV (CAST(2 AS DECIMAL(38,0)) * n_a * n_b) AS BIGINT)""")
+          .as("auc_micro"))
   }
 
   /** `agg_weighted_median`: quantity-weighted median of line-item price

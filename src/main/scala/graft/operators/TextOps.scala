@@ -771,6 +771,41 @@ object TextOps {
       .orderBy("decile")
   }
 
+  /** `corpus_simpson_diversity`: per-language Simpson repeat
+    * probability over word types — the chance two tokens drawn without
+    * replacement are the SAME type, exact integer micro:
+    *   simpson_micro = (Σᵢ nᵢ(nᵢ−1))·10⁶ quot (N(N−1))
+    * (0 → maximally diverse, 10⁶ → one type). The lexical-diversity
+    * side of the language profile: [[langStats]] says how much text a
+    * language has; this says how REPETITIVE it is — the boilerplate
+    * smell at corpus scale, per language instead of per document
+    * ([[entropyScore]]'s grain).
+    *
+    * Scale shape: one corpus scan exploding to (lang, word) counts —
+    * a type-table aggregation (the text_vocab shape, map-side
+    * combined); the Σn(n−1) and N rollups are one more bounded agg at
+    * lang grain. Sums ride DECIMAL(38,0)/HUGEINT (N(N−1)·10⁶ passes
+    * BIGINT only to N ≈ 3·10⁶ tokens — the util_micro rule).
+    *
+    * scan-guard: corpus_simpson_diversity */
+  def simpsonDiversity(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val types = documents
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("lang", "word").agg(count(lit(1)).as("n"))
+    types.groupBy("lang")
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("n").cast(DecimalType(38, 0)) * (col("n") - 1)).as("rep"))
+      .filter(col("n_tokens") > 1)
+      .select(col("lang"), col("n_tokens"), col("n_types"),
+        expr("""CAST((rep * 1000000)
+                DIV (CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1))
+                AS BIGINT)""").as("simpson_micro"))
+      .orderBy("lang")
+  }
+
   /** `text_vocab_growth`: vocabulary growth curve (the empirical Heaps
     * law) — corpus cut into 10 equal-mass deciles by (doc_id) ingest
     * order; per decile, the docs and tokens it adds and the NEW word

@@ -745,6 +745,10 @@ class PlanGuardSpec extends SparkSpec {
       ("dedup_minhash_calibration",
         () => DedupOps.minhashCalibration(docs), "documents", 1),
       ("ts_theilsen", () => StreamBatchOps.theilSen(events), "events", 1),
+      // r14 wave 7
+      ("agg_mannwhitney", () => Aggs.mannWhitney(events), "events", 1),
+      ("corpus_simpson_diversity", () => TextOps.simpsonDiversity(docs),
+        "documents", 1),
       // r13 wave
       ("pipeline_anneal_mix", () => CorpusOps.annealMix(docs),
         "documents", 1),
@@ -828,5 +832,31 @@ class PlanGuardSpec extends SparkSpec {
     Seq("graph_triangles", "graph_degree_stats", "emb_covariance",
         "graph_pagerank")
       .foreach(s => assert(tagsSeen.contains(s), s"sweep lost sight of $s"))
+  }
+
+  test("scan_partition_prune: the lang filter is a PartitionFilter (directory pruning), not a row filter") {
+    val docs = Tables.documents(spark, sf())
+    val pruned = Scans.scanPartitionPrune(docs)
+    val plan = pruned.queryExecution.executedPlan.treeString
+    // the partition-key predicate must appear in PartitionFilters on the
+    // sink scan — planning-time directory pruning, the mechanism that
+    // slices a 100 TB lake without listing it
+    val pf = "PartitionFilters: \\[[^\\]]*lang[^\\]]*IN \\(en,fr\\)".r
+    assert(pf.findFirstIn(plan).isDefined,
+      s"lang IN (en, fr) did not land in PartitionFilters:\n$plan")
+    // and pruning loses no rows: the pruned round-trip ≡ the same
+    // aggregate computed directly on the source table (no sink)
+    val P = lit(2147483647L)
+    val direct = docs.filter(col("lang").isin("en", "fr"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        pmod(sum(pmod(col("doc_id"), P)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+          P.cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("long").as("id_checksum"))
+      .orderBy("lang")
+    assert(pruned.collect().map(_.toString).toSeq ===
+      direct.collect().map(_.toString).toSeq)
   }
 }

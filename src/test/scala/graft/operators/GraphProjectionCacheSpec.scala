@@ -104,5 +104,10 @@ class GraphProjectionCacheSpec extends SparkSpec {
       rows(GraphOps.pagerank(oOff, liOff)))
     assert(rows(GraphOps.degreeStats(oOn, liOn)) ==
       rows(GraphOps.degreeStats(oOff, liOff)))
+    // the r14 community trio rides the same cached projection
+    assert(rows(GraphOps.labelProp(liOn)) == rows(GraphOps.labelProp(liOff)))
+    assert(rows(GraphOps.kcorePeel(liOn)) == rows(GraphOps.kcorePeel(liOff)))
+    assert(rows(GraphOps.modularity(liOn)) ==
+      rows(GraphOps.modularity(liOff)))
   }
 }

@@ -405,6 +405,49 @@ class RoundFourteenOpsSpec extends SparkSpec {
       (4L, 1L, -3L)))
   }
 
+  test("agg_mannwhitney: doubled midranks keep tied ranks integer; AUC is the pair win-rate") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // clicks [1,2,3], views [2,4]: ranks 1, 2.5, 4 -> R_a = 7.5
+    // (R2=15), U_a = 1.5 (U2=3); direct pair count: a>b once (3>2),
+    // a=b once (2=2, worth 0.5) of 6 pairs -> AUC 0.25
+    val events = Seq(
+      ("click", 1.00), ("click", 2.00), ("click", 3.00),
+      ("view", 2.00), ("view", 4.00), ("error", 9.00))
+      .zipWithIndex
+      .map { case ((t, v), i) => (i.toLong, ts0, 1L, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Aggs.mannWhitney(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === Seq((3L, 2L, 3L, 250000L)))
+  }
+
+  test("corpus_simpson_diversity: repeat probability per lang; single-token langs drop") {
+    // en: tokens {a,a,b,a} -> n_a=3, n_b=1, rep=6, N=4 -> 6e6//(4*3)=500000
+    // fr: {x,y} -> rep 0 -> 0; de: single token -> filtered (N(N-1)=0)
+    val docs = Seq(
+      (1L, "a a b", "en"), (2L, "a", "en"), (3L, "x y", "fr"),
+      (4L, "z", "de"))
+      .map { case (id, t, l) => (id, t, l, "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.simpsonDiversity(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === Seq(("en", 4L, 2L, 500000L), ("fr", 2L, 2L, 0L)))
+  }
+
+  test("scan_partition_prune: pruned read equals the direct filtered aggregate; other langs gone") {
+    val docs = Seq(
+      (1L, "t", "en", "s", 5L), (2L, "t", "en", "s", 7L),
+      (3L, "t", "fr", "s", 11L), (4L, "t", "de", "s", 13L),
+      (5L, "t", null, "s", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Scans.scanPartitionPrune(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === Seq(("en", 2L, 12L, 3L), ("fr", 1L, 11L, 3L)))
+  }
+
   test("sim_range_search: whole neighborhood at the integer micro threshold, probe excluded") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f, 0f), 0),
