@@ -147,6 +147,52 @@ class StreamingWindowSpec extends SparkSpec {
         "equivalent at us precision")
   }
 
+  test("stream_dedup_batch expressions run streaming: min-struct keeper finalizes under the watermark") {
+    // the EXACT aggregation stream_dedup_batch (StreamBatchOps
+    // .dedupBatch) uses — window + min(struct(ts, event_id, cents)) +
+    // count — as a watermarked streaming query: proves the batch twin's
+    // keeper semantics are watermark-compatible, and that a duplicate
+    // arriving WITHIN the open window loses to the earlier (ts,
+    // event_id) keeper regardless of arrival order
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    val dedup = in.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"), cents.as("cents"))
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"),
+        col("event_type"))
+      .agg(min(struct(col("ts"), col("event_id"), col("cents")))
+          .as("first"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("w"), col("user_id"),
+        col("first.event_id").as("kept_event_id"),
+        (col("n_events") - 1).as("n_suppressed"))
+    val q = dedup.writeStream.format("memory").queryName("sdedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // LATER event_id arrives first; the earlier-ts duplicate second —
+      // arrival order must not matter to the keeper
+      in.addData((2L, ts("2024-01-01 00:20:00"), 1L, "click", 2.00))
+      q.processAllAvailable()
+      in.addData((1L, ts("2024-01-01 00:10:00"), 1L, "click", 1.00))
+      q.processAllAvailable()
+      assert(spark.table("sdedup").count() === 0) // window still open
+      // advance the watermark past 01:00 + 10min -> window finalizes
+      in.addData((3L, ts("2024-01-01 02:00:00"), 1L, "click", 3.00))
+      q.processAllAvailable()
+      val rows = spark.table("sdedup").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      assert(rows === Seq(
+        (ts("2024-01-01 00:00:00"), 1L, 1L, 1L)))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups replayed message ids") {
     val sess = spark
     import sess.implicits._
