@@ -377,6 +377,8 @@ object SparkEntry {
       TextOps.simpsonDiversity(Tables.documents(s, d))),
     "scan_partition_prune" -> ((s, d) =>
       Scans.scanPartitionPrune(Tables.documents(s, d))),
+    "pipeline_cdc_apply" -> ((s, d) =>
+      CorpusOps.cdcApply(Tables.documents(s, d))),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -4369,6 +4371,34 @@ object SparkEntry {
         |    AS BIGINT) AS id_checksum
         |FROM documents WHERE lang IN ('en', 'fr')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // latest-wins merge: the keeper is the max (version, op, chars)
+    // struct; DuckDB replays it with a window argmax — same keeper by
+    // the version total order per key
+    "pipeline_cdc_apply" ->
+      """WITH base AS (SELECT doc_id, n_chars FROM documents),
+        |log AS (
+        |  SELECT doc_id, 1 AS version, 'I' AS op, n_chars AS chars
+        |  FROM base
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'U', n_chars + 1000 FROM base
+        |  WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 3, 'U', n_chars + 2000 FROM base
+        |  WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 4, 'D', 0 FROM base WHERE doc_id % 13 = 0),
+        |r AS (
+        |  SELECT doc_id, version, op, chars,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY version DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY doc_id) AS n
+        |  FROM log)
+        |SELECT doc_id, CAST(version AS INTEGER) AS final_version,
+        |  CAST(n - 1 AS BIGINT) AS n_changes,
+        |  CAST(chars AS BIGINT) AS final_chars
+        |FROM r WHERE rn = 1 AND op <> 'D'
+        |ORDER BY doc_id""".stripMargin,
   )
 
   /** DuckDB oracle for `text_langid`, generated from

@@ -300,6 +300,52 @@ object CorpusOps {
       .orderBy("rank")
   }
 
+  /** `pipeline_cdc_apply`: LATEST-WINS change-data-capture merge — the
+    * lakehouse MERGE INTO: a base snapshot (version 1, op I) plus a
+    * derived change stream (two update generations hitting overlapping
+    * key sets, then deletes) collapse to one row per surviving key at
+    * its highest version, deletes dropping the key entirely. The
+    * change stream is derived DETERMINISTICALLY from the corpus
+    * (id mod 7 → v2 update, mod 3 → v3 update, mod 13 → v4 delete) so
+    * the oracle replays it exactly; keys hit by several generations
+    * prove the keeper takes the LATEST, not an arbitrary one, and the
+    * mod-21 overlap proves update-then-update chains. Complements
+    * [[snapshotDiff]] (which DETECTS changes between two snapshots;
+    * this APPLIES a change log onto one).
+    *
+    * Scale shape: the base projection is lazy-pinned (all four
+    * branches — base + three change generations — derive from it:
+    * map-only filters over the pin, no re-scan); the merge itself is
+    * ONE groupBy(key) max-struct aggregate (version is the struct
+    * head, so partial combine keeps only each partition's latest —
+    * the dedup keeper device, never a row_number window over the
+    * union) plus the post-merge delete filter. At 100 TB this is the
+    * upsert plan you want: changes shuffle once, by key.
+    *
+    * scan-guard: pipeline_cdc_apply */
+  def cdcApply(documents: DataFrame): DataFrame = {
+    val base = graft.plans.PlanPins.lazyPin(
+      documents.select(col("doc_id"), col("n_chars")))
+    def gen(mod: Int, version: Int, op: String, delta: Long): DataFrame =
+      base.filter(pmod(col("doc_id"), lit(mod)) === 0)
+        .select(col("doc_id"), lit(version).as("version"),
+          lit(op).as("op"), (col("n_chars") + delta).as("chars"))
+    val log = base
+      .select(col("doc_id"), lit(1).as("version"), lit("I").as("op"),
+        col("n_chars").as("chars"))
+      .unionByName(gen(7, 2, "U", 1000L))
+      .unionByName(gen(3, 3, "U", 2000L))
+      .unionByName(gen(13, 4, "D", 0L))
+    log.groupBy("doc_id")
+      .agg(max(struct(col("version"), col("op"), col("chars")))
+          .as("last"),
+        (count(lit(1)) - 1).as("n_changes"))
+      .filter(col("last.op") =!= "D")
+      .select(col("doc_id"), col("last.version").as("final_version"),
+        col("n_changes"), col("last.chars").as("final_chars"))
+      .orderBy("doc_id")
+  }
+
   /** `pipeline_pack_chunks`: concatenation packing — assign documents (in
     * doc_id order) to fixed-token-budget chunks by the running token
     * count, the concat-and-chunk sequence-packing shape (a document whose

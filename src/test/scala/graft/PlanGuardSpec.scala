@@ -749,6 +749,9 @@ class PlanGuardSpec extends SparkSpec {
       ("agg_mannwhitney", () => Aggs.mannWhitney(events), "events", 1),
       ("corpus_simpson_diversity", () => TextOps.simpsonDiversity(docs),
         "documents", 1),
+      // base pin feeds all four CDC branches
+      ("pipeline_cdc_apply", () => CorpusOps.cdcApply(docs),
+        "documents", 1),
       // r13 wave
       ("pipeline_anneal_mix", () => CorpusOps.annealMix(docs),
         "documents", 1),

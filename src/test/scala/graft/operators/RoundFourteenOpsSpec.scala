@@ -448,6 +448,22 @@ class RoundFourteenOpsSpec extends SparkSpec {
     assert(got === Seq(("en", 2L, 12L, 3L), ("fr", 1L, 11L, 3L)))
   }
 
+  test("pipeline_cdc_apply: latest version wins; delete beats earlier updates; untouched keys pass through") {
+    // id 1: no changes -> v1. id 7: v2 update. id 3: v3 update.
+    // id 21 (3 AND 7): both updates -> the LATER v3 wins, 2 changes.
+    // id 13: deleted. id 39 (3 AND 13): v3 update then v4 delete ->
+    // delete wins, key gone.
+    val docs = Seq(1L, 3L, 7L, 13L, 21L, 39L)
+      .map(id => (id, "t", "en", "s", id * 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = CorpusOps.cdcApply(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === Seq(
+      (1L, 1, 0L, 10L), (3L, 3, 1L, 2030L), (7L, 2, 1L, 1070L),
+      (21L, 3, 2L, 2210L)))
+  }
+
   test("sim_range_search: whole neighborhood at the integer micro threshold, probe excluded") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f, 0f), 0),
