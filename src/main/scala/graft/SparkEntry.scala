@@ -379,6 +379,8 @@ object SparkEntry {
       Scans.scanPartitionPrune(Tables.documents(s, d))),
     "pipeline_cdc_apply" -> ((s, d) =>
       CorpusOps.cdcApply(Tables.documents(s, d))),
+    "sim_hamming_topk" -> ((s, d) =>
+      VectorOps.hammingTopK(Tables.embeddings(s, d))),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -4399,6 +4401,36 @@ object SparkEntry {
         |  CAST(chars AS BIGINT) AS final_chars
         |FROM r WHERE rn = 1 AND op <> 'D'
         |ORDER BY doc_id""".stripMargin,
+
+    // sign-bit packing is a pure comparison (no float arithmetic);
+    // distance = XOR + popcount on the two 32-bit words — integer end
+    // to end in both engines
+    "sim_hamming_topk" ->
+      """WITH packed AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(range(0, 32), i ->
+        |      CASE WHEN embedding[i + 1] > 0.0
+        |           THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT)
+        |      AS w0,
+        |    CAST(list_sum(list_transform(range(0, 32), i ->
+        |      CASE WHEN embedding[i + 33] > 0.0
+        |           THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT)
+        |      AS w1
+        |  FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, w0 AS p0, w1 AS p1
+        |      FROM packed WHERE vec_id < 8),
+        |d AS (
+        |  SELECT p.probe_id, c.vec_id,
+        |    CAST(bit_count(xor(c.w0, p.p0))
+        |       + bit_count(xor(c.w1, p.p1)) AS BIGINT) AS hamming
+        |  FROM packed c CROSS JOIN p WHERE c.vec_id <> p.probe_id),
+        |r AS (
+        |  SELECT probe_id, vec_id, hamming,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+        |      ORDER BY hamming, vec_id) AS INTEGER) AS rn
+        |  FROM d)
+        |SELECT probe_id, vec_id, hamming, rn FROM r
+        |WHERE rn <= 10 ORDER BY probe_id, rn""".stripMargin,
   )
 
   /** DuckDB oracle for `text_langid`, generated from

@@ -281,6 +281,58 @@ object VectorOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** Sign-bit packing of one 32-dim half of an embedding into a long:
+    * bit i set iff dim (off+i) > 0 — a pure comparison, no float
+    * arithmetic, so both engines pack identical words. */
+  private def signWord(e: String, off: Int): Column =
+    expr(s"""aggregate(sequence(0, 31), 0L, (acc, i) ->
+             acc + CASE WHEN element_at($e, i + ${off + 1}) > 0.0
+                        THEN shiftleft(1L, i) ELSE 0L END)""")
+
+  /** `sim_hamming_topk`: BINARY-SKETCH nearest neighbors — embeddings
+    * collapse to their 64 sign bits (two 32-bit words), similarity is
+    * popcount Hamming distance, and each probe takes its exact top-k
+    * under (distance asc, vec_id). This is the 1-bit quantization tier
+    * of the ANN ladder ([[cosineTopK]] exact float → [[annLsh]] bucket
+    * recall → this): 32× smaller than the float vectors, distance =
+    * two XOR+POPCNT ops, and sign-sketch Hamming approximates angular
+    * distance (the SimHash argument, [[graft.functions.
+    * ShingleExpressions.simHash64]]'s vector-side sibling). Integer
+    * end to end — the only float op is the SIGN COMPARISON, identical
+    * in both engines, so the whole pipeline is exactly oracle-able
+    * (unlike real quantized-distance reranking).
+    *
+    * Scale shape: packing is a map-only pass (bounded 32-element fold
+    * per word, the residual-HOF class — bounded per row, not corpus
+    * fan-out); at 100 TB the packed table is the thing you SINK and
+    * re-scan (16 bytes/vector). Probes broadcast; ranking is a
+    * per-probe WindowGroupLimit top-k, map-side cut before the one
+    * shuffle. Ties break on vec_id.
+    *
+    * scan-guard: sim_hamming_topk */
+  def hammingTopK(embeddings: DataFrame, nProbes: Int = 8,
+                  k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val packed = embeddings.select(col("vec_id"),
+      signWord("embedding", 0).as("w0"),
+      signWord("embedding", 32).as("w1"))
+    val probes = packed.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("w0").as("p0"),
+        col("w1").as("p1"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("hamming"), col("vec_id"))
+    packed.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        expr("CAST(bit_count(w0 ^ p0) + bit_count(w1 ^ p1) AS BIGINT)")
+          .as("hamming"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("vec_id"), col("hamming"),
+        col("rn").cast("int").as("rn"))
+      .orderBy("probe_id", "rn")
+  }
+
   /** Deterministic pseudo-random hyperplane coefficients in [-1, 1),
     * derived from a hash of (plane index, dimension index) — no RNG
     * state, so executors regenerate identical planes with no driver

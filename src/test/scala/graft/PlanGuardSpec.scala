@@ -752,6 +752,9 @@ class PlanGuardSpec extends SparkSpec {
       // base pin feeds all four CDC branches
       ("pipeline_cdc_apply", () => CorpusOps.cdcApply(docs),
         "documents", 1),
+      // packed-corpus sweep + the pushdown-filtered probe scan
+      ("sim_hamming_topk", () => VectorOps.hammingTopK(emb),
+        "embeddings", 2),
       // r13 wave
       ("pipeline_anneal_mix", () => CorpusOps.annealMix(docs),
         "documents", 1),

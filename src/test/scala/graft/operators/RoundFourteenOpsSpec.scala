@@ -464,6 +464,22 @@ class RoundFourteenOpsSpec extends SparkSpec {
       (21L, 3, 2L, 2210L)))
   }
 
+  test("sim_hamming_topk: popcount distance over sign words; zero ties to full flip") {
+    // probe 0: all-positive signs. v1 identical signs -> hamming 0;
+    // v2 flips dim 0 only -> 1; v3 all-negative -> 64.
+    def vec(f: Int => Float) = Array.tabulate(64)(f)
+    val emb = Seq(
+      (0L, vec(_ => 1f), 0),
+      (1L, vec(i => (i + 1).toFloat), 0),
+      (2L, vec(i => if (i == 0) -1f else 2f), 0),
+      (3L, vec(_ => -1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = VectorOps.hammingTopK(emb, nProbes = 1, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSeq
+    assert(got === Seq((0L, 1L, 0L, 1), (0L, 2L, 1L, 2), (0L, 3L, 64L, 3)))
+  }
+
   test("sim_range_search: whole neighborhood at the integer micro threshold, probe excluded") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f, 0f), 0),
