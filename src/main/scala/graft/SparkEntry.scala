@@ -4101,8 +4101,8 @@ object SparkEntry {
     "corpus_pareto_sources" ->
       """WITH s AS (
         |  SELECT source,
-        |    COALESCE(SUM(CAST(len(list_filter(string_split(text, ' '),
-        |      x -> x <> '')) AS BIGINT)), 0) AS n_tokens
+        |    CAST(COALESCE(SUM(CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x <> '')) AS BIGINT)), 0) AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY 1),
         |r AS (
         |  SELECT source, n_tokens,
@@ -4153,8 +4153,8 @@ object SparkEntry {
         |wd AS (SELECT *, (rn - 1) * 10 // n AS decile FROM ranked),
         |docstats AS (
         |  SELECT decile, COUNT(*) AS n_docs,
-        |    COALESCE(SUM(CAST(len(list_filter(string_split(text, ' '),
-        |      x -> x <> '')) AS BIGINT)), 0) AS n_tokens
+        |    CAST(COALESCE(SUM(CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x <> '')) AS BIGINT)), 0) AS BIGINT) AS n_tokens
         |  FROM wd GROUP BY 1),
         |fs AS (
         |  SELECT word, MIN(decile) AS decile FROM (

@@ -6,6 +6,14 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // SPARK_GRAFT_SQL_ONLY=1: dump oracle_sql.json and exit without a
+    // SparkSession — feeds tools/audit_oracle_types.py (the DuckDB
+    // DESCRIBE type gate) in seconds instead of a full verify run.
+    if (sys.env.get("SPARK_GRAFT_SQL_ONLY").contains("1")) {
+      new java.io.File(outDir).mkdirs()
+      writeOracleJson(outDir)
+      return
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // SPARK_GRAFT_MASTER=local-cluster[2,4,2048] runs the whole gate with
     // real executor JVMs (separate processes, real serialization + shuffle
@@ -55,9 +63,15 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
+    writeOracleJson(outDir)
+    spark.stop()
+  }
+
+  /** Dumps SparkEntry.oracleSql as JSON for the driver's DuckDB compare.
+    * JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    * — a tab or CR in builder-authored SQL would otherwise make the
+    * driver's json.load fail and silently zero the round's correctness. */
+  private[graft] def writeOracleJson(outDir: String): Unit = {
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -70,6 +84,5 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

@@ -27,9 +27,24 @@ def main(sf_dir: str, out_dir: str) -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # Types whose pandas/arrow representation differs from any Spark output
+    # type: the driver's hash is representation-sensitive, so an oracle
+    # column of one of these fails hash_match even when every value agrees
+    # (r14: corpus_pareto_sources / text_vocab_growth shipped HUGEINT
+    # n_tokens and failed the gate on type alone).
+    BANNED_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
     for name, sql in sorted(oracle.items()):
         try:
-            want = con.sql(sql).fetchdf()
+            rel = con.sql(sql)
+            bad = [(c, t) for c, t in zip(rel.columns, map(str, rel.types))
+                   if any(b in t.upper() for b in BANNED_TYPES)]
+            if bad:
+                print(f"FAIL {name}: banned oracle output type(s) {bad} — "
+                      f"CAST to BIGINT/DOUBLE (driver hash is "
+                      f"representation-sensitive)")
+                n_fail += 1
+                continue
+            want = rel.fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
@@ -54,7 +69,11 @@ def main(sf_dir: str, out_dir: str) -> int:
         wt = [str(t) for t in want.dtypes]
         gt = [str(t) for t in got.dtypes]
         if wt != gt:
-            print(f"WARN {name}: dtypes want={wt} got={gt}")
+            # FAIL, not WARN: the driver hashes representations, so a dtype
+            # mismatch is a gate failure even when values agree (r14 lesson)
+            print(f"FAIL {name}: dtypes want={wt} got={gt}")
+            n_fail += 1
+            continue
         mismatch = None
         for col in want.columns:
             wv, gv = want[col].tolist(), got[col].tolist()
