@@ -92,17 +92,57 @@ object MultimodalOps {
     img
   }
 
-  private def encodeImage(img: BufferedImage, format: String): Array[Byte] = {
-    val baos = new ByteArrayOutputStream()
-    val ok = ImageIO.write(img, format, baos)
-    require(ok, s"no JDK ImageIO writer for format $format")
-    baos.toByteArray
-  }
+  /** Per-PARTITION reusable codec pair (r15, the image analog of the r14
+    * WAV 113× fix): `ImageIO.read`/`write` allocate a fresh
+    * ImageInputStream, scan the plugin registry, and construct + dispose
+    * a reader/writer PER CALL — on the small images of this corpus that
+    * per-call ceremony costs more than the actual (de)code, and at sf10
+    * the phash tier paid it ~10⁶ times (104.3 s driver-measured, r14 #1
+    * query). One reader/writer per format per partition, input/output
+    * rebound per payload; decode format sniffed from the payload's magic
+    * byte (PNG starts 0x89, JPEG 0xFF). Pixel output is identical to
+    * ImageIO.read — same plugin, same defaults — so the golden-pinned
+    * specs (features/resize/frames/phash) hold unchanged. */
+  private final class ImageCodec {
+    ImageIO.setUseCache(false)
+    private lazy val pngR = ImageIO.getImageReadersByFormatName("png").next()
+    private lazy val jpegR = ImageIO.getImageReadersByFormatName("jpeg").next()
+    private lazy val pngW = ImageIO.getImageWritersByFormatName("png").next()
+    private lazy val jpegW = ImageIO.getImageWritersByFormatName("jpeg").next()
 
-  private def decodeImage(payload: Array[Byte]): BufferedImage = {
-    val img = ImageIO.read(new ByteArrayInputStream(payload))
-    require(img != null, "payload is not a decodable image")
-    img
+    def decode(payload: Array[Byte]): BufferedImage = {
+      val reader = if ((payload(0) & 0xff) == 0x89) pngR else jpegR
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new ByteArrayInputStream(payload))
+      try {
+        reader.setInput(iis, true, true)
+        val img = reader.read(0)
+        require(img != null, "payload is not a decodable image")
+        img
+      } finally iis.close()
+    }
+
+    /** Decode straight to a packed RGB row-major array via ONE bulk
+      * `getRGB` — the per-pixel `getRGB(x, y)` call re-enters the color
+      * model per pixel, which dominates tight 8×8-downsample loops. */
+    def decodeRgb(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+      val img = decode(payload)
+      val w = img.getWidth
+      val h = img.getHeight
+      (w, h, img.getRGB(0, 0, w, h, null, 0, w))
+    }
+
+    def encode(img: BufferedImage, format: String): Array[Byte] = {
+      val writer = if (format == "png") pngW else jpegW
+      val baos = new ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+      try {
+        writer.setOutput(ios)
+        writer.write(img) // default params — byte-identical to ImageIO.write
+        ios.flush()
+      } finally ios.close()
+      baos.toByteArray
+    }
   }
 
   /** Ingestion stand-in with REAL payloads: every row carries genuine
@@ -116,12 +156,12 @@ object MultimodalOps {
     documents.select(col("doc_id"), col("n_chars"))
       .as[(Long, Long)]
       .mapPartitions { it =>
-        ImageIO.setUseCache(false)
+        val codec = new ImageCodec
         it.map { case (id, nChars) =>
           val w = 24 + ((id + nChars) % 24).toInt
           val h = 16 + (id % 16).toInt
           val fmt = if (id % 3 == 0) "png" else "jpeg"
-          MediaRow(id, encodeImage(synthImage(id, w, h), fmt), MediaMeta(fmt, w, h))
+          MediaRow(id, codec.encode(synthImage(id, w, h), fmt), MediaMeta(fmt, w, h))
         }
       }.toDF()
   }
@@ -136,24 +176,19 @@ object MultimodalOps {
     media.select("media_id", "payload", "meta.format")
       .as[(Long, Array[Byte], String)]
       .mapPartitions { it =>
-        ImageIO.setUseCache(false)
+        val codec = new ImageCodec
         val bins = 32
         it.map { case (id, payload, fmt) =>
-          val img = decodeImage(payload)
-          val w = img.getWidth
-          val h = img.getHeight
+          val (w, h, rgbs) = codec.decodeRgb(payload)
           val hist = new Array[Float](bins)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              val lum = (((rgb >> 16) & 0xff) * 299 +
-                ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
-              hist(lum * bins / 256) += 1f
-              x += 1
-            }
-            y += 1
+          var i = 0
+          val n0 = w * h
+          while (i < n0) {
+            val rgb = rgbs(i)
+            val lum = (((rgb >> 16) & 0xff) * 299 +
+              ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            hist(lum * bins / 256) += 1f
+            i += 1
           }
           val n = math.max(1, w * h).toFloat
           var b = 0
@@ -215,11 +250,9 @@ object MultimodalOps {
     media.select("media_id", "payload")
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        ImageIO.setUseCache(false)
+        val codec = new ImageCodec
         it.map { case (id, payload) =>
-          val src = decodeImage(payload)
-          val sw = src.getWidth
-          val sh = src.getHeight
+          val (sw, sh, rgbs) = codec.decodeRgb(payload)
           val out = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
           var sum = 0L
           var ty = 0
@@ -235,7 +268,7 @@ object MultimodalOps {
               while (y < y1) {
                 var x = x0
                 while (x < x1) {
-                  val rgb = src.getRGB(x, y)
+                  val rgb = rgbs(y * sw + x)
                   r += (rgb >> 16) & 0xff; g += (rgb >> 8) & 0xff; b += rgb & 0xff
                   x += 1
                 }
@@ -249,7 +282,7 @@ object MultimodalOps {
             }
             ty += 1
           }
-          ResizedMedia(id, targetW, targetH, encodeImage(out, "png").length, sum)
+          ResizedMedia(id, targetW, targetH, codec.encode(out, "png").length, sum)
         }
       }
   }
@@ -278,11 +311,9 @@ object MultimodalOps {
     media.select("media_id", "payload")
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        ImageIO.setUseCache(false)
+        val codec = new ImageCodec
         it.map { case (id, payload) =>
-          val src = decodeImage(payload)
-          val sw = src.getWidth
-          val sh = src.getHeight
+          val (sw, sh, rgbs) = codec.decodeRgb(payload)
           val lum = new Array[Long](64)
           var ty = 0
           while (ty < 8) {
@@ -297,7 +328,7 @@ object MultimodalOps {
               while (y < y1) {
                 var x = x0
                 while (x < x1) {
-                  val rgb = src.getRGB(x, y)
+                  val rgb = rgbs(y * sw + x)
                   l += 299L * ((rgb >> 16) & 0xff) +
                     587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
                   x += 1
@@ -441,10 +472,10 @@ object MultimodalOps {
     documents.select(col("doc_id"))
       .as[Long]
       .mapPartitions { it =>
-        ImageIO.setUseCache(false)
+        val codec = new ImageCodec
         it.map { id =>
           val frames = (0 until nFrames).map(f =>
-            encodeImage(synthImage(id * 1009 + f, frameW, frameH), "jpeg"))
+            codec.encode(synthImage(id * 1009 + f, frameW, frameH), "jpeg"))
           MediaRow(id, writeAviMjpeg(frames, frameW, frameH),
             MediaMeta("avi-mjpg", frameW, frameH))
         }
@@ -473,26 +504,22 @@ object MultimodalOps {
     media.select("media_id", "payload")
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        ImageIO.setUseCache(false)
+        val codec = new ImageCodec
         it.flatMap { case (id, payload) =>
           parseAviMjpegFrames(payload).zipWithIndex.collect {
             case (frame, idx) if idx % stride == 0 =>
-              val img = decodeImage(frame)
+              val (w, h, rgbs) = codec.decodeRgb(frame)
               val crc = new java.util.zip.CRC32()
-              var y = 0
-              while (y < img.getHeight) {
-                var x = 0
-                while (x < img.getWidth) {
-                  val rgb = img.getRGB(x, y)
-                  crc.update((rgb >> 16) & 0xff)
-                  crc.update((rgb >> 8) & 0xff)
-                  crc.update(rgb & 0xff)
-                  x += 1
-                }
-                y += 1
+              var i = 0
+              val n = w * h
+              while (i < n) {
+                val rgb = rgbs(i)
+                crc.update((rgb >> 16) & 0xff)
+                crc.update((rgb >> 8) & 0xff)
+                crc.update(rgb & 0xff)
+                i += 1
               }
-              SampledFrame(id, idx, frame.length, img.getWidth, img.getHeight,
-                crc.getValue)
+              SampledFrame(id, idx, frame.length, w, h, crc.getValue)
           }
         }
       }.toDF()

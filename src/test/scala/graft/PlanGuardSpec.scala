@@ -625,9 +625,9 @@ class PlanGuardSpec extends SparkSpec {
       ("graph_pagerank/orders", () =>
         { val (o, l) = ordersLiNoCache; GraphOps.pagerank(o, l) },
         "orders", 1),
-      // r10 judge measured 10 lineitem scans (unpinned edges/deg) —
-      // the self-join's two sides are the honest floor
-      ("graph_triangles", () => GraphOps.triangles(liNoCache), "lineitem", 2),
+      // r10 judge measured 10 lineitem scans (unpinned edges/deg); the
+      // r15 basket-aggregate build's single scan is the honest floor
+      ("graph_triangles", () => GraphOps.triangles(liNoCache), "lineitem", 1),
       ("graph_degree_stats/lineitem", () =>
         { val (o, l) = ordersLiNoCache; GraphOps.degreeStats(o, l) },
         "lineitem", 1),
@@ -671,9 +671,9 @@ class PlanGuardSpec extends SparkSpec {
         () => CorpusOps.interleaveSources(docs), "documents", 2),
       ("ts_rolling_slope", () => StreamBatchOps.rollingSlope(events),
         "events", 1),
-      // the shared co-purchase projection's self-join sides
+      // the shared co-purchase projection's single basket scan (r15)
       ("graph_jaccard_links", () => GraphOps.jaccardLinks(liNoCache),
-        "lineitem", 2),
+        "lineitem", 1),
       // histogram pass + the selected-buckets rank pass
       ("emb_dim_quantiles", () => VectorOps.dimQuantiles(emb),
         "embeddings", 2),
@@ -695,9 +695,9 @@ class PlanGuardSpec extends SparkSpec {
       // and the rank path both read the pin
       ("pipeline_pack_sequences", () => CorpusOps.packSequences(docs),
         "documents", 1),
-      // r14 wave 2: the shared co-purchase projection's self-join sides
+      // r14 wave 2: the shared co-purchase projection's basket scan
       ("graph_label_prop", () => GraphOps.labelProp(liNoCache),
-        "lineitem", 2),
+        "lineitem", 1),
       // corpus sweep + the pushdown-filtered probe lookup
       ("emb_matryoshka_recall", () => VectorOps.matryoshkaRecall(emb),
         "embeddings", 2),
@@ -706,10 +706,10 @@ class PlanGuardSpec extends SparkSpec {
       // read the pin
       ("pipeline_token_budget", () => CorpusOps.tokenBudgetMix(docs),
         "documents", 1),
-      // r14 wave 3: kcore's projection self-join sides (peel rounds run
+      // r14 wave 3: kcore's projection basket scan (peel rounds run
       // on the pinned edge list, not the corpus)
       ("graph_kcore", () => GraphOps.kcorePeel(liNoCache),
-        "lineitem", 2),
+        "lineitem", 1),
       ("agg_chi2", () => Aggs.chi2(docs), "documents", 1),
       ("stream_dedup_batch", () => StreamBatchOps.dedupBatch(events),
         "events", 1),
@@ -735,10 +735,10 @@ class PlanGuardSpec extends SparkSpec {
         "documents", 1),
       ("agg_hhi", () => Aggs.hhi(events), "events", 1),
       ("ts_mk_trend", () => StreamBatchOps.mkTrend(events), "events", 1),
-      // r14 wave 6: the projection self-join sides (labels + censuses
+      // r14 wave 6: the projection basket scan (labels + censuses
       // all run over the pinned edge list)
       ("graph_modularity", () => GraphOps.modularity(liNoCache),
-        "lineitem", 2),
+        "lineitem", 1),
       ("agg_ks_test", () => Aggs.ksTest(events), "events", 1),
       // enriched (shingles+sig) pin feeds band derivation + both
       // reattach sides: one corpus scan inside the pin

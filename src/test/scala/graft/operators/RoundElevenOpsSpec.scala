@@ -37,11 +37,12 @@ class RoundElevenOpsSpec extends SparkSpec {
     assert(viaLoop.toSeq == Seq((2L, 1L, 8L), (3L, 1L, 1L)))
   }
 
-  test("graph_components: the pair plan scans the corpus exactly twice (the scaladoc claim)") {
+  test("graph_components: the pair plan scans the corpus exactly once (the scaladoc claim)") {
     // the result frame reads clusters' label checkpoint, which the
-    // PlanGuardSpec pin-origin walk cannot attribute — so the 2-scan
-    // claim is asserted here on the pair plan itself (self-join = two
-    // honest lineitem scans, the same floor triangles is guarded at);
+    // PlanGuardSpec pin-origin walk cannot attribute — so the 1-scan
+    // claim is asserted here on the pair plan itself (the r15 basket
+    // aggregate = one honest lineitem scan, the same floor triangles is
+    // guarded at; the r6-r14 self-join form cost two);
     // conf-off clone: the projection cache defaults ON since r14 and
     // would make the plan scan the cache parquet instead
     val sOff = spark.newSession()
@@ -50,7 +51,7 @@ class RoundElevenOpsSpec extends SparkSpec {
     val scans = pairs.queryExecution.executedPlan.treeString
       .linesIterator.count(l =>
         l.contains("FileScan") && l.contains("lineitem.parquet"))
-    assert(scans == 2, s"expected 2 lineitem scans, got $scans")
+    assert(scans == 1, s"expected 1 lineitem scan, got $scans")
   }
 
   test("ts_interp_linear: up-slope gap takes the straight line") {
