@@ -136,6 +136,165 @@ object OracleGen {
        |SELECT a AS doc_id, least(a, min(b)) AS cluster
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
+  // ---- IVF / PCA dynamic oracles (r15) --------------------------------
+  // Unlike the LSH hyperplanes, the IVF centroids and the PCA axis are
+  // FITTED model state — pure functions of the data, not of indices. The
+  // fit stays unoracled (KMeans / power iteration); its CONVERGED
+  // parameters inline as literals at Verify dump time
+  // ([[graft.SparkEntry.dynamicOracleSql]]), and DuckDB independently
+  // replays the downstream plan — assignment, probe, scoring, dedup
+  // keeper — bit-identically: both engines compute every float op as a
+  // sequential fold over the same doubles (the Spark side's cellAssign /
+  // pcaTop score are compiled sequential-fold expressions by design, NOT
+  // MLlib transform's BLAS-order arithmetic, exactly so this replay can
+  // exist; double literals round-trip exactly).
+
+  /** `cos(a, b)` with the zero-norm guard pinned to −1 — tracks
+    * VectorOps.cellAssign's `coalesce(cosine, -1)`. */
+  private def guardedCos(a: String, b: String): String =
+    s"(CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) = 0 " +
+      s"THEN -1.0 ELSE list_dot_product($a, $b) / " +
+      s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END)"
+
+  /** Shared IVF CTE chain over a `corpus(vec_id, embedding)` CTE already
+    * in scope: centroid VALUES table → per-vector argmax-cosine cell
+    * assignment (ties to the smallest cell — VectorOps.cellAssign's
+    * least-struct order). */
+  private def ivfCtes(centers: Seq[Seq[Double]]): String = {
+    val values = centers.zipWithIndex.map { case (c, i) =>
+      s"($i, ${c.mkString("[", ",", "]")}::DOUBLE[])"
+    }.mkString(",\n      ")
+    s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM corpus),
+       |cents AS (SELECT cell, c FROM (VALUES
+       |      $values) t(cell, c)),
+       |asg AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, cn.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${guardedCos("e.e", "cn.c")} DESC, cn.cell) AS arn
+       |    FROM emb e CROSS JOIN cents cn) z WHERE arn = 1)""".stripMargin
+  }
+
+  /** Oracle for `sim_ann_ivf` given the fitted centers (probe vec_id = 0,
+    * k = 10, nprobe = 4 — must track VectorOps.annIvf defaults). */
+  def simAnnIvfSql(centers: Seq[Seq[Double]], nprobe: Int = 4,
+                   k: Int = 10): String =
+    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+       |${ivfCtes(centers)},
+       |pv AS (SELECT e AS pe FROM emb WHERE vec_id = 0),
+       |topcells AS (
+       |  SELECT cell FROM cents, pv
+       |  ORDER BY list_dot_product(c, pe) /
+       |    (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(pe, pe))) DESC, cell
+       |  LIMIT $nprobe),
+       |scored AS (
+       |  SELECT a.vec_id, list_dot_product(e.e, pv.pe) /
+       |    (sqrt(list_dot_product(e.e, e.e)) * sqrt(list_dot_product(pv.pe, pv.pe))) AS rawcos
+       |  FROM asg a JOIN topcells USING (cell)
+       |  JOIN emb e ON e.vec_id = a.vec_id, pv)
+       |SELECT vec_id, round(rawcos, 6) AS cos FROM scored
+       |ORDER BY rawcos DESC, vec_id LIMIT $k""".stripMargin
+
+  /** Oracle for `sim_ann_ivf_batch` (probes vec_id < 5, k = 10,
+    * nprobe = 4 — must track VectorOps.annIvfBatch defaults). */
+  def simAnnIvfBatchSql(centers: Seq[Seq[Double]], nProbes: Int = 5,
+                        nprobe: Int = 4, k: Int = 10): String =
+    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+       |${ivfCtes(centers)},
+       |pv AS (SELECT vec_id AS probe_id, e AS pe FROM emb WHERE vec_id < $nProbes),
+       |pcells AS (
+       |  SELECT probe_id, cell FROM (
+       |    SELECT pv.probe_id, cn.cell,
+       |      row_number() OVER (PARTITION BY pv.probe_id
+       |        ORDER BY list_dot_product(cn.c, pv.pe) /
+       |          (sqrt(list_dot_product(cn.c, cn.c)) * sqrt(list_dot_product(pv.pe, pv.pe))) DESC,
+       |        cn.cell) AS crn
+       |    FROM cents cn CROSS JOIN pv) z WHERE crn <= $nprobe),
+       |scored AS (
+       |  SELECT p.probe_id, a.vec_id, list_dot_product(e.e, pv.pe) /
+       |    (sqrt(list_dot_product(e.e, e.e)) * sqrt(list_dot_product(pv.pe, pv.pe))) AS rawcos
+       |  FROM asg a JOIN pcells p USING (cell)
+       |  JOIN emb e ON e.vec_id = a.vec_id
+       |  JOIN pv ON pv.probe_id = p.probe_id),
+       |r AS (
+       |  SELECT probe_id, vec_id, rawcos,
+       |    CAST(row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY rawcos DESC, vec_id) AS INTEGER) AS rn
+       |  FROM scored)
+       |SELECT probe_id, vec_id, round(rawcos, 6) AS cos, rn
+       |FROM r WHERE rn <= $k ORDER BY probe_id, rn""".stripMargin
+
+  /** Oracle for `dedup_semantic_ivf` given the fitted centers — the
+    * SemDeDup pass over the re-ingested corpus: within-cell pairs at
+    * cos ≥ τ, transitive closure, per-group keeper = lowest rounded
+    * centroid-cosine (ties to the smallest vec_id). Must track
+    * DedupOps.semanticIvf defaults (τ = 0.95, maxCell = 8192) and the
+    * withReingested registry input. */
+  def semanticIvfSql(centers: Seq[Seq[Double]], tau: Double = 0.95,
+                     maxCell: Int = 8192): String =
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+       |  WHERE vec_id % 50 = 0),
+       |${ivfCtes(centers)},
+       |cellcnt AS (SELECT cell, COUNT(*) AS cnt FROM asg GROUP BY cell),
+       |pruned AS (
+       |  SELECT a.vec_id, a.cell FROM asg a
+       |  JOIN cellcnt c USING (cell) WHERE c.cnt <= $maxCell),
+       |vpairs AS (
+       |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM pruned x JOIN pruned y
+       |    ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  JOIN emb ex ON ex.vec_id = x.vec_id
+       |  JOIN emb ey ON ey.vec_id = y.vec_id
+       |  WHERE list_dot_product(ex.e, ey.e) /
+       |    (sqrt(list_dot_product(ex.e, ex.e)) * sqrt(list_dot_product(ey.e, ey.e))) >= $tau),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM vpairs
+       |  UNION SELECT id_b, id_a FROM vpairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |grp AS (SELECT a AS vec_id, least(a, min(b)) AS cluster
+       |        FROM reach GROUP BY a),
+       |sims AS (
+       |  SELECT a.vec_id, a.cell,
+       |    round(list_dot_product(e.e, cn.c) /
+       |      (sqrt(list_dot_product(e.e, e.e)) * sqrt(list_dot_product(cn.c, cn.c))), 6)
+       |      AS cos_centroid
+       |  FROM asg a JOIN emb e ON e.vec_id = a.vec_id
+       |  JOIN cents cn USING (cell)),
+       |lab AS (
+       |  SELECT s.vec_id, s.cell, s.cos_centroid,
+       |    COALESCE(g.cluster, -s.vec_id - 1) AS grp
+       |  FROM sims s LEFT JOIN grp g ON g.vec_id = s.vec_id)
+       |SELECT vec_id, cell, grp, cos_centroid,
+       |  CAST(CASE WHEN row_number() OVER (PARTITION BY grp
+       |    ORDER BY cos_centroid ASC, vec_id ASC) = 1 THEN 1 ELSE 0 END
+       |    AS INTEGER) AS keep
+       |FROM lab ORDER BY vec_id""".stripMargin
+
+  /** Oracle for `emb_pca_top` given the converged axis: replay the
+    * map-only scoring pass (left-assoc per-dim chain, the exact float
+    * order of pcaTop's reduce) over the inlined eigenvector + mean
+    * shift; trunc-toward-zero matches Spark's double→long cast. */
+  def pcaTopSql(v: Seq[Double], shift: Double, lambdaMicro: Long,
+                topK: Int = 20): String = {
+    val chain = v.zipWithIndex
+      .map { case (w, d) => s"e[${d + 1}] * $w" }
+      .mkString("(", " + ", ")")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |s AS (
+       |  SELECT vec_id,
+       |    CAST(trunc(($chain - $shift) * 1e6) AS BIGINT) AS score_micro
+       |  FROM emb)
+       |SELECT vec_id, score_micro,
+       |  CAST($lambdaMicro AS BIGINT) AS eigenvalue_micro
+       |FROM s ORDER BY abs(score_micro) DESC, vec_id LIMIT $topK""".stripMargin
+  }
+
   // ---- simhash oracles ------------------------------------------------
   // The simhash token hash is a codepoint polynomial mod 2³¹−1 expanded
   // to 64 bits by four pinned multiplicative mixers

@@ -63,7 +63,17 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    writeOracleJson(outDir)
+    // dynamic entries (fitted-parameter oracles, r15): resolved with the
+    // live session so the inlined literals are the exact model state the
+    // queries' own runs used (cachedIvfIndex / deterministic pcaAxis).
+    // A failure here must not zero the 239 static oracles — warn + skip.
+    val dynamic =
+      try SparkEntry.dynamicOracleSql(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] dynamic oracles failed: ${e.getMessage}")
+        Map.empty[String, String]
+      }
+    writeOracleJson(outDir, dynamic)
     spark.stop()
   }
 
@@ -71,7 +81,8 @@ object Verify {
     * JSON string escape: backslash, quote, and ALL control chars (<0x20)
     * — a tab or CR in builder-authored SQL would otherwise make the
     * driver's json.load fail and silently zero the round's correctness. */
-  private[graft] def writeOracleJson(outDir: String): Unit = {
+  private[graft] def writeOracleJson(outDir: String,
+      dynamic: Map[String, String] = Map.empty): Unit = {
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -81,7 +92,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = (SparkEntry.oracleSql ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
   }

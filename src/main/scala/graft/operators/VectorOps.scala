@@ -446,14 +446,38 @@ object VectorOps {
     * corpus with its cell assignment, repartitioned BY CELL and cached —
     * the in-memory analog of writing the assignment out bucketed by cell.
     * Build once, probe many times: a probe touches only its `nprobe`
-    * cells and never re-fits the quantizer. */
-  final case class IvfIndex(centroids: DataFrame, assigned: DataFrame)
+    * cells and never re-fits the quantizer. `centers` carries the fitted
+    * centroid coordinates driver-side (nlist × dim doubles) — the oracle
+    * seam: [[graft.SparkEntry.dynamicOracleSql]] inlines them as SQL
+    * literals so DuckDB replays assignment + probe bit-identically
+    * (the sim_ann_lsh hyperplane device, applied to a FITTED model). */
+  final case class IvfIndex(centroids: DataFrame, assigned: DataFrame,
+                            centers: IndexedSeq[Seq[Double]])
+
+  /** Deterministic cell assignment: argmax centroid cosine over the
+    * exported centroid literals, ties to the smallest cell id — a
+    * compiled sequential-fold plan, NOT `model.transform` (r15): MLlib's
+    * transform assigns through BLAS-order Euclidean distances that no
+    * other engine reproduces bit-for-bit, which is what kept the whole
+    * IVF family oracle-less through r14. Spherical (cosine) assignment
+    * also matches the probe metric — the index buckets by the same
+    * similarity the query ranks with. Zero-norm vectors pin to -1 via
+    * COALESCE on both engines. */
+  private[operators] def cellAssign(e: Column,
+                                    centers: IndexedSeq[Seq[Double]]): Column = {
+    val entries = centers.zipWithIndex.map { case (c, i) =>
+      struct((-coalesce(cosine(e, typedlit(c)), lit(-1.0))).as("negcos"),
+        lit(i).as("cell"))
+    }
+    least(entries: _*).getField("cell")
+  }
 
   /** Index build (offline path): one distributed KMeans fit (the coarse
     * quantizer — few iterations, cells only need to be a stable partition,
-    * not a converged clustering) + one assignment pass. At 100 TB the
-    * assignment table is written to storage partitioned by `cell`; here it
-    * is cached with the same layout. */
+    * not a converged clustering; the FIT stays unoracled) + one
+    * deterministic [[cellAssign]] assignment pass over the exported
+    * centers. At 100 TB the assignment table is written to storage
+    * partitioned by `cell`; here it is cached with the same layout. */
   def buildIvfIndex(embeddings: DataFrame, nlist: Int = 8): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -461,16 +485,18 @@ object VectorOps {
       array_to_vector(col("embedding").cast("array<double>")))
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("cell").fit(feat)
-    val assigned = model.transform(feat)
-      .select(col("vec_id"), col("embedding"), col("cell"))
+    val centers: IndexedSeq[Seq[Double]] =
+      model.clusterCenters.toIndexedSeq.map(_.toArray.toSeq)
+    val assigned = embeddings
+      .select(col("vec_id"), col("embedding"),
+        cellAssign(col("embedding"), centers).as("cell"))
       .repartition(col("cell"))
       .cache()
     assigned.count() // materialize: probes must not pay the build
-    val centroidRows = model.clusterCenters.toIndexedSeq.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }
-    val centroids = embeddings.sparkSession.createDataFrame(centroidRows)
+    val centroids = embeddings.sparkSession.createDataFrame(
+      centers.zipWithIndex.map { case (c, i) => (i, c) })
       .toDF("cell", "centroid")
-    IvfIndex(centroids, assigned)
+    IvfIndex(centroids, assigned, centers)
   }
 
   /** Probe (query path): rank the nlist centroids against the probe (a
@@ -1085,8 +1111,16 @@ object VectorOps {
     * scan-guard: exempt (covariance and the mean aggregate execute at
     * construction time behind driver collects; the result plan carries
     * only the single projection scan) */
-  def pcaTop(embeddings: DataFrame, dim: Int = 64, topK: Int = 20,
-             iters: Int = 100): DataFrame = {
+  /** The driver-side eigensolve of [[pcaTop]], exported (r15) so the
+    * dynamic oracle can inline the CONVERGED axis as literals and replay
+    * the distributed scoring pass in DuckDB (the fit itself stays
+    * unoracled — VERDICT r14 #4). Deterministic end to end: the
+    * covariance input is exact integer micro-units, the power iteration
+    * is pure driver math from a fixed start, the mean ride is one
+    * fixed-plan aggregate — two calls in one session return identical
+    * (v, shift, lambda). */
+  private[graft] def pcaAxis(embeddings: DataFrame, dim: Int = 64,
+                             iters: Int = 100): (IndexedSeq[Double], Double, Double) = {
     val cov = covariance(embeddings, dim)
     val cells = cov.collect()
     org.apache.spark.sql.graftbridge.ColumnBridge.releaseAllCheckpoints(cov)
@@ -1112,6 +1146,12 @@ object VectorOps {
         avg(element_at(col("embedding"), d + 1).cast("double")).as(s"m$d")): _*)
       .collect()(0)
     val shift = (0 until dim).map(d => mean.getDouble(d) * v(d)).sum
+    (v.toIndexedSeq, shift, lambda)
+  }
+
+  def pcaTop(embeddings: DataFrame, dim: Int = 64, topK: Int = 20,
+             iters: Int = 100): DataFrame = {
+    val (v, shift, lambda) = pcaAxis(embeddings, dim, iters)
     val score = (0 until dim).map(d =>
       element_at(col("embedding"), d + 1).cast("double") * lit(v(d)))
       .reduce(_ + _) - lit(shift)

@@ -12,6 +12,14 @@ class ContractSpec extends SparkSpec {
   test("every oracleSql key has a matching queries entry") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
+    // the fitted-parameter (dynamic) oracles are part of the same
+    // contract: key must resolve to a query, and must not ALSO be
+    // registered statically (Verify's merge would shadow one silently)
+    val dyn = SparkEntry.dynamicOracleSql(spark, sf()).keySet
+    assert((dyn -- SparkEntry.queries.keySet).isEmpty,
+      s"dynamic oracle without query: ${dyn -- SparkEntry.queries.keySet}")
+    assert((dyn & SparkEntry.oracleSql.keySet).isEmpty,
+      s"slug registered both statically and dynamically: ${dyn & SparkEntry.oracleSql.keySet}")
   }
 
   test("every query analyzes and yields rows at sf0.001") {

@@ -15,7 +15,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * CANCELS (visible, not silently green) — the same audit still runs in
   * tools/check_oracle.py ahead of every local gate replica.
   */
-class OracleTypeSpec extends AnyFunSuite {
+class OracleTypeSpec extends AnyFunSuite with SparkSpec {
 
   private def sfDir: String =
     sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
@@ -27,7 +27,9 @@ class OracleTypeSpec extends AnyFunSuite {
     } catch { case _: Throwable => false }
     assume(haveDuck, "python3+duckdb unavailable — audit runs via tools/check_oracle.py instead")
     val tmp = java.nio.file.Files.createTempDirectory("oracle-types").toString
-    Verify.writeOracleJson(tmp)
+    // dynamic (fitted-parameter) oracles audit too — built against the
+    // spec corpus; their output types are corpus-independent
+    Verify.writeOracleJson(tmp, SparkEntry.dynamicOracleSql(spark, sfDir))
     val out = new StringBuilder
     val code = Seq("python3", "tools/audit_oracle_types.py", sfDir,
       s"$tmp/oracle_sql.json").!(ProcessLogger(l => out.append(l).append('\n')))
