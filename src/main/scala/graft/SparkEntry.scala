@@ -258,6 +258,8 @@ object SparkEntry {
     "pipeline_shard_output" -> ((s, d) => CorpusOps.shardOutput(Tables.documents(s, d))),
     "text_zipf" -> ((s, d) => CorpusOps.zipfFit(Tables.documents(s, d))),
     "sample_pps" -> ((s, d) => CorpusOps.samplePps(Tables.documents(s, d))),
+    "sample_reservoir_group" -> ((s, d) =>
+      CorpusOps.sampleReservoir(Tables.documents(s, d))),
     "text_ngram_novelty" -> ((s, d) => CorpusOps.ngramNovelty(Tables.documents(s, d))),
     "pipeline_quota_cap" -> ((s, d) => CorpusOps.quotaCap(Tables.documents(s, d))),
     "pipeline_repeat_epochs" -> ((s, d) => CorpusOps.repeatEpochs(Tables.documents(s, d))),
@@ -353,6 +355,7 @@ object SparkEntry {
     // --- round-14 wave 3 ---
     "graph_kcore" -> ((s, d) => GraphOps.kcorePeel(Tables.lineitem(s, d))),
     "agg_chi2" -> ((s, d) => Aggs.chi2(Tables.documents(s, d))),
+    "agg_mutual_info" -> ((s, d) => Aggs.mutualInfo(Tables.documents(s, d))),
     "stream_dedup_batch" -> ((s, d) =>
       StreamBatchOps.dedupBatch(Tables.events(s, d))),
     "sim_range_search" -> ((s, d) =>
@@ -2200,6 +2203,36 @@ object SparkEntry {
         |    AS intercept
         |FROM s""".stripMargin,
 
+    // r15: A-ES weighted reservoir — u from the first 8 md5 hex digits
+    // (never 0 via +1), one 6dp-rounded ln re-anchored to integer micro
+    // (text_zipf rule), weight division in exact integer nano, NULLS
+    // FIRST pinned on the lang order (Spark asc default)
+    "sample_reservoir_group" ->
+      """WITH s AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    CAST(CAST(round(ln((CAST(
+        |      (instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 268435456
+        |      + (instr('0123456789abcdef', substring(md5(text), 2, 1)) - 1) * 16777216
+        |      + (instr('0123456789abcdef', substring(md5(text), 3, 1)) - 1) * 1048576
+        |      + (instr('0123456789abcdef', substring(md5(text), 4, 1)) - 1) * 65536
+        |      + (instr('0123456789abcdef', substring(md5(text), 5, 1)) - 1) * 4096
+        |      + (instr('0123456789abcdef', substring(md5(text), 6, 1)) - 1) * 256
+        |      + (instr('0123456789abcdef', substring(md5(text), 7, 1)) - 1) * 16
+        |      + (instr('0123456789abcdef', substring(md5(text), 8, 1)) - 1)
+        |      AS DOUBLE) + 1.0) / 4294967296.0), 6) AS DECIMAL(18,6)) * 1000000
+        |      AS BIGINT) AS ln_micro
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    (ln_micro * 1000) // n_chars AS score_nano,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY (ln_micro * 1000) // n_chars DESC, doc_id) AS rk
+        |  FROM s)
+        |SELECT lang, CAST(rk AS INTEGER) AS rk, doc_id, n_chars,
+        |  CAST(score_nano AS BIGINT) AS score_nano
+        |FROM r WHERE rk <= 10
+        |ORDER BY lang ASC NULLS FIRST, rk""".stripMargin,
+
     // exact integer inclusion test on the md5 prefix: keep iff
     // u * charBudget < n_chars * 65536 (u = first 4 hex digits)
     "sample_pps" ->
@@ -3994,6 +4027,31 @@ object SparkEntry {
     // integer micro chi-square; HUGEINT mirrors Spark's DECIMAL(38,0)
     // for the squared deviation (the util_micro overflow rule); // is
     // truncating division = Spark DIV
+    // r15: the chi2 sibling in nats — one 6dp-rounded ln per CELL
+    // (text_zipf float rule) re-anchored to integer micro, then exact
+    // DECIMAL arithmetic with truncating DIV
+    "agg_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT lang, source, o,
+        |    SUM(o) OVER (PARTITION BY lang) AS r,
+        |    SUM(o) OVER (PARTITION BY source) AS c,
+        |    SUM(o) OVER () AS n
+        |  FROM cells),
+        |p AS (
+        |  SELECT lang, source, o, n,
+        |    CAST(CAST(round(ln((CAST(o AS DOUBLE) * n) /
+        |        (CAST(r AS DOUBLE) * c)), 6) AS DECIMAL(18,6)) * 1000000
+        |      AS BIGINT) AS pmi_micro
+        |  FROM tot)
+        |SELECT lang, source, o AS observed,
+        |  CAST((CAST(o AS HUGEINT) * 1000000) // n AS BIGINT) AS joint_micro,
+        |  pmi_micro,
+        |  CAST((CAST(pmi_micro AS HUGEINT) * o) // n AS BIGINT)
+        |    AS mi_contrib_micro
+        |FROM p ORDER BY lang, source""".stripMargin,
+
     "agg_chi2" ->
       """WITH cells AS (
         |  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),

@@ -977,6 +977,46 @@ object CorpusOps {
         .as("intercept"))
   }
 
+  /** `sample_reservoir_group` (r15): deterministic weighted reservoir —
+    * the Efraimidis–Spirakis A-ES scheme (key = u^(1/w); keep the top-k
+    * keys), the one-pass bounded-memory way to draw a weighted sample
+    * per group when the group sizes are unknown up front (the per-lang
+    * inspection sample every corpus audit starts from). Here the
+    * "random" u is the md5-derived uniform of the `sample_pps` device
+    * (first 8 hex digits → u32; u = (u32+1)/2³², never 0), so the draw
+    * is reproducible across engines and runs — a seeded sample, not a
+    * seeded RNG stream, which is what makes it restart-safe at 100 TB.
+    *
+    * Ranking device: u^(1/w) ordering ≡ ln(u)/w ordering. The single ln
+    * per row runs on the exactly-reproducible (u32+1)/2³² double, is
+    * 6dp-rounded and re-anchored to integer micro (text_zipf rule),
+    * then DIV'd by the weight (n_chars ≥ 1) in exact integer NANO units
+    * — ties break on doc_id, so the per-group top-k is bit-deterministic.
+    *
+    * Scale shape: one corpus scan, map-only score projection, per-group
+    * top-k through the rank window's WindowGroupLimit pre-shuffle cut —
+    * only ~k rows per group per partition reach the shuffle, never the
+    * corpus. scan-guard: sample_reservoir_group */
+  def sampleReservoir(documents: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u32 = (1 to 8).map(i =>
+      (expr(s"instr('0123456789abcdef', substring(md5(text), $i, 1))") - 1) *
+        lit(1L << (4 * (8 - i)))).reduce(_ + _)
+    val ln6Micro = (round(log((u32.cast("double") + 1.0) / 4294967296.0), 6)
+      .cast("decimal(18,6)") * 1000000).cast("long")
+    val w = Window.partitionBy("lang")
+      .orderBy(col("score_nano").desc, col("doc_id"))
+    documents
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        ln6Micro.as("ln_micro"))
+      .withColumn("score_nano", expr("(ln_micro * 1000) DIV n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"),
+        col("score_nano"))
+      .orderBy("lang", "rk")
+  }
+
   /** `sample_pps`: probability-proportional-to-size sampling — longer
     * documents are likelier to be kept (the inclusion-probability design
     * behind token-budget-aware corpus subsampling), with the

@@ -16,6 +16,18 @@ import graft.functions.ShingleExpressions
   * broadcast-eligible sides are candidate-pair tables, which AQE may elect
   * to broadcast at runtime when they turn out small.
   */
+/** Conf gate for the dedup verified-pairs projection cache (r15 — the
+  * [[GraphProjectionCache]] device applied to the dedup family): the
+  * minhash pipeline's verified pairs are rebuilt identically by THREE
+  * registry queries (dedup_near_minhash, dedup_minhash_clusters,
+  * corpus_dup_hist) and the ngram-jaccard pairs by two more
+  * (dedup_ngram_jaccard, dedup_jaccard_clusters). DEFAULT ON; the
+  * plan-shape specs clone a conf-off session to assert the uncached
+  * pipeline. Mechanics in [[graft.plans.ProjectionCache]]. */
+private[graft] object DedupPairsCache {
+  private[graft] val ConfKey = "spark.graft.dedup.pairsCache"
+}
+
 object DedupOps {
 
   /** Re-attach join strategy knob — `spark.graft.dedup.reattach`:
@@ -243,7 +255,7 @@ object DedupOps {
     // default AQE decides its strategy at runtime, and the
     // spark.graft.dedup.reattach knob (see [[reattachHint]]) can force
     // either way at the 100 TB margin.
-    reattachHint(
+    val pairs = reattachHint(
       reattachHint(cand)
         .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a"))
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -253,6 +265,13 @@ object DedupOps {
       .filter(col("jaccard") >= jaccardTau)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
+    // r15: the verified-pairs table is a SHARED projection — three
+    // registry queries (near_minhash, minhash_clusters, dup_hist)
+    // rebuilt this identical LSH pipeline per query at sf10. Routed
+    // through the session file cache (the graph-family device): the
+    // second consumer scans the tiny pairs parquet instead. Conf-off
+    // restores the uncached plan (the plan-shape specs pin it).
+    graft.plans.ProjectionCache("dedup", DedupPairsCache.ConfKey, pairs)
   }
 
   /** `dedup_simhash`: 64-bit SimHash fingerprints. Each token occurrence
@@ -599,13 +618,17 @@ object DedupOps {
     * density is unknown or high. */
   def ngramJaccard(documents: DataFrame, k: Int = 3, tau: Double = 0.2,
                    maxDf: Int = 512): DataFrame =
-    shingleCandidates(documents, k, maxDf)
-      .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") /
-          (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= tau)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy("id_a", "id_b")
+    // r15: shared-projection cache — dedup_ngram_jaccard,
+    // dedup_jaccard_clusters and pipeline_dedup_full's inner call
+    // rebuild this identical pair table (see nearMinhash's note)
+    graft.plans.ProjectionCache("dedup", DedupPairsCache.ConfKey,
+      shingleCandidates(documents, k, maxDf)
+        .select(col("id_a"), col("id_b"),
+          (col("inter").cast("double") /
+            (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+        .filter(col("jaccard") >= tau)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b"))
 
   /** `dedup_ngram_containment`: asymmetric overlap — for each candidate
     * pair, |A∩B| / min(|A|,|B|): the SUBSET-duplicate detector. Jaccard

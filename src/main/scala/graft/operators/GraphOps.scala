@@ -16,95 +16,23 @@ import org.apache.spark.sql.functions._
   * two-scan shape); results are row-identical either way
   * (GraphProjectionCacheSpec's equivalence test).
   *
-  * Why a FILE and not a persist/`lazyPin`: the harnesses release every
-  * checkpoint/persist reachable from a result plan after each query
-  * (`ColumnBridge.releaseAllCheckpoints` — the Bench/Verify ownership
-  * contract), so a block-backed cache would be evicted between the
-  * queries it exists to serve. A parquet sink has no block lifecycle:
-  * each query's plan just SCANS it (and the scan replaces the
-  * projection's two corpus scans — the thresholded edge list is
-  * O(10³-10⁴) rows at any measured SF, so the read is trivially
-  * cheap and splittable on a real cluster's shared FS).
-  *
-  * Key = session identity + the projection plan's semantic hash + the
-  * input-file modification snapshot + (via the hash) `minSupport` —
-  * the [[VectorOps.cachedIvfIndex]] recipe, including its staleness
-  * guard: an in-place corpus rewrite changes the snapshot and misses.
-  * The write is eager at CONSTRUCTION (the sink_partitioned
-  * precedent); concurrent constructors of the same key serialize on
-  * `computeIfAbsent`, so exactly one writes. Entries live until JVM
-  * exit — [[SinkJanitor]]'s shutdown hook removes the dirs (a cache
-  * entry is never displaced, so the janitor's weak-ref sweep never
-  * fires for it; per-session entry count is bounded by distinct
-  * (corpus, support) pairs a session touches). */
+  * Mechanics (file-vs-persist rationale, keying, staleness guard,
+  * build stamps) live in the r15-generalized
+  * [[graft.plans.ProjectionCache]], which the dedup family's
+  * verified-pairs tables share; this object is the graph-tagged,
+  * graph-conf-gated facade the family and its specs address. */
 private[operators] object GraphProjectionCache {
   private[operators] val ConfKey = "spark.graft.graph.projectionCache"
-  private val dirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val seq = new java.util.concurrent.atomic.AtomicLong(0)
 
-  private[operators] def entryCount: Int = dirs.size()
+  private[operators] def entryCount: Int =
+    graft.plans.ProjectionCache.entryCount
 
-  /** Entries owned by `spark` (keys are session-identity-prefixed) —
-    * the spec's counter: suites run in parallel and, with the cache on
-    * by default, OTHER suites' graph constructions move the global
-    * count concurrently; a per-session count is race-free because each
-    * spec asserts against its own cloned session. */
   private[operators] def entryCountFor(
-      spark: org.apache.spark.sql.SparkSession): Int = {
-    val prefix = s"${System.identityHashCode(spark)}:"
-    var n = 0
-    dirs.keySet().forEach(k => if (k.startsWith(prefix)) n += 1)
-    n
-  }
+      spark: org.apache.spark.sql.SparkSession): Int =
+    graft.plans.ProjectionCache.entryCountFor(spark, "graph")
 
-  /** Semantic plan key that survives typed operators: `semanticHash`
-    * is NOT stable across two constructions of a plan containing a
-    * typed map/flatMap — the encoder's `mapobjects` deserializer embeds
-    * a `LambdaVariable` whose per-JVM id escapes canonicalization
-    * (measured: two identical coPurchaseEdges builds hashed -313343306
-    * vs 1287360836 once the r15 basket fan went typed, so every query
-    * rebuilt the "cached" projection). Scrubbing the lambdavariable
-    * tokens out of the canonicalized treeString restores plan-identity
-    * keying for exactly these nodes; purely-relational plans hash the
-    * same as before (no lambdavariable tokens to scrub). The leaves'
-    * own (stable) canonical hashCodes fold in separately because
-    * treeString elides LocalRelation DATA — without them two different
-    * in-memory toy graphs would collide on one cache entry
-    * (RoundElevenOpsSpec's near-clique test read the wrong edges). */
-  private def planKey(pairs: DataFrame): String = {
-    val canon = pairs.queryExecution.analyzed.canonicalized
-    val shape = canon.treeString
-      .replaceAll("lambdavariable\\([^)]*\\)", "lambdavariable(#)")
-      .hashCode
-    val leaves = canon.collectLeaves().map(_.hashCode()).hashCode
-    s"$shape.$leaves"
-  }
-
-  def apply(pairs: DataFrame): DataFrame = {
-    val spark = pairs.sparkSession
-    if (!spark.conf.get(ConfKey, "true").toBoolean) return pairs
-    val key = s"${System.identityHashCode(spark)}:" +
-      s"${planKey(pairs)}:" +
-      s"${VectorOps.inputSnapshot(pairs)}"
-    val dir = dirs.computeIfAbsent(key, _ => {
-      val d = s"${System.getProperty("java.io.tmpdir")}/graft-graphproj-" +
-        s"${Scans.sessionTag(spark)}/p${seq.incrementAndGet()}"
-      // stderr build stamp (r15): the sf10 artifact could not split
-      // projection-build vs consumer cost for the graph family — the
-      // r14 adjudication's explicit gap. One line per BUILD (hits are
-      // silent and free); Bench's stdout JSON contract is untouched.
-      val t0 = System.nanoTime()
-      pairs.write.mode("overwrite").parquet(d)
-      Console.err.println(
-        f"[graft] graph projection BUILD ${(System.nanoTime() - t0) / 1e9}%.1fs key=$key")
-      SinkJanitor.register(spark, s"graphproj/$key", d, Nil, spark)
-      d
-    })
-    // explicit schema: a zero-edge projection writes no row groups, and
-    // schema inference would fail on the empty dir
-    spark.read.schema(pairs.schema).parquet(dir)
-  }
+  def apply(pairs: DataFrame): DataFrame =
+    graft.plans.ProjectionCache("graph", ConfKey, pairs)
 }
 
 /** Graph analytics over relational edge sets. The near-dup clustering

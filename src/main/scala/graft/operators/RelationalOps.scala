@@ -115,7 +115,7 @@ object Scans {
   // session identity hash (per newSession clone) — distinct across
   // concurrent processes, stable within one session. Shared with
   // Joins.bucketedColocated (the same concurrent-run isolation need).
-  private[operators] def sessionTag(spark: org.apache.spark.sql.SparkSession): String =
+  private[graft] def sessionTag(spark: org.apache.spark.sql.SparkSession): String =
     s"${spark.sparkContext.applicationId}-${System.identityHashCode(spark)}"
 
   private val sinkInvocation = new java.util.concurrent.atomic.AtomicLong(0)
@@ -262,7 +262,7 @@ object Scans {
   * derived frame while the wrapper was GC'd" no longer deletes a sink a
   * re-execution still needs (r13 ADVICE). Non-Dataset owners (e.g. a
   * session, for entries that should live to JVM exit) anchor as-is. */
-private[operators] object SinkJanitor {
+private[graft] object SinkJanitor {
   private final case class Entry(dir: String, tables: Seq[String],
                                  owners: Seq[java.lang.ref.WeakReference[AnyRef]])
   private val newest = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
@@ -1431,6 +1431,52 @@ object Aggs {
         col("e_micro").as("expected_micro"),
         expr("(dev * dev * 1000000) DIV (CAST(e_micro AS DECIMAL(38,0)) * 1000000)")
           .cast("long").as("chi2_micro"))
+      .orderBy("lang", "source")
+  }
+
+  /** `agg_mutual_info` (r15): mutual information of the (lang, source)
+    * cross-tabulation over `documents` — per cell: the observed count,
+    * the joint probability in micro, the pointwise mutual information
+    * (PMI) in micro, and the cell's MI contribution
+    * `p(l,s)·ln(p(l,s)/(p(l)p(s)))` in micro. The chi-square sibling in
+    * information units: chi2 flags deviation magnitude, MI prices it in
+    * nats — the quantity a mixture policy actually budgets ("how much
+    * does source leak language?"), and Σ mi_contrib_micro IS the
+    * corpus's lang↔source MI.
+    *
+    * Cross-engine float rule (text_zipf): the single ln per CELL runs
+    * on an exactly-reproducible double ratio `(o·n)/(r·c)` (integer
+    * inputs widened identically), is rounded to 6 dp, re-anchored to an
+    * exact integer (`pmi_micro`), and every arithmetic step after is
+    * exact DECIMAL with truncating DIV (the agg_linreg rule) — no
+    * order-sensitive float reduction on either engine.
+    *
+    * Scale shape: identical to [[chi2]] — ONE corpus scan into a
+    * partial+final (lang, source) count; the marginal windows run over
+    * the bounded |langs|·|sources| cell table, never the corpus.
+    *
+    * scan-guard: agg_mutual_info */
+  def mutualInfo(documents: DataFrame): DataFrame = {
+    val cells = documents.groupBy("lang", "source")
+      .agg(count(lit(1)).as("o"))
+    val wLang = Window.partitionBy("lang")
+    val wSrc = Window.partitionBy("source")
+    val wAll = Window.partitionBy()
+    val pmi6 = round(log(
+      (col("o").cast("double") * col("n")) /
+        (col("r").cast("double") * col("c"))), 6)
+    cells
+      .withColumn("r", sum(col("o")).over(wLang))
+      .withColumn("c", sum(col("o")).over(wSrc))
+      .withColumn("n", sum(col("o")).over(wAll))
+      .withColumn("pmi_micro",
+        (pmi6.cast(DecimalType(18, 6)) * 1000000).cast("long"))
+      .select(col("lang"), col("source"), col("o").as("observed"),
+        expr("(CAST(o AS DECIMAL(38,0)) * 1000000) DIV n")
+          .cast("long").as("joint_micro"),
+        col("pmi_micro"),
+        expr("(CAST(pmi_micro AS DECIMAL(38,0)) * o) DIV n")
+          .cast("long").as("mi_contrib_micro"))
       .orderBy("lang", "source")
   }
 

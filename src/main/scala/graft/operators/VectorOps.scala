@@ -566,7 +566,7 @@ object VectorOps {
     * a table format with its own snapshot id would key on that instead.
     * Plans with no file inputs (in-memory relations, which are immutable)
     * snapshot to a constant. */
-  private[operators] def inputSnapshot(df: DataFrame): Long = {
+  private[graft] def inputSnapshot(df: DataFrame): Long = {
     import org.apache.hadoop.fs.Path
     val files = df.inputFiles
     if (files.isEmpty) return 0L

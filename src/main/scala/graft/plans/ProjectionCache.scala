@@ -1,0 +1,100 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+
+/** Session-scoped, FILE-backed cache for a SHARED PROJECTION — a small
+  * derived table (thresholded edge list, verified near-dup pairs) whose
+  * SUBTREE is corpus-sized and which several registry queries rebuild
+  * independently. Generalized in r15 from the graph family's
+  * [[graft.operators.GraphProjectionCache]] (r13/r14, where the device
+  * collapsed the sf10 family 162-217 s → 4.7-14.3 s) so the dedup
+  * family's verified-pairs tables ride the same mechanism: a session
+  * pays each projection's build ONCE per (corpus, params) instead of
+  * once per query. At 100 TB this is the lakehouse shape — the pairs /
+  * edge table is a materialized artifact the downstream passes scan,
+  * not a plan they re-run.
+  *
+  * Why a FILE and not a persist/`lazyPin`: the harnesses release every
+  * checkpoint/persist reachable from a result plan after each query
+  * (`ColumnBridge.releaseAllCheckpoints` — the Bench/Verify ownership
+  * contract), so a block-backed cache would be evicted between the
+  * queries it exists to serve. A parquet sink has no block lifecycle:
+  * each query's plan just SCANS it, and every cached projection is
+  * O(10³-10⁵) rows at any measured SF, so the read is trivially cheap
+  * and splittable on a real cluster's shared FS.
+  *
+  * Key = session identity + a typed-operator-safe semantic plan hash +
+  * the input-file modification snapshot (an in-place corpus rewrite
+  * changes the snapshot and misses — the [[graft.operators.VectorOps
+  * .cachedIvfIndex]] staleness guard). `semanticHash` alone is NOT
+  * stable across two constructions of a plan containing a typed
+  * map/flatMap — the encoder's `mapobjects` deserializer embeds a
+  * `LambdaVariable` whose per-JVM id escapes canonicalization — so the
+  * key scrubs lambdavariable tokens from the canonicalized treeString
+  * and folds in the leaves' own canonical hashCodes (treeString elides
+  * LocalRelation DATA; without the leaves two different in-memory toy
+  * inputs would collide — both defects caught by spec in r15).
+  *
+  * The write is eager at CONSTRUCTION (the sink_partitioned precedent);
+  * concurrent constructors of one key serialize on `computeIfAbsent`,
+  * so exactly one writes. Entries live until JVM exit — [[graft
+  * .operators.SinkJanitor]]'s shutdown hook removes the dirs; per-
+  * session entry count is bounded by the distinct (projection, corpus,
+  * params) triples a session touches. Each build stamps its duration
+  * to stderr so bench artifacts can split build vs consumer cost (the
+  * r14 adjudication gap); hits are silent and free. */
+private[graft] object ProjectionCache {
+  private val dirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private[graft] def entryCount: Int = dirs.size()
+
+  /** Entries owned by `spark` (keys are session-identity-prefixed) —
+    * the specs' counter: suites run in parallel and, with caches on by
+    * default, OTHER suites' constructions move the global count; a
+    * per-session count is race-free because each spec asserts against
+    * its own cloned session. Pass `tag` to scope to one projection
+    * family. */
+  private[graft] def entryCountFor(
+      spark: org.apache.spark.sql.SparkSession,
+      tag: String = ""): Int = {
+    val prefix = s"${System.identityHashCode(spark)}:$tag"
+    var n = 0
+    dirs.keySet().forEach(k => if (k.startsWith(prefix)) n += 1)
+    n
+  }
+
+  private def planKey(pairs: DataFrame): String = {
+    val canon = pairs.queryExecution.analyzed.canonicalized
+    val shape = canon.treeString
+      .replaceAll("lambdavariable\\([^)]*\\)", "lambdavariable(#)")
+      .hashCode
+    val leaves = canon.collectLeaves().map(_.hashCode()).hashCode
+    s"$shape.$leaves"
+  }
+
+  /** Route `pairs` through the session's file cache under `tag`,
+    * gated on `confKey` (default ON; set the conf `false` to opt out —
+    * the plan-shape specs do). Results are row-identical either way. */
+  def apply(tag: String, confKey: String, pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    if (!spark.conf.get(confKey, "true").toBoolean) return pairs
+    val key = s"${System.identityHashCode(spark)}:$tag:" +
+      s"${planKey(pairs)}:" +
+      s"${graft.operators.VectorOps.inputSnapshot(pairs)}"
+    val dir = dirs.computeIfAbsent(key, _ => {
+      val d = s"${System.getProperty("java.io.tmpdir")}/graft-proj-$tag-" +
+        s"${graft.operators.Scans.sessionTag(spark)}/p${seq.incrementAndGet()}"
+      val t0 = System.nanoTime()
+      pairs.write.mode("overwrite").parquet(d)
+      Console.err.println(
+        f"[graft] $tag projection BUILD ${(System.nanoTime() - t0) / 1e9}%.1fs key=$key")
+      graft.operators.SinkJanitor.register(spark, s"proj/$key", d, Nil, spark)
+      d
+    })
+    // explicit schema: a zero-row projection writes no row groups, and
+    // schema inference would fail on the empty dir
+    spark.read.schema(pairs.schema).parquet(dir)
+  }
+}

@@ -17,15 +17,26 @@ class PlanGuardSpec extends SparkSpec {
 
   private def docs = Tables.documents(spark, sf())
 
+  // the dedup pairs cache defaults ON (r15) and would replace the
+  // pipeline under inspection with a cache-parquet scan — plan-shape
+  // assertions on the dedup pair ops use this conf-off clone (the
+  // GraphProjectionCacheSpec precedent; never mutate the shared session)
+  private def pairsOffSession = {
+    val s = spark.newSession()
+    s.conf.set(operators.DedupPairsCache.ConfKey, "false")
+    s
+  }
+  private def docsPairsOff = Tables.documents(pairsOffSession, sf())
+
   test("dedup ops carry NO broadcast hints (corpus-sized relations must shuffle)") {
     // round-1 defect: verification/size re-attach joins broadcast corpus-
     // derived tables (one row per doc/shingle) — OOM at scale. The fix
     // removed every hint; AQE may still broadcast the candidate side at
     // runtime from observed sizes, which is exactly the right mechanism.
     Seq(
-      "nearMinhash" -> DedupOps.nearMinhash(docs),
-      "ngramJaccard" -> DedupOps.ngramJaccard(docs),
-      "ngramJaccard(maxDf)" -> DedupOps.ngramJaccard(docs, maxDf = 3)
+      "nearMinhash" -> DedupOps.nearMinhash(docsPairsOff),
+      "ngramJaccard" -> DedupOps.ngramJaccard(docsPairsOff),
+      "ngramJaccard(maxDf)" -> DedupOps.ngramJaccard(docsPairsOff, maxDf = 3)
     ).foreach { case (name, df) =>
       val hinted = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
       assert(hinted.isEmpty, s"$name: broadcast hint present: $hinted")
@@ -47,7 +58,7 @@ class PlanGuardSpec extends SparkSpec {
     // every collected array is ≤ maxDf elements. In the optimized plan the
     // df-count aggregate and its filter must sit BELOW the collect_list
     // aggregate (appear after it in the top-down tree string).
-    val plan = DedupOps.ngramJaccard(docs).queryExecution.optimizedPlan.toString
+    val plan = DedupOps.ngramJaccard(docsPairsOff).queryExecution.optimizedPlan.toString
     val collectIdx = plan.indexOf("collect_list")
     assert(collectIdx >= 0, s"inverted index missing:\n$plan")
     val below = plan.substring(collectIdx)
@@ -168,23 +179,27 @@ class PlanGuardSpec extends SparkSpec {
   }
 
   test("spark.graft.dedup.reattach knob: identical results, forced strategies") {
-    def run() = DedupOps.ngramJaccard(docs).collect()
+    // conf-off clone: with the r15 pairs cache on, the inspected plan
+    // would be the cache-parquet scan, not the re-attach join
+    val s = pairsOffSession
+    val d = Tables.documents(s, sf())
+    def run() = DedupOps.ngramJaccard(d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     val auto = run()
     try {
-      spark.conf.set("spark.graft.dedup.reattach", "shuffle")
-      val shufflePlan = DedupOps.ngramJaccard(docs)
+      s.conf.set("spark.graft.dedup.reattach", "shuffle")
+      val shufflePlan = DedupOps.ngramJaccard(d)
         .queryExecution.executedPlan.treeString
       assert(shufflePlan.contains("SortMergeJoin"),
         s"shuffle mode should force sort-merge re-attach:\n$shufflePlan")
       assert(run() === auto)
-      spark.conf.set("spark.graft.dedup.reattach", "broadcast")
-      val bPlan = DedupOps.ngramJaccard(docs)
+      s.conf.set("spark.graft.dedup.reattach", "broadcast")
+      val bPlan = DedupOps.ngramJaccard(d)
         .queryExecution.executedPlan.treeString
       assert(bPlan.contains("BroadcastHashJoin"),
         s"broadcast mode should force broadcast re-attach:\n$bPlan")
       assert(run() === auto)
-    } finally spark.conf.unset("spark.graft.dedup.reattach")
+    } finally s.conf.unset("spark.graft.dedup.reattach")
   }
 
   test("decontaminate joins carry only 8-byte gram hashes, never text") {
@@ -747,6 +762,10 @@ class PlanGuardSpec extends SparkSpec {
       ("graph_modularity", () => GraphOps.modularity(liNoCache),
         "lineitem", 1),
       ("agg_ks_test", () => Aggs.ksTest(events), "events", 1),
+      // r15 wave
+      ("agg_mutual_info", () => Aggs.mutualInfo(docs), "documents", 1),
+      ("sample_reservoir_group", () => CorpusOps.sampleReservoir(docs),
+        "documents", 1),
       // enriched (shingles+sig) pin feeds band derivation + both
       // reattach sides: one corpus scan inside the pin
       ("dedup_minhash_calibration",

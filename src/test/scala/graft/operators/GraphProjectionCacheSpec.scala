@@ -64,7 +64,7 @@ class GraphProjectionCacheSpec extends SparkSpec {
     assert(GraphProjectionCache.entryCountFor(s) == 1,
       "same (corpus, support) must not write a second entry")
     assert(second.inputFiles.nonEmpty &&
-      second.inputFiles.forall(_.contains("graft-graphproj")),
+      second.inputFiles.forall(_.contains("graft-proj-graph")),
       s"cached read must scan the cache dir only: " +
         second.inputFiles.mkString(", "))
     assert(edgeSet(second) == reference)

@@ -34,6 +34,79 @@ class RoundFifteenOpsSpec extends SparkSpec {
       ("hub", 1L, 1000000L), ("hub", 2L, 625000L)))
   }
 
+  test("agg_mutual_info: a perfectly dependent table prices ln(2) per cell; independence prices 0") {
+    // 2 langs × 2 sources, diagonal-only: p(l,s)=1/2 on the diagonal,
+    // marginals 1/2 each → PMI = ln(2) = 0.693147 → pmi_micro 693147,
+    // contribution = pmi_micro·o DIV n = 693147·2 DIV 4 = 346573
+    val dep = Seq((1L, "en", "a"), (2L, "en", "a"), (3L, "fr", "b"), (4L, "fr", "b"))
+      .toDF("doc_id", "lang", "source")
+    val out = Aggs.mutualInfo(dep).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      ("en", "a", 2L, 693147L, 346573L),
+      ("fr", "b", 2L, 693147L, 346573L)))
+    // independent 2×2 (every cell equal): PMI = ln(1) = 0 everywhere
+    val ind = Seq((1L, "en", "a"), (2L, "en", "b"), (3L, "fr", "a"), (4L, "fr", "b"))
+      .toDF("doc_id", "lang", "source")
+    val zeros = Aggs.mutualInfo(ind).collect().map(_.getLong(5))
+    assert(zeros.forall(_ == 0L))
+  }
+
+  test("sample_reservoir_group: per-group top-k is weight-biased and deterministic") {
+    // two langs, long docs should win more often (A-ES key favors high
+    // weight); exact values replay the md5 device, so determinism is
+    // the assertable contract plus k-bound and per-group ranks
+    val docs = (1L to 40L).map { i =>
+      val lang = if (i % 2 == 0) "en" else "fr"
+      (i, s"doc body $i ${"x" * (i % 7).toInt}", lang, 10L + (i % 13) * 37L)
+    }.toDF("doc_id", "text", "lang", "n_chars")
+    val out = CorpusOps.sampleReservoir(docs, k = 5)
+    val rows = out.collect()
+    assert(rows.length == 10) // 5 per lang
+    val byLang = rows.groupBy(_.getString(0))
+    assert(byLang.keySet == Set("en", "fr"))
+    byLang.values.foreach { g =>
+      assert(g.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+      // scores are non-increasing with rank
+      val scores = g.sortBy(_.getInt(1)).map(_.getLong(4)).toSeq
+      assert(scores == scores.sorted.reverse)
+    }
+    // deterministic: a second construction returns identical rows
+    val again = CorpusOps.sampleReservoir(docs, k = 5).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("dedup pairs cache: row-identical on/off, one entry per (corpus, params)") {
+    def session(on: Boolean) = {
+      val s = spark.newSession()
+      s.conf.set(DedupPairsCache.ConfKey, on.toString)
+      s
+    }
+    val sOn = session(true)
+    val sOff = session(false)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    val dOn = graft.Tables.documents(sOn, sf())
+    val dOff = graft.Tables.documents(sOff, sf())
+    // conf-off registers nothing
+    DedupOps.nearMinhash(dOff).collect()
+    assert(graft.plans.ProjectionCache.entryCountFor(sOff, "dedup") == 0)
+    // on: identical rows, one entry, second construction adds none
+    val ref = rows(DedupOps.nearMinhash(dOff))
+    assert(rows(DedupOps.nearMinhash(dOn)) == ref)
+    assert(graft.plans.ProjectionCache.entryCountFor(sOn, "dedup") == 1)
+    assert(rows(DedupOps.nearMinhash(dOn)) == ref)
+    assert(graft.plans.ProjectionCache.entryCountFor(sOn, "dedup") == 1,
+      "same (corpus, params) must not write a second entry")
+    // different params → new entry; ngram family keys separately
+    DedupOps.ngramJaccard(dOn).collect()
+    assert(graft.plans.ProjectionCache.entryCountFor(sOn, "dedup") == 2)
+    assert(rows(DedupOps.ngramJaccard(dOn)) == rows(DedupOps.ngramJaccard(dOff)))
+    // downstream consumers ride the cache and agree with uncached
+    assert(rows(DedupOps.clusterSizeHist(dOn)) ==
+      rows(DedupOps.clusterSizeHist(dOff)))
+  }
+
   test("graph_hits: duplicate purchases collapse (distinct-pair projection)") {
     // the same (cust, supp) pair bought twice must not double its vote
     val orders = Seq((100L, 1L), (101L, 1L), (102L, 2L))
