@@ -1507,13 +1507,22 @@ object SparkEntry {
     // per-bucket log-ratios rounded 6dp and cast DECIMAL BEFORE the
     // per-doc sum (the text_entropy per-term-round pattern), so the
     // reduction is an exact decimal total on both engines
+    // r15: bucket hash switched md5-hex+conv → the packed double-poly
+    // word hash (ShingleKernels.wordHashes; the hex-string parse per
+    // token dominated the sf10 tokenization pass) — same poly DuckDB
+    // replay the minhash family uses
     "corpus_dsir_weights" ->
       """WITH w AS (
         |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS word
         |  FROM documents),
         |toks AS (
         |  SELECT doc_id, lang,
-        |    CAST(('0x' || substring(md5(word), 1, 15)) AS BIGINT) % 64 AS b
+        |    (list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |        list_transform(string_split_regex(word, ''), c -> CAST(ord(c) AS BIGINT))),
+        |        (a, c) -> (a * 31 + c) % 2147483647) * 2147483648
+        |     + list_reduce(list_prepend(CAST(11 AS BIGINT),
+        |        list_transform(string_split_regex(word, ''), c -> CAST(ord(c) AS BIGINT))),
+        |        (a, c) -> (a * 131 + c) % 2147483647)) % 64 AS b
         |  FROM w WHERE word <> ''),
         |db AS (SELECT doc_id, lang, b, COUNT(*) AS c FROM toks GROUP BY doc_id, lang, b),
         |src AS (SELECT b, SUM(c) AS s_b FROM db GROUP BY b),

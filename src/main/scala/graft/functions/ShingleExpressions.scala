@@ -54,6 +54,12 @@ object ShingleExpressions {
   def shingleHashes(text: Column, k: Int): Column =
     column(ShingleHashesExpr(expression(text), k))
 
+  /** Column API: per-OCCURRENCE packed word hashes (no distinct) —
+    * the occurrence-statistics sibling of [[shingleHashes]] (r15:
+    * DSIR-style bucket counts need counts, not sets). */
+  def wordHashes(text: Column): Column =
+    column(WordHashesExpr(expression(text)))
+
   /** Column API: n-element MinHash signature of a shingle-hash array. */
   def minHashSignature(hashes: Column, n: Int): Column =
     column(MinHashSignatureExpr(expression(hashes), n))
@@ -168,6 +174,29 @@ object ShingleKernels {
     val it = seen.iterator(); var o = 0
     while (it.hasNext) { out(o) = it.next(); o += 1 }
     new GenericArrayData(out)
+  }
+
+  /** Per-OCCURRENCE single-word hashes of a space-tokenized text — the
+    * [[shingleHashes]] 62-bit double-poly packing WITHOUT the distinct
+    * (occurrence statistics like DSIR bucket counts need every token).
+    * Same SQL replay: `shingleHashSql(word)` per unnested word
+    * ([[graft.OracleGen]]); replaced dsir_weights' md5-hex+conv per
+    * token, whose hex-string parse dominated the sf10 tokenization. */
+  def wordHashes(input: UTF8String): ArrayData = {
+    val toks0 = input.toString.split(' ')
+    val out = new Array[Long](toks0.length)
+    var i = 0
+    var o = 0
+    while (i < toks0.length) {
+      val t = toks0(i)
+      if (t.nonEmpty) {
+        out(o) = (polyHash(t, 7L, 31L) << 31) | polyHash(t, 11L, 131L)
+        o += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(if (o == toks0.length) out
+      else java.util.Arrays.copyOf(out, o))
   }
 
   // (a, b) affine-mix parameter pairs per signature width, computed once
@@ -397,6 +426,22 @@ case class ShingleHashesExpr(child: Expression, k: Int) extends UnaryExpression 
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernels.shingleHashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `word_hashes(text)` — see [[ShingleKernels.wordHashes]]. */
+case class WordHashesExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernels.wordHashes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernels.wordHashes($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

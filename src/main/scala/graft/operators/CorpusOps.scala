@@ -64,10 +64,16 @@ object CorpusOps {
     * than k words have no grams and emit no row (both engines). */
   def evalCoverage(documents: DataFrame, evalMod: Int = 50, k: Int = 3): DataFrame = {
     val isEval = pmod(col("doc_id"), lit(evalMod)) === 0
+    // r15: hashed-shingle grams replace string grams + xxhash64 — the
+    // compiled kernel emits per-doc DISTINCT 62-bit gram hashes directly
+    // (no per-gram string materializes, and the old evalG.distinct()
+    // shuffle disappears: the dedup happens inside the expression,
+    // map-side). Coverage depends only on gram EQUALITY, so the DuckDB
+    // oracle keeps replaying raw gram strings — counts are identical.
     def grams(df: DataFrame) = df.select(col("doc_id"),
-      explode(graft.functions.ShingleExpressions.ngrams(lower(col("text")), k)).as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
-    val evalG = grams(documents.filter(isEval)).distinct()
+      explode(graft.functions.ShingleExpressions
+        .shingleHashes(lower(col("text")), k)).as("gh"))
+    val evalG = grams(documents.filter(isEval))
     val trainG = grams(documents.filter(!isEval)).select("gh").distinct()
     val covered = evalG.join(trainG, Seq("gh"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_covered"))
@@ -1542,12 +1548,16 @@ object CorpusOps {
     *
     * scan-guard: corpus_dsir_weights */
   def dsirWeights(documents: DataFrame, buckets: Int = 64): DataFrame = {
+    // r15: the per-token bucket hash is the compiled packed double-poly
+    // word hash (ShingleKernels.wordHashes — 62-bit nonnegative, so
+    // plain % is the floor mod), replacing md5-hex+conv whose hex parse
+    // per token dominated the sf10 tokenization pass; the oracle
+    // replays the same polynomial (the minhash-family device)
     val toks = documents
       .select(col("doc_id"), col("lang"),
-        explode(filter(split(lower(col("text")), " "), w => w =!= "")).as("word"))
-      .select(col("doc_id"), col("lang"),
-        (conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long")
-          % buckets).as("b"))
+        explode(graft.functions.ShingleExpressions
+          .wordHashes(lower(col("text")))).as("wh"))
+      .select(col("doc_id"), col("lang"), (col("wh") % buckets).as("b"))
     // one collapsed (doc, bucket) count table feeds BOTH distributions
     // and the per-doc score — a single corpus tokenization pass, pinned
     // so its three consumers share the materialization
