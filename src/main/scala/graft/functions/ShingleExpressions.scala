@@ -60,6 +60,11 @@ object ShingleExpressions {
   def wordHashes(text: Column): Column =
     column(WordHashesExpr(expression(text)))
 
+  /** Column API: per-OCCURRENCE packed k-gram hashes (no distinct) —
+    * see [[ShingleKernels.gramHashes]]. */
+  def gramHashes(text: Column, k: Int): Column =
+    column(GramHashesExpr(expression(text), k))
+
   /** Column API: n-element MinHash signature of a shingle-hash array. */
   def minHashSignature(hashes: Column, n: Int): Column =
     column(MinHashSignatureExpr(expression(hashes), n))
@@ -182,21 +187,38 @@ object ShingleKernels {
     * Same SQL replay: `shingleHashSql(word)` per unnested word
     * ([[graft.OracleGen]]); replaced dsir_weights' md5-hex+conv per
     * token, whose hex-string parse dominated the sf10 tokenization. */
-  def wordHashes(input: UTF8String): ArrayData = {
+  def wordHashes(input: UTF8String): ArrayData = gramHashes(input, 1)
+
+  /** Per-OCCURRENCE k-gram hashes (no distinct) — the occurrence-counts
+    * sibling of [[shingleHashes]]: text_lm_score's bigram frequencies
+    * need EVERY gram instance, where the set form would collapse
+    * within-doc repeats. Replaces the string-gram + xxhash64 pass whose
+    * per-gram string materialization dominated at sf10; hash equality
+    * (all either engine's count joins consume) is preserved modulo the
+    * same 62-bit collision tail as the shingle family. */
+  def gramHashes(input: UTF8String, k: Int): ArrayData = {
     val toks0 = input.toString.split(' ')
-    val out = new Array[Long](toks0.length)
+    val toks = new java.util.ArrayList[String](toks0.length)
     var i = 0
-    var o = 0
     while (i < toks0.length) {
-      val t = toks0(i)
-      if (t.nonEmpty) {
-        out(o) = (polyHash(t, 7L, 31L) << 31) | polyHash(t, 11L, 131L)
-        o += 1
+      if (toks0(i).nonEmpty) toks.add(toks0(i)); i += 1
+    }
+    val n = toks.size
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](n - k + 1)
+    val sb = new java.lang.StringBuilder(64)
+    i = 0
+    while (i <= n - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.get(i + j)); j += 1
       }
+      out(i) = (polyHash(sb, 7L, 31L) << 31) | polyHash(sb, 11L, 131L)
       i += 1
     }
-    new GenericArrayData(if (o == toks0.length) out
-      else java.util.Arrays.copyOf(out, o))
+    new GenericArrayData(out)
   }
 
   // (a, b) affine-mix parameter pairs per signature width, computed once
@@ -426,6 +448,22 @@ case class ShingleHashesExpr(child: Expression, k: Int) extends UnaryExpression 
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernels.shingleHashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `gram_hashes(text, k)` — see [[ShingleKernels.gramHashes]]. */
+case class GramHashesExpr(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernels.gramHashes(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernels.gramHashes($c, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -33,9 +33,13 @@ object CorpusOps {
     * gram-set size). */
   def decontaminate(documents: DataFrame, evalMod: Int = 50, k: Int = 3): DataFrame = {
     val isEval = pmod(col("doc_id"), lit(evalMod)) === 0
+    // r15: compiled distinct gram hashes (no per-gram string, no
+    // xxhash64) — gh is membership-only here, so the per-doc dedup
+    // inside the kernel is free correctness headroom and the
+    // string-joining oracle is untouched (same equality semantics)
     def grams(df: DataFrame) = df.select(col("doc_id"),
-      explode(graft.functions.ShingleExpressions.ngrams(lower(col("text")), k)).as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      explode(graft.functions.ShingleExpressions
+        .shingleHashes(lower(col("text")), k)).as("gh"))
     val evalGrams = grams(documents.filter(isEval)).select("gh").distinct()
     val contaminated = grams(documents.filter(!isEval))
       .join(evalGrams, Seq("gh"), "left_semi")
@@ -493,9 +497,12 @@ object CorpusOps {
     * with fewer than two words have no bigrams and drop out (inner
     * join), matching the SQL. */
   def lmScore(documents: DataFrame): DataFrame = {
+    // r15: compiled per-occurrence gram hashes replace string bigrams +
+    // xxhash64 (no per-gram string materializes; hash-equality semantics
+    // unchanged, so the string-joining oracle is untouched)
     val grams = documents.select(col("doc_id"),
-      explode(graft.functions.ShingleExpressions.ngrams(lower(col("text")), 2)).as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      explode(graft.functions.ShingleExpressions
+        .gramHashes(lower(col("text")), 2)).as("gh"))
     val counts = grams.groupBy("gh").agg(count(lit(1)).as("cnt"))
     grams.join(counts, "gh")
       .groupBy("doc_id")
@@ -577,9 +584,11 @@ object CorpusOps {
                          numPartitions: Int = 0): BatchPipeline = {
     import org.apache.spark.sql.expressions.Window
     val isEval = pmod(col("doc_id"), lit(evalMod)) === 0
+    // membership-only gram hashes: the compiled distinct-hash kernel
+    // (r15, the decontaminate swap — see that scaladoc)
     def grams(df: DataFrame) = df.select(col("doc_id"),
-      explode(graft.functions.ShingleExpressions.ngrams(lower(col("text")), k)).as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      explode(graft.functions.ShingleExpressions
+        .shingleHashes(lower(col("text")), k)).as("gh"))
     BatchPipeline(Seq[(String, DataFrame => DataFrame)](
       "quality_gate" -> (df => df
         .withColumn("n_words", size(words(col("text"))))
@@ -1070,10 +1079,12 @@ object CorpusOps {
     * as decontaminate). */
   def overlapMatrix(documents: DataFrame, k: Int = 3,
                     maxSources: Int = 64): DataFrame = {
+    // r15: compiled distinct gram hashes (membership-only gh — the
+    // decontaminate swap); the cross-source distinct still runs, the
+    // per-doc dedup just shrinks its input map-side
     val grams = documents.select(col("source"),
-        explode(graft.functions.ShingleExpressions.ngrams(lower(col("text")), k))
-          .as("gram"))
-      .select(col("source"), xxhash64(col("gram")).as("gh"))
+        explode(graft.functions.ShingleExpressions
+          .shingleHashes(lower(col("text")), k)).as("gh"))
       .distinct()
     val rare = grams.groupBy("gh")
       .agg(count(lit(1)).as("sdf"))
