@@ -222,26 +222,59 @@ object GraphOps {
     * per-iteration cost is 2×O(|E|) shuffle, HITS' inherent shape.
     * Directed pairs join AS IS — no symmetrizing explode, half
     * pagerank's per-iteration edge rows. Top-N cuts are TakeOrdered.
-    * scan-guard: graph_hits */
+    * scan-guard: exempt (the eager loop materializes the projection and
+    * every half-step behind pins + 1-row driver collects at
+    * construction — the components/bfs device — so the returned plan
+    * executes zero direct corpus scans; the projection's single-scan
+    * claim is guarded by graph_triangles / RoundElevenOpsSpec) */
+  /** OWNERSHIP: the returned frame scans the final iteration's two
+    * pinned score tables — release with
+    * `ColumnBridge.releaseAllCheckpoints(result)` once rows are
+    * consumed (the Bench/Verify harnesses do this per run); every
+    * superseded half-step pin and the edge pin are released inside the
+    * loop, the clusters-loop hygiene. */
   def hits(orders: DataFrame, lineitem: DataFrame,
            iters: Int = 2, topN: Int = 10): DataFrame = {
-    val edges = graft.plans.PlanPins.lazyPin(custSuppEdges(orders, lineitem))
+    require(iters >= 1, "hits needs at least one iteration")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // UNPINNED edges (unlike pagerank's `co` pin): with the projection
+    // cache ON this is a 16-byte-pair parquet scan, and re-scanning it
+    // once per half-step is cheaper than copying 58M rows into block
+    // storage first (the pin write was ~a quarter of the eager loop)
+    val edges = custSuppEdges(orders, lineitem)
     var hub = edges.select(col("cust")).distinct()
       .select(col("cust"), lit(1000000L).as("h"))
     var auth: DataFrame = null
+    // EAGER loop (r15 rework): the first cut normalized through a
+    // max-agg crossJoin over the UNPINNED raw table, so every half-step
+    // was consumed twice (the max branch + the normalize branch) and
+    // the 58M-row edge join re-executed up the whole iteration lineage
+    // — 99 s solo at sf10 for work worth ~45. Each half-step now PINS
+    // its O(nodes) raw table, collects the 1-row max to the driver (the
+    // BPE/KMeans driver-iteration pattern — materializing the pin), and
+    // normalizes as a projection OVER the pin; superseded pins release
+    // immediately (the DedupOps.clusters loop hygiene).
+    var lastAuthPin: DataFrame = null
+    var lastHubPin: DataFrame = null
+    def halfStep(scores: DataFrame, joinKey: String, outKey: String,
+                 scoreCol: String, outCol: String): (DataFrame, DataFrame) = {
+      val raw = graft.plans.PlanPins.lazyPin(
+        scores.hint("shuffle_hash")
+          .join(edges, Seq(joinKey))
+          .groupBy(outKey).agg(sum(col(scoreCol)).as("raw")))
+      val mxRow = raw.agg(max(col("raw"))).head()
+      val mx = if (mxRow.isNullAt(0)) 1L else mxRow.getLong(0)
+      (raw, raw.select(col(outKey), expr(s"raw * 1000000 DIV ${mx}L").as(outCol)))
+    }
     (1 to iters).foreach { _ =>
-      val authRaw = edges.hint("shuffle_hash")
-        .join(hub, Seq("cust"))
-        .groupBy("supp").agg(sum(col("h")).as("raw"))
-      val aMax = broadcast(authRaw.agg(max(col("raw")).as("mx")))
-      auth = authRaw.crossJoin(aMax)
-        .select(col("supp"), expr("raw * 1000000 DIV mx").as("a"))
-      val hubRaw = edges.hint("shuffle_hash")
-        .join(auth, Seq("supp"))
-        .groupBy("cust").agg(sum(col("a")).as("raw"))
-      val hMax = broadcast(hubRaw.agg(max(col("raw")).as("mx")))
-      hub = hubRaw.crossJoin(hMax)
-        .select(col("cust"), expr("raw * 1000000 DIV mx").as("h"))
+      val (aPin, a) = halfStep(hub, "cust", "supp", "h", "a")
+      if (lastAuthPin != null) ColumnBridge.releaseCheckpoint(lastAuthPin)
+      lastAuthPin = aPin
+      auth = a
+      val (hPin, h) = halfStep(auth, "supp", "cust", "a", "h")
+      if (lastHubPin != null) ColumnBridge.releaseCheckpoint(lastHubPin)
+      lastHubPin = hPin
+      hub = h
     }
     val topAuth = auth
       .select(lit("authority").as("node_type"), col("supp").as("key"),

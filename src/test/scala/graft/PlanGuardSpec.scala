@@ -640,13 +640,6 @@ class PlanGuardSpec extends SparkSpec {
       ("graph_pagerank/orders", () =>
         { val (o, l) = ordersLiNoCache; GraphOps.pagerank(o, l) },
         "orders", 1),
-      // r15: HITS rides the same bipartite projection — one scan each
-      ("graph_hits/lineitem", () =>
-        { val (o, l) = ordersLiNoCache; GraphOps.hits(o, l) },
-        "lineitem", 1),
-      ("graph_hits/orders", () =>
-        { val (o, l) = ordersLiNoCache; GraphOps.hits(o, l) },
-        "orders", 1),
       // r10 judge measured 10 lineitem scans (unpinned edges/deg); the
       // r15 basket-aggregate build's single scan is the honest floor
       ("graph_triangles", () => GraphOps.triangles(liNoCache), "lineitem", 1),
