@@ -295,6 +295,64 @@ object OracleGen {
        |FROM s ORDER BY abs(score_micro) DESC, vec_id LIMIT $topK""".stripMargin
   }
 
+  // ---- PQ (product quantization) dynamic oracles (r15) ----------------
+  // Same device as the IVF family: the m per-subspace KMeans fits stay
+  // unoracled; the exported centers inline as literals, and DuckDB
+  // replays assignment (argmin via struct list_sort — d then code, the
+  // least-struct tie-break), packing, the reconstruction-error chain,
+  // and the ADC lookup in the EXACT float order the Spark expressions
+  // compute (explicit left-assoc chains, never SUM over a group whose
+  // order no engine pins).
+
+  /** Per-subspace argmin struct literal list for subspace j: the 16
+    * candidates' `{'d': ccᵢ − 2·x_j·cᵢ, 'c': i}` structs, sorted; `[1]`
+    * is the winner. */
+  private def pqSubSql(cb: graft.operators.VectorOps.PqCodebook,
+                       j: Int): String = {
+    val lo = j * cb.dsub + 1
+    val hi = j * cb.dsub + cb.dsub
+    val cands = cb.centers(j).zipWithIndex.map { case (c, i) =>
+      val cc = c.map(x => x * x).sum
+      s"{'d': $cc - 2.0 * list_dot_product(e[$lo:$hi], ${c.mkString("[", ",", "]")}::DOUBLE[]), 'c': ${i}}"
+    }.mkString(",\n      ")
+    s"(list_sort([\n      $cands]))[1]"
+  }
+
+  /** Oracle for `emb_pq_encode` given the fitted codebook. */
+  def pqEncodeSql(cb: graft.operators.VectorOps.PqCodebook): String = {
+    val subCols = (0 until cb.m)
+      .map(j => s"${pqSubSql(cb, j)} AS s$j").mkString(",\n    ")
+    val packed = (0 until cb.m)
+      .map(j => s"CAST(s$j.c AS BIGINT) * ${1L << (4 * j)}").mkString(" + ")
+    val errChain = (0 until cb.m).map(j => s"s$j.d").mkString("(", " + ", ")")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |s AS (
+       |  SELECT vec_id, e,
+       |    $subCols
+       |  FROM emb)
+       |SELECT vec_id,
+       |  CAST($packed AS BIGINT) AS pq_code,
+       |  CAST(trunc(($errChain + list_dot_product(e, e)) * 1000000.0) AS BIGINT)
+       |    AS recon_err_micro
+       |FROM s ORDER BY vec_id""".stripMargin
+  }
+
+  /** Oracle for `sim_pq_topk` given the fitted codebook AND the
+    * driver-computed probe LUT (exact per-coordinate folds — the same
+    * doubles the Spark plan carries as literals). */
+  def pqTopKSql(cb: graft.operators.VectorOps.PqCodebook,
+                lut: IndexedSeq[Seq[Double]], kNn: Int = 10): String = {
+    val pq = pqEncodeSql(cb)
+    val adcChain = (0 until cb.m).map { j =>
+      s"list_extract(${lut(j).mkString("[", ",", "]")}::DOUBLE[], " +
+        s"CAST(((pq_code >> ${4 * j}) & 15) + 1 AS INTEGER))"
+    }.mkString("(", " + ", ")")
+    s"""WITH codes AS (SELECT vec_id, pq_code FROM ($pq) z)
+       |SELECT vec_id,
+       |  CAST(trunc($adcChain * 1000000.0) AS BIGINT) AS adc_micro
+       |FROM codes ORDER BY adc_micro ASC, vec_id LIMIT $kNn""".stripMargin
+  }
+
   // ---- simhash oracles ------------------------------------------------
   // The simhash token hash is a codepoint polynomial mod 2³¹−1 expanded
   // to 64 bits by four pinned multiplicative mixers

@@ -186,6 +186,10 @@ object SparkEntry {
     "dedup_semantic_ivf" -> ((s, d) => DedupOps.semanticIvf(
       VectorOps.withReingested(Tables.embeddings(s, d)))),
     "vec_quantize_int8" -> ((s, d) => VectorOps.quantizeInt8(Tables.embeddings(s, d))),
+    // r15: the PQ tier of the ANN ladder — 8-byte packed codes +
+    // ADC scoring; fitted codebook oracled via dynamicOracleSql
+    "emb_pq_encode" -> ((s, d) => VectorOps.pqEncode(Tables.embeddings(s, d))),
+    "sim_pq_topk" -> ((s, d) => VectorOps.pqTopK(Tables.embeddings(s, d))),
     "emb_centroid_drift" -> ((s, d) => VectorOps.centroidDrift(Tables.embeddings(s, d))),
     "emb_dim_stats" -> ((s, d) => VectorOps.dimStats(Tables.embeddings(s, d))),
     "sample_hardneg" -> ((s, d) => VectorOps.hardNegatives(Tables.embeddings(s, d))),
@@ -4582,10 +4586,14 @@ object SparkEntry {
     val semCenters = operators.VectorOps.cachedIvfIndex(
       operators.VectorOps.withReingested(emb)).centers
     val (v, shift, lambda) = operators.VectorOps.pcaAxis(emb)
+    val pqBook = operators.VectorOps.cachedPqCodebook(emb)
+    val pqLut = operators.VectorOps.pqProbeLut(emb)
     Map(
       "sim_ann_ivf" -> OracleGen.simAnnIvfSql(annCenters),
       "sim_ann_ivf_batch" -> OracleGen.simAnnIvfBatchSql(annCenters),
       "dedup_semantic_ivf" -> OracleGen.semanticIvfSql(semCenters),
-      "emb_pca_top" -> OracleGen.pcaTopSql(v, shift, math.round(lambda * 1e6)))
+      "emb_pca_top" -> OracleGen.pcaTopSql(v, shift, math.round(lambda * 1e6)),
+      "emb_pq_encode" -> OracleGen.pqEncodeSql(pqBook),
+      "sim_pq_topk" -> OracleGen.pqTopKSql(pqBook, pqLut))
   }
 }

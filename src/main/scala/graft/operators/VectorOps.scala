@@ -666,6 +666,134 @@ object VectorOps {
     ivfProbeBatch(index, probes, k, nprobe)
   }
 
+  /** A fitted product-quantization codebook: `centers(j)(c)` is the
+    * c-th centroid of subspace j (dim/m coordinates each). The PQ tier
+    * of the ANN ladder (r15): exact cosine → sign-LSH → IVF → binary
+    * Hamming → THIS — 4 bits per subspace × 8 subspaces packs a
+    * 64-float vector into ONE BIGINT, the 8-byte sink-and-rescan
+    * artifact that makes billion-vector rerank feasible (Jégou et al.
+    * 2011). Fit = m independent KMeans (one per subspace — the
+    * unoracled part, like the IVF quantizer); everything downstream
+    * (assignment, packing, reconstruction error, ADC scoring) is
+    * compiled sequential-fold arithmetic over the EXPORTED centers, so
+    * [[graft.SparkEntry.dynamicOracleSql]] replays it bit-identically
+    * in DuckDB. */
+  final case class PqCodebook(m: Int, k: Int, dsub: Int,
+                              centers: IndexedSeq[IndexedSeq[Seq[Double]]])
+
+  def buildPqCodebook(embeddings: DataFrame, m: Int = 8, k: Int = 16,
+                      dim: Int = 64): PqCodebook = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dsub = dim / m
+    val centers = (0 until m).map { j =>
+      val feat = embeddings.select(array_to_vector(
+        slice(col("embedding").cast("array<double>"), j * dsub + 1, dsub))
+        .as("fv"))
+      new KMeans().setK(k).setSeed(42L + j).setMaxIter(5)
+        .setFeaturesCol("fv").setPredictionCol("c").fit(feat)
+        .clusterCenters.toIndexedSeq.map(_.toArray.toSeq)
+    }
+    PqCodebook(m, k, dsub, centers)
+  }
+
+  // PQ codebook registry — the cachedIvfIndex recipe (session + plan +
+  // input snapshot keyed); codebooks are tiny (m·k·dsub doubles), no
+  // eviction pressure, entries die with the JVM
+  private val pqBooks =
+    new java.util.concurrent.ConcurrentHashMap[String, PqCodebook]()
+
+  def cachedPqCodebook(embeddings: DataFrame, m: Int = 8,
+                       k: Int = 16): PqCodebook =
+    pqBooks.computeIfAbsent(
+      s"${System.identityHashCode(embeddings.sparkSession)}:" +
+        s"${embeddings.queryExecution.analyzed.semanticHash()}:" +
+        s"${inputSnapshot(embeddings)}:$m:$k",
+      _ => buildPqCodebook(embeddings, m, k))
+
+  /** Per-subspace argmin struct `(d, code)` with d = |c|² − 2·x_j·c —
+    * the sqdist argmin with the |x_j|² term dropped (constant per row
+    * within a subspace, so the argmin is unchanged and the expression
+    * stays one fold per centroid); ties to the smallest code via the
+    * struct order (the cellAssign device). */
+  private def pqSub(e: Column, j: Int, cb: PqCodebook): Column = {
+    val sub = slice(e, j * cb.dsub + 1, cb.dsub)
+    least(cb.centers(j).zipWithIndex.map { case (c, i) =>
+      val cc = c.map(x => x * x).sum
+      struct((lit(cc) - lit(2.0) * dot(sub, typedlit(c))).as("d"),
+        lit(i.toLong).as("code"))
+    }: _*)
+  }
+
+  /** `emb_pq_encode`: PQ-encode the corpus — one packed BIGINT of
+    * 8 × 4-bit codes per vector plus the exact reconstruction error in
+    * micro (‖x − recon‖² = ‖x‖² + Σ_j min_d_j, since min_d_j already
+    * carries |c|² − 2x_j·c). Map-only over one corpus scan; the
+    * fitted centers ride the plan as literals (cluster-safe — no
+    * driver-state closure). scan-guard: emb_pq_encode */
+  def pqEncode(embeddings: DataFrame, m: Int = 8, k: Int = 16): DataFrame = {
+    val cb = cachedPqCodebook(embeddings, m, k)
+    val withSubs = embeddings.select(
+      col("vec_id") +: col("embedding").as("e") +:
+        (0 until m).map(j => pqSub(col("embedding"), j, cb).as(s"s$j")): _*)
+    val packed = (0 until m).map(j =>
+      col(s"s$j.code") * lit(1L << (4 * j))).reduce(_ + _)
+    val errRaw = (0 until m).map(j => col(s"s$j.d")).reduce(_ + _) +
+      dot(col("e"), col("e"))
+    withSubs.select(col("vec_id"), packed.as("pq_code"),
+      (errRaw * 1e6).cast("long").as("recon_err_micro"))
+      .orderBy("vec_id")
+  }
+
+  /** `sim_pq_topk`: asymmetric-distance (ADC) top-k over the packed PQ
+    * codes — the query path PQ exists for: the probe builds an m×k
+    * lookup table of per-subspace distances ONCE (driver-side, from the
+    * 1-row probe collect — the KMeans/BPE driver pattern), and scoring
+    * a candidate is m table lookups on its packed code, never a float
+    * fold over the vector. At 100 TB the scored table is the 8-byte
+    * code column; the full vectors are only touched by a final rerank
+    * tier (composable with [[cosineTopK]] on the survivors).
+    * scan-guard: exempt (the probe collect + codebook fit run at
+    * construction; the returned plan executes one corpus scan through
+    * the pqEncode projection — guarded by emb_pq_encode's entry) */
+  /** The probe's m×k ADC lookup table: LUT_j(c) = ‖p_j − c‖² by exact
+    * sequential per-coordinate folds — shared by [[pqTopK]] (as plan
+    * literals) and the dynamic oracle (as SQL literals), so both carry
+    * the identical doubles. */
+  private[graft] def pqProbeLut(embeddings: DataFrame, probeId: Long = 0L,
+      m: Int = 8, k: Int = 16): IndexedSeq[Seq[Double]] = {
+    val cb = cachedPqCodebook(embeddings, m, k)
+    val probe = embeddings.filter(col("vec_id") === probeId)
+      .select(col("embedding").cast("array<double>")).head()
+      .getSeq[Double](0)
+    (0 until m).map { j =>
+      cb.centers(j).map { c =>
+        var d = 0.0
+        var i = 0
+        while (i < cb.dsub) {
+          val diff = probe(j * cb.dsub + i) - c(i)
+          d += diff * diff
+          i += 1
+        }
+        d
+      }
+    }
+  }
+
+  def pqTopK(embeddings: DataFrame, probeId: Long = 0L, kNn: Int = 10,
+             m: Int = 8, k: Int = 16): DataFrame = {
+    val lut = pqProbeLut(embeddings, probeId, m, k)
+    val codes = pqEncode(embeddings, m, k).select("vec_id", "pq_code")
+    val adc = (0 until m).map { j =>
+      element_at(typedlit(lut(j)),
+        (shiftright(col("pq_code"), 4 * j).bitwiseAND(lit(15L)) + 1)
+          .cast("int"))
+    }.reduce(_ + _)
+    codes.select(col("vec_id"), (adc * 1e6).cast("long").as("adc_micro"))
+      .orderBy(col("adc_micro").asc, col("vec_id"))
+      .limit(kNn)
+  }
+
   /** Re-ingestion corpus for the oracled embedding near-dup queries:
     * the embeddings table plus an id-shifted copy of every `every`-th
     * vector — the deterministic simulation of a re-crawled/re-ingested

@@ -757,6 +757,9 @@ class PlanGuardSpec extends SparkSpec {
       ("agg_ks_test", () => Aggs.ksTest(events), "events", 1),
       // r15 wave
       ("agg_mutual_info", () => Aggs.mutualInfo(docs), "documents", 1),
+      // codebook fit scans run at construction; the returned encode
+      // plan is one map-only pass over the corpus
+      ("emb_pq_encode", () => VectorOps.pqEncode(emb), "embeddings", 1),
       ("sample_reservoir_group", () => CorpusOps.sampleReservoir(docs),
         "documents", 1),
       // enriched (shingles+sig) pin feeds band derivation + both

@@ -76,6 +76,33 @@ class RoundFifteenOpsSpec extends SparkSpec {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("PQ encode/topk: exact duplicates share a code and tie at the ADC top") {
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 39L).map { id =>
+      (id, Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    }
+    // vec 39 is an exact copy of vec 0 — the planted PQ-recall target
+    val docs = (base :+ ((39L, base.head._2.clone()))).toDF("vec_id", "embedding")
+    val enc = VectorOps.pqEncode(docs).collect()
+    assert(enc.length == 40)
+    val byId = enc.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byId(0L) == byId(39L), "identical vectors must encode identically")
+    // packed code fits 8 × 4 bits; recon error is a true sqdist (≥ ~0)
+    enc.foreach { r =>
+      assert(r.getLong(1) >= 0L && r.getLong(1) < (1L << 32))
+      assert(r.getLong(2) >= -1L, s"negative recon err: ${r.getLong(2)}")
+    }
+    val top = VectorOps.pqTopK(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // probe 0 and its exact copy share the minimal ADC; vec_id breaks the tie
+    assert(top.take(2).map(_._1).toSeq == Seq(0L, 39L),
+      s"planted duplicate not at the ADC top: ${top.take(3).toSeq}")
+    assert(top(0)._2 == top(1)._2, "exact copies must tie on ADC")
+    // deterministic across constructions (cached codebook, pure plans)
+    val again = VectorOps.pqTopK(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(top.toSeq == again.toSeq)
+  }
+
   test("dedup pairs cache: row-identical on/off, one entry per (corpus, params)") {
     def session(on: Boolean) = {
       val s = spark.newSession()
