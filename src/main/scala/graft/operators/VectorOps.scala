@@ -681,18 +681,71 @@ object VectorOps {
   final case class PqCodebook(m: Int, k: Int, dsub: Int,
                               centers: IndexedSeq[IndexedSeq[Seq[Double]]])
 
+  /** Codebook fit = ONE bounded deterministic sample collect + pure
+    * driver Lloyd per subspace (the Skew-boundary/KMeans collect
+    * pattern — O(sample) to the driver, never the corpus). The r15
+    * first cut ran 8 MLlib KMeans fits and was FIT-OVERHEAD-bound at
+    * sf10 (~1.5 s of job machinery per fit regardless of data size);
+    * a 16-centroid coarse quantizer needs ~10⁴ training points, so the
+    * fit collects `targetSample` modulo-selected vectors (mod derived
+    * from the corpus count — bounded driver memory at ANY scale,
+    * reproducible across runs/engines) and iterates Lloyd in-process
+    * (seeded at the first k distinct subvectors by vec_id order, ties
+    * impossible — 5 sweeps over ≤ 2·10⁴×8 doubles is microseconds).
+    * The fit stays unoracled (only the exported centers matter); the
+    * ENCODE pass always covers every vector. */
   def buildPqCodebook(embeddings: DataFrame, m: Int = 8, k: Int = 16,
-                      dim: Int = 64): PqCodebook = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+                      dim: Int = 64, targetSample: Long = 20000L,
+                      iters: Int = 5): PqCodebook = {
     val dsub = dim / m
+    val n = embeddings.count()
+    val mod = math.max(1L, n / targetSample)
+    val sample = embeddings
+      .filter(col("vec_id") % mod === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .orderBy("vec_id")
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "PQ codebook fit needs a nonempty corpus")
     val centers = (0 until m).map { j =>
-      val feat = embeddings.select(array_to_vector(
-        slice(col("embedding").cast("array<double>"), j * dsub + 1, dsub))
-        .as("fv"))
-      new KMeans().setK(k).setSeed(42L + j).setMaxIter(5)
-        .setFeaturesCol("fv").setPredictionCol("c").fit(feat)
-        .clusterCenters.toIndexedSeq.map(_.toArray.toSeq)
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      // init: first k DISTINCT subvectors in vec_id order
+      val init = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+      var pi = 0
+      while (init.length < k && pi < pts.length) {
+        if (seen.add(pts(pi).toSeq)) init += pts(pi).clone()
+        pi += 1
+      }
+      var cs = init.toArray
+      (1 to iters).foreach { _ =>
+        val sums = Array.fill(cs.length)(new Array[Double](dsub))
+        val cnts = new Array[Long](cs.length)
+        pts.foreach { p =>
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < cs.length) {
+            var d = 0.0
+            var i = 0
+            while (i < dsub) { val t = p(i) - cs(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < dsub) { sums(best)(i) += p(i); i += 1 }
+          cnts(best) += 1
+        }
+        cs = cs.indices.map { c =>
+          if (cnts(c) == 0) cs(c)
+          else Array.tabulate(dsub)(i => sums(c)(i) / cnts(c))
+        }.toArray
+      }
+      // degenerate corpora may yield < k distinct points — pad by
+      // repeating the last center so the packed-code width is stable
+      val padded = if (cs.length >= k) cs
+        else cs ++ Array.fill(k - cs.length)(cs.last.clone())
+      padded.toIndexedSeq.map(_.toSeq)
     }
     PqCodebook(m, k, dsub, centers)
   }
@@ -740,9 +793,15 @@ object VectorOps {
       col(s"s$j.code") * lit(1L << (4 * j))).reduce(_ + _)
     val errRaw = (0 until m).map(j => col(s"s$j.d")).reduce(_ + _) +
       dot(col("e"), col("e"))
-    withSubs.select(col("vec_id"), packed.as("pq_code"),
-      (errRaw * 1e6).cast("long").as("recon_err_micro"))
-      .orderBy("vec_id")
+    // r15: the codes table is a SHARED projection (sim_pq_topk scores
+    // over it; at deployment it is THE sunk artifact) — session
+    // file-cached like the graph/dedup projections, conf
+    // `spark.graft.pq.codesCache` (default ON; the plan-shape spec
+    // clones a conf-off session)
+    graft.plans.ProjectionCache("pq", "spark.graft.pq.codesCache",
+      withSubs.select(col("vec_id"), packed.as("pq_code"),
+        (errRaw * 1e6).cast("long").as("recon_err_micro"))
+        .orderBy("vec_id"))
   }
 
   /** `sim_pq_topk`: asymmetric-distance (ADC) top-k over the packed PQ

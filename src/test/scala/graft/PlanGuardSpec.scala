@@ -758,8 +758,13 @@ class PlanGuardSpec extends SparkSpec {
       // r15 wave
       ("agg_mutual_info", () => Aggs.mutualInfo(docs), "documents", 1),
       // codebook fit scans run at construction; the returned encode
-      // plan is one map-only pass over the corpus
-      ("emb_pq_encode", () => VectorOps.pqEncode(emb), "embeddings", 1),
+      // plan is one map-only pass over the corpus (conf-off clone: the
+      // r15 codes cache would swap in a cache-parquet scan)
+      ("emb_pq_encode", () => {
+        val s = spark.newSession()
+        s.conf.set("spark.graft.pq.codesCache", "false")
+        VectorOps.pqEncode(Tables.embeddings(s, sf()))
+      }, "embeddings", 1),
       ("sample_reservoir_group", () => CorpusOps.sampleReservoir(docs),
         "documents", 1),
       // enriched (shingles+sig) pin feeds band derivation + both
