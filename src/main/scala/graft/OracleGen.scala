@@ -32,9 +32,10 @@ object OracleGen {
   private def anyBandEq(nBands: Int, l: String, r: String): String =
     (0 until nBands).map(b => s"$l.bk_$b = $r.bk_$b").mkString(" OR ")
 
-  private val cosSql =
-    "list_dot_product(e.e, pv.pe) / " +
-      "(sqrt(list_dot_product(e.e, e.e)) * sqrt(list_dot_product(pv.pe, pv.pe)))"
+  // zero-norm-guarded like VectorOps.cosine (NULL, excluded/sorted-last
+  // on both engines) — see nullCos below; defined here as a lazy val so
+  // the LSH oracles can reference it before nullCos's declaration site
+  private lazy val cosSql = nullCos("e.e", "pv.pe")
 
   /** Oracle for `sim_ann_lsh` (probe vec_id = 0, k = 10, 6 bands × 4
     * bits — must track the VectorOps.annLsh defaults). */
@@ -103,8 +104,7 @@ object OracleGen {
        |    ON a.vec_id < b.vec_id AND (${anyBandEq(nBands, "a", "b")})),
        |scored AS (
        |  SELECT c.id_a, c.id_b,
-       |    round(list_dot_product(ea.e, eb.e) /
-       |      (sqrt(list_dot_product(ea.e, ea.e)) * sqrt(list_dot_product(eb.e, eb.e))), 6) AS cos
+       |    round(${nullCos("ea.e", "eb.e")}, 6) AS cos
        |  FROM cand c
        |  JOIN emb ea ON ea.vec_id = c.id_a
        |  JOIN emb eb ON eb.vec_id = c.id_b)""".stripMargin
@@ -156,6 +156,17 @@ object OracleGen {
       s"THEN -1.0 ELSE list_dot_product($a, $b) / " +
       s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END)"
 
+  /** `cos(a, b)` with the zero-norm guard pinned to NULL — tracks
+    * VectorOps.cosine exactly (r16, ADVICE r15: the raw division gave
+    * NaN in DuckDB, which compares greater than any τ and sorts first
+    * under DESC, where Spark's NULL is excluded by comparisons and
+    * sorts last). DuckDB's default null ordering is NULLS LAST, same
+    * as Spark's for DESC sorts, so ranking positions also agree. */
+  private def nullCos(a: String, b: String): String =
+    s"(CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) = 0 " +
+      s"THEN NULL ELSE list_dot_product($a, $b) / " +
+      s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END)"
+
   /** Shared IVF CTE chain over a `corpus(vec_id, embedding)` CTE already
     * in scope: centroid VALUES table → per-vector argmax-cosine cell
     * assignment (ties to the smallest cell — VectorOps.cellAssign's
@@ -184,12 +195,10 @@ object OracleGen {
        |pv AS (SELECT e AS pe FROM emb WHERE vec_id = 0),
        |topcells AS (
        |  SELECT cell FROM cents, pv
-       |  ORDER BY list_dot_product(c, pe) /
-       |    (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(pe, pe))) DESC, cell
+       |  ORDER BY ${nullCos("c", "pe")} DESC, cell
        |  LIMIT $nprobe),
        |scored AS (
-       |  SELECT a.vec_id, list_dot_product(e.e, pv.pe) /
-       |    (sqrt(list_dot_product(e.e, e.e)) * sqrt(list_dot_product(pv.pe, pv.pe))) AS rawcos
+       |  SELECT a.vec_id, ${nullCos("e.e", "pv.pe")} AS rawcos
        |  FROM asg a JOIN topcells USING (cell)
        |  JOIN emb e ON e.vec_id = a.vec_id, pv)
        |SELECT vec_id, round(rawcos, 6) AS cos FROM scored
@@ -206,13 +215,11 @@ object OracleGen {
        |  SELECT probe_id, cell FROM (
        |    SELECT pv.probe_id, cn.cell,
        |      row_number() OVER (PARTITION BY pv.probe_id
-       |        ORDER BY list_dot_product(cn.c, pv.pe) /
-       |          (sqrt(list_dot_product(cn.c, cn.c)) * sqrt(list_dot_product(pv.pe, pv.pe))) DESC,
+       |        ORDER BY ${nullCos("cn.c", "pv.pe")} DESC,
        |        cn.cell) AS crn
        |    FROM cents cn CROSS JOIN pv) z WHERE crn <= $nprobe),
        |scored AS (
-       |  SELECT p.probe_id, a.vec_id, list_dot_product(e.e, pv.pe) /
-       |    (sqrt(list_dot_product(e.e, e.e)) * sqrt(list_dot_product(pv.pe, pv.pe))) AS rawcos
+       |  SELECT p.probe_id, a.vec_id, ${nullCos("e.e", "pv.pe")} AS rawcos
        |  FROM asg a JOIN pcells p USING (cell)
        |  JOIN emb e ON e.vec_id = a.vec_id
        |  JOIN pv ON pv.probe_id = p.probe_id),
@@ -248,8 +255,7 @@ object OracleGen {
        |    ON x.cell = y.cell AND x.vec_id < y.vec_id
        |  JOIN emb ex ON ex.vec_id = x.vec_id
        |  JOIN emb ey ON ey.vec_id = y.vec_id
-       |  WHERE list_dot_product(ex.e, ey.e) /
-       |    (sqrt(list_dot_product(ex.e, ex.e)) * sqrt(list_dot_product(ey.e, ey.e))) >= $tau),
+       |  WHERE ${nullCos("ex.e", "ey.e")} >= $tau),
        |edges AS (
        |  SELECT id_a AS a, id_b AS b FROM vpairs
        |  UNION SELECT id_b, id_a FROM vpairs),
@@ -261,8 +267,7 @@ object OracleGen {
        |        FROM reach GROUP BY a),
        |sims AS (
        |  SELECT a.vec_id, a.cell,
-       |    round(list_dot_product(e.e, cn.c) /
-       |      (sqrt(list_dot_product(e.e, e.e)) * sqrt(list_dot_product(cn.c, cn.c))), 6)
+       |    round(${nullCos("e.e", "cn.c")}, 6)
        |      AS cos_centroid
        |  FROM asg a JOIN emb e ON e.vec_id = a.vec_id
        |  JOIN cents cn USING (cell)),
@@ -351,6 +356,43 @@ object OracleGen {
        |SELECT vec_id,
        |  CAST(trunc($adcChain * 1000000.0) AS BIGINT) AS adc_micro
        |FROM codes ORDER BY adc_micro ASC, vec_id LIMIT $kNn""".stripMargin
+  }
+
+  /** Oracle for `sim_pq_rerank` (r16): tier 1 replays [[pqTopKSql]]
+    * with kNn = topR for the survivor set (identical total order →
+    * identical set), tier 2 reranks survivors by exact guarded cosine —
+    * the sim_cosine_topk shape bounded to the survivors. Defaults must
+    * track VectorOps.pqRerank. */
+  def pqRerankSql(cb: graft.operators.VectorOps.PqCodebook,
+                  lut: IndexedSeq[Seq[Double]], kNn: Int = 10,
+                  topR: Int = 50): String = {
+    val surv = pqTopKSql(cb, lut, topR)
+    s"""WITH surv AS (SELECT vec_id FROM ($surv) s),
+       |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |pv AS (SELECT e AS pe FROM emb WHERE vec_id = 0),
+       |scored AS (
+       |  SELECT e.vec_id, ${nullCos("e.e", "pv.pe")} AS rawcos
+       |  FROM surv JOIN emb e USING (vec_id), pv)
+       |SELECT vec_id, round(rawcos, 6) AS cos FROM scored
+       |ORDER BY rawcos DESC, vec_id LIMIT $kNn""".stripMargin
+  }
+
+  /** Oracle for `retrieval_pq_recall` (r16): the recall_at_k
+    * composition over [[pqRerankSql]] vs the exact cosine top-k. */
+  def pqRecallSql(cb: graft.operators.VectorOps.PqCodebook,
+                  lut: IndexedSeq[Seq[Double]], kNn: Int = 10,
+                  topR: Int = 50): String = {
+    val rerank = pqRerankSql(cb, lut, kNn, topR)
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |pv AS (SELECT e AS pe FROM emb WHERE vec_id = 0),
+       |exact AS (
+       |  SELECT e.vec_id FROM emb e, pv
+       |  ORDER BY ${nullCos("e.e", "pv.pe")} DESC, e.vec_id LIMIT $kNn),
+       |two AS (SELECT vec_id FROM ($rerank) t)
+       |SELECT COUNT(*) AS n_exact, COUNT(t.vec_id) AS n_hit,
+       |  COUNT(t.vec_id) * 1000000 // COUNT(*) AS recall_micro
+       |FROM exact e LEFT JOIN two t USING (vec_id)
+       |ORDER BY n_exact""".stripMargin
   }
 
   // ---- simhash oracles ------------------------------------------------

@@ -72,7 +72,10 @@ object SparkEntry {
     // --- aggregations ---
     "agg_hash_group" -> ((s, d) => Aggs.hashGroup(Tables.lineitem(s, d))),
     "agg_distinct" -> ((s, d) => Aggs.distinctCounts(Tables.lineitem(s, d))),
-    "agg_approx_distinct" -> ((s, d) => Aggs.approxDistinct(Tables.events(s, d))),
+    // bound-verdict forms (r16): each engine verifies its OWN sketch
+    // against exact statistics it computes independently — flips the
+    // three sketch slugs from no-oracle to hash-compared (VERDICT r15 #1)
+    "agg_approx_distinct" -> ((s, d) => Aggs.approxDistinctVerified(Tables.events(s, d))),
     "agg_rollup" -> ((s, d) =>
       Aggs.rollupRegionNation(Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "agg_cube" -> ((s, d) => Aggs.cubeStatusPriority(Tables.orders(s, d))),
@@ -190,6 +193,10 @@ object SparkEntry {
     // ADC scoring; fitted codebook oracled via dynamicOracleSql
     "emb_pq_encode" -> ((s, d) => VectorOps.pqEncode(Tables.embeddings(s, d))),
     "sim_pq_topk" -> ((s, d) => VectorOps.pqTopK(Tables.embeddings(s, d))),
+    // r16: the production two-tier retrieval composition + its recall
+    // audit (VERDICT r15 #6b)
+    "sim_pq_rerank" -> ((s, d) => VectorOps.pqRerank(Tables.embeddings(s, d))),
+    "retrieval_pq_recall" -> ((s, d) => RetrievalOps.pqRecall(Tables.embeddings(s, d))),
     "emb_centroid_drift" -> ((s, d) => VectorOps.centroidDrift(Tables.embeddings(s, d))),
     "emb_dim_stats" -> ((s, d) => VectorOps.dimStats(Tables.embeddings(s, d))),
     "sample_hardneg" -> ((s, d) => VectorOps.hardNegatives(Tables.embeddings(s, d))),
@@ -233,7 +240,7 @@ object SparkEntry {
     "sample_rejection" -> ((s, d) => CorpusOps.sampleRejection(Tables.documents(s, d))),
     "text_tfidf_keywords" -> ((s, d) => TextOps.tfidfKeywords(Tables.documents(s, d))),
     "text_kn_bigram" -> ((s, d) => TextOps.knBigram(Tables.documents(s, d))),
-    "agg_heavy_hitters" -> ((s, d) => TextOps.heavyHitterWords(Tables.documents(s, d))),
+    "agg_heavy_hitters" -> ((s, d) => TextOps.heavyHittersVerified(Tables.documents(s, d))),
     "text_lm_score" -> ((s, d) => CorpusOps.lmScore(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => CorpusOps.repetition(Tables.documents(s, d))),
     "sample_mixture" -> ((s, d) => CorpusOps.sampleMixture(Tables.documents(s, d))),
@@ -241,7 +248,7 @@ object SparkEntry {
     "dedup_bloom_shard" -> ((s, d) => DedupOps.bloomShardFlags(Tables.documents(s, d))),
     "dedup_soft_weights" -> ((s, d) => DedupOps.softDedupWeights(Tables.documents(s, d))),
     "corpus_dsir_weights" -> ((s, d) => CorpusOps.dsirWeights(Tables.documents(s, d))),
-    "agg_hll_shards" -> ((s, d) => CorpusOps.hllShardDistinct(Tables.documents(s, d))),
+    "agg_hll_shards" -> ((s, d) => CorpusOps.hllShardDistinctVerified(Tables.documents(s, d))),
     "dedup_incremental" -> ((s, d) => CorpusOps.incrementalDedup(Tables.documents(s, d))),
     "filter_quality_quantile" -> ((s, d) =>
       CorpusOps.qualityQuantileFilter(Tables.documents(s, d))),
@@ -760,6 +767,51 @@ object SparkEntry {
         |  abs(r50 * 1000000 - 500000 * cnt) <= 10000 * cnt AS p50_in_bound,
         |  abs(r90 * 1000000 - 900000 * cnt) <= 10000 * cnt AS p90_in_bound
         |FROM r ORDER BY cnt""".stripMargin,
+
+    // bound-verdict sketch oracles (r16, VERDICT r15 #1 — the
+    // agg_stats_approx device): DuckDB verifies ITS OWN HLL against the
+    // exact distincts it recomputes; both engines emit true iff their
+    // sketch is within 5% (integer-exact ppm compare), and the hash
+    // compares exact counts + verdicts
+    "agg_approx_distinct" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  abs(approx_count_distinct(user_id) - count(DISTINCT user_id)) * 1000000
+        |    <= 50000 * count(DISTINCT user_id) AS est_in_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_hll_shards" ->
+      """WITH w AS (
+        |  SELECT lang,
+        |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+        |  FROM documents),
+        |shards AS (
+        |  SELECT lang, count(DISTINCT word) AS exact_distinct,
+        |         approx_count_distinct(word) AS est
+        |  FROM w GROUP BY lang
+        |  UNION ALL
+        |  SELECT '__all__' AS lang, count(DISTINCT word) AS exact_distinct,
+        |         approx_count_distinct(word) AS est
+        |  FROM w)
+        |SELECT lang, exact_distinct,
+        |  abs(est - exact_distinct) * 1000000 <= 50000 * exact_distinct AS est_in_bound
+        |FROM shards ORDER BY lang""".stripMargin,
+
+    // DuckDB 1.0 has no top-k sketch, so the verdict columns assert the
+    // Space-Saving THEOREM as constants while the exact top-k half is
+    // recomputed independently — a Spark sketch regression flips a
+    // Spark-computed verdict against the constant and hash-fails (see
+    // TextOps.heavyHittersVerified)
+    "agg_heavy_hitters" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+        |  FROM documents),
+        |c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+        |r AS (SELECT word, cnt,
+        |        CAST(row_number() OVER (ORDER BY cnt DESC, word) AS INTEGER) AS rnk
+        |      FROM c)
+        |SELECT rnk, word, cnt, TRUE AS in_sketch, TRUE AS err_in_bound
+        |FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
 
     "window_rank" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
@@ -4579,6 +4631,18 @@ object SparkEntry {
     * ContractSpec's source-layout dupe guard counts this block in the
     * oracle section, so a slug accidentally registered both statically
     * and dynamically trips it. */
+  /** The slugs [[dynamicOracleSql]] MUST cover — the fail-closed
+    * contract (r16, ADVICE r15): Verify compares the resolved map's
+    * keys against this list and emits an `error(...)`-raising oracle
+    * for any slug the resolution failed to produce, so a regression in
+    * the fitted-model family surfaces as a driver-gate FAILURE instead
+    * of silently shrinking the oracled count. ContractSpec pins the
+    * two declarations against each other. */
+  val dynamicOracleSlugs: Seq[String] = Seq(
+    "sim_ann_ivf", "sim_ann_ivf_batch", "dedup_semantic_ivf",
+    "emb_pca_top", "emb_pq_encode", "sim_pq_topk",
+    "sim_pq_rerank", "retrieval_pq_recall")
+
   def dynamicOracleSql(spark: SparkSession,
                        sfDir: String): Map[String, String] = {
     val emb = Tables.embeddings(spark, sfDir)
@@ -4594,6 +4658,8 @@ object SparkEntry {
       "dedup_semantic_ivf" -> OracleGen.semanticIvfSql(semCenters),
       "emb_pca_top" -> OracleGen.pcaTopSql(v, shift, math.round(lambda * 1e6)),
       "emb_pq_encode" -> OracleGen.pqEncodeSql(pqBook),
-      "sim_pq_topk" -> OracleGen.pqTopKSql(pqBook, pqLut))
+      "sim_pq_topk" -> OracleGen.pqTopKSql(pqBook, pqLut),
+      "sim_pq_rerank" -> OracleGen.pqRerankSql(pqBook, pqLut),
+      "retrieval_pq_recall" -> OracleGen.pqRecallSql(pqBook, pqLut))
   }
 }

@@ -66,14 +66,22 @@ object Verify {
     // dynamic entries (fitted-parameter oracles, r15): resolved with the
     // live session so the inlined literals are the exact model state the
     // queries' own runs used (cachedIvfIndex / deterministic pcaAxis).
-    // A failure here must not zero the 239 static oracles — warn + skip.
+    // FAIL-CLOSED (r16, ADVICE r15): a resolution failure must not zero
+    // the static oracles, but it must not silently shrink the gate
+    // either — every expected dynamic slug that did not resolve gets an
+    // `error(...)`-raising oracle, so DuckDB fails THAT slug and the
+    // driver records a failure instead of `no_oracle`.
     val dynamic =
       try SparkEntry.dynamicOracleSql(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[verify] dynamic oracles failed: ${e.getMessage}")
         Map.empty[String, String]
       }
-    writeOracleJson(outDir, dynamic)
+    val failClosed = SparkEntry.dynamicOracleSlugs.map { slug =>
+      slug -> dynamic.getOrElse(slug,
+        s"SELECT error('dynamic oracle for $slug failed to resolve at dump time')")
+    }.toMap
+    writeOracleJson(outDir, failClosed)
     spark.stop()
   }
 

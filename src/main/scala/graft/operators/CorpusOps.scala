@@ -1609,11 +1609,11 @@ object CorpusOps {
     * groups — each shard's sketch is a few KB, the union is
     * register-wise max (order-independent, so results are deterministic
     * for a given dataset), and the global estimate comes from the
-    * merged sketch without touching rows again. No oracle (declared ✗
-    * like the other sketches: DuckDB has no DataSketches HLL);
-    * RoundNineOpsSpec asserts each estimate within the configured
-    * relative error of the exact distinct and that the union dominates
-    * every shard. */
+    * merged sketch without touching rows again. Raw estimates are
+    * engine-specific (DuckDB has no DataSketches HLL); the REGISTRY
+    * slug uses [[hllShardDistinctVerified]] (r16). RoundNineOpsSpec
+    * asserts each estimate within the configured relative error of the
+    * exact distinct and that the union dominates every shard. */
   def hllShardDistinct(documents: DataFrame, lgConfigK: Int = 12): DataFrame = {
     val words = documents.select(col("lang"),
       explode(filter(split(lower(col("text")), " "), w => w =!= "")).as("word"))
@@ -1625,6 +1625,44 @@ object CorpusOps {
       .select(lit("__all__").as("lang"),
         hll_sketch_estimate(col("sk")).as("distinct_est"))
     shards.unionByName(global).orderBy("lang")
+  }
+
+  /** `agg_hll_shards`: BOUND-VERDICT registry form of
+    * [[hllShardDistinct]] (r16, VERDICT r15 #1 — the agg_stats_approx
+    * device): raw DataSketches estimates can never hash-match DuckDB's
+    * own HLL, but each engine verifies ITS OWN sketch — per shard AND
+    * for the merged union — against exact distinct counts it computes
+    * independently. Emits (lang, exact_distinct, est_in_bound) with the
+    * `__all__` row covering the union path (register-wise max merge on
+    * the Spark side; DuckDB re-sketches the full stream, which is what
+    * a sketch union must equal modulo its own error). Tolerance 5% ≈
+    * 3σ of lgK=12 DataSketches HLL (rse ≈ 1.04/√4096 ≈ 1.6%) and far
+    * above DuckDB's measured worst (1.07%); integer-exact compare.
+    *
+    * Scale shape: one word-explode scan feeds both the sketch agg and
+    * the exact distincts (two aggregates in one groupBy); the global
+    * exact distinct is the audit tier the slug pays for gate
+    * visibility — the sketch-only production form stays
+    * [[hllShardDistinct]] (spec-asserted). */
+  def hllShardDistinctVerified(documents: DataFrame, lgConfigK: Int = 12,
+                               tolPpm: Long = 50000L): DataFrame = {
+    val words = documents.select(col("lang"),
+      explode(filter(split(lower(col("text")), " "), w => w =!= "")).as("word"))
+    val perLang = words.groupBy("lang").agg(
+      hll_sketch_agg(col("word"), lit(lgConfigK)).as("sk"),
+      countDistinct(col("word")).as("exact_distinct"))
+    val shards = perLang.select(col("lang"), col("exact_distinct"),
+      hll_sketch_estimate(col("sk")).as("est"))
+    val globalExact = words.agg(countDistinct(col("word")).as("exact_distinct"))
+    val global = perLang.agg(hll_union_agg(col("sk")).as("sk"))
+      .select(hll_sketch_estimate(col("sk")).as("est"))
+      .crossJoin(broadcast(globalExact))
+      .select(lit("__all__").as("lang"), col("exact_distinct"), col("est"))
+    shards.unionByName(global)
+      .select(col("lang"), col("exact_distinct"),
+        (abs(col("est") - col("exact_distinct")) * lit(1000000L) <=
+          lit(tolPpm) * col("exact_distinct")).as("est_in_bound"))
+      .orderBy("lang")
   }
 
   /** `corpus_seqlen_hist`: sequence-length histogram in 64-token

@@ -264,14 +264,18 @@ object DedupOps {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
       .filter(col("jaccard") >= jaccardTau)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy("id_a", "id_b")
     // r15: the verified-pairs table is a SHARED projection — three
     // registry queries (near_minhash, minhash_clusters, dup_hist)
     // rebuilt this identical LSH pipeline per query at sf10. Routed
     // through the session file cache (the graph-family device): the
     // second consumer scans the tiny pairs parquet instead. Conf-off
     // restores the uncached plan (the plan-shape specs pin it).
+    // r16 (ADVICE r15): the projection is written UNSORTED and the
+    // terminal order re-applied AFTER the cache read — a parquet
+    // round-trip carries no row-order guarantee once the pairs span
+    // multiple part files (see ProjectionCache's ORDERING note).
     graft.plans.ProjectionCache("dedup", DedupPairsCache.ConfKey, pairs)
+      .orderBy("id_a", "id_b")
   }
 
   /** `dedup_simhash`: 64-bit SimHash fingerprints. Each token occurrence
@@ -620,15 +624,17 @@ object DedupOps {
                    maxDf: Int = 512): DataFrame =
     // r15: shared-projection cache — dedup_ngram_jaccard,
     // dedup_jaccard_clusters and pipeline_dedup_full's inner call
-    // rebuild this identical pair table (see nearMinhash's note)
+    // rebuild this identical pair table (see nearMinhash's note).
+    // r16: written unsorted, terminal order re-applied after the read
+    // (the nearMinhash ordering note).
     graft.plans.ProjectionCache("dedup", DedupPairsCache.ConfKey,
       shingleCandidates(documents, k, maxDf)
         .select(col("id_a"), col("id_b"),
           (col("inter").cast("double") /
             (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
         .filter(col("jaccard") >= tau)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy("id_a", "id_b"))
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard")))
+      .orderBy("id_a", "id_b")
 
   /** `dedup_ngram_containment`: asymmetric overlap — for each candidate
     * pair, |A∩B| / min(|A|,|B|): the SUBSET-duplicate detector. Jaccard

@@ -111,10 +111,25 @@ object GraphOps {
     // cust ids are even / supp ids odd, so no reversed pair collides.
     // The iteration joins consume this through ONE exchange that AQE
     // reuses across iterations (ReusedExchange).
-    val edges = co.select(explode(array(
+    val edges0 = co.select(explode(array(
         struct(col("a"), col("b")),
         struct(col("b").as("a"), col("a").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
+    // r16 experiment (VERDICT r15 #5): optionally materialize the
+    // SYMMETRIZED 16-byte pairs once per session (ProjectionCache) so
+    // each iteration scans a flat parquet instead of re-running the
+    // explode above the directed pin. DEFAULT OFF after measuring at
+    // sf10 (docs/BENCH_NOTES.md round-16): the per-iteration cost is
+    // the exchange on `a`, not the explode — the cached variant
+    // measured no faster and pays a ~2 GB build write; kept as a knob
+    // because on a real cluster a shared-FS edge artifact can replace
+    // the pin for MULTI-SESSION reuse, which no block cache covers.
+    val edges =
+      if (orders.sparkSession.conf
+          .get("spark.graft.graph.symEdgesCache", "false").toBoolean)
+        graft.plans.ProjectionCache(
+          "gsym", "spark.graft.graph.symEdgesCache", edges0)
+      else edges0
     val deg = graft.plans.PlanPins.lazyPin(
       edges.groupBy("a").agg(count(lit(1)).as("deg"))
         .withColumnRenamed("a", "node"))

@@ -954,12 +954,43 @@ object Aggs {
         countDistinct(col("l_partkey")).as("part_cnt"))
       .orderBy("l_returnflag")
 
-  /** `agg_approx_distinct`: HLL++ — constant memory per group at any scale,
-    * vs the exact version's per-group key set. No oracle (approximate). */
+  /** HLL++ distinct estimate per group — constant memory per group at
+    * any scale, vs the exact version's per-group key set. The raw
+    * estimates are engine-specific; the REGISTRY slug uses
+    * [[approxDistinctVerified]] (r16). */
   def approxDistinct(events: DataFrame): DataFrame =
     events
       .groupBy("event_type")
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .orderBy("event_type")
+
+  /** `agg_approx_distinct`: BOUND-VERDICT registry form of
+    * [[approxDistinct]] (r16, VERDICT r15 #1 — the
+    * [[statsApproxVerified]] device): raw HLL estimates are
+    * engine-specific (Spark's HLL++ vs DuckDB's HLL can never
+    * hash-match), but each engine can verify ITS OWN sketch against the
+    * exact distinct count it also computes. Emits per group the exact
+    * count (cross-checked by the oracle's independent exact count) plus
+    * "my estimate is within tolPpm of exact" — integer-exact
+    * (|est − exact|·10⁶ ≤ tol·exact). Tolerance 5% = 5σ of Spark's
+    * configured rsd (0.01) and ~3σ of DuckDB's HLL (measured worst
+    * 1.07% on this data), so a pass is deterministic for any
+    * functioning sketch and a real regression flips the verdict.
+    *
+    * Scale shape: one groupBy computing both aggregates — the exact
+    * countDistinct is the audit tier this slug pays for gate
+    * visibility; the sketch-only production form stays
+    * [[approxDistinct]] (spec-asserted). */
+  def approxDistinctVerified(events: DataFrame,
+                             tolPpm: Long = 50000L): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.01).as("est"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) * lit(1000000L) <=
+          lit(tolPpm) * col("exact_users")).as("est_in_bound"))
       .orderBy("event_type")
 
   /** `agg_rollup`: hierarchical totals region→nation (+ grand total).

@@ -171,6 +171,37 @@ object RetrievalOps {
       .orderBy("probe_id")
   }
 
+  /** `retrieval_pq_recall`: recall@k of the two-tier PQ retrieval
+    * ([[graft.operators.VectorOps.pqRerank]] — ADC survivors + exact
+    * rerank) against the exact cosine ground truth
+    * ([[graft.operators.VectorOps.cosineTopK]]) — the audit row every
+    * PQ deployment publishes next to its index (r16, VERDICT r15 #6b:
+    * the recall_at_k device applied to the PQ tier). Emits one row:
+    * (n_exact, n_hit, recall_micro) in exact integer micro-units.
+    *
+    * Oracled exactly despite auditing an "approximate" tier: both
+    * sides are deterministic (fitted codebook literals + total
+    * tie-break orders), each is oracled on its own, and this is a pure
+    * composition — the dynamic oracle composes their generated SQL
+    * ([[graft.OracleGen.pqRecallSql]]).
+    *
+    * Scale shape: both retriever plans keep their audited shapes; the
+    * metric joins two k-row tables and collapses to one row.
+    * scan-guard: exempt (pure composition of sim_cosine_topk and
+    * sim_pq_rerank, each guarded on its own; the joined frames are
+    * k-row) */
+  def pqRecall(embeddings: DataFrame, kNn: Int = 10,
+               topR: Int = 50): DataFrame = {
+    val exact = VectorOps.cosineTopK(embeddings, 0L, kNn).select(col("vec_id"))
+    val two = VectorOps.pqRerank(embeddings, 0L, kNn, topR)
+      .select(col("vec_id"), lit(1).as("hit"))
+    exact.join(two, Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+      .select(col("n_exact"), col("n_hit"),
+        expr("n_hit * 1000000 DIV n_exact").as("recall_micro"))
+      .orderBy("n_exact")
+  }
+
   /** Position-discount weights for NDCG@k in exact integer micro-units:
     * w(i) = round(10^6 / log2(i + 1)). Computed ONCE here and shipped as
     * the same integer literals to both engines (the ewmaWeights device —

@@ -379,11 +379,12 @@ object TextOps {
     * when key cardinality itself is the bottleneck (billions of distinct
     * urls/domains/grams at 100 TB: the exact form shuffles one row per
     * DISTINCT key; the sketch shuffles `capacity` counters per
-    * partition, period). No oracle (declared ✗ like
-    * `agg_approx_distinct`: counter assignment under eviction is
-    * partition-order-dependent); RoundEightOpsSpec asserts the sketch's
-    * actual guarantees against the exact counts — overestimate-only,
-    * err ≤ n/capacity, no false negatives above n/capacity. */
+    * partition, period). Counter values under eviction are
+    * partition-order-dependent, so the raw sketch rows stay unoracled;
+    * the REGISTRY slug uses [[heavyHittersVerified]] (r16).
+    * RoundEightOpsSpec asserts the sketch's actual guarantees against
+    * the exact counts — overestimate-only, err ≤ n/capacity, no false
+    * negatives above n/capacity. */
   def heavyHitterWords(documents: DataFrame, capacity: Int = 64,
                        topK: Int = 10): DataFrame =
     documents
@@ -392,6 +393,60 @@ object TextOps {
       .select(graft.functions.SpaceSaving.heavyHitters(col("word"), capacity).as("hh"))
       .select(explode(slice(col("hh"), 1, topK)).as("h"))
       .select(col("h._1").as("word"), col("h._2").as("est"), col("h._3").as("err"))
+
+  /** `agg_heavy_hitters`: BOUND-VERDICT registry form of
+    * [[heavyHitterWords]] (r16, VERDICT r15 #1): Space-Saving counter
+    * values are partition-order-dependent, so the sketch rows
+    * themselves can never hash-compare — but the sketch's GUARANTEES
+    * are theorems, checkable against exact counts. Emits the exact
+    * top-k words (count desc, word asc — both engines derive them
+    * independently, so the exact half is fully cross-checked) plus two
+    * Spark-verified verdicts per word:
+    *   - `in_sketch`: the word appears among the sketch's counters —
+    *     asserted only above the n/capacity frequency threshold, where
+    *     Metwally et al. prove membership (below it the verdict is
+    *     vacuously true);
+    *   - `err_in_bound`: if present, overestimate-only with
+    *     est − exact ≤ n/capacity (integer-exact: (est−cnt)·cap ≤ n;
+    *     the merged-sketch bound Σ per-partition minCounts ≤ n/cap
+    *     holds because Σ nₚ = n).
+    * DuckDB 1.0 ships no top-k sketch, so its oracle asserts the
+    * theorem side as constants (TRUE) and independently recomputes the
+    * exact half — a Spark sketch regression flips a verdict against
+    * the oracle's TRUE and fails the hash; an exact-count regression
+    * fails on the cross-checked columns.
+    *
+    * Scale shape: the exact word count is the audit tier (same
+    * distinct-key shuffle as `text_wordcount`; top-k via TakeOrdered,
+    * no global sort); the sketch side shuffles `capacity` counters per
+    * partition; the rank window runs over topK rows. */
+  def heavyHittersVerified(documents: DataFrame, capacity: Int = 64,
+                           topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = documents
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val exact = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val tot = exact.agg(sum(col("cnt")).as("n"))
+    val sketch = words
+      .select(graft.functions.SpaceSaving.heavyHitters(col("word"), capacity).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h._1").as("word"), col("h._2").as("est"))
+    val topExact = exact.orderBy(col("cnt").desc, col("word")).limit(topK)
+    val w = Window.orderBy(col("cnt").desc, col("word"))
+    val belowThreshold = col("cnt") * lit(capacity.toLong) <= col("n")
+    topExact
+      .join(broadcast(sketch), Seq("word"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("rnk", row_number().over(w))
+      .select(col("rnk"), col("word"), col("cnt"),
+        (col("est").isNotNull || belowThreshold).as("in_sketch"),
+        when(col("est").isNotNull,
+          col("est") >= col("cnt") &&
+            (col("est") - col("cnt")) * lit(capacity.toLong) <= col("n"))
+          .otherwise(belowThreshold).as("err_in_bound"))
+      .orderBy("rnk")
+  }
 
   def tfidfKeywords(documents: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window

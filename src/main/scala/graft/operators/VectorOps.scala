@@ -656,8 +656,15 @@ object VectorOps {
   }
 
   /** `sim_ann_ivf_batch`: the IVF analog of [[annLshBatch]] — cached
-    * index, one batched probe pass. No oracle (KMeans cells); ScalaTest
-    * asserts per-probe recall vs the exact batch baseline. */
+    * index, one batched probe pass. DYNAMICALLY oracled since r15
+    * ([[graft.OracleGen.simAnnIvfBatchSql]] via
+    * [[graft.SparkEntry.dynamicOracleSql]]): the fitted centroids
+    * inline as SQL literals and DuckDB replays cell assignment, probe
+    * ranking and scoring — so the defaults here (nProbes, k, nlist,
+    * nprobe) MUST stay in lockstep with what simAnnIvfBatchSql
+    * generates; change them together or the gate hash-splits. ScalaTest
+    * additionally asserts per-probe recall vs the exact batch
+    * baseline. */
   def annIvfBatch(embeddings: DataFrame, nProbes: Int = 5, k: Int = 10,
                   nlist: Int = 8, nprobe: Int = 4): DataFrame = {
     val index = cachedIvfIndex(embeddings, nlist)
@@ -784,7 +791,22 @@ object VectorOps {
     * carries |c|² − 2x_j·c). Map-only over one corpus scan; the
     * fitted centers ride the plan as literals (cluster-safe — no
     * driver-state closure). scan-guard: emb_pq_encode */
-  def pqEncode(embeddings: DataFrame, m: Int = 8, k: Int = 16): DataFrame = {
+  def pqEncode(embeddings: DataFrame, m: Int = 8, k: Int = 16): DataFrame =
+    // terminal display order re-applied AFTER the cache read (r16;
+    // ADVICE r15 + VERDICT r15 #4): the cached files carry no order
+    // guarantee, and dropping the pre-write corpus-wide sort cuts the
+    // cold build — order-insensitive consumers (pqTopK's ADC scoring)
+    // read [[pqCodes]] directly and never pay this sort.
+    pqCodes(embeddings, m, k).orderBy("vec_id")
+
+  /** The UNSORTED PQ codes projection — one row per vector: packed
+    * codes + reconstruction error. r15: a SHARED projection
+    * (sim_pq_topk/sim_pq_rerank score over it; at deployment it is THE
+    * sunk artifact) — session file-cached like the graph/dedup
+    * projections, conf `spark.graft.pq.codesCache` (default ON; the
+    * plan-shape spec clones a conf-off session). */
+  private[graft] def pqCodes(embeddings: DataFrame, m: Int = 8,
+                             k: Int = 16): DataFrame = {
     val cb = cachedPqCodebook(embeddings, m, k)
     val withSubs = embeddings.select(
       col("vec_id") +: col("embedding").as("e") +:
@@ -793,15 +815,9 @@ object VectorOps {
       col(s"s$j.code") * lit(1L << (4 * j))).reduce(_ + _)
     val errRaw = (0 until m).map(j => col(s"s$j.d")).reduce(_ + _) +
       dot(col("e"), col("e"))
-    // r15: the codes table is a SHARED projection (sim_pq_topk scores
-    // over it; at deployment it is THE sunk artifact) — session
-    // file-cached like the graph/dedup projections, conf
-    // `spark.graft.pq.codesCache` (default ON; the plan-shape spec
-    // clones a conf-off session)
     graft.plans.ProjectionCache("pq", "spark.graft.pq.codesCache",
       withSubs.select(col("vec_id"), packed.as("pq_code"),
-        (errRaw * 1e6).cast("long").as("recon_err_micro"))
-        .orderBy("vec_id"))
+        (errRaw * 1e6).cast("long").as("recon_err_micro")))
   }
 
   /** `sim_pq_topk`: asymmetric-distance (ADC) top-k over the packed PQ
@@ -842,7 +858,7 @@ object VectorOps {
   def pqTopK(embeddings: DataFrame, probeId: Long = 0L, kNn: Int = 10,
              m: Int = 8, k: Int = 16): DataFrame = {
     val lut = pqProbeLut(embeddings, probeId, m, k)
-    val codes = pqEncode(embeddings, m, k).select("vec_id", "pq_code")
+    val codes = pqCodes(embeddings, m, k).select("vec_id", "pq_code")
     val adc = (0 until m).map { j =>
       element_at(typedlit(lut(j)),
         (shiftright(col("pq_code"), 4 * j).bitwiseAND(lit(15L)) + 1)
@@ -851,6 +867,36 @@ object VectorOps {
     codes.select(col("vec_id"), (adc * 1e6).cast("long").as("adc_micro"))
       .orderBy(col("adc_micro").asc, col("vec_id"))
       .limit(kNn)
+  }
+
+  /** `sim_pq_rerank`: the production two-tier retrieval plan (r16,
+    * VERDICT r15 #6b) — PQ ADC over the 8-byte codes selects `topR`
+    * survivors, then EXACT cosine reranks the survivors to the final
+    * top-k. This is the composition PQ exists for at 100 TB: tier 1
+    * touches only the codes projection (the sunk artifact — m table
+    * lookups per candidate, never a float fold); tier 2 touches full
+    * vectors for just `topR` rows (a broadcast semi-join id filter at
+    * scan speed, then a 1-row probe crossJoin — the cosineTopK shape
+    * bounded to topR instead of the corpus). Recall is audited by
+    * `retrieval_pq_recall` ([[graft.operators.RetrievalOps.pqRecall]]),
+    * the recall_at_k device.
+    *
+    * Dynamically oracled ([[graft.OracleGen.pqRerankSql]]): the
+    * survivor set replays through the codebook+LUT literals, the rerank
+    * through the same guarded-cosine SQL as sim_cosine_topk — defaults
+    * here (kNn, topR, m, k) must stay in lockstep with the generator.
+    * scan-guard: sim_pq_rerank */
+  def pqRerank(embeddings: DataFrame, probeId: Long = 0L, kNn: Int = 10,
+               topR: Int = 50, m: Int = 8, k: Int = 16): DataFrame = {
+    val survivors = pqTopK(embeddings, probeId, topR, m, k).select("vec_id")
+    val probe = embeddings.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("probe"))
+    embeddings.join(broadcast(survivors), Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), cosine(col("embedding"), col("probe")).as("rawcos"))
+      .orderBy(col("rawcos").desc, col("vec_id"))
+      .limit(kNn)
+      .select(col("vec_id"), round(col("rawcos"), 6).as("cos"))
   }
 
   /** Re-ingestion corpus for the oracled embedding near-dup queries:

@@ -19,9 +19,25 @@ import org.apache.spark.sql.DataFrame
   * (`ColumnBridge.releaseAllCheckpoints` — the Bench/Verify ownership
   * contract), so a block-backed cache would be evicted between the
   * queries it exists to serve. A parquet sink has no block lifecycle:
-  * each query's plan just SCANS it, and every cached projection is
-  * O(10³-10⁵) rows at any measured SF, so the read is trivially cheap
-  * and splittable on a real cluster's shared FS.
+  * each query's plan just SCANS it. Most projections are tiny
+  * (thresholded pair/edge lists, O(10³-10⁵) rows at any measured SF);
+  * two members are CORPUS-sized but byte-thin — the PQ codes table
+  * (16 bytes/vector: id + packed code, ~3% of the embedding table's
+  * width) and the bipartite edge list (two 8-byte keys/edge) — so even
+  * their reads are a small fraction of the scan the projection saves,
+  * and the parquet is splittable on a real cluster's shared FS.
+  *
+  * ORDERING: the cache carries NO row-order guarantee — parquet read
+  * order follows split packing (descending file size), not write
+  * order, once a projection spans multiple part files. Callers whose
+  * REGISTRY output is the projection itself (emb_pq_encode,
+  * dedup_near_minhash, dedup_ngram_jaccard) must therefore write the
+  * projection UNSORTED and re-apply their terminal `orderBy` AFTER the
+  * cache read (r16, ADVICE r15: the pre-write sort silently held only
+  * while small-SF writes coalesced to one file — and skipping it also
+  * removes a corpus-wide sort from the PQ cold build). Non-terminal
+  * consumers (cluster closure, dup_hist, ADC scoring) are
+  * order-insensitive and scan the files as-is.
   *
   * Key = session identity + a typed-operator-safe semantic plan hash +
   * the input-file modification snapshot (an in-place corpus rewrite
@@ -50,6 +66,17 @@ private[graft] object ProjectionCache {
 
   private[graft] def entryCount: Int = dirs.size()
 
+  /** Cache directories owned by `spark` under `tag` — the ordering
+    * spec's hook: it counts part files to prove the multi-file case is
+    * actually exercised. */
+  private[graft] def dirsFor(
+      spark: org.apache.spark.sql.SparkSession, tag: String): Seq[String] = {
+    val prefix = s"${System.identityHashCode(spark)}:$tag"
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    dirs.forEach((k, v) => if (k.startsWith(prefix)) out += v)
+    out.toSeq
+  }
+
   /** Entries owned by `spark` (keys are session-identity-prefixed) —
     * the specs' counter: suites run in parallel and, with caches on by
     * default, OTHER suites' constructions move the global count; a
@@ -65,13 +92,27 @@ private[graft] object ProjectionCache {
     n
   }
 
+  /** Strong content key: MD5 over the scrubbed canonical treeString
+    * plus every leaf's own canonical treeString (r16, ADVICE r15: the
+    * previous 32-bit String.hashCode pair made a silent wrong-rows
+    * collision possible within a session; a 128-bit digest over the
+    * full canonical text has no practical collision path). treeString
+    * elides LocalRelation DATA, so the leaves are folded in at full
+    * depth — without them two different in-memory toy inputs collide
+    * (the r15 spec-caught defect). */
   private def planKey(pairs: DataFrame): String = {
     val canon = pairs.queryExecution.analyzed.canonicalized
-    val shape = canon.treeString
+    val scrubbed = canon.treeString
       .replaceAll("lambdavariable\\([^)]*\\)", "lambdavariable(#)")
-      .hashCode
-    val leaves = canon.collectLeaves().map(_.hashCode()).hashCode
-    s"$shape.$leaves"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(scrubbed.getBytes("UTF-8"))
+    canon.collectLeaves().foreach { l =>
+      md.update(l.canonicalized.treeString.getBytes("UTF-8"))
+      // LocalRelation treeString elides rows; its canonical hashCode
+      // covers the data the text elides
+      md.update(java.nio.ByteBuffer.allocate(4).putInt(l.hashCode()).array())
+    }
+    md.digest().map("%02x".format(_)).mkString
   }
 
   /** Route `pairs` through the session's file cache under `tag`,

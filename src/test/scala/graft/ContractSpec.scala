@@ -20,6 +20,12 @@ class ContractSpec extends SparkSpec {
       s"dynamic oracle without query: ${dyn -- SparkEntry.queries.keySet}")
     assert((dyn & SparkEntry.oracleSql.keySet).isEmpty,
       s"slug registered both statically and dynamically: ${dyn & SparkEntry.oracleSql.keySet}")
+    // fail-closed coverage pin (r16): the static slug list Verify uses
+    // to backfill error-raising oracles must be exactly what the
+    // resolver produces — a slug added to one side only is either a
+    // silent coverage hole or a spurious gate failure
+    assert(dyn == SparkEntry.dynamicOracleSlugs.toSet,
+      s"dynamicOracleSlugs out of sync: list-only=${SparkEntry.dynamicOracleSlugs.toSet -- dyn} resolver-only=${dyn -- SparkEntry.dynamicOracleSlugs.toSet}")
   }
 
   test("every query analyzes and yields rows at sf0.001") {

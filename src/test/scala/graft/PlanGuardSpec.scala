@@ -765,6 +765,14 @@ class PlanGuardSpec extends SparkSpec {
         s.conf.set("spark.graft.pq.codesCache", "false")
         VectorOps.pqEncode(Tables.embeddings(s, sf()))
       }, "embeddings", 1),
+      // r16: two-tier retrieval — tier-1 codes pass (1, conf-off; the
+      // cache swaps it for a cache-parquet scan), the survivor-filtered
+      // rerank corpus pass (1), and the 1-row pushdown probe scan (1)
+      ("sim_pq_rerank", () => {
+        val s = spark.newSession()
+        s.conf.set("spark.graft.pq.codesCache", "false")
+        VectorOps.pqRerank(Tables.embeddings(s, sf()))
+      }, "embeddings", 3),
       ("sample_reservoir_group", () => CorpusOps.sampleReservoir(docs),
         "documents", 1),
       // enriched (shingles+sig) pin feeds band derivation + both
