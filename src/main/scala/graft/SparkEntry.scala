@@ -401,6 +401,11 @@ object SparkEntry {
       CorpusOps.cdcApply(Tables.documents(s, d))),
     "sim_hamming_topk" -> ((s, d) =>
       VectorOps.hammingTopK(Tables.embeddings(s, d))),
+    // incremental maintenance: the co-purchase projection folded from
+    // whole-order appends; the oracle is the FULL REBUILD, so the hash
+    // match is the append ≡ rebuild proof (VERDICT r15 #6a)
+    "graph_copurchase_incr" -> ((s, d) =>
+      GraphOps.coPurchaseIncremental(Tables.lineitem(s, d))),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -4585,6 +4590,17 @@ object SparkEntry {
         |  FROM d)
         |SELECT probe_id, vec_id, hamming, rn FROM r
         |WHERE rn <= 10 ORDER BY probe_id, rn""".stripMargin,
+
+    // the FULL REBUILD of the co-purchase pair-support projection — the
+    // engine side folds 4 whole-order append batches through
+    // mergePairSupport, so hash equality IS append ≡ rebuild
+    "graph_copurchase_incr" ->
+      """SELECT a.l_partkey AS a, b.l_partkey AS b,
+        |  COUNT(DISTINCT a.l_orderkey) AS support
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2
+        |ORDER BY 1, 2""".stripMargin,
   )
 
   /** DuckDB oracle for `text_langid`, generated from

@@ -1,0 +1,146 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{ArrayType, LongType, StructType}
+
+import graft.operators.GraphOps
+import graft.sources.BusProvider
+
+/** Incremental maintenance of the co-purchase pair-support projection
+  * under bus appends — the lakehouse "maintain the materialized view"
+  * twin of [[graft.plans.ProjectionCache]] (VERDICT r15 #6a). The batch
+  * engine builds the projection by scanning the whole corpus
+  * ([[GraphOps.coPurchaseEdges]]); a deployment that ingests orders
+  * continuously should not rebuild a 100 TB scan per day when each
+  * append touches only its own baskets. This runner subscribes to an
+  * order-append topic and folds each micro-batch into a versioned
+  * parquet STATE table via [[GraphOps.mergePairSupport]]: per append it
+  * pays one basket pair fan over the delta plus one O(|state| + |delta|)
+  * merge shuffle — never the historical corpus.
+  *
+  * Message contract: ONE message per complete order —
+  * `{"l_orderkey": …, "parts": […]}`. Pair support is additive over
+  * disjoint order sets, so whole-order message granularity is exactly
+  * what makes append ≡ rebuild hold (an order's pairs enter the state
+  * once, with no cross-message basket splits). Publisher duplicates are
+  * the producer's contract ([[graft.sources.Bus.publishIdempotent]]);
+  * REPLAYED micro-batches (crash between state commit and checkpoint)
+  * are absorbed here: Structured Streaming replays a batch under the
+  * SAME batchId with the same offset range, and [[applyBatch]] skips any
+  * batchId at or below the state pointer — the idempotent-foreachBatch
+  * pattern, which upgrades the source's at-least-once to exactly-once
+  * state maintenance.
+  *
+  * State layout: `stateDir/v{batchId}` parquet versions plus an
+  * atomically-replaced `_current` pointer file (temp + ATOMIC_MOVE).
+  * Readers ([[currentState]]) resolve the pointer and scan one version —
+  * a crash mid-write leaves a dangling unreferenced version dir, never a
+  * torn state. A real lakehouse would swap the pointer file for a table
+  * format's transaction log; the shape (immutable versions + atomic
+  * pointer) is the same.
+  *
+  * Append ≡ rebuild is proven twice: ProjectionMaintenanceSpec replays
+  * order streams (multi-batch, duplicate batchId) against the batch
+  * rebuild, and the `graph_copurchase_incr` registry slug hash-matches
+  * the same fold against a DuckDB full rebuild in the driver gate.
+  */
+final class ProjectionMaintenance(
+    spark: SparkSession,
+    subscription: String,
+    stateDir: String,
+    checkpointDir: String,
+    bulkLimit: Int = 1000,
+    busSpec: String = "memory") {
+
+  import ProjectionMaintenance._
+
+  /** bytes → {l_orderkey, parts} via the default JSON serde. */
+  private val serde = JsonSerde(new StructType()
+    .add("l_orderkey", LongType)
+    .add("parts", ArrayType(LongType)))
+
+  /** Largest batchId already folded into the state (-1 = empty). */
+  private[streaming] def lastApplied(): Long = {
+    val p = Paths.get(stateDir, PointerFile)
+    if (Files.exists(p)) Files.readString(p).trim.toLong else -1L
+  }
+
+  /** The maintained pair-support table as of the last committed batch
+    * (empty with the right schema before the first append). */
+  def currentState(): DataFrame = {
+    val last = lastApplied()
+    if (last < 0) {
+      import spark.implicits._
+      Seq.empty[(Long, Long, Long)].toDF("a", "b", "support")
+    } else spark.read.parquet(s"$stateDir/v$last")
+  }
+
+  /** Fold one append batch (complete orders) into the state. Exposed
+    * for the spec's direct replay test; the streaming query calls it
+    * per micro-batch. Skips already-applied batchIds (replay after
+    * crash-before-checkpoint re-runs the same id). */
+  private[streaming] def applyBatch(orders: DataFrame, batchId: Long): Unit = {
+    if (batchId <= lastApplied()) return
+    // explode the basket messages back to lineitem shape and run the
+    // SAME pairSupport the batch rebuild uses — one code path, so the
+    // spec's append ≡ rebuild equality is structural, not coincidental
+    val delta = GraphOps.pairSupport(
+      orders.select(col("l_orderkey"),
+        explode(col("parts")).as("l_partkey")))
+    val merged = GraphOps.mergePairSupport(currentState(), delta)
+    merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    commitPointer(batchId)
+  }
+
+  private def commitPointer(batchId: Long): Unit = {
+    val dir = Paths.get(stateDir)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".$PointerFile.tmp")
+    Files.writeString(tmp, batchId.toString)
+    Files.move(tmp, dir.resolve(PointerFile),
+      StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Start maintaining. `availableNow = true` drains the backlog and
+    * stops — the catch-up/backfill mode; the default keeps consuming.
+    * Ack-on-commit mirrors [[Pipeline.start]]: the subscription's acked
+    * prefix advances only after the batch's state version and the
+    * checkpoint are both durable. */
+  def start(availableNow: Boolean = false): StreamingQuery = {
+    val src = spark.readStream
+      .format(BusProvider.format)
+      .option("subscription", subscription)
+      .option("bus", busSpec)
+      .option("bulkLimit", bulkLimit)
+      .load()
+      .withColumn("payload", serde.deserialize(col("value")))
+      .select(col("payload.l_orderkey").as("l_orderkey"),
+        col("payload.parts").as("parts"))
+    val ackListener = new AckOnCommitListener(spark, subscription, busSpec)
+    spark.streams.addListener(ackListener)
+    val q = try {
+      src.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .trigger(if (availableNow) Trigger.AvailableNow()
+                 else Trigger.ProcessingTime(0))
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          applyBatch(batch, batchId)
+        }
+        .start()
+    } catch {
+      case e: Throwable => spark.streams.removeListener(ackListener); throw e
+    }
+    ackListener.bind(q.runId)
+    q
+  }
+}
+
+object ProjectionMaintenance {
+  private[streaming] val PointerFile = "_current"
+}
