@@ -390,21 +390,15 @@ object GraphOps {
       buf
     }
 
+  // defined via pairSupport (ADVICE r16: the two build pipelines were
+  // verbatim copies and could drift) — same plan tree as before, so the
+  // GraphProjectionCache semanticHash key is unaffected
   private[operators] def coPurchaseEdges(lineitem: DataFrame,
-                                         minSupport: Int): DataFrame = {
-    val spark = lineitem.sparkSession
-    import spark.implicits._
-    val pairs = lineitem
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-      .select(col("parts")).as[Array[Long]]
-      .mapPartitions(basketPairFan)
-      .toDF("a", "b")
-      .groupBy("a", "b").agg(count(lit(1)).as("support"))
-      .filter(col("support") >= minSupport)
-      .select("a", "b")
-    GraphProjectionCache(pairs)
-  }
+                                         minSupport: Int): DataFrame =
+    GraphProjectionCache(
+      pairSupport(lineitem)
+        .filter(col("support") >= minSupport)
+        .select("a", "b"))
 
   /** UNthresholded co-purchase pair support over a lineitem slice —
     * the maintainable STATE form of [[coPurchaseEdges]]'s projection:
@@ -456,7 +450,15 @@ object GraphOps {
     * Cost shape: nBatches basket aggregates (each over its slice — the
     * union of slices scans the corpus once in total per level) +
     * nBatches merges of O(|pairs|); honest for a replayed history,
-    * and exactly what the streaming twin pays per micro-batch. */
+    * and exactly what the streaming twin pays per micro-batch. The
+    * replay's nBatches slice scans are pinned by the scan-count guard
+    * (VERDICT r16 #3) so the fold cost can't silently double; per-batch
+    * merge row/duration stamps live at the streaming twin
+    * ([[graft.streaming.ProjectionMaintenance]]'s applyBatch, where the
+    * merged version is already materialized and the count is a parquet-
+    * footer read) — stamping the lazy fold here would re-execute each
+    * corpus-sized level once more per stamp.
+    * scan-guard: graph_copurchase_incr */
   def coPurchaseIncremental(lineitem: DataFrame, nBatches: Int = 4,
                             minSupport: Int = 2): DataFrame = {
     val batches = (0 until nBatches).map(b =>

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -40,9 +39,15 @@ import graft.sources.BusProvider
   * atomically-replaced `_current` pointer file (temp + ATOMIC_MOVE).
   * Readers ([[currentState]]) resolve the pointer and scan one version —
   * a crash mid-write leaves a dangling unreferenced version dir, never a
-  * torn state. A real lakehouse would swap the pointer file for a table
+  * torn state. Committed versions older than the `keepVersions` most
+  * recent are GC'd after each commit (ADVICE r16: without retention a
+  * long-running maintainer accrues one full state copy per batch); a
+  * `_query_id` identity file pins the state to its checkpoint so a
+  * deleted/replaced checkpoint (whose batchIds restart at 0) fails
+  * loudly at [[start]] instead of silently skipping every new append as
+  * a replay. A real lakehouse would swap the pointer file for a table
   * format's transaction log; the shape (immutable versions + atomic
-  * pointer) is the same.
+  * pointer + retention + lineage identity) is the same.
   *
   * Append ≡ rebuild is proven twice: ProjectionMaintenanceSpec replays
   * order streams (multi-batch, duplicate batchId) against the batch
@@ -55,7 +60,8 @@ final class ProjectionMaintenance(
     stateDir: String,
     checkpointDir: String,
     bulkLimit: Int = 1000,
-    busSpec: String = "memory") {
+    busSpec: String = "memory",
+    keepVersions: Int = 2) {
 
   import ProjectionMaintenance._
 
@@ -89,12 +95,21 @@ final class ProjectionMaintenance(
     // explode the basket messages back to lineitem shape and run the
     // SAME pairSupport the batch rebuild uses — one code path, so the
     // spec's append ≡ rebuild equality is structural, not coincidental
+    val t0 = System.nanoTime()
     val delta = GraphOps.pairSupport(
       orders.select(col("l_orderkey"),
         explode(col("parts")).as("l_partkey")))
     val merged = GraphOps.mergePairSupport(currentState(), delta)
     merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
     commitPointer(batchId)
+    // the merge-cost stamp (VERDICT r16 #3): rows come from the parquet
+    // footers of the version just written — a metadata-only count, never
+    // a re-execution of the merge plan
+    val rows = spark.read.parquet(s"$stateDir/v$batchId").count()
+    Console.err.println(
+      f"[projection-maintenance] batch $batchId: merged state rows $rows " +
+        f"(${(System.nanoTime() - t0) / 1e9}%.2f s)")
+    pruneVersions(batchId)
   }
 
   private def commitPointer(batchId: Long): Unit = {
@@ -107,12 +122,93 @@ final class ProjectionMaintenance(
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Retention GC (ADVICE r16): after a successful commit, delete state
+    * versions older than the `keepVersions` most recent committed ones.
+    * Without this a long-running maintainer accrues one full state copy
+    * per micro-batch — O(|state|) write amplification is inherent to the
+    * copy-on-write version scheme (that's the price of atomic readers),
+    * but RETAINING every version is not. Versions NEWER than the pointer
+    * are never touched (a crash-orphaned in-flight write, or a concurrent
+    * committer's work). keepVersions >= 2 leaves the previous version for
+    * readers that resolved the pointer just before the commit. */
+  private def pruneVersions(committed: Long): Unit = {
+    val dir = Paths.get(stateDir)
+    if (!Files.isDirectory(dir)) return
+    val versioned = Files.list(dir).iterator()
+    val old = scala.collection.mutable.ArrayBuffer.empty[(Long, java.nio.file.Path)]
+    versioned.forEachRemaining { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("v") && n.drop(1).forall(_.isDigit))
+        old += ((n.drop(1).toLong, p))
+    }
+    old.filter(_._1 <= committed).sortBy(-_._1).drop(keepVersions)
+      .foreach { case (_, p) =>
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+      }
+  }
+
   /** Start maintaining. `availableNow = true` drains the backlog and
     * stops — the catch-up/backfill mode; the default keeps consuming.
     * Ack-on-commit mirrors [[Pipeline.start]]: the subscription's acked
     * prefix advances only after the batch's state version and the
     * checkpoint are both durable. */
+  /** The streaming-query id recorded in the checkpoint's metadata file
+    * (None for a fresh checkpoint). Structured Streaming assigns one id
+    * per checkpoint and keeps it across restarts; a deleted/replaced
+    * checkpoint gets a NEW id and restarts batchIds at 0. */
+  private[streaming] def checkpointQueryId(): Option[String] = {
+    val p = Paths.get(checkpointDir, "metadata")
+    if (!Files.exists(p)) None
+    else """"id"\s*:\s*"([^"]+)"""".r
+      .findFirstMatchIn(Files.readString(p)).map(_.group(1))
+  }
+
+  /** Checkpoint-identity guard (ADVICE r16): the replay guard in
+    * [[applyBatch]] assumes the checkpoint and the state dir advance
+    * together. If the checkpoint is deleted or replaced while the state
+    * persists, batchIds restart at 0 and every new append would be
+    * silently skipped as "stale" — data loss with no symptom. The state
+    * dir therefore records the query id of the checkpoint it was built
+    * under, and a mismatch (or a fresh checkpoint against a non-empty
+    * state) fails LOUDLY before the stream starts. */
+  private def guardCheckpointIdentity(): Unit = {
+    val idFile = Paths.get(stateDir, IdentityFile)
+    val stored =
+      if (Files.exists(idFile)) Some(Files.readString(idFile).trim) else None
+    (stored, checkpointQueryId()) match {
+      case (Some(s), Some(c)) if s != c =>
+        throw new IllegalStateException(
+          s"state dir $stateDir was built under checkpoint query id $s " +
+            s"but $checkpointDir belongs to query id $c — a replaced " +
+            "checkpoint restarts batchIds at 0 and the replay guard " +
+            "would silently drop every new append. Point the maintainer " +
+            "at the original checkpoint, or start a fresh state dir.")
+      case (Some(s), None) if lastApplied() >= 0 =>
+        throw new IllegalStateException(
+          s"state dir $stateDir (built under checkpoint query id $s) is " +
+            s"non-empty but $checkpointDir has no metadata — the " +
+            "checkpoint was deleted or replaced; refusing to start with " +
+            "batchIds reset to 0 (every new append would be silently " +
+            "skipped as stale).")
+      case _ => ()
+    }
+  }
+
+  private def persistIdentity(queryId: String): Unit = {
+    val dir = Paths.get(stateDir)
+    Files.createDirectories(dir)
+    val idFile = dir.resolve(IdentityFile)
+    if (!Files.exists(idFile)) {
+      val tmp = dir.resolve(s".$IdentityFile.tmp")
+      Files.writeString(tmp, queryId)
+      Files.move(tmp, idFile, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   def start(availableNow: Boolean = false): StreamingQuery = {
+    guardCheckpointIdentity()
     val src = spark.readStream
       .format(BusProvider.format)
       .option("subscription", subscription)
@@ -137,10 +233,14 @@ final class ProjectionMaintenance(
       case e: Throwable => spark.streams.removeListener(ackListener); throw e
     }
     ackListener.bind(q.runId)
+    // q.id IS the checkpoint's persistent query id (Spark writes it to
+    // checkpointDir/metadata at first start and reuses it after)
+    persistIdentity(q.id.toString)
     q
   }
 }
 
 object ProjectionMaintenance {
   private[streaming] val PointerFile = "_current"
+  private[streaming] val IdentityFile = "_query_id"
 }

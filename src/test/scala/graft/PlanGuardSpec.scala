@@ -775,6 +775,12 @@ class PlanGuardSpec extends SparkSpec {
       }, "embeddings", 3),
       ("sample_reservoir_group", () => CorpusOps.sampleReservoir(docs),
         "documents", 1),
+      // r17 (VERDICT r16 #3): the incremental fold's honest replay cost
+      // is exactly nBatches(=4) pushdown-filtered slice scans — one
+      // corpus pass in total per fold level; an accidental extra
+      // consumer of a level would double it silently without this row
+      ("graph_copurchase_incr", () => GraphOps.coPurchaseIncremental(li),
+        "lineitem", 4),
       // enriched (shingles+sig) pin feeds band derivation + both
       // reattach sides: one corpus scan inside the pin
       ("dedup_minhash_calibration",

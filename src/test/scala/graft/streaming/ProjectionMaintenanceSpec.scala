@@ -66,7 +66,7 @@ class ProjectionMaintenanceSpec extends SparkSpec {
     val m = new ProjectionMaintenance(spark, sub, stateDir, ckptDir,
       bulkLimit = 4)
     val q = m.start(availableNow = true)
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000), "AvailableNow drain timed out")
     assert(m.lastApplied() >= 2,
       s"expected >= 3 micro-batches, got last batchId ${m.lastApplied()}")
     assert(stateRows(m) == rebuild(orders))
@@ -111,6 +111,64 @@ class ProjectionMaintenanceSpec extends SparkSpec {
     m.applyBatch(b0, batchId = 0L) // stale id after a later commit
     assert(stateRows(m) == committed)
     assert(m.lastApplied() == 1L)
+  }
+
+  test("version GC: only keepVersions committed versions survive a multi-batch fold") {
+    val (stateDir, ckptDir) = freshDirs()
+    val m = new ProjectionMaintenance(spark, "unused-sub", stateDir, ckptDir,
+      keepVersions = 2)
+    orders.grouped(3).zipWithIndex.foreach { case (chunk, i) =>
+      m.applyBatch(
+        chunk.map { case (o, ps) => (o, ps) }.toDF("l_orderkey", "parts"),
+        batchId = i.toLong)
+    }
+    // 4 batches committed; retention keeps v2 + v3, prunes v0/v1
+    import scala.jdk.CollectionConverters._
+    val vdirs = Files.list(java.nio.file.Paths.get(stateDir)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.matches("v\\d+")).toSet
+    assert(vdirs == Set("v2", "v3"), s"retention kept $vdirs")
+    // the surviving pointer target still reads to exactly the rebuild
+    assert(stateRows(m) == rebuild(orders))
+  }
+
+  test("a replaced/deleted checkpoint against a non-empty state fails loudly (ADVICE r16)") {
+    val id = java.util.UUID.randomUUID().toString.take(8)
+    val topic = s"pmid-in-$id"; val sub = s"pmid-sub-$id"
+    InMemoryBus.createTopic(topic)
+    InMemoryBus.createSubscription(topic, sub)
+    orders.take(6).foreach { case (o, ps) =>
+      InMemoryBus.publish(topic,
+        s"""{"l_orderkey":$o,"parts":[${ps.mkString(",")}]}""".getBytes(UTF_8))
+    }
+    val (stateDir, ckptA) = freshDirs()
+    val m1 = new ProjectionMaintenance(spark, sub, stateDir, ckptA,
+      bulkLimit = 100)
+    val q1 = m1.start(availableNow = true)
+    assert(q1.awaitTermination(60000), "AvailableNow drain timed out")
+    assert(m1.lastApplied() >= 0)
+    // (a) checkpoint DELETED and recreated empty: batchIds would restart
+    // at 0 and every new append would be skipped as a replay — must throw
+    val ckptFresh = Files.createTempDirectory("pm-ckpt-fresh-").toString
+    val m2 = new ProjectionMaintenance(spark, sub, stateDir, ckptFresh)
+    val eFresh = intercept[IllegalStateException](m2.start(availableNow = true))
+    assert(eFresh.getMessage.contains("deleted or replaced"))
+    // (b) checkpoint REPLACED by a different query's: ids mismatch — throw
+    val otherSub = s"pmid-other-$id"
+    InMemoryBus.createSubscription(topic, otherSub)
+    val (otherState, ckptB) = freshDirs()
+    val mOther = new ProjectionMaintenance(spark, otherSub, otherState, ckptB,
+      bulkLimit = 100)
+    val qB = mOther.start(availableNow = true)
+    assert(qB.awaitTermination(60000), "AvailableNow drain timed out")
+    val m3 = new ProjectionMaintenance(spark, sub, stateDir, ckptB)
+    val eSwap = intercept[IllegalStateException](m3.start(availableNow = true))
+    assert(eSwap.getMessage.contains("belongs to query id"))
+    // the ORIGINAL pairing still starts clean (the guard has no false
+    // positive on the happy path)
+    val m4 = new ProjectionMaintenance(spark, sub, stateDir, ckptA,
+      bulkLimit = 100)
+    val q4 = m4.start(availableNow = true)
+    assert(q4.awaitTermination(60000), "AvailableNow drain timed out")
   }
 
   test("graph_copurchase_incr: the batched fold equals the one-shot rebuild") {
