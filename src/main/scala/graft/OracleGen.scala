@@ -395,6 +395,66 @@ object OracleGen {
        |ORDER BY n_exact""".stripMargin
   }
 
+  /** Oracle for `sim_ann_ivfpq` (r17, VERDICT r16 #2) — the composed
+    * IVF+PQ ladder replayed over three literal sets: the IVF centers
+    * route to `nprobe` cells (the simAnnIvfSql device), ADC over the
+    * routed cells' packed codes selects `topR` survivors (the pqTopKSql
+    * device restricted by the assignment join), and exact guarded
+    * cosine reranks (the pqRerankSql tier 2). Defaults must track
+    * VectorOps.annIvfPq. */
+  def ivfPqSql(centers: Seq[Seq[Double]],
+               cb: graft.operators.VectorOps.PqCodebook,
+               lut: IndexedSeq[Seq[Double]], nprobe: Int = 4,
+               kNn: Int = 10, topR: Int = 50): String = {
+    val pq = pqEncodeSql(cb)
+    val adcChain = (0 until cb.m).map { j =>
+      s"list_extract(${lut(j).mkString("[", ",", "]")}::DOUBLE[], " +
+        s"CAST(((pq_code >> ${4 * j}) & 15) + 1 AS INTEGER))"
+    }.mkString("(", " + ", ")")
+    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+       |${ivfCtes(centers)},
+       |codes AS (SELECT vec_id, pq_code FROM ($pq) z),
+       |pv AS (SELECT e AS pe FROM emb WHERE vec_id = 0),
+       |topcells AS (
+       |  SELECT cell FROM cents, pv
+       |  ORDER BY ${nullCos("c", "pe")} DESC, cell
+       |  LIMIT $nprobe),
+       |routed AS (
+       |  SELECT c.vec_id, c.pq_code
+       |  FROM codes c JOIN asg a ON a.vec_id = c.vec_id
+       |  JOIN topcells t ON t.cell = a.cell),
+       |surv AS (
+       |  SELECT vec_id FROM (
+       |    SELECT vec_id,
+       |      CAST(trunc($adcChain * 1000000.0) AS BIGINT) AS adc_micro
+       |    FROM routed) r
+       |  ORDER BY adc_micro ASC, vec_id LIMIT $topR),
+       |scored AS (
+       |  SELECT e.vec_id, ${nullCos("e.e", "pv.pe")} AS rawcos
+       |  FROM surv JOIN emb e USING (vec_id), pv)
+       |SELECT vec_id, round(rawcos, 6) AS cos FROM scored
+       |ORDER BY rawcos DESC, vec_id LIMIT $kNn""".stripMargin
+  }
+
+  /** Oracle for `retrieval_ivfpq_recall` (r17): the recall_at_k
+    * composition over [[ivfPqSql]] vs the exact cosine top-k. */
+  def ivfPqRecallSql(centers: Seq[Seq[Double]],
+                     cb: graft.operators.VectorOps.PqCodebook,
+                     lut: IndexedSeq[Seq[Double]], nprobe: Int = 4,
+                     kNn: Int = 10, topR: Int = 50): String = {
+    val two = ivfPqSql(centers, cb, lut, nprobe, kNn, topR)
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |pv AS (SELECT e AS pe FROM emb WHERE vec_id = 0),
+       |exact AS (
+       |  SELECT e.vec_id FROM emb e, pv
+       |  ORDER BY ${nullCos("e.e", "pv.pe")} DESC, e.vec_id LIMIT $kNn),
+       |two AS (SELECT vec_id FROM ($two) t)
+       |SELECT COUNT(*) AS n_exact, COUNT(t.vec_id) AS n_hit,
+       |  COUNT(t.vec_id) * 1000000 // COUNT(*) AS recall_micro
+       |FROM exact e LEFT JOIN two t USING (vec_id)
+       |ORDER BY n_exact""".stripMargin
+  }
+
   // ---- simhash oracles ------------------------------------------------
   // The simhash token hash is a codepoint polynomial mod 2³¹−1 expanded
   // to 64 bits by four pinned multiplicative mixers

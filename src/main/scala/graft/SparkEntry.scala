@@ -144,6 +144,12 @@ object SparkEntry {
     "dedup_exact_hash" -> ((s, d) => DedupOps.exactByHash(Tables.documents(s, d))),
     "dedup_exact_normalized" -> ((s, d) => DedupOps.exactNormalized(Tables.documents(s, d))),
     "dedup_near_minhash" -> ((s, d) => DedupOps.nearMinhash(Tables.documents(s, d))),
+    // r17 (VERDICT r16 #1): the pair table built by incremental
+    // maintenance — 4 document appends fold into the signature store;
+    // the oracle is the FULL-PIPELINE REBUILD, so hash equality proves
+    // append ≡ rebuild
+    "dedup_minhash_incr" -> ((s, d) =>
+      DedupOps.nearMinhashIncremental(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => DedupOps.simhash(Tables.documents(s, d))),
     "dedup_simhash_pairs" -> ((s, d) => DedupOps.simhashPairs(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccard(Tables.documents(s, d))),
@@ -197,6 +203,12 @@ object SparkEntry {
     // audit (VERDICT r15 #6b)
     "sim_pq_rerank" -> ((s, d) => VectorOps.pqRerank(Tables.embeddings(s, d))),
     "retrieval_pq_recall" -> ((s, d) => RetrievalOps.pqRecall(Tables.embeddings(s, d))),
+    // r17 (VERDICT r16 #2): the ANN ladder's top tier — IVF cell routing
+    // + per-cell ADC + exact rerank (the FAISS-IVFPQ production plan),
+    // plus its recall audit vs exact
+    "sim_ann_ivfpq" -> ((s, d) => VectorOps.annIvfPq(Tables.embeddings(s, d))),
+    "retrieval_ivfpq_recall" -> ((s, d) =>
+      RetrievalOps.ivfPqRecall(Tables.embeddings(s, d))),
     "emb_centroid_drift" -> ((s, d) => VectorOps.centroidDrift(Tables.embeddings(s, d))),
     "emb_dim_stats" -> ((s, d) => VectorOps.dimStats(Tables.embeddings(s, d))),
     "sample_hardneg" -> ((s, d) => VectorOps.hardNegatives(Tables.embeddings(s, d))),
@@ -2635,6 +2647,10 @@ object SparkEntry {
     // replays the full LSH pipeline exactly (round 5: 2 more of the
     // no-oracle family flip to hash-oracled)
     "dedup_near_minhash" -> OracleGen.nearMinhashSql(),
+    // r17: the incremental fold is checked against the FULL-PIPELINE
+    // REBUILD — the same generated SQL as dedup_near_minhash — so the
+    // driver's hash match IS the append ≡ rebuild proof
+    "dedup_minhash_incr" -> OracleGen.nearMinhashSql(),
     "dedup_minhash_calibration" -> OracleGen.minhashCalibrationSql(),
     "dedup_minhash_clusters" -> OracleGen.minhashClustersSql(),
     "corpus_dup_hist" -> OracleGen.clusterSizeHistSql(),
@@ -4657,7 +4673,8 @@ object SparkEntry {
   val dynamicOracleSlugs: Seq[String] = Seq(
     "sim_ann_ivf", "sim_ann_ivf_batch", "dedup_semantic_ivf",
     "emb_pca_top", "emb_pq_encode", "sim_pq_topk",
-    "sim_pq_rerank", "retrieval_pq_recall")
+    "sim_pq_rerank", "retrieval_pq_recall",
+    "sim_ann_ivfpq", "retrieval_ivfpq_recall")
 
   def dynamicOracleSql(spark: SparkSession,
                        sfDir: String): Map[String, String] = {
@@ -4676,6 +4693,11 @@ object SparkEntry {
       "emb_pq_encode" -> OracleGen.pqEncodeSql(pqBook),
       "sim_pq_topk" -> OracleGen.pqTopKSql(pqBook, pqLut),
       "sim_pq_rerank" -> OracleGen.pqRerankSql(pqBook, pqLut),
-      "retrieval_pq_recall" -> OracleGen.pqRecallSql(pqBook, pqLut))
+      "retrieval_pq_recall" -> OracleGen.pqRecallSql(pqBook, pqLut),
+      // r17: the composed IVF+PQ tier — routing cells, codebooks and
+      // the probe LUT all inline as literals
+      "sim_ann_ivfpq" -> OracleGen.ivfPqSql(annCenters, pqBook, pqLut),
+      "retrieval_ivfpq_recall" ->
+        OracleGen.ivfPqRecallSql(annCenters, pqBook, pqLut))
   }
 }

@@ -217,53 +217,22 @@ object DedupOps {
     * the planted near-dup pairs are found. */
   def nearMinhash(documents: DataFrame, shingleK: Int = 3, nHashes: Int = 32,
                   rowsPerBand: Int = 4, jaccardTau: Double = 0.7): DataFrame = {
-    val nBands = nHashes / rowsPerBand
     // compiled custom expressions (graft.functions.ShingleExpressions):
     // the pure-HOF formulation is interpreted per element and profiled
-    // ~10s at sf0.1; one compiled pass per row is ~100× cheaper
-    val sh = documents
-      .select(col("doc_id"),
-        ShingleExpressions.shingleHashes(lower(col("text")), shingleK).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val sig = sh.select(
-      col("doc_id"),
-      ShingleExpressions.minHashSignature(col("sh"), nHashes).as("sig"))
-    // banded rows carry ONLY (band-key, doc_id): the candidate self-join
-    // shuffles two longs per row, never the shingle arrays. The band key
-    // is a polynomial fold of the band's lanes mod P (not the round-4
-    // xxhash64, which no other engine reproduces) — the piece that makes
-    // the whole pipeline SQL-oracleable (OracleGen.nearMinhashSql).
-    val P = graft.functions.ShingleExpressions.P
-    def bandKey(b: Int): Column =
-      (0 until rowsPerBand).foldLeft(lit(17L): Column) { (acc, j) =>
-        pmod(acc * lit(1009L) +
-          element_at(col("sig"), b * rowsPerBand + j + 1), lit(P))
-      }
-    val banded = sig.select(
-      col("doc_id"),
-      explode(
-        array((0 until nBands).map(b =>
-          struct(lit(b).as("band"), bandKey(b).as("bh"))): _*)).as("bk"))
+    // ~10s at sf0.1; one compiled pass per row is ~100× cheaper.
+    // r17: the stages are the SHARED helpers (shingleSets →
+    // minhashSignatures → minhashBanded → verifyJaccard) so the
+    // incremental maintainer ([[nearMinhashIncremental]], the streaming
+    // twin) folds appends through the IDENTICAL kernels — append ≡
+    // rebuild is structural, not two pipelines kept in sync by hand.
+    val sh = shingleSets(documents, shingleK)
+    val sig = minhashSignatures(sh, nHashes)
+    val banded = minhashBanded(sig, nHashes, rowsPerBand)
     val cand = banded.select(col("bk"), col("doc_id").as("id_a"))
       .join(banded.select(col("bk"), col("doc_id").as("id_b")), Seq("bk"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // verification re-attaches shingle sets via joins keyed on doc_id.
-    // The corpus-sized `sh` relation is deliberately NOT broadcast (at
-    // 100 TB that materializes the corpus on the driver and every
-    // executor — OOM); the candidate-pair side is the small one — by
-    // default AQE decides its strategy at runtime, and the
-    // spark.graft.dedup.reattach knob (see [[reattachHint]]) can force
-    // either way at the 100 TB margin.
-    val pairs = reattachHint(
-      reattachHint(cand)
-        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a"))
-      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-      .filter(col("jaccard") >= jaccardTau)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    val pairs = verifyJaccard(cand, sh, jaccardTau)
     // r15: the verified-pairs table is a SHARED projection — three
     // registry queries (near_minhash, minhash_clusters, dup_hist)
     // rebuilt this identical LSH pipeline per query at sf10. Routed
@@ -276,6 +245,159 @@ object DedupOps {
     // multiple part files (see ProjectionCache's ORDERING note).
     graft.plans.ProjectionCache("dedup", DedupPairsCache.ConfKey, pairs)
       .orderBy("id_a", "id_b")
+  }
+
+  /** Word-shingle hash sets per document — stage 1 of the minhash
+    * pipeline: one compiled pass per row; empty-shingle docs (shorter
+    * than k words) drop out here on every path. */
+  private[graft] def shingleSets(documents: DataFrame,
+                                 shingleK: Int): DataFrame =
+    documents
+      .select(col("doc_id"),
+        ShingleExpressions.shingleHashes(lower(col("text")), shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** MinHash signatures over shingle sets — stage 2, map-only. */
+  private[graft] def minhashSignatures(sh: DataFrame,
+                                       nHashes: Int): DataFrame =
+    sh.select(
+      col("doc_id"),
+      ShingleExpressions.minHashSignature(col("sh"), nHashes).as("sig"))
+
+  /** Banded LSH keys — stage 3: banded rows carry ONLY (band-key,
+    * doc_id), so the candidate join shuffles two longs per row, never
+    * the shingle arrays. The band key is a polynomial fold of the
+    * band's lanes mod P (not the round-4 xxhash64, which no other
+    * engine reproduces) — the piece that makes the whole pipeline
+    * SQL-oracleable (OracleGen.nearMinhashSql). */
+  private[graft] def minhashBanded(sig: DataFrame, nHashes: Int,
+                                   rowsPerBand: Int): DataFrame = {
+    val nBands = nHashes / rowsPerBand
+    val P = graft.functions.ShingleExpressions.P
+    def bandKey(b: Int): Column =
+      (0 until rowsPerBand).foldLeft(lit(17L): Column) { (acc, j) =>
+        pmod(acc * lit(1009L) +
+          element_at(col("sig"), b * rowsPerBand + j + 1), lit(P))
+      }
+    sig.select(
+      col("doc_id"),
+      explode(
+        array((0 until nBands).map(b =>
+          struct(lit(b).as("band"), bandKey(b).as("bh"))): _*)).as("bk"))
+  }
+
+  /** Exact-Jaccard verification of candidate pairs — stage 4:
+    * re-attaches shingle sets via joins keyed on doc_id. The
+    * corpus-sized `sh` relation is deliberately NOT broadcast (at
+    * 100 TB that materializes the corpus on the driver and every
+    * executor — OOM); the candidate-pair side is the small one — by
+    * default AQE decides its strategy at runtime, and the
+    * spark.graft.dedup.reattach knob (see [[reattachHint]]) can force
+    * either way at the 100 TB margin. */
+  private[graft] def verifyJaccard(cand: DataFrame, sh: DataFrame,
+                                   jaccardTau: Double): DataFrame =
+    reattachHint(
+      reattachHint(cand)
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= jaccardTau)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** The enriched per-document minhash state row — (doc_id, sh, sig):
+    * everything the incremental maintainer must retain per document.
+    * `sh` (the shingle hash set) is kept because verification is EXACT
+    * Jaccard — the signature alone only estimates it; this is the
+    * signature-store shape a production LSH dedup service sinks. */
+  private[graft] def minhashEnriched(documents: DataFrame,
+                                     shingleK: Int = 3,
+                                     nHashes: Int = 32): DataFrame = {
+    val sh = shingleSets(documents, shingleK)
+    sh.select(col("doc_id"), col("sh"),
+      ShingleExpressions.minHashSignature(col("sh"), nHashes).as("sig"))
+  }
+
+  /** One maintenance step for the minhash verified-pairs projection:
+    * the NEW pairs contributed by an append `delta` against the sunk
+    * signature store — band keys of the delta join against band keys of
+    * (store ∪ delta), so only pairs with ≥ 1 delta member are generated
+    * (old-old pairs are already in the pairs state and are never
+    * re-derived). Candidates canonicalize to id_a < id_b and dedup
+    * across band collisions exactly like the rebuild; verification runs
+    * the SAME [[verifyJaccard]] kernel over the union store. Because
+    * batches partition documents, a pair's later-arriving member
+    * assigns it to exactly one append — appended pair sets are disjoint
+    * and their union IS the rebuild's pair set (hash-proven by the
+    * `dedup_minhash_incr` driver oracle, which is the full-pipeline
+    * DuckDB rebuild).
+    *
+    * Cost per append at 100 TB: one map pass over the delta (shingle +
+    * sign), one band-key join of delta-bands vs state-bands (shuffle
+    * keyed on (band, bh) — O(|delta| + |state|) rows of two longs), and
+    * a verification join bounded by the candidate count — never a
+    * rebuild of the historical corpus's pair pipeline. */
+  private[graft] def deltaMinhashPairs(store: Option[DataFrame],
+                                       delta: DataFrame,
+                                       nHashes: Int = 32,
+                                       rowsPerBand: Int = 4,
+                                       jaccardTau: Double = 0.7): DataFrame = {
+    val all = store.map(_.unionAll(delta)).getOrElse(delta)
+    val bandedDelta = minhashBanded(delta, nHashes, rowsPerBand)
+    val bandedAll = minhashBanded(all, nHashes, rowsPerBand)
+    val cand = bandedDelta.select(col("bk"), col("doc_id").as("id_x"))
+      .join(bandedAll.select(col("bk"), col("doc_id").as("id_y")), Seq("bk"))
+      .filter(col("id_x") =!= col("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+      .distinct()
+    verifyJaccard(cand, all.select("doc_id", "sh"), jaccardTau)
+  }
+
+  /** `dedup_minhash_incr`: the minhash near-dup pair table built by
+    * INCREMENTAL MAINTENANCE instead of one rebuild (VERDICT r16 #1 —
+    * the r16 co-purchase device generalized to the dedup pair state,
+    * which is the highest-frequency real-user append path: daily crawl
+    * shards folding into a sunk signature store). The corpus arrives as
+    * `nBatches` document appends (doc d rides batch `doc_id % nBatches`)
+    * and each append folds through [[deltaMinhashPairs]]: delta band
+    * keys join the accumulated signature store, new pairs union into
+    * the pairs state. The DRIVER ORACLE is the FULL-PIPELINE REBUILD
+    * (OracleGen.nearMinhashSql over all of documents), so the gate's
+    * hash match IS append ≡ rebuild at sf0.01; the streaming twin
+    * ([[graft.streaming.MinhashMaintenance]]) replays the same fold
+    * from bus messages under crash/replay.
+    *
+    * Cost shape: each append pays one map pass over its slice (the
+    * pinned enriched projection — the union of slices scans the corpus
+    * once in total) plus band joins of O(|state| + |delta|) banded rows
+    * per level; honest for a replayed history, and exactly what the
+    * streaming maintainer pays per micro-batch.
+    * scan-guard: dedup_minhash_incr */
+  def nearMinhashIncremental(documents: DataFrame, nBatches: Int = 4,
+                             shingleK: Int = 3, nHashes: Int = 32,
+                             rowsPerBand: Int = 4,
+                             jaccardTau: Double = 0.7): DataFrame = {
+    // each append's enriched projection is pinned: it is consumed by
+    // its own band join, by every later level's store side, and by the
+    // verify re-attach — unpinned, the shingle kernel would re-run per
+    // consumer per level (the graph_triangles O(consumers) scan blowup)
+    val appends = (0 until nBatches).map { b =>
+      graft.plans.PlanPins.lazyPin(
+        minhashEnriched(
+          documents.filter(pmod(col("doc_id"), lit(nBatches)) === b),
+          shingleK, nHashes))
+    }
+    var store: Option[DataFrame] = None
+    var pairs: Option[DataFrame] = None
+    appends.foreach { delta =>
+      val newPairs =
+        deltaMinhashPairs(store, delta, nHashes, rowsPerBand, jaccardTau)
+      store = Some(store.map(_.unionAll(delta)).getOrElse(delta))
+      pairs = Some(pairs.map(_.unionAll(newPairs)).getOrElse(newPairs))
+    }
+    pairs.get.orderBy("id_a", "id_b")
   }
 
   /** `dedup_simhash`: 64-bit SimHash fingerprints. Each token occurrence

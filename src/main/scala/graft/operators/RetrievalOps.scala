@@ -202,6 +202,29 @@ object RetrievalOps {
       .orderBy("n_exact")
   }
 
+  /** `retrieval_ivfpq_recall`: the recall@k audit for the composed
+    * IVF+PQ tier (r17 — the pqRecall device applied to
+    * [[VectorOps.annIvfPq]]): unlike the flat-PQ audit, a miss here can
+    * also come from cell routing (the true neighbor's cell not probed),
+    * so this row prices the full production ladder's recall, not just
+    * quantization loss. Both retrievers are deterministic and oracled
+    * on their own; this is a pure composition ([[graft.OracleGen
+    * .ivfPqRecallSql]]).
+    * scan-guard: exempt (pure composition of sim_cosine_topk and
+    * sim_ann_ivfpq, each guarded on its own; the joined frames are
+    * k-row) */
+  def ivfPqRecall(embeddings: DataFrame, kNn: Int = 10,
+                  topR: Int = 50): DataFrame = {
+    val exact = VectorOps.cosineTopK(embeddings, 0L, kNn).select(col("vec_id"))
+    val two = VectorOps.annIvfPq(embeddings, 0L, kNn, topR)
+      .select(col("vec_id"), lit(1).as("hit"))
+    exact.join(two, Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+      .select(col("n_exact"), col("n_hit"),
+        expr("n_hit * 1000000 DIV n_exact").as("recall_micro"))
+      .orderBy("n_exact")
+  }
+
   /** Position-discount weights for NDCG@k in exact integer micro-units:
     * w(i) = round(10^6 / log2(i + 1)). Computed ONCE here and shipped as
     * the same integer literals to both engines (the ewmaWeights device —

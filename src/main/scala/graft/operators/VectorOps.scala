@@ -855,16 +855,22 @@ object VectorOps {
     }
   }
 
-  def pqTopK(embeddings: DataFrame, probeId: Long = 0L, kNn: Int = 10,
-             m: Int = 8, k: Int = 16): DataFrame = {
-    val lut = pqProbeLut(embeddings, probeId, m, k)
-    val codes = pqCodes(embeddings, m, k).select("vec_id", "pq_code")
-    val adc = (0 until m).map { j =>
+  /** The ADC score expression over a packed `pq_code` column: m LUT
+    * lookups, one per 4-bit slice — shared by [[pqTopK]] (corpus-wide
+    * tier 1) and [[annIvfPq]] (cell-routed tier 1). */
+  private def adcExpr(lut: IndexedSeq[Seq[Double]], m: Int): Column =
+    (0 until m).map { j =>
       element_at(typedlit(lut(j)),
         (shiftright(col("pq_code"), 4 * j).bitwiseAND(lit(15L)) + 1)
           .cast("int"))
     }.reduce(_ + _)
-    codes.select(col("vec_id"), (adc * 1e6).cast("long").as("adc_micro"))
+
+  def pqTopK(embeddings: DataFrame, probeId: Long = 0L, kNn: Int = 10,
+             m: Int = 8, k: Int = 16): DataFrame = {
+    val lut = pqProbeLut(embeddings, probeId, m, k)
+    val codes = pqCodes(embeddings, m, k).select("vec_id", "pq_code")
+    codes.select(col("vec_id"),
+        (adcExpr(lut, m) * 1e6).cast("long").as("adc_micro"))
       .orderBy(col("adc_micro").asc, col("vec_id"))
       .limit(kNn)
   }
@@ -891,6 +897,82 @@ object VectorOps {
     val survivors = pqTopK(embeddings, probeId, topR, m, k).select("vec_id")
     val probe = embeddings.filter(col("vec_id") === probeId)
       .select(col("embedding").as("probe"))
+    embeddings.join(broadcast(survivors), Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), cosine(col("embedding"), col("probe")).as("rawcos"))
+      .orderBy(col("rawcos").desc, col("vec_id"))
+      .limit(kNn)
+      .select(col("vec_id"), round(col("rawcos"), 6).as("cos"))
+  }
+
+  /** The combined IVF+PQ codes projection — one row per vector:
+    * (vec_id, cell, pq_code). This is FAISS's IVFPQ index re-expressed
+    * as a columnar table: the inverted lists become a cell column the
+    * deployment partitions/sorts the table by, and each posting carries
+    * the vector's packed 8-byte PQ code. Built in ONE corpus scan (cell
+    * assignment and the m subspace argmins are all compiled expressions
+    * over the same embedding read — the fitted centers ride the plan as
+    * literals, cluster-safe); session file-cached under
+    * `spark.graft.pq.ivfCodesCache` like the flat codes projection — at
+    * 100 TB it is THE sunk retrieval artifact and every probe touches
+    * only its routed cells' slices of it.
+    * scan-guard: sim_ann_ivfpq */
+  private[graft] def ivfPqCodes(embeddings: DataFrame, nlist: Int = 8,
+                                m: Int = 8, k: Int = 16): DataFrame = {
+    val centers = cachedIvfIndex(embeddings, nlist).centers
+    val cb = cachedPqCodebook(embeddings, m, k)
+    val withSubs = embeddings.select(
+      col("vec_id") +:
+        cellAssign(col("embedding"), centers).as("cell") +:
+        (0 until m).map(j => pqSub(col("embedding"), j, cb).as(s"s$j")): _*)
+    val packed = (0 until m).map(j =>
+      col(s"s$j.code") * lit(1L << (4 * j))).reduce(_ + _)
+    graft.plans.ProjectionCache("pq", "spark.graft.pq.ivfCodesCache",
+      withSubs.select(col("vec_id"), col("cell"), packed.as("pq_code")))
+  }
+
+  /** `sim_ann_ivfpq`: the ANN ladder's top tier (VERDICT r16 #2) — the
+    * FAISS-IVFPQ production plan composed from the shipped rungs: coarse
+    * IVF routing (the probe ranks the nlist centroid literals and keeps
+    * `nprobe` cells — [[ivfProbe]]'s device), per-cell ADC over the
+    * packed codes (the probe's m×k LUT is driver-computed from the
+    * 1-row collect and rides the plan as literals — [[pqTopK]]'s
+    * device), and exact cosine rerank of the `topR` ADC survivors
+    * ([[pqRerank]]'s tier 2). At 100 TB: tier 0 is driver arithmetic
+    * over nlist rows; tier 1 scans only nprobe/nlist of the 8-byte
+    * codes artifact (cell-partitioned at deployment — partition pruning
+    * makes the routing a directory selection, never a corpus scan);
+    * tier 2 touches full vectors for topR ids via a broadcast semi-join
+    * at scan speed. Dynamically oracled ([[graft.OracleGen.ivfPqSql]]):
+    * cells + codebooks + LUT inline as literals and DuckDB replays
+    * routing, ADC, and rerank; recall vs exact audited by
+    * `retrieval_ivfpq_recall`. Defaults must stay in lockstep with the
+    * generator. */
+  def annIvfPq(embeddings: DataFrame, probeId: Long = 0L, kNn: Int = 10,
+               topR: Int = 50, nlist: Int = 8, nprobe: Int = 4,
+               m: Int = 8, k: Int = 16): DataFrame = {
+    val index = cachedIvfIndex(embeddings, nlist)
+    val lut = pqProbeLut(embeddings, probeId, m, k)
+    val codes = ivfPqCodes(embeddings, nlist, m, k)
+    val probe = embeddings.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("probe"))
+    // tier 0: coarse routing — nlist centroid rows vs the broadcast
+    // 1-row probe; the same ranking ivfProbe uses
+    val topCells = index.centroids
+      .crossJoin(broadcast(probe))
+      .select(col("cell"), cosine(col("centroid"), col("probe")).as("ccos"))
+      .orderBy(col("ccos").desc, col("cell"))
+      .limit(nprobe)
+      .select("cell")
+    // tier 1: ADC over the routed cells' packed codes only
+    val survivors = codes
+      .join(broadcast(topCells), Seq("cell"), "left_semi")
+      .select(col("vec_id"),
+        (adcExpr(lut, m) * 1e6).cast("long").as("adc_micro"))
+      .orderBy(col("adc_micro").asc, col("vec_id"))
+      .limit(topR)
+      .select("vec_id")
+    // tier 2: exact rerank of the survivors (the pqRerank shape)
     embeddings.join(broadcast(survivors), Seq("vec_id"), "left_semi")
       .crossJoin(broadcast(probe))
       .select(col("vec_id"), cosine(col("embedding"), col("probe")).as("rawcos"))

@@ -1,0 +1,147 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+import graft.operators.DedupOps
+import graft.sources.BusProvider
+
+/** Incremental maintenance of the minhash near-dup pair projection
+  * under document appends (VERDICT r16 #1 — the [[ProjectionMaintenance]]
+  * device generalized to the dedup pair state, the highest-frequency
+  * real-user append path: daily crawl shards folding into a sunk
+  * signature store instead of rebuilding the LSH pipeline per corpus
+  * version). Each micro-batch of `{"doc_id": …, "text": …}` messages
+  * folds through the SAME kernels the batch rebuild composes
+  * ([[DedupOps.minhashEnriched]] → [[DedupOps.deltaMinhashPairs]] —
+  * shingle/signature/band/verify, one code path), so append ≡ rebuild
+  * is structural: delta band keys join the accumulated store's band
+  * keys, only pairs with ≥ 1 delta member are generated, and the new
+  * pairs union into the pairs state. Per append the maintainer pays one
+  * map pass over the delta plus band joins of O(|state| + |delta|)
+  * two-long rows — never the historical corpus's pair pipeline.
+  *
+  * State layout: each committed version holds TWO tables —
+  * `v{batchId}/store` (the signature store: doc_id, shingle set,
+  * signature — the artifact a production LSH dedup service sinks; the
+  * shingle sets ride along because verification is EXACT Jaccard) and
+  * `v{batchId}/pairs` (the verified pair projection, the same rows
+  * `dedup_near_minhash` rebuilds from scratch). Crash atomicity,
+  * retention GC, and the checkpoint-identity guard are the shared
+  * [[VersionedStateDir]] protocol; replayed batchIds (crash between
+  * state commit and checkpoint) skip at the pointer exactly like the
+  * co-purchase maintainer — exactly-once state maintenance over the
+  * bus's at-least-once delivery.
+  *
+  * Append ≡ rebuild is proven twice: MinhashMaintenanceSpec replays
+  * document streams (multi-batch, duplicate batchId) against
+  * [[DedupOps.nearMinhash]], and the `dedup_minhash_incr` registry slug
+  * hash-matches the same fold against the full-pipeline DuckDB rebuild
+  * in the driver gate. */
+final class MinhashMaintenance(
+    spark: SparkSession,
+    subscription: String,
+    stateDir: String,
+    checkpointDir: String,
+    bulkLimit: Int = 1000,
+    busSpec: String = "memory",
+    keepVersions: Int = 2,
+    shingleK: Int = 3,
+    nHashes: Int = 32,
+    rowsPerBand: Int = 4,
+    jaccardTau: Double = 0.7) {
+
+  /** bytes → {doc_id, text} via the default JSON serde. */
+  private val serde = JsonSerde(new StructType()
+    .add("doc_id", LongType)
+    .add("text", StringType))
+
+  private val state = new VersionedStateDir(stateDir, keepVersions)
+
+  private[streaming] def lastApplied(): Long = state.lastApplied()
+
+  /** The maintained verified-pairs table as of the last committed batch
+    * (empty with the right schema before the first append). */
+  def currentPairs(): DataFrame = {
+    val last = state.lastApplied()
+    if (last < 0) {
+      import spark.implicits._
+      Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "jaccard")
+    } else spark.read.parquet(s"${state.versionPath(last)}/pairs")
+  }
+
+  /** The signature store as of the last committed batch (None = empty). */
+  private def currentStore(): Option[DataFrame] = {
+    val last = state.lastApplied()
+    if (last < 0) None
+    else Some(spark.read.parquet(s"${state.versionPath(last)}/store"))
+  }
+
+  /** Fold one append batch (documents) into the state. Exposed for the
+    * spec's direct replay test; the streaming query calls it per
+    * micro-batch. Skips already-applied batchIds. */
+  private[streaming] def applyBatch(docs: DataFrame, batchId: Long): Unit = {
+    if (batchId <= state.lastApplied()) return
+    val t0 = System.nanoTime()
+    // persist the delta across its consumers in THIS batch (store write
+    // + candidate join + verify re-attach), then drop the blocks — a
+    // long-running maintainer must not accrue one pin per micro-batch
+    val delta = DedupOps.minhashEnriched(docs, shingleK, nHashes).persist()
+    try {
+      val store = currentStore()
+      val newPairs = DedupOps.deltaMinhashPairs(
+        store, delta, nHashes, rowsPerBand, jaccardTau)
+      val vdir = state.versionPath(batchId)
+      // both tables land fully before the pointer moves — the version
+      // becomes visible atomically with the commit
+      store.map(_.unionAll(delta)).getOrElse(delta)
+        .write.mode("overwrite").parquet(s"$vdir/store")
+      currentPairs().unionAll(newPairs)
+        .write.mode("overwrite").parquet(s"$vdir/pairs")
+      // merge-cost stamps from the just-written parquet footers
+      // (metadata-only counts — no plan re-execution)
+      val storeRows = spark.read.parquet(s"$vdir/store").count()
+      val pairRows = spark.read.parquet(s"$vdir/pairs").count()
+      state.commit(batchId)
+      Console.err.println(
+        f"[minhash-maintenance] batch $batchId: store rows $storeRows, " +
+          f"pair rows $pairRows (${(System.nanoTime() - t0) / 1e9}%.2f s)")
+    } finally delta.unpersist(blocking = false)
+  }
+
+  /** Start maintaining. Same trigger/ack contract as
+    * [[ProjectionMaintenance.start]]: `availableNow = true` drains the
+    * backlog and stops; the subscription's acked prefix advances only
+    * after the batch's state version and the checkpoint are durable. */
+  def start(availableNow: Boolean = false): StreamingQuery = {
+    state.guardIdentity(checkpointDir)
+    val src = spark.readStream
+      .format(BusProvider.format)
+      .option("subscription", subscription)
+      .option("bus", busSpec)
+      .option("bulkLimit", bulkLimit)
+      .load()
+      .withColumn("payload", serde.deserialize(col("value")))
+      .select(col("payload.doc_id").as("doc_id"),
+        col("payload.text").as("text"))
+    val ackListener = new AckOnCommitListener(spark, subscription, busSpec)
+    spark.streams.addListener(ackListener)
+    val q = try {
+      src.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .trigger(if (availableNow) Trigger.AvailableNow()
+                 else Trigger.ProcessingTime(0))
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          applyBatch(batch, batchId)
+        }
+        .start()
+    } catch {
+      case e: Throwable => spark.streams.removeListener(ackListener); throw e
+    }
+    ackListener.bind(q.runId)
+    state.persistIdentity(q.id.toString)
+    q
+  }
+}

@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -35,19 +33,10 @@ import graft.sources.BusProvider
   * pattern, which upgrades the source's at-least-once to exactly-once
   * state maintenance.
   *
-  * State layout: `stateDir/v{batchId}` parquet versions plus an
-  * atomically-replaced `_current` pointer file (temp + ATOMIC_MOVE).
-  * Readers ([[currentState]]) resolve the pointer and scan one version —
-  * a crash mid-write leaves a dangling unreferenced version dir, never a
-  * torn state. Committed versions older than the `keepVersions` most
-  * recent are GC'd after each commit (ADVICE r16: without retention a
-  * long-running maintainer accrues one full state copy per batch); a
-  * `_query_id` identity file pins the state to its checkpoint so a
-  * deleted/replaced checkpoint (whose batchIds restart at 0) fails
-  * loudly at [[start]] instead of silently skipping every new append as
-  * a replay. A real lakehouse would swap the pointer file for a table
-  * format's transaction log; the shape (immutable versions + atomic
-  * pointer + retention + lineage identity) is the same.
+  * State layout, crash atomicity, retention GC, and the
+  * checkpoint-identity guard are the shared [[VersionedStateDir]]
+  * protocol (r17 — also carried by [[MinhashMaintenance]]); this class
+  * owns only the FOLD: what a delta is and how it merges.
   *
   * Append ≡ rebuild is proven twice: ProjectionMaintenanceSpec replays
   * order streams (multi-batch, duplicate batchId) against the batch
@@ -63,27 +52,24 @@ final class ProjectionMaintenance(
     busSpec: String = "memory",
     keepVersions: Int = 2) {
 
-  import ProjectionMaintenance._
-
   /** bytes → {l_orderkey, parts} via the default JSON serde. */
   private val serde = JsonSerde(new StructType()
     .add("l_orderkey", LongType)
     .add("parts", ArrayType(LongType)))
 
+  private val state = new VersionedStateDir(stateDir, keepVersions)
+
   /** Largest batchId already folded into the state (-1 = empty). */
-  private[streaming] def lastApplied(): Long = {
-    val p = Paths.get(stateDir, PointerFile)
-    if (Files.exists(p)) Files.readString(p).trim.toLong else -1L
-  }
+  private[streaming] def lastApplied(): Long = state.lastApplied()
 
   /** The maintained pair-support table as of the last committed batch
     * (empty with the right schema before the first append). */
   def currentState(): DataFrame = {
-    val last = lastApplied()
+    val last = state.lastApplied()
     if (last < 0) {
       import spark.implicits._
       Seq.empty[(Long, Long, Long)].toDF("a", "b", "support")
-    } else spark.read.parquet(s"$stateDir/v$last")
+    } else spark.read.parquet(state.versionPath(last))
   }
 
   /** Fold one append batch (complete orders) into the state. Exposed
@@ -91,7 +77,7 @@ final class ProjectionMaintenance(
     * per micro-batch. Skips already-applied batchIds (replay after
     * crash-before-checkpoint re-runs the same id). */
   private[streaming] def applyBatch(orders: DataFrame, batchId: Long): Unit = {
-    if (batchId <= lastApplied()) return
+    if (batchId <= state.lastApplied()) return
     // explode the basket messages back to lineitem shape and run the
     // SAME pairSupport the batch rebuild uses — one code path, so the
     // spec's append ≡ rebuild equality is structural, not coincidental
@@ -100,52 +86,15 @@ final class ProjectionMaintenance(
       orders.select(col("l_orderkey"),
         explode(col("parts")).as("l_partkey")))
     val merged = GraphOps.mergePairSupport(currentState(), delta)
-    merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
-    commitPointer(batchId)
+    merged.write.mode("overwrite").parquet(state.versionPath(batchId))
     // the merge-cost stamp (VERDICT r16 #3): rows come from the parquet
     // footers of the version just written — a metadata-only count, never
     // a re-execution of the merge plan
-    val rows = spark.read.parquet(s"$stateDir/v$batchId").count()
+    val rows = spark.read.parquet(state.versionPath(batchId)).count()
+    state.commit(batchId)
     Console.err.println(
       f"[projection-maintenance] batch $batchId: merged state rows $rows " +
         f"(${(System.nanoTime() - t0) / 1e9}%.2f s)")
-    pruneVersions(batchId)
-  }
-
-  private def commitPointer(batchId: Long): Unit = {
-    val dir = Paths.get(stateDir)
-    Files.createDirectories(dir)
-    val tmp = dir.resolve(s".$PointerFile.tmp")
-    Files.writeString(tmp, batchId.toString)
-    Files.move(tmp, dir.resolve(PointerFile),
-      StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
-
-  /** Retention GC (ADVICE r16): after a successful commit, delete state
-    * versions older than the `keepVersions` most recent committed ones.
-    * Without this a long-running maintainer accrues one full state copy
-    * per micro-batch — O(|state|) write amplification is inherent to the
-    * copy-on-write version scheme (that's the price of atomic readers),
-    * but RETAINING every version is not. Versions NEWER than the pointer
-    * are never touched (a crash-orphaned in-flight write, or a concurrent
-    * committer's work). keepVersions >= 2 leaves the previous version for
-    * readers that resolved the pointer just before the commit. */
-  private def pruneVersions(committed: Long): Unit = {
-    val dir = Paths.get(stateDir)
-    if (!Files.isDirectory(dir)) return
-    val versioned = Files.list(dir).iterator()
-    val old = scala.collection.mutable.ArrayBuffer.empty[(Long, java.nio.file.Path)]
-    versioned.forEachRemaining { p =>
-      val n = p.getFileName.toString
-      if (n.startsWith("v") && n.drop(1).forall(_.isDigit))
-        old += ((n.drop(1).toLong, p))
-    }
-    old.filter(_._1 <= committed).sortBy(-_._1).drop(keepVersions)
-      .foreach { case (_, p) =>
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.deleteIfExists(f))
-      }
   }
 
   /** Start maintaining. `availableNow = true` drains the backlog and
@@ -153,62 +102,8 @@ final class ProjectionMaintenance(
     * Ack-on-commit mirrors [[Pipeline.start]]: the subscription's acked
     * prefix advances only after the batch's state version and the
     * checkpoint are both durable. */
-  /** The streaming-query id recorded in the checkpoint's metadata file
-    * (None for a fresh checkpoint). Structured Streaming assigns one id
-    * per checkpoint and keeps it across restarts; a deleted/replaced
-    * checkpoint gets a NEW id and restarts batchIds at 0. */
-  private[streaming] def checkpointQueryId(): Option[String] = {
-    val p = Paths.get(checkpointDir, "metadata")
-    if (!Files.exists(p)) None
-    else """"id"\s*:\s*"([^"]+)"""".r
-      .findFirstMatchIn(Files.readString(p)).map(_.group(1))
-  }
-
-  /** Checkpoint-identity guard (ADVICE r16): the replay guard in
-    * [[applyBatch]] assumes the checkpoint and the state dir advance
-    * together. If the checkpoint is deleted or replaced while the state
-    * persists, batchIds restart at 0 and every new append would be
-    * silently skipped as "stale" — data loss with no symptom. The state
-    * dir therefore records the query id of the checkpoint it was built
-    * under, and a mismatch (or a fresh checkpoint against a non-empty
-    * state) fails LOUDLY before the stream starts. */
-  private def guardCheckpointIdentity(): Unit = {
-    val idFile = Paths.get(stateDir, IdentityFile)
-    val stored =
-      if (Files.exists(idFile)) Some(Files.readString(idFile).trim) else None
-    (stored, checkpointQueryId()) match {
-      case (Some(s), Some(c)) if s != c =>
-        throw new IllegalStateException(
-          s"state dir $stateDir was built under checkpoint query id $s " +
-            s"but $checkpointDir belongs to query id $c — a replaced " +
-            "checkpoint restarts batchIds at 0 and the replay guard " +
-            "would silently drop every new append. Point the maintainer " +
-            "at the original checkpoint, or start a fresh state dir.")
-      case (Some(s), None) if lastApplied() >= 0 =>
-        throw new IllegalStateException(
-          s"state dir $stateDir (built under checkpoint query id $s) is " +
-            s"non-empty but $checkpointDir has no metadata — the " +
-            "checkpoint was deleted or replaced; refusing to start with " +
-            "batchIds reset to 0 (every new append would be silently " +
-            "skipped as stale).")
-      case _ => ()
-    }
-  }
-
-  private def persistIdentity(queryId: String): Unit = {
-    val dir = Paths.get(stateDir)
-    Files.createDirectories(dir)
-    val idFile = dir.resolve(IdentityFile)
-    if (!Files.exists(idFile)) {
-      val tmp = dir.resolve(s".$IdentityFile.tmp")
-      Files.writeString(tmp, queryId)
-      Files.move(tmp, idFile, StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
-    }
-  }
-
   def start(availableNow: Boolean = false): StreamingQuery = {
-    guardCheckpointIdentity()
+    state.guardIdentity(checkpointDir)
     val src = spark.readStream
       .format(BusProvider.format)
       .option("subscription", subscription)
@@ -235,12 +130,11 @@ final class ProjectionMaintenance(
     ackListener.bind(q.runId)
     // q.id IS the checkpoint's persistent query id (Spark writes it to
     // checkpointDir/metadata at first start and reuses it after)
-    persistIdentity(q.id.toString)
+    state.persistIdentity(q.id.toString)
     q
   }
 }
 
 object ProjectionMaintenance {
-  private[streaming] val PointerFile = "_current"
-  private[streaming] val IdentityFile = "_query_id"
+  private[streaming] val PointerFile = VersionedStateDir.PointerFile
 }

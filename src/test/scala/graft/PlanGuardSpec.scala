@@ -773,8 +773,23 @@ class PlanGuardSpec extends SparkSpec {
         s.conf.set("spark.graft.pq.codesCache", "false")
         VectorOps.pqRerank(Tables.embeddings(s, sf()))
       }, "embeddings", 3),
+      // r17: the composed IVF+PQ ladder — combined-codes pass (1,
+      // conf-off; the cache swaps it for a cache-parquet scan), the
+      // survivor-filtered rerank corpus pass (1), and the 1-row
+      // pushdown probe scan on each tier that consumes the probe
+      // vector (routing + rerank = 2)
+      ("sim_ann_ivfpq", () => {
+        val s = spark.newSession()
+        s.conf.set("spark.graft.pq.ivfCodesCache", "false")
+        VectorOps.annIvfPq(Tables.embeddings(s, sf()))
+      }, "embeddings", 4),
       ("sample_reservoir_group", () => CorpusOps.sampleReservoir(docs),
         "documents", 1),
+      // r17 (VERDICT r16 #1): the minhash incremental fold — nBatches(=4)
+      // pinned slice scans; every band join / verify re-attach reads the
+      // pins, so the corpus is shingled exactly once per replay
+      ("dedup_minhash_incr", () => DedupOps.nearMinhashIncremental(docs),
+        "documents", 4),
       // r17 (VERDICT r16 #3): the incremental fold's honest replay cost
       // is exactly nBatches(=4) pushdown-filtered slice scans — one
       // corpus pass in total per fold level; an accidental extra
