@@ -105,6 +105,37 @@ object Bench {
   def refDrift(refs: Set[String], registry: Set[String]): (Set[String], Set[String]) =
     (refs -- registry, registry -- refs)
 
+  /** Host-calibration query set (r17, VERDICT r16 #4): registry members
+    * present since round 1, spanning scan/agg/join/text machinery, each
+    * sub-3 s at the contract SF. A different box runs EVERYTHING
+    * systematically faster or slower (r16: the refreshed box moved
+    * dozens of untouched queries both directions and the round spent
+    * real wall-clock proving the movers were host, not code); the
+    * MEDIAN of these queries' measured/ref ratios estimates that
+    * systematic factor, and the outlier-defense thresholds scale by it
+    * so a slow box doesn't flag every query as suspected contention. */
+  val calibrationQueries: Seq[String] = Seq(
+    "fn_json", "fn_regexp", "join_broadcast", "join_cross", "join_anti",
+    "agg_pivot", "agg_grouping_sets", "agg_hash_group", "text_lang_stats",
+    "dedup_exact")
+
+  /** Median measured/ref ratio over [[calibrationQueries]]; None below
+    * `minQueries` usable entries (subset run, missing refs, failures) —
+    * a ratio from too few points would be noise dressed as calibration.
+    * Pure so BenchLineSpec pins the median and the fallback. */
+  def calibrationRatio(measured: Map[String, Double],
+                       refs: Map[String, Double],
+                       minQueries: Int = 5): Option[Double] = {
+    val rs = calibrationQueries.flatMap { q =>
+      for (m <- measured.get(q); r <- refs.get(q) if m > 0 && r > 0)
+        yield m / r
+    }.sorted
+    if (rs.size < minQueries) None
+    else Some(
+      if (rs.size % 2 == 1) rs(rs.size / 2)
+      else (rs(rs.size / 2 - 1) + rs(rs.size / 2)) / 2.0)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -315,6 +346,37 @@ object Bench {
       }
       finally org.apache.spark.sql.graftbridge.ColumnBridge.releaseAllCheckpoints(df)
     }
+    // --- host calibration (r17, VERDICT r16 #4) ----------------------
+    // One warm + one timed forced run of each calibration query BEFORE
+    // the main loop; the median measured/ref ratio scales the outlier
+    // thresholds, so a systematically slower/faster box is normalized
+    // out instead of flagging (or masking) every query. Full-set runs
+    // only (a subset run would pay ~7 s for queries it doesn't report);
+    // SPARK_GRAFT_CALIBRATE=0 opts out. Stamped into BENCH_FULL.json so
+    // cross-round compares can normalize by the same factor.
+    val calibrateOn = only.isEmpty && outlierOn && refTimes.nonEmpty &&
+      !sys.env.get("SPARK_GRAFT_CALIBRATE").contains("0")
+    val calibMeasured: Map[String, Double] =
+      if (!calibrateOn) Map.empty
+      else calibrationQueries.flatMap { q =>
+        SparkEntry.queries.get(q).map { fn =>
+          try runAndRelease(fn) catch { case _: Throwable => () } // warm
+          val t0 = System.nanoTime()
+          try { runAndRelease(fn); q -> (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => q -> -1.0 }
+        }
+      }.toMap
+    val calibRatio: Option[Double] =
+      if (calibrateOn) calibrationRatio(calibMeasured, refTimes) else None
+    // scale UP only: a slower box must not false-flag movers; a faster
+    // box keeps the reference thresholds (tighter is safe — re-runs are
+    // cheap and the kept value is the min anyway)
+    val calFactor = calibRatio.map(c => math.max(1.0, c)).getOrElse(1.0)
+    calibRatio.foreach { c =>
+      System.err.println(f"[bench] host calibration: median ratio $c%.3f " +
+        f"vs reference artifact over ${calibMeasured.count(_._2 > 0)} " +
+        f"queries — outlier thresholds scaled by $calFactor%.3f")
+    }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       (1 to warm).foreach { _ =>
         try runAndRelease(fn)
@@ -343,8 +405,8 @@ object Bench {
       val times = scala.collection.mutable.ArrayBuffer[Double]()
       (1 to repeat).foreach { _ => times += once() }
       val threshold = refTimes.get(name)
-        .map(r => math.max(outlierK * r, r + outlierSlack))
-        .getOrElse(outlierFloor)
+        .map(r => math.max(outlierK * r * calFactor, r * calFactor + outlierSlack))
+        .getOrElse(outlierFloor * calFactor)
       if (outlierOn && !times.contains(-1.0)) {
         var extra = 0
         while (times.min > threshold && extra < outlierRetries) {
@@ -425,7 +487,16 @@ object Bench {
       val ratioField = m.ref.filter(_ > 0).map { r =>
         val best = m.raw.filter(_ >= 0)
         if (best.isEmpty) ""
-        else s""", "ref_ratio": ${f"${best.min / r}%.2f"}"""
+        else {
+          // host-normalized ratio alongside the raw one (r17): the raw
+          // ratio answers "did it move on THIS box vs the reference
+          // box"; the calibrated one answers "did it move beyond the
+          // box's own systematic factor"
+          val cal = if (calFactor != 1.0)
+            s""", "ref_ratio_cal": ${f"${best.min / (r * calFactor)}%.2f"}"""
+          else ""
+          s""", "ref_ratio": ${f"${best.min / r}%.2f"}$cal"""
+        }
       }.getOrElse("")
       s"""    "$n": {"start_off_sec": ${f"${m.startOff}%.2f"}, "loadavg": ${f"${m.load}%.2f"}, "runs": ${m.raw.size}, "raw": $raw$leakField$errField$diagField$ratioField}"""
     }.mkString("{\n", ",\n", "\n  }")
@@ -442,6 +513,7 @@ object Bench {
          |  "loadavg_start": ${f"$loadavgStart%.2f"},
          |  "loadavg_end": ${f"${osBean.getSystemLoadAverage}%.2f"},
          |  "outlier_defense": {"enabled": $outlierOn, "k": $outlierK, "floor_sec": $outlierFloor, "retries": $outlierRetries, "ref_queries": ${refTimes.size}},
+  "calibration": {"enabled": $calibrateOn, "queries": ${calibrationQueries.map("\"" + _ + "\"").mkString("[", ",", "]")}, "measured": ${calibMeasured.toSeq.sortBy(_._1).map { case (q, t) => s""""$q": ${if (t < 0) "-1" else f"$t%.3f"}""" }.mkString("{", ", ", "}")}, "median_ratio": ${calibRatio.map(c => f"$c%.3f").getOrElse("null")}, "threshold_scale": ${f"$calFactor%.3f"}},
          |  "failed": ${failed.mkString("[", ",", "]")},
          |  "legend": $legendJson,
          |  "queries": $fullQs,

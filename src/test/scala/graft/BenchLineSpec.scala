@@ -112,4 +112,34 @@ class BenchLineSpec extends AnyFunSuite {
     val (stale2, refless2) = Bench.refDrift(registry, registry)
     assert(stale2.isEmpty && refless2.isEmpty)
   }
+
+  test("calibrationRatio: median of measured/ref over the calibration set, None below quorum (r17, VERDICT r16 #4)") {
+    // every calibration query must exist in the registry — a renamed or
+    // dropped member silently shrinks the quorum until calibration
+    // disables itself
+    Bench.calibrationQueries.foreach { q =>
+      assert(SparkEntry.queries.contains(q),
+        s"calibration query $q is not in the registry")
+    }
+    val refs = Bench.calibrationQueries.map(_ -> 1.0).toMap
+    // a uniformly 2x-slower box calibrates to exactly 2.0
+    val slow = Bench.calibrationQueries.map(_ -> 2.0).toMap
+    assert(Bench.calibrationRatio(slow, refs).contains(2.0))
+    // the median ignores a single contended outlier (9 at 1.0, 1 at 50x)
+    val spiky = Bench.calibrationQueries.zipWithIndex.map { case (q, i) =>
+      q -> (if (i == 0) 50.0 else 1.0)
+    }.toMap
+    assert(Bench.calibrationRatio(spiky, refs).contains(1.0))
+    // even-count median is the midpoint of the two central ratios
+    val six = Bench.calibrationQueries.take(6).zipWithIndex.map {
+      case (q, i) => q -> (i + 1.0)
+    }.toMap
+    assert(Bench.calibrationRatio(six, refs).contains(3.5))
+    // below quorum (failures / missing refs / subset) -> None
+    val three = Bench.calibrationQueries.take(3).map(_ -> 1.0).toMap
+    assert(Bench.calibrationRatio(three, refs).isEmpty)
+    // failed runs (-1) don't count toward quorum
+    val failed = Bench.calibrationQueries.map(_ -> -1.0).toMap
+    assert(Bench.calibrationRatio(failed, refs).isEmpty)
+  }
 }
