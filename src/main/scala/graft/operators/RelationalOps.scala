@@ -1759,7 +1759,19 @@ object Windows {
     * sums with a segment tree — FP association order differs otherwise).
     * (l_orderkey, l_linenumber) is not unique in the generated data, so the
     * window orders by the FULL column set (full rows are unique) — any
-    * weaker ordering makes the prefix sums nondeterministic. */
+    * weaker ordering makes the prefix sums nondeterministic.
+    *
+    * r17 (the VERDICT r16 #5 adjudication turned DIAGNOSIS): the
+    * terminal display orderBy is a RangePartitioning exchange whose
+    * boundary-sampling job EXECUTES THE CHILD PLAN ONCE, then the sort
+    * itself executes it again — for a corpus-sized window subtree that
+    * re-pays the shuffle read + the 10-column in-partition sort + the
+    * running aggregate (measured at sf10: 26.0 s window-only vs 95.7 s
+    * with the display sort; the r16-box 86-110 s "host" readings were
+    * this, amplified). The window output is pinned ([[graft.plans
+    * .PlanPins.lazyPin]]) so sampling and the sort both read the
+    * materialized rows — the same device the multi-consumer graph
+    * builds use; the harnesses release the pin after each query. */
   def runningSum(lineitem: DataFrame): DataFrame = {
     val w = Window
       .partitionBy("l_suppkey")
@@ -1767,11 +1779,11 @@ object Windows {
         col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
         col("l_discount"), col("l_tax"), col("l_returnflag"), col("l_linestatus"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lineitem
+    graft.plans.PlanPins.lazyPin(lineitem
       .select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast(DecimalType(18, 4))).over(w).cast("double").as("running_rev"))
+          .cast(DecimalType(18, 4))).over(w).cast("double").as("running_rev")))
       .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_rev")
   }
 
@@ -1855,6 +1867,14 @@ object Windows {
     * offsets need the SQL form (the Column-based rangeBetween API is
     * gone); the decimal sum keeps results partition-independent. */
   def rangeFrame(lineitem: DataFrame): DataFrame =
+    // NOT pinned before the display sort, deliberately (r17): the
+    // runningSum sampling-re-execution fix was measured here too and
+    // LOSES — this window's re-execution is a narrow 2-col sort +
+    // range-frame sum (cheap), while pinning materializes 67.5M rows
+    // to the block store (paired sf10 solos: unpinned 42.0-87.8 s vs
+    // pinned 96.6-179.5 s same box). Pin only where the re-executed
+    // subtree out-costs its materialized output (runningSum's 10-col
+    // sort; percentCume's 5-partition window).
     lineitem
       .select(col("l_orderkey"), col("l_linenumber"),
         expr("""CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
@@ -1882,10 +1902,13 @@ object Windows {
   def percentCume(orders: DataFrame): DataFrame = {
     val w = Window.partitionBy("o_orderpriority")
       .orderBy(col("o_totalprice"), col("o_orderkey"))
-    orders
+    // pinned before the display sort (the runningSum r17 diagnosis):
+    // this window is extra-expensive to re-execute because
+    // o_orderpriority has 5 values — 5-way parallelism on the sort
+    graft.plans.PlanPins.lazyPin(orders
       .select(col("o_orderkey"), col("o_orderpriority"),
         round(percent_rank().over(w), 6).as("pr"),
-        round(cume_dist().over(w), 6).as("cd"))
+        round(cume_dist().over(w), 6).as("cd")))
       .orderBy("o_orderkey")
   }
 
