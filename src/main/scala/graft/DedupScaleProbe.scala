@@ -59,6 +59,22 @@ object DedupScaleProbe {
       // aggregate + the per-doc rewrite
       time("span_rewrite_full") { force(DedupOps.spanRewrite(docs)) }
     }
+    if (which == "spanstages") {
+      // stage split of the full pipeline: the map-only synthesis, the
+      // keeper aggregate alone, and the h-keyed reattach join
+      val spans = DedupOps.spanTable(docs, 5)
+      time("span_synth_forced") { force(spans) }
+      import org.apache.spark.sql.functions.{count => fcount, lit, min, struct}
+      val firsts = spans
+        .select(col("h"), col("doc_id"), col("block_idx"))
+        .groupBy("h")
+        .agg(min(struct(col("doc_id"), col("block_idx"))).as("first"))
+      time("span_firsts_forced") { force(firsts) }
+      val joined = spans.join(firsts, Seq("h"))
+        .filter(col("first.doc_id") === col("doc_id") &&
+          col("first.block_idx") === col("block_idx"))
+      time("span_join_count") { joined.agg(fcount(lit(1))).head() }
+    }
     spark.stop()
   }
 }

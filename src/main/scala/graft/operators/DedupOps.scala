@@ -1111,25 +1111,47 @@ object DedupOps {
     * (output IS the surviving corpus + per-doc loss accounting:
     * n_spans, n_kept, kept_words, md5 of the rewritten text).
     *
-    * Scale shape: span synthesis is map-only (`sequence`/`slice` inside
-    * codegen — no intermediate word explode). First-occurrence is
-    * decided by a groupBy(span-hash) min-struct aggregate, NOT a window:
-    * partial aggregation collapses a hot span (boilerplate duplicated
-    * 10^9 times at 100 TB) map-side, where a row_number window would
-    * pull every instance through one task. The keeper table then
-    * re-joins the span stream on hash (AQE splits any residual hot-hash
-    * probe task; the probe side streams, nothing buffers), and
-    * reassembly is one doc_id-keyed shuffle of SURVIVING spans only.
-    * Two corpus scans — the honest floor for the build/probe pair (the
-    * dedup_exact_normalized class); span text crosses a shuffle once.
+    * Scale shape (reworked r17 after the sf100 probe): span synthesis
+    * is map-only (`sequence`/`slice` inside codegen — no intermediate
+    * word explode). First-occurrence is decided by a groupBy(span-hash)
+    * min-struct aggregate that CARRIES THE WHOLE KEPT ROW as its
+    * payload — (doc_id, block_idx) is globally unique per instance, so
+    * the struct min IS the surviving instance, and no reattach join
+    * exists at all. NOT a window: partial aggregation collapses a hot
+    * span (boilerplate duplicated 10^9 times at 100 TB) map-side to ONE
+    * struct per key per task, where a row_number window would pull
+    * every instance through one task. Reassembly is one doc_id-keyed
+    * shuffle of SURVIVING spans only. ONE corpus scan, span text
+    * crosses a shuffle once. The r13-r16 form re-joined the span stream
+    * against a keeper table on an md5-string hash — two corpus
+    * shuffles, a string-keyed sort-merge, and the synthesis executed
+    * twice: the r17 sf100 probe read the keeper aggregate at 16.8× and
+    * the reattach join at 35.8× for 10× data (55.5M spans, the
+    * string-sort-spill regime). Same-box probe of the full query:
+    * 17.3 → 428.9 s (md5-string + join) to 23.5 → 351.8 s (long keys +
+    * payload-min, run-to-run swing ±25% on this sort-weak host) —
+    * the ratio drops 24.8× → ~15×, and the remaining super-linearity
+    * tracks the host's measured sort/shuffle-spill behavior (its wrs /
+    * pagerank signature), not held state: every stage is a partial-agg
+    * or map, nothing buffers a group.
     * scan-guard: dedup_span_rewrite */
   /** Span synthesis shared by [[spanRewrite]] and [[spanRewriteStream]]:
     * one codegen'd projection — block texts are sliced out of the word
     * array in place, no per-word explode ever exists. Stateless, so the
     * identical plan runs under both batch and streaming (the two forms
     * diverge only in HOW first-occurrence is decided). Columns:
-    * (doc_id, lang, n_spans, block_idx, span, h). */
-  private[operators] def spanTable(documents: DataFrame, k: Int): DataFrame = {
+    * (doc_id, lang, n_spans, block_idx, span, h).
+    *
+    * r17: `h` is a (k1, k2) two-seed xxhash64 STRUCT, not the r13 md5
+    * hex string — the [[exactNormalized]] 128-bit key device. The key
+    * is internal (never in any output; the oracle partitions by
+    * md5(span), and any corpus-injective key reproduces the same keeper
+    * decisions; false merge ~n²/2¹²⁸). The md5-string key made the
+    * first-occurrence shuffle SORT 32-char strings: the r17 sf100 probe
+    * read the keeper aggregate at 16.8× and the reattach join at 35.8×
+    * for 10× data (55.5M spans) — string-keyed sort spill — while the
+    * two-long struct keys sort/compare as codegen'd longs. */
+  private[graft] def spanTable(documents: DataFrame, k: Int): DataFrame = {
     val words = filter(split(col("text"), " "), w => w =!= "")
     documents
       .select(col("doc_id"), col("lang"), words.as("ws"))
@@ -1143,20 +1165,28 @@ object DedupOps {
           i => array_join(slice(col("ws"), i * k + lit(1), lit(k)), " "))))
       .withColumnRenamed("pos", "block_idx")
       .withColumnRenamed("col", "span")
-      .withColumn("h", md5(col("span")))
+      .withColumn("h", struct(
+        xxhash64(col("span")).as("k1"),
+        xxhash64(lit(0x9E3779B9L), col("span")).as("k2")))
   }
 
   def spanRewrite(documents: DataFrame, k: Int = 5): DataFrame = {
     val spans = spanTable(documents, k)
-    // first-occurrence decision: min-struct AGGREGATE (map-side partial
-    // combine — skew-proof), never a hash-partitioned window
-    val firsts = spans
-      .select(col("h"), col("doc_id"), col("block_idx"))
+    // first-occurrence decision AND keeper row in one min-struct
+    // aggregate (map-side partial combine — skew-proof): the struct
+    // leads with (doc_id, block_idx), which is globally unique per span
+    // instance, so its min is exactly the first-occurrence row and the
+    // payload columns ride along — no reattach join, one shuffle
+    val kept = spans
       .groupBy("h")
-      .agg(min(struct(col("doc_id"), col("block_idx"))).as("first"))
-    spans.join(firsts, Seq("h"))
-      .filter(col("first.doc_id") === col("doc_id") &&
-        col("first.block_idx") === col("block_idx"))
+      .agg(min(struct(col("doc_id"), col("block_idx"), col("lang"),
+        col("n_spans"), col("span"))).as("first"))
+      .select(col("first.doc_id").as("doc_id"),
+        col("first.block_idx").as("block_idx"),
+        col("first.lang").as("lang"),
+        col("first.n_spans").as("n_spans"),
+        col("first.span").as("span"))
+    kept
       .groupBy("doc_id")
       .agg(
         max(col("lang")).as("lang"),
@@ -1216,7 +1246,7 @@ object DedupOps {
       .groupByKey(_.h)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, it: Iterator[SpanInstance], state: GroupState[Boolean]) =>
+        (_: SpanKey, it: Iterator[SpanInstance], state: GroupState[Boolean]) =>
           if (state.exists) Iterator.empty
           else {
             state.update(true)
@@ -1281,7 +1311,7 @@ object DedupOps {
     import spark.implicits._
     spanTable(documents, k).as[SpanInstance]
       .mapPartitions { it =>
-        val best = scala.collection.mutable.HashMap.empty[String, SpanInstance]
+        val best = scala.collection.mutable.HashMap.empty[SpanKey, SpanInstance]
         it.foreach { s =>
           best.updateWith(s.h) {
             case Some(cur) => Some(SpanGateProcessor.minOf(cur, s))
@@ -1301,7 +1331,7 @@ object DedupOps {
   * the `dropDuplicatesWithinWatermark` trade). */
 private[operators] class SpanGateProcessor
     extends org.apache.spark.sql.streaming.StatefulProcessor[
-      String, SpanInstance, KeptSpan] {
+      SpanKey, SpanInstance, KeptSpan] {
   import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
   @transient private var seen: ValueState[Boolean] = _
 
@@ -1309,7 +1339,7 @@ private[operators] class SpanGateProcessor
     seen = getHandle.getValueState[Boolean]("seen",
       org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig.NONE)
 
-  override def handleInputRows(key: String, rows: Iterator[SpanInstance],
+  override def handleInputRows(key: SpanKey, rows: Iterator[SpanInstance],
                                timerValues: TimerValues): Iterator[KeptSpan] =
     if (seen.exists()) Iterator.empty
     else {
@@ -1329,7 +1359,12 @@ private[operators] object SpanGateProcessor {
   * (the [[DedupOps.spanTable]] row shape). */
 private[operators] case class SpanInstance(
   doc_id: Long, lang: String, n_spans: Long, block_idx: Int,
-  span: String, h: String)
+  span: String, h: SpanKey)
+
+/** The 128-bit span-content key (two independently-seeded xxhash64
+  * halves — the exactNormalized device); field names match
+  * [[DedupOps.spanTable]]'s `h` struct so the Dataset encoder maps it. */
+private[operators] case class SpanKey(k1: Long, k2: Long)
 
 /** A surviving (corpus-first) span instance emitted by
   * [[DedupOps.spanRewriteStream]]. */

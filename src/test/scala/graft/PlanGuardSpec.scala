@@ -822,10 +822,11 @@ class PlanGuardSpec extends SparkSpec {
       // the two snapshot branches — inherent to diffing
       ("corpus_snapshot_diff", () => CorpusOps.snapshotDiff(docs),
         "documents", 2),
-      // r13 wave 2: keeper-aggregate build side + span probe side —
-      // the dedup_exact_normalized build/probe floor
+      // r13 wave 2, reworked r17: the keeper min-struct aggregate now
+      // carries the kept row as its payload — the reattach join (and
+      // its second corpus scan) is gone; one synthesis scan total
       ("dedup_span_rewrite", () => DedupOps.spanRewrite(docs),
-        "documents", 2),
+        "documents", 1),
       ("corpus_quality_reliability",
         () => TextOps.qualityReliability(docs), "documents", 1),
       ("ts_gap_islands", () => StreamBatchOps.gapIslands(events),
