@@ -436,6 +436,64 @@ object OracleGen {
        |ORDER BY rawcos DESC, vec_id LIMIT $kNn""".stripMargin
   }
 
+  /** Oracle for `sim_ann_ivfpq_batch` (r17): the batch composition —
+    * per-probe cell routing (simAnnIvfBatchSql's pcells device), ADC
+    * over the routed codes with each probe's LUT chain as a CASE arm
+    * (identical left-assoc float order to the Spark fold), per-probe
+    * survivor rank, exact rerank. Defaults must track
+    * VectorOps.annIvfPqBatch. */
+  def ivfPqBatchSql(centers: Seq[Seq[Double]],
+                    cb: graft.operators.VectorOps.PqCodebook,
+                    luts: IndexedSeq[IndexedSeq[Seq[Double]]],
+                    nProbes: Int = 5, nprobe: Int = 4,
+                    kNn: Int = 10, topR: Int = 50): String = {
+    val pq = pqEncodeSql(cb)
+    def adcChain(lut: IndexedSeq[Seq[Double]]): String =
+      (0 until cb.m).map { j =>
+        s"list_extract(${lut(j).mkString("[", ",", "]")}::DOUBLE[], " +
+          s"CAST(((pq_code >> ${4 * j}) & 15) + 1 AS INTEGER))"
+      }.mkString("(", " + ", ")")
+    val caseArms = luts.zipWithIndex.map { case (lut, p) =>
+      s"      WHEN $p THEN ${adcChain(lut)}"
+    }.mkString("\n")
+    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+       |${ivfCtes(centers)},
+       |codes AS (SELECT vec_id, pq_code FROM ($pq) z),
+       |pv AS (SELECT vec_id AS probe_id, e AS pe FROM emb WHERE vec_id < $nProbes),
+       |pcells AS (
+       |  SELECT probe_id, cell FROM (
+       |    SELECT pv.probe_id, cn.cell,
+       |      row_number() OVER (PARTITION BY pv.probe_id
+       |        ORDER BY ${nullCos("cn.c", "pv.pe")} DESC,
+       |        cn.cell) AS crn
+       |    FROM cents cn CROSS JOIN pv) z2 WHERE crn <= $nprobe),
+       |routed AS (
+       |  SELECT p.probe_id, c.vec_id, c.pq_code
+       |  FROM codes c JOIN asg a ON a.vec_id = c.vec_id
+       |  JOIN pcells p ON p.cell = a.cell),
+       |surv AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id,
+       |      row_number() OVER (PARTITION BY probe_id
+       |        ORDER BY adc_micro ASC, vec_id) AS srn
+       |    FROM (SELECT probe_id, vec_id,
+       |      CAST(trunc((CASE probe_id
+       |$caseArms
+       |      END) * 1000000.0) AS BIGINT) AS adc_micro FROM routed) r) s
+       |  WHERE srn <= $topR),
+       |scored AS (
+       |  SELECT s.probe_id, e.vec_id, ${nullCos("e.e", "pv.pe")} AS rawcos
+       |  FROM surv s JOIN emb e ON e.vec_id = s.vec_id
+       |  JOIN pv ON pv.probe_id = s.probe_id),
+       |rk AS (
+       |  SELECT probe_id, vec_id, rawcos,
+       |    CAST(row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY rawcos DESC, vec_id) AS INTEGER) AS rn
+       |  FROM scored)
+       |SELECT probe_id, vec_id, round(rawcos, 6) AS cos, rn
+       |FROM rk WHERE rn <= $kNn ORDER BY probe_id, rn""".stripMargin
+  }
+
   /** Oracle for `retrieval_ivfpq_recall` (r17): the recall_at_k
     * composition over [[ivfPqSql]] vs the exact cosine top-k. */
   def ivfPqRecallSql(centers: Seq[Seq[Double]],

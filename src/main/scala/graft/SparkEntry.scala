@@ -207,6 +207,8 @@ object SparkEntry {
     // + per-cell ADC + exact rerank (the FAISS-IVFPQ production plan),
     // plus its recall audit vs exact
     "sim_ann_ivfpq" -> ((s, d) => VectorOps.annIvfPq(Tables.embeddings(s, d))),
+    "sim_ann_ivfpq_batch" -> ((s, d) =>
+      VectorOps.annIvfPqBatch(Tables.embeddings(s, d))),
     "retrieval_ivfpq_recall" -> ((s, d) =>
       RetrievalOps.ivfPqRecall(Tables.embeddings(s, d))),
     "emb_centroid_drift" -> ((s, d) => VectorOps.centroidDrift(Tables.embeddings(s, d))),
@@ -4674,7 +4676,7 @@ object SparkEntry {
     "sim_ann_ivf", "sim_ann_ivf_batch", "dedup_semantic_ivf",
     "emb_pca_top", "emb_pq_encode", "sim_pq_topk",
     "sim_pq_rerank", "retrieval_pq_recall",
-    "sim_ann_ivfpq", "retrieval_ivfpq_recall")
+    "sim_ann_ivfpq", "sim_ann_ivfpq_batch", "retrieval_ivfpq_recall")
 
   def dynamicOracleSql(spark: SparkSession,
                        sfDir: String): Map[String, String] = {
@@ -4697,6 +4699,8 @@ object SparkEntry {
       // r17: the composed IVF+PQ tier — routing cells, codebooks and
       // the probe LUT all inline as literals
       "sim_ann_ivfpq" -> OracleGen.ivfPqSql(annCenters, pqBook, pqLut),
+      "sim_ann_ivfpq_batch" -> OracleGen.ivfPqBatchSql(annCenters, pqBook,
+        operators.VectorOps.pqProbeLutBatch(emb)),
       "retrieval_ivfpq_recall" ->
         OracleGen.ivfPqRecallSql(annCenters, pqBook, pqLut))
   }

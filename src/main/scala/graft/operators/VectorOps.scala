@@ -841,7 +841,15 @@ object VectorOps {
     val probe = embeddings.filter(col("vec_id") === probeId)
       .select(col("embedding").cast("array<double>")).head()
       .getSeq[Double](0)
-    (0 until m).map { j =>
+    lutFor(probe, cb)
+  }
+
+  /** The exact per-coordinate LUT fold for one probe vector — shared by
+    * the single-probe and batch LUT builders so both carry identical
+    * doubles. */
+  private def lutFor(probe: Seq[Double],
+                     cb: PqCodebook): IndexedSeq[Seq[Double]] =
+    (0 until cb.m).map { j =>
       cb.centers(j).map { c =>
         var d = 0.0
         var i = 0
@@ -853,6 +861,22 @@ object VectorOps {
         d
       }
     }
+
+  /** Per-probe ADC LUTs for the batch probes (vec_id 0..nProbes-1, in
+    * vec_id order) — one bounded collect; shared by [[annIvfPqBatch]]
+    * (as a 3-level plan literal) and the dynamic oracle (as per-probe
+    * SQL literal chains). */
+  private[graft] def pqProbeLutBatch(embeddings: DataFrame,
+      nProbes: Int = 5, m: Int = 8,
+      k: Int = 16): IndexedSeq[IndexedSeq[Seq[Double]]] = {
+    val cb = cachedPqCodebook(embeddings, m, k)
+    val probes = embeddings.filter(col("vec_id") < nProbes)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .orderBy("vec_id").collect()
+    require(probes.length == nProbes &&
+      probes.zipWithIndex.forall { case (r, i) => r.getLong(0) == i.toLong },
+      s"batch probes must be exactly vec_id 0..${nProbes - 1}")
+    probes.toIndexedSeq.map(r => lutFor(r.getSeq[Double](1), cb))
   }
 
   /** The ADC score expression over a packed `pq_code` column: m LUT
@@ -979,6 +1003,68 @@ object VectorOps {
       .orderBy(col("rawcos").desc, col("vec_id"))
       .limit(kNn)
       .select(col("vec_id"), round(col("rawcos"), 6).as("cos"))
+  }
+
+  /** `sim_ann_ivfpq_batch`: the batch-probe form of [[annIvfPq]] — N
+    * probes route, ADC-score and rerank in ONE pass each over the
+    * shared artifacts (the [[annIvfPqBatch]]-vs-[[ivfProbeBatch]]
+    * relationship mirrors annIvfBatch-vs-annIvf): per-probe top cells
+    * come from one nlist × nProbes cross join; the routed codes join
+    * fans each cell's codes to the probes that chose it (one codes-
+    * artifact scan serves ALL probes); the per-probe ADC reads a
+    * 3-level LUT literal (probe → subspace → code, nProbes·m·k doubles
+    * — driver-computed from one bounded collect); survivors rerank with
+    * exact cosine per probe. Broadcast sides are bounded by
+    * nProbes·nprobe (routing pairs) and nProbes·topR (survivors).
+    * Dynamically oracled ([[graft.OracleGen.ivfPqBatchSql]]): per-probe
+    * LUT chains replay as CASE arms in the identical float order.
+    * Defaults must stay in lockstep with the generator.
+    * scan-guard: sim_ann_ivfpq_batch */
+  def annIvfPqBatch(embeddings: DataFrame, nProbes: Int = 5, kNn: Int = 10,
+                    topR: Int = 50, nlist: Int = 8, nprobe: Int = 4,
+                    m: Int = 8, k: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val index = cachedIvfIndex(embeddings, nlist)
+    val luts = pqProbeLutBatch(embeddings, nProbes, m, k)
+    val codes = ivfPqCodes(embeddings, nlist, m, k)
+    val probes = embeddings.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+    val wCell = Window.partitionBy("probe_id")
+      .orderBy(col("ccos").desc, col("cell"))
+    val probeCells = index.centroids
+      .crossJoin(probes)
+      .select(col("probe_id"), col("cell"),
+        cosine(col("centroid"), col("probe")).as("ccos"))
+      .withColumn("crn", row_number().over(wCell))
+      .filter(col("crn") <= nprobe)
+      .select("probe_id", "cell")
+    val lut3d = typedlit(luts.map(_.map(_.toSeq)))
+    val pidx = (col("probe_id") + 1).cast("int")
+    val adc = (0 until m).map { j =>
+      element_at(element_at(element_at(lut3d, pidx), j + 1),
+        (shiftright(col("pq_code"), 4 * j).bitwiseAND(lit(15L)) + 1)
+          .cast("int"))
+    }.reduce(_ + _)
+    val wAdc = Window.partitionBy("probe_id")
+      .orderBy(col("adc_micro").asc, col("vec_id"))
+    val survivors = codes
+      .join(broadcast(probeCells), Seq("cell"))
+      .select(col("probe_id"), col("vec_id"),
+        (adc * 1e6).cast("long").as("adc_micro"))
+      .withColumn("srn", row_number().over(wAdc))
+      .filter(col("srn") <= topR)
+      .select("probe_id", "vec_id")
+    val wK = Window.partitionBy("probe_id")
+      .orderBy(col("rawcos").desc, col("vec_id"))
+    embeddings.join(broadcast(survivors), Seq("vec_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosine(col("embedding"), col("probe")).as("rawcos"))
+      .withColumn("rn", row_number().over(wK))
+      .filter(col("rn") <= kNn)
+      .select(col("probe_id"), col("vec_id"),
+        round(col("rawcos"), 6).as("cos"), col("rn"))
+      .orderBy("probe_id", "rn")
   }
 
   /** Re-ingestion corpus for the oracled embedding near-dup queries:

@@ -783,6 +783,14 @@ class PlanGuardSpec extends SparkSpec {
         s.conf.set("spark.graft.pq.ivfCodesCache", "false")
         VectorOps.annIvfPq(Tables.embeddings(s, sf()))
       }, "embeddings", 4),
+      // batch form: same 4 — combined-codes pass (conf-off), rerank
+      // corpus pass, and the nProbes-row pushdown probe scan on each
+      // of the two probe-consuming tiers
+      ("sim_ann_ivfpq_batch", () => {
+        val s = spark.newSession()
+        s.conf.set("spark.graft.pq.ivfCodesCache", "false")
+        VectorOps.annIvfPqBatch(Tables.embeddings(s, sf()))
+      }, "embeddings", 4),
       ("sample_reservoir_group", () => CorpusOps.sampleReservoir(docs),
         "documents", 1),
       // r17 (VERDICT r16 #1): the minhash incremental fold — nBatches(=4)

@@ -63,6 +63,26 @@ class RoundSeventeenOpsSpec extends SparkSpec {
     assert(codeMismatch == 0, "combined projection disagrees with flat PQ codes")
   }
 
+  test("sim_ann_ivfpq_batch: probe 0's rows equal the single-probe ladder; ranks are dense per probe") {
+    val docs = toyCorpus()
+    val batch = VectorOps.annIvfPqBatch(docs, nProbes = 5, topR = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val single = VectorOps.annIvfPq(docs, probeId = 0L, topR = 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // the batch plan shares routing/codes/rerank with the single-probe
+    // form — probe 0's slice must agree exactly
+    assert(batch.filter(_._1 == 0L).map(t => (t._2, t._3)).toSeq ==
+      single.toSeq)
+    // 5 probes x kNn rows, rank dense 1..10 per probe, cos descending
+    assert(batch.length == 50)
+    (0L until 5L).foreach { p =>
+      val rows = batch.filter(_._1 == p)
+      assert(rows.map(_._4).toSeq == (1 to 10), s"probe $p ranks")
+      val cs = rows.map(_._3).toSeq
+      assert(cs == cs.sorted.reverse, s"probe $p cos order")
+    }
+  }
+
   test("retrieval_ivfpq_recall: one audited row; full probing + corpus topR gives recall 1.0") {
     val docs = toyCorpus(plantCopyOfProbe = false)
     val r = RetrievalOps.ivfPqRecall(docs).collect()
