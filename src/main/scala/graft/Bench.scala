@@ -361,9 +361,17 @@ object Bench {
       else calibrationQueries.flatMap { q =>
         SparkEntry.queries.get(q).map { fn =>
           try runAndRelease(fn) catch { case _: Throwable => () } // warm
-          val t0 = System.nanoTime()
-          try { runAndRelease(fn); q -> (System.nanoTime() - t0) / 1e9 }
-          catch { case _: Throwable => q -> -1.0 }
+          // min over repeats, matching the statistic the reference
+          // artifact records (min over its repeats + outlier re-runs) —
+          // a single timed run biased the median ratio above 1.0 even
+          // on the reference box itself, systematically loosening the
+          // thresholds calibration exists to tighten (ADVICE r17)
+          val times = (1 to 2).flatMap { _ =>
+            val t0 = System.nanoTime()
+            try { runAndRelease(fn); Some((System.nanoTime() - t0) / 1e9) }
+            catch { case _: Throwable => None }
+          }
+          q -> (if (times.isEmpty) -1.0 else times.min)
         }
       }.toMap
     val calibRatio: Option[Double] =

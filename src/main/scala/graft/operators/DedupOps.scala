@@ -337,15 +337,30 @@ object DedupOps {
     * sign), one band-key join of delta-bands vs state-bands (shuffle
     * keyed on (band, bh) — O(|delta| + |state|) rows of two longs), and
     * a verification join bounded by the candidate count — never a
-    * rebuild of the historical corpus's pair pipeline. */
+    * rebuild of the historical corpus's pair pipeline.
+    *
+    * `storeBands` (r18, VERDICT r17 #3): the SUNK banded-key table
+    * `(doc_id, bk)` for the store, when the caller maintains one.
+    * Without it, the store side's band keys are RE-DERIVED from the
+    * signatures on every fold — a per-append recompute that grows with
+    * the corpus and was the dominant 100 TB term; with it, the store
+    * side is a scan of rows banded exactly once, when their append
+    * landed. Banding is deterministic, so either path joins identical
+    * keys (spec-pinned: the maintained bands table equals
+    * minhashBanded(store) row-for-row). */
   private[graft] def deltaMinhashPairs(store: Option[DataFrame],
                                        delta: DataFrame,
                                        nHashes: Int = 32,
                                        rowsPerBand: Int = 4,
-                                       jaccardTau: Double = 0.7): DataFrame = {
+                                       jaccardTau: Double = 0.7,
+                                       storeBands: Option[DataFrame] = None)
+      : DataFrame = {
     val all = store.map(_.unionAll(delta)).getOrElse(delta)
     val bandedDelta = minhashBanded(delta, nHashes, rowsPerBand)
-    val bandedAll = minhashBanded(all, nHashes, rowsPerBand)
+    val bandedStore = storeBands
+      .orElse(store.map(minhashBanded(_, nHashes, rowsPerBand)))
+    val bandedAll =
+      bandedStore.map(_.unionAll(bandedDelta)).getOrElse(bandedDelta)
     val cand = bandedDelta.select(col("bk"), col("doc_id").as("id_x"))
       .join(bandedAll.select(col("bk"), col("doc_id").as("id_y")), Seq("bk"))
       .filter(col("id_x") =!= col("id_y"))
@@ -390,11 +405,22 @@ object DedupOps {
           shingleK, nHashes))
     }
     var store: Option[DataFrame] = None
+    var bands: Option[DataFrame] = None
     var pairs: Option[DataFrame] = None
     appends.foreach { delta =>
-      val newPairs =
-        deltaMinhashPairs(store, delta, nHashes, rowsPerBand, jaccardTau)
+      val newPairs = deltaMinhashPairs(store, delta, nHashes, rowsPerBand,
+        jaccardTau, storeBands = bands)
+      // each append's banded keys are derived ONCE, when it lands, and
+      // accumulate as the sunk band table every later fold's store side
+      // scans (r18, VERDICT r17 #3 — without this, level L re-banded
+      // all L earlier slices: O(nBatches²/2) banding work per replay,
+      // the dominant per-append term at corpus scale). Pinned for the
+      // same reason the enriched slices are: every later level consumes
+      // the accumulated union.
+      val bandedDelta = graft.plans.PlanPins.lazyPin(
+        minhashBanded(delta, nHashes, rowsPerBand))
       store = Some(store.map(_.unionAll(delta)).getOrElse(delta))
+      bands = Some(bands.map(_.unionAll(bandedDelta)).getOrElse(bandedDelta))
       pairs = Some(pairs.map(_.unionAll(newPairs)).getOrElse(newPairs))
     }
     pairs.get.orderBy("id_a", "id_b")

@@ -23,10 +23,16 @@ import graft.sources.BusProvider
   * map pass over the delta plus band joins of O(|state| + |delta|)
   * two-long rows — never the historical corpus's pair pipeline.
   *
-  * State layout: each committed version holds TWO tables —
+  * State layout: each committed version holds THREE tables —
   * `v{batchId}/store` (the signature store: doc_id, shingle set,
   * signature — the artifact a production LSH dedup service sinks; the
-  * shingle sets ride along because verification is EXACT Jaccard) and
+  * shingle sets ride along because verification is EXACT Jaccard),
+  * `v{batchId}/bands` (the SUNK banded-key table `(doc_id, bk)` — r18,
+  * VERDICT r17 #3: each document's band keys are derived once, when its
+  * append lands, so a fold's store side is a SCAN of two-long rows
+  * instead of a re-band of the whole signature store — the re-band was
+  * the dominant per-append term at corpus scale; legacy two-table
+  * versions seed the bands table on their next fold), and
   * `v{batchId}/pairs` (the verified pair projection, the same rows
   * `dedup_near_minhash` rebuilds from scratch). Crash atomicity,
   * retention GC, and the checkpoint-identity guard are the shared
@@ -79,11 +85,31 @@ final class MinhashMaintenance(
     else Some(spark.read.parquet(s"${state.versionPath(last)}/store"))
   }
 
+  /** The SUNK banded-key table `(doc_id, bk)` as of the last committed
+    * batch (r18, VERDICT r17 #3): each document's band keys are derived
+    * once, when its append lands, and every later fold's store side
+    * SCANS them instead of re-banding the whole signature store —
+    * the re-band was the dominant per-append term at corpus scale.
+    * None when empty OR when the version predates the bands table
+    * (legacy state dirs fall back to the re-derive path; the next
+    * commit writes bands and upgrades the state in place). */
+  private[streaming] def currentBands(): Option[DataFrame] = {
+    val last = state.lastApplied()
+    val p = s"${state.versionPath(last)}/bands"
+    if (last < 0 || !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)))
+      None
+    else Some(spark.read.parquet(p))
+  }
+
   /** Fold one append batch (documents) into the state. Exposed for the
     * spec's direct replay test; the streaming query calls it per
     * micro-batch. Skips already-applied batchIds. */
   private[streaming] def applyBatch(docs: DataFrame, batchId: Long): Unit = {
     if (batchId <= state.lastApplied()) return
+    // lineage lands before the first commit, not after start() returns
+    // (ADVICE r17: the post-start persist left a crash window in which
+    // a committed v0 had no identity and the guard passed silently)
+    state.persistIdentityFromCheckpoint(checkpointDir)
     val t0 = System.nanoTime()
     // persist the delta across its consumers in THIS batch (store write
     // + candidate join + verify re-attach), then drop the blocks — a
@@ -91,23 +117,36 @@ final class MinhashMaintenance(
     val delta = DedupOps.minhashEnriched(docs, shingleK, nHashes).persist()
     try {
       val store = currentStore()
+      val bands = currentBands()
       val newPairs = DedupOps.deltaMinhashPairs(
-        store, delta, nHashes, rowsPerBand, jaccardTau)
+        store, delta, nHashes, rowsPerBand, jaccardTau, storeBands = bands)
       val vdir = state.versionPath(batchId)
-      // both tables land fully before the pointer moves — the version
+      // all tables land fully before the pointer moves — the version
       // becomes visible atomically with the commit
       store.map(_.unionAll(delta)).getOrElse(delta)
         .write.mode("overwrite").parquet(s"$vdir/store")
+      // the delta's band keys sink alongside (derived once, here; the
+      // next fold's store side scans them — r18, VERDICT r17 #3). A
+      // legacy version without bands re-bands its store exactly once to
+      // seed the table, then stays on the sunk path.
+      val bandedDelta =
+        DedupOps.minhashBanded(delta, nHashes, rowsPerBand)
+      val bandedPrev = bands.orElse(
+        store.map(DedupOps.minhashBanded(_, nHashes, rowsPerBand)))
+      bandedPrev.map(_.unionAll(bandedDelta)).getOrElse(bandedDelta)
+        .write.mode("overwrite").parquet(s"$vdir/bands")
       currentPairs().unionAll(newPairs)
         .write.mode("overwrite").parquet(s"$vdir/pairs")
       // merge-cost stamps from the just-written parquet footers
       // (metadata-only counts — no plan re-execution)
       val storeRows = spark.read.parquet(s"$vdir/store").count()
+      val bandRows = spark.read.parquet(s"$vdir/bands").count()
       val pairRows = spark.read.parquet(s"$vdir/pairs").count()
       state.commit(batchId)
       Console.err.println(
         f"[minhash-maintenance] batch $batchId: store rows $storeRows, " +
-          f"pair rows $pairRows (${(System.nanoTime() - t0) / 1e9}%.2f s)")
+          f"band rows $bandRows, pair rows $pairRows " +
+          f"(${(System.nanoTime() - t0) / 1e9}%.2f s)")
     } finally delta.unpersist(blocking = false)
   }
 

@@ -78,6 +78,10 @@ final class ProjectionMaintenance(
     * crash-before-checkpoint re-runs the same id). */
   private[streaming] def applyBatch(orders: DataFrame, batchId: Long): Unit = {
     if (batchId <= state.lastApplied()) return
+    // lineage lands before the first commit, not after start() returns
+    // (ADVICE r17: the post-start persist left a crash window in which
+    // a committed v0 had no identity and the guard passed silently)
+    state.persistIdentityFromCheckpoint(checkpointDir)
     // explode the basket messages back to lineitem shape and run the
     // SAME pairSupport the batch rebuild uses — one code path, so the
     // spec's append ≡ rebuild equality is structural, not coincidental

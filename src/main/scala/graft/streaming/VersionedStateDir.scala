@@ -52,17 +52,22 @@ private[streaming] final class VersionedStateDir(
   private def pruneVersions(committed: Long): Unit = {
     val dir = Paths.get(stateDir)
     if (!Files.isDirectory(dir)) return
-    val versioned = Files.list(dir).iterator()
+    // Files.list / Files.walk streams hold an open directory fd until
+    // closed, and this runs on EVERY micro-batch commit — a long-running
+    // maintainer must not lean on GC to release them (ADVICE r17).
     val vs = scala.collection.mutable.ArrayBuffer.empty[(Long, java.nio.file.Path)]
-    versioned.forEachRemaining { p =>
+    val listing = Files.list(dir)
+    try listing.iterator().forEachRemaining { p =>
       val n = p.getFileName.toString
       if (n.startsWith("v") && n.length > 1 && n.drop(1).forall(_.isDigit))
         vs += ((n.drop(1).toLong, p))
-    }
+    } finally listing.close()
     vs.filter(_._1 <= committed).sortBy(-_._1).drop(keepVersions)
       .foreach { case (_, p) =>
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(f => Files.deleteIfExists(f))
+        finally walk.close()
       }
   }
 
@@ -94,6 +99,14 @@ private[streaming] final class VersionedStateDir(
             "checkpoint restarts batchIds at 0 and the replay guard " +
             "would silently drop every new append. Point the maintainer " +
             "at the original checkpoint, or start a fresh state dir.")
+      case (None, Some(c)) if lastApplied() >= 0 =>
+        throw new IllegalStateException(
+          s"state dir $stateDir has committed versions but no recorded " +
+            s"checkpoint identity, while $checkpointDir belongs to query " +
+            s"id $c — the state's lineage cannot be verified (it may have " +
+            "been built under a different, since-replaced checkpoint). " +
+            "Refusing to start; rebuild the state or restore the " +
+            "original checkpoint+identity pair.")
       case (Some(s), None) if lastApplied() >= 0 =>
         throw new IllegalStateException(
           s"state dir $stateDir (built under checkpoint query id $s) is " +
@@ -104,6 +117,17 @@ private[streaming] final class VersionedStateDir(
       case _ => ()
     }
   }
+
+  /** Persist the checkpoint's query id if its metadata file already
+    * exists (Structured Streaming writes it when the query object is
+    * constructed, BEFORE the first batch runs). Maintainers call this at
+    * the top of every batch fold so the identity lands before the first
+    * state commit — a crash between v0's commit and a post-start
+    * persist would otherwise leave a committed state with no lineage,
+    * which a later start against a fresh checkpoint would silently
+    * accept (ADVICE r17). No-op for direct spec replays (no metadata). */
+  def persistIdentityFromCheckpoint(checkpointDir: String): Unit =
+    checkpointQueryId(checkpointDir).foreach(persistIdentity)
 
   /** Record the checkpoint's query id on first start (no-op after). */
   def persistIdentity(queryId: String): Unit = {
