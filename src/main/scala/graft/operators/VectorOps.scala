@@ -811,8 +811,12 @@ object VectorOps {
     val withSubs = embeddings.select(
       col("vec_id") +: col("embedding").as("e") +:
         (0 until m).map(j => pqSub(col("embedding"), j, cb).as(s"s$j")): _*)
+    // shift+OR over disjoint 4-bit lanes — value-identical to the
+    // multiply+add the oracle SQL replays for m=8, but ANSI-overflow-
+    // safe at m=16 where lane 15 occupies bits 60-63 (r18: the curve
+    // harness sweeps m; multiply threw ARITHMETIC_OVERFLOW there)
     val packed = (0 until m).map(j =>
-      col(s"s$j.code") * lit(1L << (4 * j))).reduce(_ + _)
+      shiftleft(col(s"s$j.code"), 4 * j)).reduce(_.bitwiseOR(_))
     val errRaw = (0 until m).map(j => col(s"s$j.d")).reduce(_ + _) +
       dot(col("e"), col("e"))
     graft.plans.ProjectionCache("pq", "spark.graft.pq.codesCache",
@@ -931,9 +935,10 @@ object VectorOps {
 
   /** The combined IVF+PQ codes projection — one row per vector:
     * (vec_id, cell, pq_code). This is FAISS's IVFPQ index re-expressed
-    * as a columnar table: the inverted lists become a cell column the
-    * deployment partitions/sorts the table by, and each posting carries
-    * the vector's packed 8-byte PQ code. Built in ONE corpus scan (cell
+    * as a columnar table: the inverted lists ARE the artifact's
+    * `partitionBy(cell)` directory layout (r18 — a routed probe opens
+    * only its cells' files), and each posting carries the vector's
+    * packed 8-byte PQ code. Built in ONE corpus scan (cell
     * assignment and the m subspace argmins are all compiled expressions
     * over the same embedding read — the fitted centers ride the plan as
     * literals, cluster-safe); session file-cached under
@@ -949,10 +954,18 @@ object VectorOps {
       col("vec_id") +:
         cellAssign(col("embedding"), centers).as("cell") +:
         (0 until m).map(j => pqSub(col("embedding"), j, cb).as(s"s$j")): _*)
+    // shift+OR packing — see pqCodes: value-identical at m=8, ANSI-safe
+    // at the curve harness's m=16
     val packed = (0 until m).map(j =>
-      col(s"s$j.code") * lit(1L << (4 * j))).reduce(_ + _)
+      shiftleft(col(s"s$j.code"), 4 * j)).reduce(_.bitwiseOR(_))
+    // partitionBy(cell) (r18, VERDICT r17 #2): the artifact's layout IS
+    // the inverted-list structure — a probe's routed-cell filter becomes
+    // a PartitionFilters directory selection (nprobe/nlist of the
+    // artifact's files opened), proven by PlanGuardSpec's
+    // ivfpq_partition_prune device
     graft.plans.ProjectionCache("pq", "spark.graft.pq.ivfCodesCache",
-      withSubs.select(col("vec_id"), col("cell"), packed.as("pq_code")))
+      withSubs.select(col("vec_id"), col("cell"), packed.as("pq_code")),
+      partitionBy = Seq("cell"))
   }
 
   /** `sim_ann_ivfpq`: the ANN ladder's top tier (VERDICT r16 #2) — the
@@ -963,11 +976,13 @@ object VectorOps {
     * 1-row collect and rides the plan as literals — [[pqTopK]]'s
     * device), and exact cosine rerank of the `topR` ADC survivors
     * ([[pqRerank]]'s tier 2). At 100 TB: tier 0 is driver arithmetic
-    * over nlist rows; tier 1 scans only nprobe/nlist of the 8-byte
-    * codes artifact (cell-partitioned at deployment — partition pruning
-    * makes the routing a directory selection, never a corpus scan);
-    * tier 2 touches full vectors for topR ids via a broadcast semi-join
-    * at scan speed. Dynamically oracled ([[graft.OracleGen.ivfPqSql]]):
+    * over nlist rows; tier 1 OPENS only nprobe/nlist of the 8-byte
+    * codes artifact — the artifact is written `partitionBy(cell)` and
+    * the routed cells enter the plan as a literal IN, so pruning is
+    * static `PartitionFilters` directory selection (guarded by
+    * PlanGuardSpec's ivfpq_partition_prune device), never a corpus scan
+    * with a post-open row filter; tier 2 touches full vectors for topR
+    * ids via a broadcast semi-join at scan speed. Dynamically oracled ([[graft.OracleGen.ivfPqSql]]):
     * cells + codebooks + LUT inline as literals and DuckDB replays
     * routing, ADC, and rerank; recall vs exact audited by
     * `retrieval_ivfpq_recall`. Defaults must stay in lockstep with the
@@ -980,17 +995,26 @@ object VectorOps {
     val codes = ivfPqCodes(embeddings, nlist, m, k)
     val probe = embeddings.filter(col("vec_id") === probeId)
       .select(col("embedding").as("probe"))
-    // tier 0: coarse routing — nlist centroid rows vs the broadcast
-    // 1-row probe; the same ranking ivfProbe uses
-    val topCells = index.centroids
+    // tier 0: coarse routing — nlist centroid rows vs the 1-row probe,
+    // the same ranking ivfProbe uses, COLLECTED (r18, VERDICT r17 #2):
+    // routing is driver arithmetic over nlist rows (the LUT already
+    // rides a 1-row collect), and a LITERAL cell set is what turns
+    // tier 1's read of the cell-partitioned codes artifact into static
+    // PartitionFilters directory pruning — a broadcast semi-join prunes
+    // rows after opening every cell's files; the literal IN prunes the
+    // directories themselves. At 100 TB tier 1 then opens nprobe/nlist
+    // of the artifact, byte-for-byte the inverted-list access path.
+    val topCells: Seq[Int] = index.centroids
       .crossJoin(broadcast(probe))
       .select(col("cell"), cosine(col("centroid"), col("probe")).as("ccos"))
       .orderBy(col("ccos").desc, col("cell"))
       .limit(nprobe)
       .select("cell")
-    // tier 1: ADC over the routed cells' packed codes only
+      .collect().map(_.getInt(0)).toSeq
+    // tier 1: ADC over the routed cells' packed codes only — a static
+    // partition-key predicate on the sunk artifact
     val survivors = codes
-      .join(broadcast(topCells), Seq("cell"), "left_semi")
+      .filter(col("cell").isin(topCells: _*))
       .select(col("vec_id"),
         (adcExpr(lut, m) * 1e6).cast("long").as("adc_micro"))
       .orderBy(col("adc_micro").asc, col("vec_id"))
@@ -1031,13 +1055,23 @@ object VectorOps {
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
     val wCell = Window.partitionBy("probe_id")
       .orderBy(col("ccos").desc, col("cell"))
-    val probeCells = index.centroids
+    // routing COLLECTED (r18, VERDICT r17 #2): nProbes·nprobe pairs of
+    // driver arithmetic; the distinct routed cells become a literal IN
+    // on the cell-partitioned codes artifact (static PartitionFilters
+    // directory pruning — one artifact read opens only the union of the
+    // probes' cells), and the pair table re-enters the plan as a local
+    // relation for the cell→probe fan-out join.
+    val probeCellRows: Seq[(Long, Int)] = index.centroids
       .crossJoin(probes)
       .select(col("probe_id"), col("cell"),
         cosine(col("centroid"), col("probe")).as("ccos"))
       .withColumn("crn", row_number().over(wCell))
       .filter(col("crn") <= nprobe)
       .select("probe_id", "cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val routedCells = probeCellRows.map(_._2).distinct.sorted
+    val probeCells = embeddings.sparkSession
+      .createDataFrame(probeCellRows).toDF("probe_id", "cell")
     val lut3d = typedlit(luts.map(_.map(_.toSeq)))
     val pidx = (col("probe_id") + 1).cast("int")
     val adc = (0 until m).map { j =>
@@ -1048,6 +1082,7 @@ object VectorOps {
     val wAdc = Window.partitionBy("probe_id")
       .orderBy(col("adc_micro").asc, col("vec_id"))
     val survivors = codes
+      .filter(col("cell").isin(routedCells: _*))
       .join(broadcast(probeCells), Seq("cell"))
       .select(col("probe_id"), col("vec_id"),
         (adc * 1e6).cast("long").as("adc_micro"))

@@ -117,25 +117,47 @@ private[graft] object ProjectionCache {
 
   /** Route `pairs` through the session's file cache under `tag`,
     * gated on `confKey` (default ON; set the conf `false` to opt out —
-    * the plan-shape specs do). Results are row-identical either way. */
-  def apply(tag: String, confKey: String, pairs: DataFrame): DataFrame = {
+    * the plan-shape specs do). Results are row-identical either way.
+    *
+    * `partitionBy` (r18, VERDICT r17 #2): layout-partition the sunk
+    * artifact by the named columns — the deployment shape for
+    * projections whose consumers route to a key subset (the IVF+PQ
+    * codes table partitions by `cell`, so a probe's tier-1 ADC scan is
+    * a DIRECTORY selection of nprobe/nlist of the artifact, proven by
+    * `PartitionFilters` in the scan guard, never a corpus scan with a
+    * row filter). The read re-applies the logical schema, so column
+    * order and types are identical to the unpartitioned form; the key
+    * folds the layout in so the same projection cached under two
+    * layouts cannot collide. */
+  def apply(tag: String, confKey: String, pairs: DataFrame,
+            partitionBy: Seq[String] = Nil): DataFrame = {
     val spark = pairs.sparkSession
     if (!spark.conf.get(confKey, "true").toBoolean) return pairs
     val key = s"${System.identityHashCode(spark)}:$tag:" +
       s"${planKey(pairs)}:" +
-      s"${graft.operators.VectorOps.inputSnapshot(pairs)}"
+      s"${graft.operators.VectorOps.inputSnapshot(pairs)}" +
+      (if (partitionBy.isEmpty) "" else s":part=${partitionBy.mkString(",")}")
     val dir = dirs.computeIfAbsent(key, _ => {
       val d = s"${System.getProperty("java.io.tmpdir")}/graft-proj-$tag-" +
         s"${graft.operators.Scans.sessionTag(spark)}/p${seq.incrementAndGet()}"
       val t0 = System.nanoTime()
-      pairs.write.mode("overwrite").parquet(d)
+      // partitioned layout: shuffle rows to their partition first, so
+      // each directory holds ONE file instead of (writers × keys) small
+      // files — the inverted-list shape a directory-pruned read wants
+      val toWrite =
+        if (partitionBy.isEmpty) pairs
+        else pairs.repartition(partitionBy.map(pairs.col): _*)
+      toWrite.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(d)
       Console.err.println(
         f"[graft] $tag projection BUILD ${(System.nanoTime() - t0) / 1e9}%.1fs key=$key")
       graft.operators.SinkJanitor.register(spark, s"proj/$key", d, Nil, spark)
       d
     })
     // explicit schema: a zero-row projection writes no row groups, and
-    // schema inference would fail on the empty dir
+    // schema inference would fail on the empty dir; for a partitioned
+    // layout it also pins the partition columns' positions and types
+    // back to the logical schema (directory discovery would move them
+    // to the end)
     spark.read.schema(pairs.schema).parquet(dir)
   }
 }

@@ -776,21 +776,22 @@ class PlanGuardSpec extends SparkSpec {
       // r17: the composed IVF+PQ ladder — combined-codes pass (1,
       // conf-off; the cache swaps it for a cache-parquet scan), the
       // survivor-filtered rerank corpus pass (1), and the 1-row
-      // pushdown probe scan on each tier that consumes the probe
-      // vector (routing + rerank = 2)
+      // pushdown probe scan in the rerank tier (1). Routing's probe
+      // scan left the plan in r18: tier 0 is a bounded driver collect
+      // whose literal cell set statically prunes the codes artifact.
       ("sim_ann_ivfpq", () => {
         val s = spark.newSession()
         s.conf.set("spark.graft.pq.ivfCodesCache", "false")
         VectorOps.annIvfPq(Tables.embeddings(s, sf()))
-      }, "embeddings", 4),
-      // batch form: same 4 — combined-codes pass (conf-off), rerank
-      // corpus pass, and the nProbes-row pushdown probe scan on each
-      // of the two probe-consuming tiers
+      }, "embeddings", 3),
+      // batch form: same 3 — combined-codes pass (conf-off), rerank
+      // corpus pass, and the nProbes-row pushdown probe scan in the
+      // rerank tier (routing collected as in the single-probe form)
       ("sim_ann_ivfpq_batch", () => {
         val s = spark.newSession()
         s.conf.set("spark.graft.pq.ivfCodesCache", "false")
         VectorOps.annIvfPqBatch(Tables.embeddings(s, sf()))
-      }, "embeddings", 4),
+      }, "embeddings", 3),
       ("sample_reservoir_group", () => CorpusOps.sampleReservoir(docs),
         "documents", 1),
       // r17 (VERDICT r16 #1): the minhash incremental fold — nBatches(=4)
@@ -928,6 +929,28 @@ class PlanGuardSpec extends SparkSpec {
           .cast("long").as("id_checksum"))
       .orderBy("lang")
     assert(pruned.collect().map(_.toString).toSeq ===
+      direct.collect().map(_.toString).toSeq)
+  }
+
+  test("ivfpq_partition_prune: tier 1's routed cells are a PartitionFilter on the codes artifact (r18, VERDICT r17 #2)") {
+    // cache ON: tier 1 scans the partitionBy(cell) parquet artifact, and
+    // the driver-collected routing lands as a LITERAL cell IN (...) in
+    // PartitionFilters — directory pruning, the inverted-list access
+    // path (nprobe/nlist of the artifact's files opened, never a corpus
+    // scan with a post-open row filter)
+    val s = spark.newSession()
+    val emb = Tables.embeddings(s, sf())
+    val res = VectorOps.annIvfPq(emb)
+    val plan = res.queryExecution.executedPlan.treeString
+    val pf = "PartitionFilters: \\[[^\\]]*cell[^\\]]+ IN \\([0-9,]+\\)".r
+    assert(pf.findFirstIn(plan).isDefined,
+      s"routed cell IN (...) did not land in PartitionFilters:\n$plan")
+    // and the partitioned-artifact path loses nothing: identical rows to
+    // a conf-off clone computing the same ladder without the artifact
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.pq.ivfCodesCache", "false")
+    val direct = VectorOps.annIvfPq(Tables.embeddings(s2, sf()))
+    assert(res.collect().map(_.toString).toSeq ===
       direct.collect().map(_.toString).toSeq)
   }
 }

@@ -114,6 +114,45 @@ class RetrievalOpsSpec extends SparkSpec {
     }
   }
 
+  test("ivfpq curve monotonicity: recall non-decreasing in topR (exact) and nprobe (tolerance) — r18, VERDICT r17 #6") {
+    val emb = Tables.embeddings(spark, sf())
+    val nProbes = 10; val k = 10
+    def topkSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("probe_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = topkSets(VectorOps.batchCosineTopK(emb, nProbes, k))
+    def recall(np: Int, tr: Int): Double = {
+      val got = topkSets(VectorOps.annIvfPqBatch(emb, nProbes, k, tr,
+        nlist = 8, nprobe = np))
+      exact.map { case (p, want) =>
+        got.getOrElse(p, Set.empty).count(want) / want.size.toDouble
+      }.sum / exact.size
+    }
+    val nprobes = Seq(1, 2, 4, 8); val topRs = Seq(10, 50)
+    val grid = (for (np <- nprobes; tr <- topRs) yield (np, tr) ->
+      recall(np, tr)).toMap
+    // topR at fixed nprobe: the ADC survivor prefix is NESTED and the
+    // rerank is exact over a superset — recall non-decreasing EXACTLY
+    nprobes.foreach { np =>
+      assert(grid((np, 50)) >= grid((np, 10)),
+        s"recall fell as topR grew at nprobe=$np: $grid")
+    }
+    // nprobe at fixed topR: a larger candidate pool can displace a true
+    // neighbor out of a small topR via ADC noise — non-decreasing within
+    // one probe-item of tolerance (1/(nProbes*k) granularity × a few)
+    topRs.foreach { tr =>
+      nprobes.sliding(2).foreach { case Seq(a, b) =>
+        assert(grid((b, tr)) >= grid((a, tr)) - 0.05,
+          s"recall fell >0.05 from nprobe=$a to $b at topR=$tr: $grid")
+      }
+    }
+    // the degenerate corner is EXACT: every cell probed + every
+    // candidate surviving ⇒ the exact rerank sees the whole corpus and
+    // the ladder IS the exact sweep (recall 1.0, no tolerance)
+    val full = recall(8, emb.count().toInt)
+    assert(full == 1.0, s"full-probe/full-survivor recall $full != 1.0")
+  }
+
   test("bm25 plan: text never crosses an exchange; top-k is TakeOrdered") {
     val plan = RetrievalOps.bm25(docs).queryExecution.executedPlan.treeString
     // the corpus-wide pass reduces to matched (doc_id, term, dl) postings
