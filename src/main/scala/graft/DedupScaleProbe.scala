@@ -59,6 +59,24 @@ object DedupScaleProbe {
       // aggregate + the per-doc rewrite
       time("span_rewrite_full") { force(DedupOps.spanRewrite(docs)) }
     }
+    if (which == "spanstages18") {
+      // stage split of the r18 packed-long + re-synthesis plan
+      import org.apache.spark.sql.functions.{bitwiseNOT => _, _}
+      val spans = DedupOps.spanTable(docs, 5)
+      val pk = spans.select(col("h"),
+        (shiftleft(col("doc_id"), 22)
+          .bitwiseOR(col("block_idx").cast("long"))).as("pk"))
+      time("span_pk_synth_forced") { force(pk) }
+      val keeper = pk.groupBy("h").agg(min(col("pk")).as("pk"))
+      time("span_keeper_hashagg_forced") { force(keeper) }
+      val keptIdx = keeper
+        .select(shiftright(col("pk"), 22).as("doc_id"),
+          col("pk").bitwiseAND(lit((1L << 22) - 1)).cast("int").as("block_idx"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(col("block_idx"))).as("kept"))
+      time("span_keptidx_forced") { force(keptIdx.select(col("doc_id"), size(col("kept")).as("n"))) }
+      time("span_rewrite_full_r18") { force(DedupOps.spanRewrite(docs)) }
+    }
     if (which == "spanstages") {
       // stage split of the full pipeline: the map-only synthesis, the
       // keeper aggregate alone, and the h-keyed reattach join

@@ -1648,9 +1648,15 @@ object CorpusOps {
                                tolPpm: Long = 50000L): DataFrame = {
     val words = documents.select(col("lang"),
       explode(filter(split(lower(col("text")), " "), w => w =!= "")).as("word"))
-    val perLang = words.groupBy("lang").agg(
+    // pre-distinct (lang, word) BEFORE the mixed agg (r18, VERDICT r17
+    // #1 — the agg_approx_distinct defect's twin): countDistinct mixed
+    // with the sketch made the distinct rewrite carry the DataSketches
+    // HLL buffer per (lang, word) pair through the shuffle; the sketch
+    // is duplicate-insensitive, so deduping first is bit-identical and
+    // shuffles bare string pairs instead
+    val perLang = words.distinct().groupBy("lang").agg(
       hll_sketch_agg(col("word"), lit(lgConfigK)).as("sk"),
-      countDistinct(col("word")).as("exact_distinct"))
+      count(lit(1)).as("exact_distinct"))
     val shards = perLang.select(col("lang"), col("exact_distinct"),
       hll_sketch_estimate(col("sk")).as("est"))
     val globalExact = words.agg(countDistinct(col("word")).as("exact_distinct"))

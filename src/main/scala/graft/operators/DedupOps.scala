@@ -1137,29 +1137,32 @@ object DedupOps {
     * (output IS the surviving corpus + per-doc loss accounting:
     * n_spans, n_kept, kept_words, md5 of the rewritten text).
     *
-    * Scale shape (reworked r17 after the sf100 probe): span synthesis
-    * is map-only (`sequence`/`slice` inside codegen — no intermediate
-    * word explode). First-occurrence is decided by a groupBy(span-hash)
-    * min-struct aggregate that CARRIES THE WHOLE KEPT ROW as its
-    * payload — (doc_id, block_idx) is globally unique per instance, so
-    * the struct min IS the surviving instance, and no reattach join
-    * exists at all. NOT a window: partial aggregation collapses a hot
-    * span (boilerplate duplicated 10^9 times at 100 TB) map-side to ONE
-    * struct per key per task, where a row_number window would pull
-    * every instance through one task. Reassembly is one doc_id-keyed
-    * shuffle of SURVIVING spans only. ONE corpus scan, span text
-    * crosses a shuffle once. The r13-r16 form re-joined the span stream
-    * against a keeper table on an md5-string hash — two corpus
-    * shuffles, a string-keyed sort-merge, and the synthesis executed
-    * twice: the r17 sf100 probe read the keeper aggregate at 16.8× and
-    * the reattach join at 35.8× for 10× data (55.5M spans, the
-    * string-sort-spill regime). Same-box probe of the full query:
-    * 17.3 → 428.9 s (md5-string + join) to 23.5 → 351.8 s (long keys +
-    * payload-min, run-to-run swing ±25% on this sort-weak host) —
-    * the ratio drops 24.8× → ~15×, and the remaining super-linearity
-    * tracks the host's measured sort/shuffle-spill behavior (its wrs /
-    * pagerank signature), not held state: every stage is a partial-agg
-    * or map, nothing buffers a group.
+    * Scale shape (re-reworked r18 after the healthy-box sf100 probe):
+    * span synthesis is map-only (`sequence`/`slice` inside codegen — no
+    * intermediate word explode). First-occurrence is decided by a
+    * groupBy(span-hash) `min` over ONE PACKED LONG —
+    * `(doc_id << BlockIdxBits) | block_idx`, order-isomorphic to the
+    * lexicographic (doc_id, block_idx) — so the keeper is a CODEGEN'D
+    * HashAggregate over 24-byte rows with map-side combine (skew-proof:
+    * boilerplate duplicated 10^9 times at 100 TB collapses to one long
+    * per key per task). The r17 form aggregated `min(STRUCT(...))`
+    * carrying the whole kept row as payload: struct-min is NOT
+    * hash-aggregable, so Spark planned SORT AGGREGATE — two full
+    * corpus-wide sorts of the span table WITH its text, and the r18
+    * healthy-box sf100 probe showed the 15-17× "host sort tax" of
+    * r17 was really this plan (even the payload-free min-struct read
+    * 121 s / 20× at sf100; the packed-long form's keeper is a hash
+    * agg). Surviving block ids regroup per doc (ints, no text) and the
+    * kept spans are RE-SYNTHESIZED from the documents table by a
+    * doc_id-keyed join — span text now crosses NO shuffle at all (the
+    * doc text rides the long-keyed join once). Two corpus scans
+    * (synthesis + rewrite join side), both column-pruned; the packed
+    * key bounds block_idx at 2^22 (a 21M-word doc at k=5) and doc_id
+    * at 2^41 — wider than any real corpus row.
+    * Probe history: r13-r16 md5-string keeper join 428.9 s at sf100 →
+    * r17 long-key payload-min 351.8/247.4 s (sort-weak/healthy box) →
+    * r18 packed-long + re-synthesis: see BENCH_NOTES r18 same-box
+    * numbers.
     * scan-guard: dedup_span_rewrite */
   /** Span synthesis shared by [[spanRewrite]] and [[spanRewriteStream]]:
     * one codegen'd projection — block texts are sliced out of the word
@@ -1196,36 +1199,65 @@ object DedupOps {
         xxhash64(lit(0x9E3779B9L), col("span")).as("k2")))
   }
 
+  /** Bits reserved for block_idx in [[spanRewrite]]'s packed keeper
+    * key: block_idx < 2^22 (a 21M-word doc at k=5), doc_id < 2^41. */
+  private val BlockIdxBits = 22
+
   def spanRewrite(documents: DataFrame, k: Int = 5): DataFrame = {
     val spans = spanTable(documents, k)
-    // first-occurrence decision AND keeper row in one min-struct
-    // aggregate (map-side partial combine — skew-proof): the struct
-    // leads with (doc_id, block_idx), which is globally unique per span
-    // instance, so its min is exactly the first-occurrence row and the
-    // payload columns ride along — no reattach join, one shuffle
-    val kept = spans
+    // first-occurrence decision: min over ONE packed long, order-
+    // isomorphic to lexicographic (doc_id, block_idx) — a codegen'd
+    // HashAggregate with map-side combine; min(struct(...)) planned
+    // SortAggregate (two corpus-wide sorts, the measured sf100
+    // super-linearity — see the scaladoc above)
+    // round-robin repartition BEFORE the agg: span keys are mostly
+    // UNIQUE, so a scan-partition-sized partial-agg map holds millions
+    // of entries and spills to sort (measured: the sf100 keeper read
+    // 226 s on 11 synthesis tasks × ~5M-key maps); after an RR exchange
+    // of the 24-byte rows each partial map holds ~|spans|/P keys and
+    // stays in memory, while hot boilerplate keys still collapse to
+    // ≤ P rows before the final agg — skew-proof both ways
+    val shuffleP = documents.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val keptIdx = spans
+      .select(col("h"),
+        (shiftleft(col("doc_id"), BlockIdxBits)
+          .bitwiseOR(col("block_idx").cast("long"))).as("pk"))
+      .repartition(shuffleP)
       .groupBy("h")
-      .agg(min(struct(col("doc_id"), col("block_idx"), col("lang"),
-        col("n_spans"), col("span"))).as("first"))
-      .select(col("first.doc_id").as("doc_id"),
-        col("first.block_idx").as("block_idx"),
-        col("first.lang").as("lang"),
-        col("first.n_spans").as("n_spans"),
-        col("first.span").as("span"))
-    kept
+      .agg(min(col("pk")).as("pk"))
+      .select(shiftright(col("pk"), BlockIdxBits).as("doc_id"),
+        col("pk").bitwiseAND(lit((1L << BlockIdxBits) - 1))
+          .cast("int").as("block_idx"))
       .groupBy("doc_id")
-      .agg(
-        max(col("lang")).as("lang"),
-        max(col("n_spans")).as("n_spans"),
-        count(lit(1)).as("n_kept"),
-        sum(size(split(col("span"), " ")).cast("long")).as("kept_words"),
+      .agg(sort_array(collect_list(col("block_idx"))).as("kept"))
+    // rewrite: surviving block ids join back to the doc (long-keyed,
+    // doc-grain both sides) and the kept spans re-synthesize from the
+    // doc's own word array map-side — span text crosses no shuffle
+    val words = filter(split(col("text"), " "), w => w =!= "")
+    // SHUFFLE_HASH on the thin build side: a sort-merge join would SORT
+    // the corpus text; hashing the doc-grain (doc_id, kept-ids) side
+    // streams the text partition-wise unsorted
+    documents
+      .join(keptIdx.hint("shuffle_hash"), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), words.as("ws"), col("kept"))
+      .select(
+        col("doc_id"), col("lang"),
+        expr(s"(size(ws) + ${k - 1}) DIV $k").as("n_spans"),
+        size(col("kept")).cast("long").as("n_kept"),
+        aggregate(col("kept"), lit(0L),
+          (acc, i) => acc + size(slice(col("ws"), i * k + lit(1), lit(k))))
+          .as("kept_words"),
         md5(array_join(
-          transform(
-            array_sort(collect_list(struct(col("block_idx"), col("span")))),
-            s => s.getField("span")),
+          transform(col("kept"),
+            i => array_join(slice(col("ws"), i * k + lit(1), lit(k)), " ")),
           " ")).as("rewrite_md5"))
-      .select(col("doc_id"), col("lang"), col("n_spans"), col("n_kept"),
-        col("kept_words"), col("rewrite_md5"))
+      // pin before the terminal display sort (the r17 wrs device): the
+      // range exchange's boundary SAMPLING executes the child once and
+      // the sort executes it AGAIN — here the child is the whole
+      // two-scan pipeline, while its output is doc-grain thin rows;
+      // materialization out-costs re-execution by an order of magnitude
+      .transform(graft.plans.PlanPins.lazyPin)
       .orderBy("doc_id")
   }
 

@@ -977,16 +977,26 @@ object Aggs {
     * 1.07% on this data), so a pass is deterministic for any
     * functioning sketch and a real regression flips the verdict.
     *
-    * Scale shape: one groupBy computing both aggregates — the exact
-    * countDistinct is the audit tier this slug pays for gate
-    * visibility; the sketch-only production form stays
+    * Scale shape (r18, VERDICT r17 #1 — the sf10 62 s solo was a REAL
+    * plan defect, not host noise): mixing `countDistinct` with the HLL
+    * in ONE agg makes Spark's distinct rewrite key the partial
+    * aggregation by (event_type, user_id) and carry the FULL ~13 KB
+    * HLL register buffer PER DISTINCT PAIR through the shuffle (~1640
+    * long fields per row — tens of GB at sf10). HLL is
+    * duplicate-insensitive, so pre-distincting the pairs first is
+    * bit-identical: the dedup shuffles two longs per pair (map-side
+    * partial dedup), and the sketch exists only per GROUP in the tiny
+    * second agg. sf10 solo: 62.3 s → re-measured after this rewrite in
+    * BENCH_NOTES r18. The exact count is the audit tier this slug pays
+    * for gate visibility; the sketch-only production form stays
     * [[approxDistinct]] (spec-asserted). */
   def approxDistinctVerified(events: DataFrame,
                              tolPpm: Long = 50000L): DataFrame =
     events
+      .select(col("event_type"), col("user_id")).distinct()
       .groupBy("event_type")
       .agg(
-        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("exact_users"),
         approx_count_distinct(col("user_id"), 0.01).as("est"))
       .select(col("event_type"), col("exact_users"),
         (abs(col("est") - col("exact_users")) * lit(1000000L) <=

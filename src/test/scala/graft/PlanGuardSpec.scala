@@ -831,11 +831,15 @@ class PlanGuardSpec extends SparkSpec {
       // the two snapshot branches — inherent to diffing
       ("corpus_snapshot_diff", () => CorpusOps.snapshotDiff(docs),
         "documents", 2),
-      // r13 wave 2, reworked r17: the keeper min-struct aggregate now
-      // carries the kept row as its payload — the reattach join (and
-      // its second corpus scan) is gone; one synthesis scan total
+      // r13 wave 2, reworked r17 (payload-min, join-free, 1 scan) and
+      // AGAIN r18: min(struct) planned SortAggregate — two corpus-wide
+      // sorts of the span table, the measured sf100 super-linearity.
+      // Now: packed-long hash-agg keeper + per-doc RE-SYNTHESIS of the
+      // kept spans from the documents table — span text crosses no
+      // shuffle, at the deliberate price of a second column-pruned
+      // corpus scan on the rewrite join side
       ("dedup_span_rewrite", () => DedupOps.spanRewrite(docs),
-        "documents", 1),
+        "documents", 2),
       ("corpus_quality_reliability",
         () => TextOps.qualityReliability(docs), "documents", 1),
       ("ts_gap_islands", () => StreamBatchOps.gapIslands(events),
