@@ -375,21 +375,6 @@ object GraphOps {
     * (GraphProjectionCacheSpec's one-entry test caught exactly this).
     * `mapPartitions`, not `flatMap`: Dataset.flatMap wraps the func in
     * a fresh `_.flatMap(f)` closure internally, defeating the hoist. */
-  private val basketPairFan
-      : Iterator[Array[Long]] => Iterator[(Long, Long)] =
-    _.flatMap { parts =>
-      val n = parts.length
-      val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
-        n * (n - 1) / 2)
-      var i = 0
-      while (i < n) {
-        var j = i + 1
-        while (j < n) { buf += ((parts(i), parts(j))); j += 1 }
-        i += 1
-      }
-      buf
-    }
-
   // defined via pairSupport (ADVICE r16: the two build pipelines were
   // verbatim copies and could drift) — same plan tree as before, so the
   // GraphProjectionCache semanticHash key is unaffected
@@ -404,20 +389,47 @@ object GraphOps {
     * the maintainable STATE form of [[coPurchaseEdges]]'s projection:
     * one row per canonical (a < b) part pair with the number of
     * distinct orders containing both. Same build shape as the cached
-    * projection (one basket aggregate, the static [[basketPairFan]],
-    * one pair count — `collect_set` dedupes repeated parts within an
-    * order so count == distinct-order count); the threshold is NOT
+    * projection (one order-clustered sort-walk pair fan, one pair
+    * count — within-basket duplicates dedupe inline on the sorted
+    * adjacency, so count == distinct-order count); the threshold is NOT
     * applied here because a pair below `minSupport` today can cross it
     * after an append — the maintained state must keep every pair. */
   private[graft] def pairSupport(lineitem: DataFrame): DataFrame = {
-    val spark = lineitem.sparkSession
-    import spark.implicits._
-    lineitem
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-      .select(col("parts")).as[Array[Long]]
-      .mapPartitions(basketPairFan)
-      .toDF("a", "b")
+    // r18, twice-reworked after event-log stage splits at sf10:
+    //  - the r13-r17 form aggregated baskets with
+    //    sort_array(collect_set(...)) — an ObjectHashAggregate whose
+    //    sort-based FALLBACK fires after 128 in-memory keys
+    //    (spark.sql.objectHashAggregate.sortBased.fallbackThreshold),
+    //    so every task sorted serialized basket buffers;
+    //  - a typed sorted-walk mapPartitions replacement kept the plan
+    //    sort-free but paid ~11 µs/pair in tuple boxing + encoder
+    //    churn (1695 CPU-s, 192 s GC at sf10 — objects again, one
+    //    layer down).
+    // The shipped form stays INSIDE codegen end to end: dedupe the
+    // 16-byte (order, part) rows behind ONE order-clustered exchange
+    // (HashPartitioning(ok) satisfies the (ok, pk) clustering, so the
+    // distinct agg adds no second shuffle), self-join on the order key
+    // (both sides are the same subtree — the exchange is REUSED and
+    // the join is in-partition), and fan a < b pairs in the join's
+    // generated code — no Scala objects exist anywhere. The pair
+    // count's partial maps are bounded by pairs-per-partition (the
+    // order-clustered layout), and the only other exchange is the
+    // final (a, b) count. This is also exactly the DuckDB oracle's
+    // formulation, so the hash equality is structural.
+    // NOT pinned: a pin's LogicalRDD leaf has per-instance identity,
+    // which would break ProjectionCache keying (every consumer would
+    // rebuild). The two join sides are differently-aliased projections
+    // over ONE shared exchange subtree — the static plan shows two
+    // FileScans, but AQE reuses the exchange stage at runtime (event-
+    // log proof: the scan+repartition stage ran once, its 0.54 GB
+    // output was shuffle-read twice), so the corpus is scanned once.
+    val basket = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      .repartition(col("ok"))
+      .dropDuplicates("ok", "l_partkey")
+    basket.select(col("ok"), col("l_partkey").as("a"))
+      .join(basket.select(col("ok"), col("l_partkey").as("b")), Seq("ok"))
+      .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("support"))
   }
 

@@ -640,9 +640,13 @@ class PlanGuardSpec extends SparkSpec {
       ("graph_pagerank/orders", () =>
         { val (o, l) = ordersLiNoCache; GraphOps.pagerank(o, l) },
         "orders", 1),
-      // r10 judge measured 10 lineitem scans (unpinned edges/deg); the
-      // r15 basket-aggregate build's single scan is the honest floor
-      ("graph_triangles", () => GraphOps.triangles(liNoCache), "lineitem", 1),
+      // r10 judge measured 10 lineitem scans (unpinned edges/deg). r18:
+      // the build's basket self-join shows TWO static FileScans over
+      // one shared exchange subtree; AQE reuses the exchange stage at
+      // runtime (event-log: the scan stage ran once, its output was
+      // shuffle-read twice), so the executed corpus-read count is
+      // still one — the static claim prices the textual plan
+      ("graph_triangles", () => GraphOps.triangles(liNoCache), "lineitem", 2),
       ("graph_degree_stats/lineitem", () =>
         { val (o, l) = ordersLiNoCache; GraphOps.degreeStats(o, l) },
         "lineitem", 1),
@@ -686,9 +690,11 @@ class PlanGuardSpec extends SparkSpec {
         () => CorpusOps.interleaveSources(docs), "documents", 2),
       ("ts_rolling_slope", () => StreamBatchOps.rollingSlope(events),
         "events", 1),
-      // the shared co-purchase projection's single basket scan (r15)
+      // the shared co-purchase projection's basket build (r15; ×2
+      // static scans since the r18 self-join — runtime exchange reuse,
+      // see graph_triangles)
       ("graph_jaccard_links", () => GraphOps.jaccardLinks(liNoCache),
-        "lineitem", 1),
+        "lineitem", 2),
       // histogram pass + the selected-buckets rank pass
       ("emb_dim_quantiles", () => VectorOps.dimQuantiles(emb),
         "embeddings", 2),
@@ -710,9 +716,11 @@ class PlanGuardSpec extends SparkSpec {
       // and the rank path both read the pin
       ("pipeline_pack_sequences", () => CorpusOps.packSequences(docs),
         "documents", 1),
-      // r14 wave 2: the shared co-purchase projection's basket scan
+      // r14 wave 2: the co-purchase build's basket scans (×2 static
+      // since the r18 self-join — runtime exchange reuse, see
+      // graph_triangles)
       ("graph_label_prop", () => GraphOps.labelProp(liNoCache),
-        "lineitem", 1),
+        "lineitem", 2),
       // corpus sweep + the pushdown-filtered probe lookup
       ("emb_matryoshka_recall", () => VectorOps.matryoshkaRecall(emb),
         "embeddings", 2),
@@ -721,10 +729,11 @@ class PlanGuardSpec extends SparkSpec {
       // read the pin
       ("pipeline_token_budget", () => CorpusOps.tokenBudgetMix(docs),
         "documents", 1),
-      // r14 wave 3: kcore's projection basket scan (peel rounds run
-      // on the pinned edge list, not the corpus)
+      // r14 wave 3: kcore's projection basket scans (×2 static since
+      // the r18 self-join; peel rounds run on the pinned edge list,
+      // not the corpus)
       ("graph_kcore", () => GraphOps.kcorePeel(liNoCache),
-        "lineitem", 1),
+        "lineitem", 2),
       ("agg_chi2", () => Aggs.chi2(docs), "documents", 1),
       ("stream_dedup_batch", () => StreamBatchOps.dedupBatch(events),
         "events", 1),
@@ -803,8 +812,10 @@ class PlanGuardSpec extends SparkSpec {
       // is exactly nBatches(=4) pushdown-filtered slice scans — one
       // corpus pass in total per fold level; an accidental extra
       // consumer of a level would double it silently without this row
+      // (×2 static scans per slice since the r18 self-join build — AQE
+      // reuses each slice's exchange at runtime, see graph_triangles)
       ("graph_copurchase_incr", () => GraphOps.coPurchaseIncremental(li),
-        "lineitem", 4),
+        "lineitem", 8),
       // enriched (shingles+sig) pin feeds band derivation + both
       // reattach sides: one corpus scan inside the pin
       ("dedup_minhash_calibration",
