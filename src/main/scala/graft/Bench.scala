@@ -183,6 +183,7 @@ object Bench {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     LogHygiene.muteBoundedGlobalWindowWarn
+    LogHygiene.muteBlockExistsWarn
     // Warmup: JIT + codegen caches + parquet footers, so the first timed
     // query isn't billed for session spin-up.
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -574,7 +575,12 @@ object Bench {
         System.err.println(s"[bench] overlap write failed: ${e.getMessage}")
       }
     }
-    println(arrayLine)
+    // the result line must be the LAST stdout the driver's tail window
+    // sees (r19, VERDICT r18 #4: a late log flood evicted it and the
+    // artifact recorded "parsed": null) — stop the session FIRST so its
+    // shutdown logging can't land after the line, then print and flush
     spark.stop()
+    println(arrayLine)
+    System.out.flush()
   }
 }

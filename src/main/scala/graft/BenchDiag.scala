@@ -45,6 +45,7 @@ object BenchDiag {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     LogHygiene.muteBoundedGlobalWindowWarn
+    LogHygiene.muteBlockExistsWarn
     spark.range(1000).selectExpr("sum(id)").collect()
 
     val sorted = SparkEntry.queries.keys.toSeq.sorted

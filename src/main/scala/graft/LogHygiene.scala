@@ -22,4 +22,19 @@ object LogHygiene {
       "org.apache.spark.sql.execution.window",
       org.apache.logging.log4j.Level.ERROR)
     catch { case _: Throwable => () }
+
+  /** Raise `o.a.s.storage.BlockManager` to ERROR — a re-executed plan
+    * over live localCheckpoint blocks logs "Block rdd_N already exists
+    * on this machine; not re-adding it" per partition per re-read.
+    * Benign (the block IS the intended reuse), but the r18 bench run
+    * emitted enough of them to push the result JSON line out of the
+    * driver's ~1.9 KB stdout-tail window — `BENCH_r18.json` recorded
+    * `"parsed": null` (VERDICT r18 What's-wrong #4). The bench/verify
+    * entrypoints mute the logger; a REAL block-manager fault still
+    * surfaces at ERROR. */
+  lazy val muteBlockExistsWarn: Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.storage.BlockManager",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
 }

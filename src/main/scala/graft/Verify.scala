@@ -42,6 +42,7 @@ object Verify {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     LogHygiene.muteBoundedGlobalWindowWarn
+    LogHygiene.muteBlockExistsWarn
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=a,b,c restricts the dump to named queries — local
     // iteration aid; the driver sets nothing and gets the full gate

@@ -1654,7 +1654,11 @@ object CorpusOps {
     // HLL buffer per (lang, word) pair through the shuffle; the sketch
     // is duplicate-insensitive, so deduping first is bit-identical and
     // shuffles bare string pairs instead
-    val perLang = words.distinct().groupBy("lang").agg(
+    // NULL guard mirrors approxDistinctVerified's (ADVICE r18 #3):
+    // word is non-null by construction (explode of a filtered split),
+    // but the exact-count semantics must not depend on that invariant
+    val perLang = words.filter(col("word").isNotNull)
+      .distinct().groupBy("lang").agg(
       hll_sketch_agg(col("word"), lit(lgConfigK)).as("sk"),
       count(lit(1)).as("exact_distinct"))
     val shards = perLang.select(col("lang"), col("exact_distinct"),

@@ -1158,7 +1158,9 @@ object DedupOps {
     * doc text rides the long-keyed join once). Two corpus scans
     * (synthesis + rewrite join side), both column-pruned; the packed
     * key bounds block_idx at 2^22 (a 21M-word doc at k=5) and doc_id
-    * at 2^41 — wider than any real corpus row.
+    * at 2^41 — wider than any real corpus row, and RUNTIME-GUARDED
+    * (r19, ADVICE r18 #1): an out-of-domain row raises instead of
+    * silently electing a wrong keeper.
     * Probe history: r13-r16 md5-string keeper join 428.9 s at sf100 →
     * r17 long-key payload-min 351.8/247.4 s (sort-weak/healthy box) →
     * r18 packed-long + re-synthesis: see BENCH_NOTES r18 same-box
@@ -1219,10 +1221,26 @@ object DedupOps {
     // ≤ P rows before the final agg — skew-proof both ways
     val shuffleP = documents.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
+    // ADVICE r18 #1: the pack is only order-isomorphic INSIDE its
+    // domain — a doc_id ≥ 2^41 (or negative) or a block_idx ≥ 2^22
+    // would bleed into the neighbour's bits and min(pk) would pick a
+    // WRONG keeper with no error. Out-of-domain corpora must fail
+    // loudly, not dedup wrong: the guard is two codegen'd long
+    // compares per span (noise next to the xxhash64 the row already
+    // paid), raise_error on the dead branch
+    val packDomain = col("doc_id").between(0L, (1L << (63 - BlockIdxBits)) - 1) &&
+      col("block_idx") < (1 << BlockIdxBits)
     val keptIdx = spans
       .select(col("h"),
-        (shiftleft(col("doc_id"), BlockIdxBits)
-          .bitwiseOR(col("block_idx").cast("long"))).as("pk"))
+        when(packDomain,
+          shiftleft(col("doc_id"), BlockIdxBits)
+            .bitwiseOR(col("block_idx").cast("long")))
+          .otherwise(raise_error(concat(
+            lit("spanRewrite packed-key domain exceeded: doc_id="),
+            col("doc_id").cast("string"),
+            lit(" (must be in [0, 2^41)) block_idx="),
+            col("block_idx").cast("string"),
+            lit(" (must be < 2^22)")))).as("pk"))
       .repartition(shuffleP)
       .groupBy("h")
       .agg(min(col("pk")).as("pk"))

@@ -993,6 +993,12 @@ object Aggs {
   def approxDistinctVerified(events: DataFrame,
                              tolPpm: Long = 50000L): DataFrame =
     events
+      // NULL user_ids must not survive the pre-distinct (ADVICE r18
+      // #3): countDistinct / approx_count_distinct both skip NULLs, but
+      // distinct()+count(lit(1)) would count a NULL as one user and the
+      // exact/estimate comparison (and the oracle's count(DISTINCT))
+      // would shift on nullable corpora
+      .filter(col("user_id").isNotNull)
       .select(col("event_type"), col("user_id")).distinct()
       .groupBy("event_type")
       .agg(

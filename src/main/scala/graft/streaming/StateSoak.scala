@@ -30,9 +30,11 @@ import graft.sources.InMemoryBus
   *     split by table (store / bands / pairs) — the retention-GC'd
   *     footprint a deployment provisions for.
   *
-  * Writes `docs/STATESOAK_R18.json` (override: SPARK_GRAFT_STATESOAK)
+  * Writes `docs/STATESOAK_R19.json` (override: SPARK_GRAFT_STATESOAK)
   * and prints one JSON line. Knobs: SPARK_GRAFT_SOAK_DOCS (per cycle,
-  * default 2000), SPARK_GRAFT_SOAK_CYCLES (default 4). */
+  * default 2000), SPARK_GRAFT_SOAK_CYCLES (default 4). r19 adds the
+  * per-stage wall decomposition (update/commit/addBatch ms per cycle)
+  * so state-rescan vs provider-commit vs host drift are separable. */
 object StateSoak {
   private def dirBytes(p: Path): Long = {
     if (!Files.isDirectory(p)) return 0L
@@ -71,10 +73,13 @@ object StateSoak {
           col("payload.lang").as("lang")),
         k = 3).toDF(),
       checkpointDir = ckpt)
-    // ~50% boilerplate (3-word span shared corpus-wide), ~50% fresh:
-    // doc i = BOILER + 3 unique words => 2 spans at k=3, one dead-on-
-    // arrival after the first doc, one fresh forever
+    // boilerplate + fresh mix: doc i = BOILER (6 words = 2 spans at
+    // k=3, shared corpus-wide, dead-on-arrival after the first doc) +
+    // 3 unique words (1 fresh span forever) => 3 spans/doc, of which
+    // exactly one grows state (ADVICE r18 #4: the old comment
+    // miscounted 9 words as 2 spans)
     val boiler = "terms of service apply here now"
+    val boilerSpans = 2L
     def publishDocs(cycle: Int): Unit = (0 until docsPerCycle).foreach { i =>
       val d = cycle.toLong * docsPerCycle + i
       InMemoryBus.publish(inTopic,
@@ -87,23 +92,37 @@ object StateSoak {
       val q = mkPipeline().start(availableNow = true)
       q.awaitTermination(300000)
       val secs = (System.nanoTime() - t0) / 1e9
-      val sos = q.recentProgress.toSeq
-        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      val progs = q.recentProgress.toSeq
+      val sos = progs.flatMap(p => Option(p.stateOperators).toSeq.flatten)
       val rows = if (sos.isEmpty) -1L else sos.map(_.numRowsTotal).max
       val mem = if (sos.isEmpty) -1L else sos.map(_.memoryUsedBytes).max
+      // per-stage wall decomposition (r19, VERDICT r18 Next #4): does
+      // per-batch cost ride TOTAL state size or touched keys? Stamp the
+      // state operator's own phase clocks (update = gate work incl.
+      // state point-reads, commit = provider snapshot/flush) plus the
+      // batch-level addBatch wall — if only commit grows with |state|
+      // the provider is the rider; if update grows, the gate rescans
+      val updMs = sos.map(_.allUpdatesTimeMs).sum
+      val rmMs = sos.map(_.allRemovalsTimeMs).sum
+      val commitMs = sos.map(_.commitTimeMs).sum
+      val addBatchMs = progs.flatMap(p =>
+        Option(p.durationMs).map(_.getOrDefault("addBatch", 0L).toLong)).sum
       Console.err.println(
         f"[state-soak] span cycle $c: state rows $rows, state bytes $mem, " +
-          f"$secs%.1f s")
-      (c, rows, mem, secs)
+          f"$secs%.1f s (update ${updMs}ms, commit ${commitMs}ms, " +
+          f"rm ${rmMs}ms, addBatch ${addBatchMs}ms)")
+      (c, rows, mem, secs, updMs, commitMs, addBatchMs)
     }
-    // the boilerplate span must be stored ONCE ever; fresh spans are
-    // docsPerCycle*2-ish per cycle minus the shared one. The hard pass
-    // gate: rows after the LAST cycle ≈ cycles*docsPerCycle (+boiler
-    // overlap spans), i.e. growth is per-FRESH-span, not per-message.
-    val expectedMax = cycles.toLong * docsPerCycle * 2
+    // the 2 boilerplate spans are stored ONCE ever; each doc adds
+    // exactly 1 fresh span. The hard pass gate is EXACT (ADVICE r18
+    // #4 — the old *2 slack would have passed per-message growth):
+    // rows after the LAST cycle == cycles*docsPerCycle + boilerSpans,
+    // i.e. growth is per-FRESH-span, not per-message or per-span
+    val expected = cycles.toLong * docsPerCycle + boilerSpans
     val finalRows = spanCycles.last._2
-    require(finalRows > 0 && finalRows <= expectedMax,
-      s"span state rows $finalRows outside (0, $expectedMax]")
+    require(finalRows == expected,
+      s"span state rows $finalRows != expected $expected " +
+        "(per-fresh-span growth violated)")
 
     // ---- soak 2: the minhash maintainer's versioned parquet state ---
     val (mTopic, mSub) = (s"ssm-in-$id", s"ssm-insub-$id")
@@ -145,8 +164,9 @@ object StateSoak {
     val json =
       s"""{"metric":"state_soak","provider":"rocksdb",""" +
         s""""docs_per_cycle":$docsPerCycle,"cycles":$cycles,""" +
-        s""""span_gate":[${spanCycles.map { case (c, r, m, s) =>
-          f"""{"cycle":$c,"state_rows":$r,"state_bytes":$m,"sec":$s%.1f}"""
+        s""""span_gate":[${spanCycles.map { case (c, r, m, s, u, cm, ab) =>
+          f"""{"cycle":$c,"state_rows":$r,"state_bytes":$m,"sec":$s%.1f,""" +
+            f""""update_ms":$u,"commit_ms":$cm,"add_batch_ms":$ab}"""
         }.mkString(",")}],""" +
         s""""minhash_maintainer":[${mmCycles.map { case (c, v, sB, bB, pB, s) =>
           f"""{"cycle":$c,"version":$v,"store_bytes":$sB,""" +
@@ -154,7 +174,7 @@ object StateSoak {
         }.mkString(",")}]}"""
     println(json)
     val path = sys.env.getOrElse("SPARK_GRAFT_STATESOAK",
-      "/root/repo/docs/STATESOAK_R18.json")
+      "/root/repo/docs/STATESOAK_R19.json")
     Files.writeString(Paths.get(path), json + "\n")
     spark.stop()
   }

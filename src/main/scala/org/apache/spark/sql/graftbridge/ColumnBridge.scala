@@ -119,6 +119,15 @@ object ColumnBridge {
       org.apache.logging.log4j.Level.ERROR)
     catch { case _: Throwable => () }
 
+  /** Block until the SparkListener bus has delivered every queued event
+    * (`LiveListenerBus.waitUntilEmpty` is `private[spark]`). Test-side
+    * stage-count assertions need this: `onStageSubmitted` is delivered
+    * asynchronously, so counting stages right after an action races the
+    * bus — the executed-scan-stage guard (PlanGuardSpec's exchange-reuse
+    * proof) drains first, then reads its counter. */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+
   /** RDD ids of every checkpoint (`LogicalRDD`) leaf in a logical plan —
     * the key `PlanPins` uses to resolve a checkpointed leaf back to the
     * plan that produced it. */

@@ -759,10 +759,12 @@ class PlanGuardSpec extends SparkSpec {
         "documents", 1),
       ("agg_hhi", () => Aggs.hhi(events), "events", 1),
       ("ts_mk_trend", () => StreamBatchOps.mkTrend(events), "events", 1),
-      // r14 wave 6: the projection basket scan (labels + censuses
-      // all run over the pinned edge list)
+      // r14 wave 6: the projection basket scans (labels + censuses all
+      // run over the pinned edge list; ×2 static scans since the r18
+      // pairSupport self-join — runtime exchange reuse, see
+      // graph_triangles; reuse asserted executable below)
       ("graph_modularity", () => GraphOps.modularity(liNoCache),
-        "lineitem", 1),
+        "lineitem", 2),
       ("agg_ks_test", () => Aggs.ksTest(events), "events", 1),
       // r15 wave
       ("agg_mutual_info", () => Aggs.mutualInfo(docs), "documents", 1),
@@ -869,6 +871,42 @@ class PlanGuardSpec extends SparkSpec {
         s"$name: expected $expected $table scan(s), plan executes $got\n" +
           graft.plans.PlanPins.expandedExecuted(df))
     }
+  }
+
+  test("pairSupport exchange reuse is REAL at runtime: the 2 static corpus scans execute as ONE scan stage (r18 verdict #1 / ADVICE #2)") {
+    // graph_triangles/jaccard_links/label_prop/kcore/modularity's scan
+    // claims were loosened to 2 STATIC FileScans on the prose claim
+    // that AQE reuses the shared basket exchange at runtime. Nothing
+    // asserted the reuse — a regression in exchange canonicalization
+    // (the two join sides' subtrees diverging semantically) would
+    // silently double corpus reads while the static guard kept
+    // passing. This makes the claim executable: count EXECUTED stages
+    // that contain a FileScanRDD (the only file-reading stages in this
+    // plan are the lineitem scans feeding the basket exchange) — with
+    // the exchange reused, exactly one such stage runs.
+    val s = spark.newSession()
+    s.conf.set("spark.graft.graph.projectionCache", "false")
+    val scanStages = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(
+          e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        if (e.stageInfo.rddInfos.exists(_.name.contains("FileScanRDD")))
+          scanStages.incrementAndGet()
+    }
+    s.sparkContext.addSparkListener(listener)
+    try {
+      val n = GraphOps.pairSupport(Tables.lineitem(s, sf()))
+        .filter(col("support") >= 2).count()
+      assert(n > 0, "pairSupport produced no thresholded pairs at test SF")
+      // stage-submitted events are delivered asynchronously — drain the
+      // bus before reading the counter or the assertion races it
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .drainListenerBus(s.sparkContext)
+      assert(scanStages.get == 1,
+        s"pairSupport executed ${scanStages.get} file-scan stages — the " +
+          "basket self-join's shared exchange was NOT reused at runtime; " +
+          "the ×2-static scan claims for the graph family are now lies")
+    } finally s.sparkContext.removeSparkListener(listener)
   }
 
   test("scan-claim sweep: every one-pass scaladoc claim in operators/ is tagged and guarded (r10 stretch #8)") {
