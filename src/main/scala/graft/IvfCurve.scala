@@ -86,11 +86,16 @@ object IvfCurve {
   * can push a true neighbor out of a SMALL topR) — the spec pins the
   * first exactly and the second within a small tolerance.
   *
-  * Usage: runMain graft.IvfPqCurve <sfDir> [nlist] [nProbes] [k] [outJson] [m]
+  * Usage: runMain graft.IvfPqCurve <sfDir> [nlist] [nProbes] [k]
+  * [outJson] [m] [kCent] [topRs]
   * (`m` sweeps the PQ subspace count — the r18 sf10 curve showed recall
   * plateauing ~0.27 INDEPENDENT of nprobe at 200k vectors: the 32-bit
   * m=8 code is the ceiling there, and the deployment lever is code
-  * resolution, not probe width; m=16 doubles the code to 64 bits.)
+  * resolution, not probe width; m=16 doubles the code to 64 bits.
+  * r19 adds the other resolution lever, `kCent` = centroids per
+  * subspace (default 16 = 4-bit; 64/256 = 6/8-bit, the FAISS-standard
+  * axis), and a CSV `topRs` override so the rerank-depth axis extends
+  * past 200 — VERDICT r18 Next #6.)
   */
 object IvfPqCurve {
   def main(args: Array[String]): Unit = {
@@ -101,6 +106,10 @@ object IvfPqCurve {
     val out =
       if (args.length > 4) args(4) else "/root/repo/docs/IVFPQ_CURVE_R18.json"
     val m = if (args.length > 5) args(5).toInt else 8
+    val kCent = if (args.length > 6) args(6).toInt else 16
+    val topRsArg: Seq[Int] =
+      if (args.length > 7) args(7).split(",").map(_.trim.toInt).toSeq
+      else Seq(20, 50, 100, 200)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -119,18 +128,18 @@ object IvfPqCurve {
     // one warm pass fits the IVF index + PQ codebook and sinks the
     // cell-partitioned codes artifact; every grid point reuses them
     operators.VectorOps.annIvfPqBatch(emb, nProbes, k, topR = 20,
-      nlist = nlist, nprobe = 1, m = m).count()
+      nlist = nlist, nprobe = 1, m = m, k = kCent).count()
     val buildSec = (System.nanoTime() - t0) / 1e9
 
     val nprobes = Iterator.iterate(1)(_ * 2).takeWhile(_ <= nlist).toSeq
-    val topRs = Seq(20, 50, 100, 200)
+    val topRs = topRsArg
     val points = for (np <- nprobes; tr <- topRs) yield {
       operators.VectorOps.annIvfPqBatch(emb, nProbes, k, tr, nlist, np,
-        m = m).count() // warm
+        m = m, k = kCent).count() // warm
       val t1 = System.nanoTime()
       val got = topkSets(
         operators.VectorOps.annIvfPqBatch(emb, nProbes, k, tr, nlist, np,
-          m = m))
+          m = m, k = kCent))
       val sec = (System.nanoTime() - t1) / 1e9
       val recall = exact.map { case (p, want) =>
         got.getOrElse(p, Set.empty).count(want) / want.size.toDouble
@@ -146,6 +155,7 @@ object IvfPqCurve {
          |  "n_vecs": $nVecs,
          |  "nlist": $nlist,
          |  "m": $m,
+         |  "k_cent": $kCent,
          |  "k": $k,
          |  "n_probes": $nProbes,
          |  "build_sec": ${f"$buildSec%.2f"},

@@ -778,16 +778,25 @@ object CorpusOps {
     * explode, so each document contributes each span hash once; the
     * only shuffled rows are (8-byte span hash, 8-byte doc_id) pairs and
     * the df aggregation is constant-state count — no id lists, no
-    * arrays, no text on the wire. Two hash-partitioned shuffles total
-    * (df count + count re-join), the same shape `text_lm_score` uses.
+    * arrays, no text on the wire. r19 (VERDICT r18 #2: the sf10
+    * adjudication sweep): df attaches as a WINDOW COUNT over the one
+    * sh-keyed exchange — `count(*) over (partition by sh)` — instead
+    * of the old groupBy-count + re-join. The join form shingled the
+    * corpus TWICE: column pruning narrows the count side's scan to
+    * `text` while the probe side reads `doc_id, text`, so the two
+    * exchanges never canonicalize equal and ReuseExchange cannot fire
+    * (and at small SF the planner even broadcast one exploded side).
+    * The window form has nothing to reuse — ONE scan, one shingle
+    * pass, one exchange, then an in-partition sort of 16-byte rows;
+    * executed-stage proof in PlanGuardSpec's reuse guard.
     * The oracle counts gram STRINGS (DuckDB lacks xxhash64); identical
-    * modulo 64-bit collisions. */
+    * modulo 64-bit collisions. scan-guard: text_dup_spans */
   def dupSpans(documents: DataFrame, k: Int = 3): DataFrame = {
     val sh = documents.select(col("doc_id"),
         explode(array_distinct(
           graft.functions.ShingleExpressions.shingleHashes(lower(col("text")), k))).as("sh"))
-    val dfCounts = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    sh.join(dfCounts, "sh")
+    sh.withColumn("df",
+        count(lit(1)).over(Window.partitionBy("sh")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum((col("df") > 1).cast("long")).as("n_dup_spans"))

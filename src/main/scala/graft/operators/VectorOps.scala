@@ -704,6 +704,13 @@ object VectorOps {
   def buildPqCodebook(embeddings: DataFrame, m: Int = 8, k: Int = 16,
                       dim: Int = 64, targetSample: Long = 20000L,
                       iters: Int = 5): PqCodebook = {
+    // the packed layout is 4-bit lanes (packedCodeCols): k > 16 codes
+    // would silently bleed into the neighbour lane — resolution past 16
+    // centroids/subspace is bought with MORE subspaces (m), not wider
+    // lanes (the spanRewrite pack-domain lesson, made a construction-
+    // time check here because m and k are programmer inputs, not data)
+    require(k >= 2 && k <= 16, s"PQ k must be in [2, 16], got $k")
+    require(m >= 1 && dim % m == 0, s"PQ m must divide dim=$dim, got $m")
     val dsub = dim / m
     val n = embeddings.count()
     val mod = math.max(1L, n / targetSample)
@@ -811,18 +818,36 @@ object VectorOps {
     val withSubs = embeddings.select(
       col("vec_id") +: col("embedding").as("e") +:
         (0 until m).map(j => pqSub(col("embedding"), j, cb).as(s"s$j")): _*)
-    // shift+OR over disjoint 4-bit lanes — value-identical to the
-    // multiply+add the oracle SQL replays for m=8, but ANSI-overflow-
-    // safe at m=16 where lane 15 occupies bits 60-63 (r18: the curve
-    // harness sweeps m; multiply threw ARITHMETIC_OVERFLOW there)
-    val packed = (0 until m).map(j =>
-      shiftleft(col(s"s$j.code"), 4 * j)).reduce(_.bitwiseOR(_))
     val errRaw = (0 until m).map(j => col(s"s$j.d")).reduce(_ + _) +
       dot(col("e"), col("e"))
     graft.plans.ProjectionCache("pq", "spark.graft.pq.codesCache",
-      withSubs.select(col("vec_id"), packed.as("pq_code"),
-        (errRaw * 1e6).cast("long").as("recon_err_micro")))
+      withSubs.select(col("vec_id") +: packedCodeCols(m) :+
+        (errRaw * 1e6).cast("long").as("recon_err_micro"): _*))
   }
+
+  /** Packed-code WORD layout (r19, VERDICT r18 Next #6): 4-bit lanes,
+    * 16 lanes per 64-bit word, `ceil(m/16)` words — word 0 keeps the
+    * historic `pq_code` name (bit-identical to the single-long form
+    * for every m ≤ 16, so the registry slugs and their m=8 oracles are
+    * untouched); words 1+ are `pq_code1`, `pq_code2`… The multi-word
+    * form exists because the sf10 recall ceiling is CODE RESOLUTION:
+    * the corpus's 10th→200th-NN cosine margin is 0.059 while the
+    * m=16 (64-bit) ADC error std measures 0.081 — no probe width or
+    * rerank depth can rank below the noise floor; m=32 (128-bit)
+    * measures 0.046 and clears it (docs/IVFPQ_RECALL_R19.md). */
+  private def pqCodeNames(m: Int): Seq[String] =
+    (0 until (m + 15) / 16).map(w => if (w == 0) "pq_code" else s"pq_code$w")
+
+  /** shift+OR over disjoint 4-bit lanes — value-identical to the
+    * multiply+add the oracle SQL replays for m=8, but ANSI-overflow-
+    * safe at m=16 where lane 15 occupies bits 60-63 (r18: the curve
+    * harness sweeps m; multiply threw ARITHMETIC_OVERFLOW there). */
+  private def packedCodeCols(m: Int): Seq[Column] =
+    pqCodeNames(m).zipWithIndex.map { case (name, w) =>
+      ((w * 16) until math.min(m, (w + 1) * 16))
+        .map(j => shiftleft(col(s"s$j.code"), 4 * (j % 16)))
+        .reduce(_.bitwiseOR(_)).as(name)
+    }
 
   /** `sim_pq_topk`: asymmetric-distance (ADC) top-k over the packed PQ
     * codes — the query path PQ exists for: the probe builds an m×k
@@ -889,14 +914,15 @@ object VectorOps {
   private def adcExpr(lut: IndexedSeq[Seq[Double]], m: Int): Column =
     (0 until m).map { j =>
       element_at(typedlit(lut(j)),
-        (shiftright(col("pq_code"), 4 * j).bitwiseAND(lit(15L)) + 1)
-          .cast("int"))
+        (shiftright(col(pqCodeNames(m)(j / 16)), 4 * (j % 16))
+          .bitwiseAND(lit(15L)) + 1).cast("int"))
     }.reduce(_ + _)
 
   def pqTopK(embeddings: DataFrame, probeId: Long = 0L, kNn: Int = 10,
              m: Int = 8, k: Int = 16): DataFrame = {
     val lut = pqProbeLut(embeddings, probeId, m, k)
-    val codes = pqCodes(embeddings, m, k).select("vec_id", "pq_code")
+    val codes = pqCodes(embeddings, m, k)
+      .select(col("vec_id") +: pqCodeNames(m).map(col): _*)
     codes.select(col("vec_id"),
         (adcExpr(lut, m) * 1e6).cast("long").as("adc_micro"))
       .orderBy(col("adc_micro").asc, col("vec_id"))
@@ -954,17 +980,14 @@ object VectorOps {
       col("vec_id") +:
         cellAssign(col("embedding"), centers).as("cell") +:
         (0 until m).map(j => pqSub(col("embedding"), j, cb).as(s"s$j")): _*)
-    // shift+OR packing — see pqCodes: value-identical at m=8, ANSI-safe
-    // at the curve harness's m=16
-    val packed = (0 until m).map(j =>
-      shiftleft(col(s"s$j.code"), 4 * j)).reduce(_.bitwiseOR(_))
     // partitionBy(cell) (r18, VERDICT r17 #2): the artifact's layout IS
     // the inverted-list structure — a probe's routed-cell filter becomes
     // a PartitionFilters directory selection (nprobe/nlist of the
     // artifact's files opened), proven by PlanGuardSpec's
-    // ivfpq_partition_prune device
+    // ivfpq_partition_prune device. Packing is word-generalized
+    // (packedCodeCols): one BIGINT for m ≤ 16, ceil(m/16) words past it
     graft.plans.ProjectionCache("pq", "spark.graft.pq.ivfCodesCache",
-      withSubs.select(col("vec_id"), col("cell"), packed.as("pq_code")),
+      withSubs.select(col("vec_id") +: col("cell") +: packedCodeCols(m): _*),
       partitionBy = Seq("cell"))
   }
 
@@ -1076,8 +1099,8 @@ object VectorOps {
     val pidx = (col("probe_id") + 1).cast("int")
     val adc = (0 until m).map { j =>
       element_at(element_at(element_at(lut3d, pidx), j + 1),
-        (shiftright(col("pq_code"), 4 * j).bitwiseAND(lit(15L)) + 1)
-          .cast("int"))
+        (shiftright(col(pqCodeNames(m)(j / 16)), 4 * (j % 16))
+          .bitwiseAND(lit(15L)) + 1).cast("int"))
     }.reduce(_ + _)
     val wAdc = Window.partitionBy("probe_id")
       .orderBy(col("adc_micro").asc, col("vec_id"))

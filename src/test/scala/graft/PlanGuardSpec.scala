@@ -753,6 +753,10 @@ class PlanGuardSpec extends SparkSpec {
         "documents", 0),
       ("corpus_pareto_sources", () => CorpusOps.paretoSources(docs),
         "documents", 1),
+      // r19 (VERDICT r18 #2): the window-count form — one scan, one
+      // shingle pass; the old join form shingled the corpus twice
+      // (column pruning diverged its two exchange subtrees)
+      ("text_dup_spans", () => CorpusOps.dupSpans(docs), "documents", 1),
       ("agg_benford", () => Aggs.benford(events), "events", 1),
       // r14 wave 5
       ("text_vocab_growth", () => TextOps.vocabGrowth(docs),
@@ -884,29 +888,66 @@ class PlanGuardSpec extends SparkSpec {
     // that contain a FileScanRDD (the only file-reading stages in this
     // plan are the lineitem scans feeding the basket exchange) — with
     // the exchange reused, exactly one such stage runs.
+    assertScanStages("pairSupport", 1) { s =>
+      s.conf.set("spark.graft.graph.projectionCache", "false")
+      val n = GraphOps.pairSupport(Tables.lineitem(s, sf()))
+        .filter(col("support") >= 2).count()
+      assert(n > 0, "pairSupport produced no thresholded pairs at test SF")
+    }
+  }
+
+  test("dupSpans executes ONE shingle pass at runtime (r19, VERDICT r18 #2)") {
+    // the sf10 adjudication class: dupSpans' old join form shingled the
+    // corpus twice — column pruning narrowed the df-count side's scan
+    // to `text` while the probe side read `doc_id, text`, so the two
+    // exchange subtrees never canonicalized equal and ReuseExchange
+    // could not fire (a static-scan guard alone can't see this — it
+    // prices the textual plan, not the executed stages). The window-
+    // count rewrite has one scan by construction; this keeps it so.
+    assertScanStages("dupSpans", 1) { s =>
+      assert(CorpusOps.dupSpans(Tables.documents(s, sf())).count() > 0)
+    }
+  }
+
+  /** Executed-file-scan-stage counter: run `body` under a fresh cloned
+    * session with a stage listener attached, then assert exactly
+    * `expected` submitted stages contained a FileScanRDD — the
+    * runtime-side proof that a ×N-static-scan plan really reads the
+    * corpus once through a reused exchange. */
+  private def assertScanStages(what: String, expected: Int)(
+      body: org.apache.spark.sql.SparkSession => Unit): Unit = {
     val s = spark.newSession()
-    s.conf.set("spark.graft.graph.projectionCache", "false")
+    // suites share one SparkContext and run in PARALLEL — scope the
+    // count to THIS test's jobs via a unique job group (a thread-local
+    // property SQLExecution propagates to AQE's stage-creator threads),
+    // or concurrent suites' scans would flake the assertion
+    val group = s"scan-stage-guard-${java.util.UUID.randomUUID()}"
     val scanStages = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onStageSubmitted(
           e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
-        if (e.stageInfo.rddInfos.exists(_.name.contains("FileScanRDD")))
+        if (Option(e.properties)
+            .exists(_.getProperty("spark.jobGroup.id") == group) &&
+          e.stageInfo.rddInfos.exists(_.name.contains("FileScanRDD")))
           scanStages.incrementAndGet()
     }
     s.sparkContext.addSparkListener(listener)
+    s.sparkContext.setJobGroup(group, s"scan-stage guard: $what",
+      interruptOnCancel = false)
     try {
-      val n = GraphOps.pairSupport(Tables.lineitem(s, sf()))
-        .filter(col("support") >= 2).count()
-      assert(n > 0, "pairSupport produced no thresholded pairs at test SF")
+      body(s)
       // stage-submitted events are delivered asynchronously — drain the
       // bus before reading the counter or the assertion races it
       org.apache.spark.sql.graftbridge.ColumnBridge
         .drainListenerBus(s.sparkContext)
-      assert(scanStages.get == 1,
-        s"pairSupport executed ${scanStages.get} file-scan stages — the " +
-          "basket self-join's shared exchange was NOT reused at runtime; " +
-          "the ×2-static scan claims for the graph family are now lies")
-    } finally s.sparkContext.removeSparkListener(listener)
+      assert(scanStages.get == expected,
+        s"$what executed ${scanStages.get} file-scan stages (expected " +
+          s"$expected) — a shared exchange was NOT reused at runtime and " +
+          "the static scan claims understate the real corpus reads")
+    } finally {
+      s.sparkContext.clearJobGroup()
+      s.sparkContext.removeSparkListener(listener)
+    }
   }
 
   test("scan-claim sweep: every one-pass scaladoc claim in operators/ is tagged and guarded (r10 stretch #8)") {

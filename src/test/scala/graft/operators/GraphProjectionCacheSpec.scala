@@ -110,4 +110,31 @@ class GraphProjectionCacheSpec extends SparkSpec {
     assert(rows(GraphOps.modularity(liOn)) ==
       rows(GraphOps.modularity(liOff)))
   }
+
+  test("durable store (r19): two sessions share ONE content-addressed artifact; a store-disabled session builds privately") {
+    // the cross-session path of VERDICT r18 Next #3: same corpus + same
+    // params must resolve to the SAME on-disk artifact across sessions
+    // (the cold-JVM case is the same code path — the second session
+    // takes the STORE HIT branch, not the in-memory dirs map)
+    val s1 = cachedSession()
+    val s2 = cachedSession()
+    GraphOps.coPurchaseEdges(Tables.lineitem(s1, sf()), 2).collect()
+    val second = GraphOps.coPurchaseEdges(Tables.lineitem(s2, sf()), 2)
+    second.collect()
+    val d1 = graft.plans.ProjectionCache.dirsFor(s1, "graph").toSet
+    val d2 = graft.plans.ProjectionCache.dirsFor(s2, "graph").toSet
+    assert(d1.nonEmpty && (d1 intersect d2).nonEmpty,
+      s"sessions must share the content-addressed artifact: $d1 vs $d2")
+    assert(second.inputFiles.forall(_.contains("graft-projection-store")),
+      "durable read must scan the store dir: " +
+        second.inputFiles.take(3).mkString(", "))
+    // store disabled: the per-session tmp build (janitor-owned) is one
+    // conf away, and its dir must NOT be the shared artifact
+    val sPriv = cachedSession()
+    sPriv.conf.set("spark.graft.projection.store", "")
+    GraphOps.coPurchaseEdges(Tables.lineitem(sPriv, sf()), 2).collect()
+    val dPriv = graft.plans.ProjectionCache.dirsFor(sPriv, "graph").toSet
+    assert(dPriv.nonEmpty && (dPriv intersect d1).isEmpty,
+      s"store-off session must build privately: $dPriv")
+  }
 }
