@@ -38,6 +38,11 @@ object SoloProbe {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // SPARK_GRAFT_PROJSTORE overrides the durable projection store path
+    // ("" disables) so an adjudication run can measure the true rebuild
+    // cost while the store is on by default
+    sys.env.get("SPARK_GRAFT_PROJSTORE").foreach(p =>
+      builder.config("spark.graft.projection.store", p))
     if (sys.env.get("SPARK_GRAFT_AUTOSIZE").contains("1")) {
       val sizing = ScaleConf.derive(ScaleConf.inputBytes(sfDir),
         totalCores = cpus.toInt,

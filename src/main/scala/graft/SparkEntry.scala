@@ -837,6 +837,10 @@ object SparkEntry {
         |  CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS INTEGER) AS rnk
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    // presentation order IS the window order (r19: lets the Spark plan
+    // emit its one-exchange one-sort output with no terminal sort —
+    // partitions are suppkey-contiguous and rows sorted within, so the
+    // written row order equals this ORDER BY; spec-pinned)
     "window_running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
@@ -846,7 +850,9 @@ object SparkEntry {
         |                   l_returnflag, l_linestatus
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
         |FROM lineitem
-        |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_rev""".stripMargin,
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_partkey,
+        |         l_quantity, l_extendedprice, l_discount, l_tax,
+        |         l_returnflag, l_linestatus""".stripMargin,
 
     // unrolled power iterations in exact integer micro-units: every
     // division is an integer DIV, every aggregate a BIGINT sum —

@@ -456,16 +456,18 @@ object GraphOps {
     * `o_orderkey % nBatches`; an order's lineitems always share the
     * key, so the whole-order granularity the additivity argument needs
     * holds by construction) and each batch folds into the running
-    * state via [[mergePairSupport]]. The DRIVER ORACLE is the full
-    * rebuild (DuckDB self-join pair support over all of lineitem), so
-    * the gate's hash match IS the append ≡ rebuild proof at sf0.01.
-    * Cost shape: nBatches basket aggregates (each over its slice — the
-    * union of slices scans the corpus once in total per level) +
-    * nBatches merges of O(|pairs|); honest for a replayed history,
-    * and exactly what the streaming twin pays per micro-batch. The
-    * replay's nBatches slice scans are pinned by the scan-count guard
-    * (VERDICT r16 #3) so the fold cost can't silently double; per-batch
-    * merge row/duration stamps live at the streaming twin
+    * state. The DRIVER ORACLE is the full rebuild (DuckDB self-join
+    * pair support over all of lineitem), so the gate's hash match IS
+    * the append ≡ rebuild proof at sf0.01. Cost shape: nBatches basket
+    * aggregates (each over its slice) + ONE flattened merge — support
+    * is additive, so the [[mergePairSupport]] fold chain is a
+    * sum-of-sums the optimizer collapses anyway (r19: written
+    * explicitly after the stage-split probe showed the chain executes
+    * as one union+agg stage; the PER-STEP merge cost a deployment pays
+    * lives at the streaming twin, which materializes state between
+    * folds). The replay's nBatches slice scans are pinned by the
+    * scan-count guard (VERDICT r16 #3) so the fold cost can't silently
+    * double; per-batch merge row/duration stamps live at the twin
     * ([[graft.streaming.ProjectionMaintenance]]'s applyBatch, where the
     * merged version is already materialized and the count is a parquet-
     * footer read) — stamping the lazy fold here would re-execute each
@@ -476,7 +478,25 @@ object GraphOps {
     val batches = (0 until nBatches).map(b =>
       pairSupport(lineitem.filter(
         pmod(col("l_orderkey"), lit(nBatches)) === b)))
-    batches.reduceLeft(mergePairSupport)
+    // r19 (the sf10 stage-split adjudication, VERDICT r18 #2): the
+    // reduceLeft merge chain flattens into ONE union + sum-of-sums
+    // stage, and because every branch ends in an identical
+    // hashpartitioning(a, b, P) exchange, the planner ZIPS the branch
+    // shuffles (co-partitioned union) and runs the merge aggregate
+    // with NO exchange of its own — one stage holding nBatches branch
+    // count-agg hash maps PLUS the merge's partial+final maps. At sf10
+    // the probe measured that stage at 8 tasks / 30+ GB spill / 388 s:
+    // ~6 concurrent corpus-pair hash maps per task. The explicit
+    // 2·P repartition re-introduces an honest merge exchange (an
+    // exact-P spec is elided as a no-op against the zip partitioning —
+    // measured, not guessed), splits the stage so branch maps and
+    // merge maps never coexist, and AQE never coalesces
+    // REPARTITION_BY_NUM.
+    val shuffleP = lineitem.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    batches.reduceLeft(_.unionAll(_))
+      .repartition(2 * shuffleP, col("a"), col("b"))
+      .groupBy("a", "b").agg(sum(col("support")).as("support"))
       .filter(col("support") >= minSupport)
       .select(col("a"), col("b"), col("support").cast("long").as("support"))
       .orderBy("a", "b")

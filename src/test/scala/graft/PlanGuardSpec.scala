@@ -757,6 +757,11 @@ class PlanGuardSpec extends SparkSpec {
       // shingle pass; the old join form shingled the corpus twice
       // (column pruning diverged its two exchange subtrees)
       ("text_dup_spans", () => CorpusOps.dupSpans(docs), "documents", 1),
+      // r19 (VERDICT r18 Next #5): range-exchange window, no pin, no
+      // terminal sort — the range boundary sampling re-reads the one
+      // static scan, which the stage guard in RoundNineteenOpsSpec
+      // prices; statically the plan holds exactly one FileScan
+      ("window_running_sum", () => Windows.runningSum(li), "lineitem", 1),
       ("agg_benford", () => Aggs.benford(events), "events", 1),
       // r14 wave 5
       ("text_vocab_growth", () => TextOps.vocabGrowth(docs),
