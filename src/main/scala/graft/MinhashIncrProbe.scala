@@ -76,6 +76,47 @@ object MinhashIncrProbe {
     }
     val totalLegacy = levels.map(_._2).sum
     val totalSunk = levels.map(_._3).sum
+
+    // r19 (VERDICT r18 Next #7): decompose ONE deep fold's wall into
+    // its stages — delta enrich (the map pass the maintainer pays on
+    // raw documents), delta banding, the store-side candidate band
+    // join, and the Jaccard verify — so "sunk bands bought only 8.3%"
+    // has an answer: whichever term dominates is the design's honest
+    // residual. Each stage min-of-2; the verify term is full − cand
+    // over the same sunk inputs (shared band work cancels).
+    val deep = nBatches - 1
+    def t2(f: => Long): Double = {
+      def once = { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+      math.min(once, once)
+    }
+    val rawSlice = docs.filter(pmod(col("doc_id"), lit(nBatches)) === deep)
+    val enrichSec = t2(DedupOps.minhashEnriched(rawSlice).count())
+    val deltaEnr = spark.read.parquet(s"$base/enr$deep")
+    val bandSec = t2(DedupOps.minhashBanded(deltaEnr, 32, 4).count())
+    val candSec = t2 {
+      import org.apache.spark.sql.functions.{greatest, least}
+      val bandedDelta = DedupOps.minhashBanded(deltaEnr, 32, 4)
+      val bandedAll = bandsUnion(deep).unionAll(bandedDelta)
+      bandedDelta.select(col("bk"), col("doc_id").as("id_x"))
+        .join(bandedAll.select(col("bk"), col("doc_id").as("id_y")), Seq("bk"))
+        .filter(col("id_x") =!= col("id_y"))
+        .select(least(col("id_x"), col("id_y")).as("id_a"),
+          greatest(col("id_x"), col("id_y")).as("id_b"))
+        .distinct().count()
+    }
+    val fullSec = t2(DedupOps.deltaMinhashPairs(
+      Some(storeUnion(deep)), deltaEnr,
+      storeBands = Some(bandsUnion(deep))).count())
+    val verifySec = math.max(0.0, fullSec - candSec)
+    // the r19 maintainer path: delta keys broadcast, state streams
+    val fullBcastSec = t2(DedupOps.deltaMinhashPairs(
+      Some(storeUnion(deep)), deltaEnr,
+      storeBands = Some(bandsUnion(deep)), broadcastDelta = true).count())
+    Console.err.println(
+      f"[mm-incr-probe] level-$deep decomposition: enrich $enrichSec%.2f, " +
+        f"band $bandSec%.2f, cand-join $candSec%.2f, " +
+        f"verify(resid) $verifySec%.2f, full $fullSec%.2f s, " +
+        f"full-bcast $fullBcastSec%.2f s")
     val json =
       s"""{"metric":"minhash_incr_per_append","sf_dir":"$sfDir",""" +
         s""""n_batches":$nBatches,"doc_rows":${docs.count()},""" +
@@ -84,7 +125,11 @@ object MinhashIncrProbe {
         }.mkString(",")}],""" +
         f""""total_legacy_sec":$totalLegacy%.3f,""" +
         f""""total_sunk_sec":$totalSunk%.3f,""" +
-        f""""drop_pct":${100.0 * (totalLegacy - totalSunk) / totalLegacy}%.1f}"""
+        f""""drop_pct":${100.0 * (totalLegacy - totalSunk) / totalLegacy}%.1f,""" +
+        f""""deep_fold_decomposition":{"level":$deep,""" +
+        f""""enrich_sec":$enrichSec%.3f,"band_sec":$bandSec%.3f,""" +
+        f""""cand_join_sec":$candSec%.3f,"verify_resid_sec":$verifySec%.3f,""" +
+        f""""full_sec":$fullSec%.3f,"full_bcast_sec":$fullBcastSec%.3f}}"""
     println(json)
     sys.env.get("SPARK_GRAFT_OUT").foreach { out =>
       Files.writeString(Paths.get(out), json + "\n")

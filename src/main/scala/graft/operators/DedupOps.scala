@@ -348,12 +348,24 @@ object DedupOps {
     * landed. Banding is deterministic, so either path joins identical
     * keys (spec-pinned: the maintained bands table equals
     * minhashBanded(store) row-for-row). */
+  /** `broadcastDelta` (r19, VERDICT r18 Next #7 — the fold
+    * decomposition showed the store-side band join is the dominant
+    * per-fold term: 2.85 s of a 4.37 s deep fold at sf10): when the
+    * delta is ADMISSION-BOUNDED (the streaming maintainer's
+    * `bulk_limit` micro-batches — the deployment shape), broadcasting
+    * its banded keys turns the candidate join into a map-side probe:
+    * the O(|state|) sunk band table STREAMS through the join and never
+    * shuffles, so per-fold shuffle cost stops riding total state size.
+    * Default OFF: the batch replay slug's deltas are corpus/nBatches —
+    * unbounded in the corpus — and a forced broadcast there would OOM
+    * exactly at the scale the slug exists to price. */
   private[graft] def deltaMinhashPairs(store: Option[DataFrame],
                                        delta: DataFrame,
                                        nHashes: Int = 32,
                                        rowsPerBand: Int = 4,
                                        jaccardTau: Double = 0.7,
-                                       storeBands: Option[DataFrame] = None)
+                                       storeBands: Option[DataFrame] = None,
+                                       broadcastDelta: Boolean = false)
       : DataFrame = {
     val all = store.map(_.unionAll(delta)).getOrElse(delta)
     val bandedDelta = minhashBanded(delta, nHashes, rowsPerBand)
@@ -361,8 +373,13 @@ object DedupOps {
       .orElse(store.map(minhashBanded(_, nHashes, rowsPerBand)))
     val bandedAll =
       bandedStore.map(_.unionAll(bandedDelta)).getOrElse(bandedDelta)
-    val cand = bandedDelta.select(col("bk"), col("doc_id").as("id_x"))
-      .join(bandedAll.select(col("bk"), col("doc_id").as("id_y")), Seq("bk"))
+    val deltaKeys = bandedDelta.select(col("bk"), col("doc_id").as("id_x"))
+    val cand = (if (broadcastDelta)
+        bandedAll.select(col("bk"), col("doc_id").as("id_y"))
+          .join(broadcast(deltaKeys), Seq("bk"))
+      else
+        deltaKeys
+          .join(bandedAll.select(col("bk"), col("doc_id").as("id_y")), Seq("bk")))
       .filter(col("id_x") =!= col("id_y"))
       .select(least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"))

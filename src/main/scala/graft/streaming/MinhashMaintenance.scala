@@ -118,8 +118,13 @@ final class MinhashMaintenance(
     try {
       val store = currentStore()
       val bands = currentBands()
+      // broadcastDelta (r19): this delta is bulk_limit-bounded by
+      // admission control, so its banded keys broadcast and the sunk
+      // band table streams through the candidate join unshuffled —
+      // per-fold shuffle cost stops riding |state| (Next #7 fix)
       val newPairs = DedupOps.deltaMinhashPairs(
-        store, delta, nHashes, rowsPerBand, jaccardTau, storeBands = bands)
+        store, delta, nHashes, rowsPerBand, jaccardTau, storeBands = bands,
+        broadcastDelta = true)
       val vdir = state.versionPath(batchId)
       // all tables land fully before the pointer moves — the version
       // becomes visible atomically with the commit
