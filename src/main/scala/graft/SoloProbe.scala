@@ -39,8 +39,9 @@ object SoloProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // SPARK_GRAFT_PROJSTORE overrides the durable projection store path
-    // ("" disables) so an adjudication run can measure the true rebuild
-    // cost while the store is on by default
+    // (default DISABLED since the r19 optimization round: a measured run
+    // computes from the parquet inputs; set a dir to probe the
+    // deployment's store-hit path explicitly)
     sys.env.get("SPARK_GRAFT_PROJSTORE").foreach(p =>
       builder.config("spark.graft.projection.store", p))
     if (sys.env.get("SPARK_GRAFT_AUTOSIZE").contains("1")) {

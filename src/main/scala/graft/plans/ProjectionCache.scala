@@ -171,8 +171,9 @@ private[graft] object ProjectionCache {
 
   /** CROSS-SESSION durable artifact path (r19, VERDICT r18 Next #3):
     * when `spark.graft.projection.store` names a directory (default:
-    * `${java.io.tmpdir}/graft-projection-store`; set "" to disable),
-    * the projection is persisted there under a CONTENT address — md5
+    * DISABLED — a deployment opts in by pointing the conf at shared
+    * storage), the projection is persisted there under a CONTENT
+    * address — md5
     * of (tag, canonical plan, input-file snapshot, layout) — and a
     * COLD JVM whose corpus and params match directory-reads the sunk
     * artifact instead of re-running the corpus-sized build (the
@@ -184,13 +185,19 @@ private[graft] object ProjectionCache {
     * a lost race deletes its tmp and reads the winner. Durable dirs
     * are NOT janitor-registered — surviving JVM exit is the point.
     * Returns None when the store is disabled or unusable (caller falls
-    * back to the per-session tmp build). */
+    * back to the per-session tmp build).
+    *
+    * Default OFF (r19 optimization round): a measured bench/oracle run
+    * must compute every projection from the parquet inputs — a store
+    * hit keyed on the test corpus would time a directory read instead
+    * of the computation (cross-run result caching, not optimization).
+    * Production clusters opt in explicitly; nothing in Bench/Verify
+    * sets the conf. */
   private def durableDir(spark: org.apache.spark.sql.SparkSession,
                          tag: String, contentKey: String, pairs: DataFrame,
                          partitionBy: Seq[String]): Option[String] = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val root = spark.conf.get("spark.graft.projection.store",
-      s"${System.getProperty("java.io.tmpdir")}/graft-projection-store")
+    val root = spark.conf.get("spark.graft.projection.store", "")
     if (root.isEmpty) return None
     val md = java.security.MessageDigest.getInstance("MD5")
     val addr = md.digest(contentKey.getBytes("UTF-8"))

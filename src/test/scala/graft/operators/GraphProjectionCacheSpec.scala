@@ -115,9 +115,16 @@ class GraphProjectionCacheSpec extends SparkSpec {
     // the cross-session path of VERDICT r18 Next #3: same corpus + same
     // params must resolve to the SAME on-disk artifact across sessions
     // (the cold-JVM case is the same code path — the second session
-    // takes the STORE HIT branch, not the in-memory dirs map)
+    // takes the STORE HIT branch, not the in-memory dirs map).
+    // The store is default-OFF since the r19 optimization round (a
+    // measured run must compute from the parquet inputs); deployments
+    // — and this spec — opt in with an explicit directory.
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft-store-spec").toString
     val s1 = cachedSession()
     val s2 = cachedSession()
+    s1.conf.set("spark.graft.projection.store", storeDir)
+    s2.conf.set("spark.graft.projection.store", storeDir)
     GraphOps.coPurchaseEdges(Tables.lineitem(s1, sf()), 2).collect()
     val second = GraphOps.coPurchaseEdges(Tables.lineitem(s2, sf()), 2)
     second.collect()
@@ -125,13 +132,12 @@ class GraphProjectionCacheSpec extends SparkSpec {
     val d2 = graft.plans.ProjectionCache.dirsFor(s2, "graph").toSet
     assert(d1.nonEmpty && (d1 intersect d2).nonEmpty,
       s"sessions must share the content-addressed artifact: $d1 vs $d2")
-    assert(second.inputFiles.forall(_.contains("graft-projection-store")),
+    assert(second.inputFiles.forall(_.contains(storeDir)),
       "durable read must scan the store dir: " +
         second.inputFiles.take(3).mkString(", "))
-    // store disabled: the per-session tmp build (janitor-owned) is one
-    // conf away, and its dir must NOT be the shared artifact
+    // store at default (disabled): the per-session tmp build
+    // (janitor-owned), and its dir must NOT be the shared artifact
     val sPriv = cachedSession()
-    sPriv.conf.set("spark.graft.projection.store", "")
     GraphOps.coPurchaseEdges(Tables.lineitem(sPriv, sf()), 2).collect()
     val dPriv = graft.plans.ProjectionCache.dirsFor(sPriv, "graph").toSet
     assert(dPriv.nonEmpty && (dPriv intersect d1).isEmpty,
