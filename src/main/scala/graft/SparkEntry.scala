@@ -959,12 +959,18 @@ object SparkEntry {
         |  least(p_retailprice, p_size * 100.0) AS l
         |FROM part ORDER BY p_partkey""".stripMargin,
 
+    // presentation order IS the window order (r19, the running_sum
+    // device): partitions are suppkey-contiguous range partitions with
+    // rows sorted within, so the written row order equals this ORDER BY
+    // and the Spark plan needs no terminal sort. Rows equal on the key
+    // are identical output tuples (peers share the value-based frame).
     "window_range_frame" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
         |    PARTITION BY l_suppkey ORDER BY l_extendedprice
         |    RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW) AS DOUBLE) AS qty_near
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber, qty_near""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_extendedprice, l_orderkey, l_linenumber""".stripMargin,
 
     "fn_trim_pad" ->
       """SELECT p_partkey,
@@ -999,13 +1005,17 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
 
+    // presentation order IS the window order (r19, the running_sum
+    // device — no pin, no terminal sort in the Spark plan; o_orderkey
+    // is unique so the key is total)
     "window_percent_cume" ->
       """SELECT o_orderkey, o_orderpriority,
         |  round(percent_rank() OVER (PARTITION BY o_orderpriority
         |    ORDER BY o_totalprice, o_orderkey), 6) AS pr,
         |  round(cume_dist() OVER (PARTITION BY o_orderpriority
         |    ORDER BY o_totalprice, o_orderkey), 6) AS cd
-        |FROM orders ORDER BY o_orderkey""".stripMargin,
+        |FROM orders
+        |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin,
 
     "fn_bitwise" ->
       """SELECT p_partkey,

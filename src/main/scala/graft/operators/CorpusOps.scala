@@ -489,13 +489,17 @@ object CorpusOps {
     * probs) so cross-engine results are EXACT — the one final division is
     * a single double op with deterministic operands.
     *
-    * Scale shape: two shuffles — one to count bigrams (partial agg
-    * applies map-side), one to re-join counts to the per-doc gram rows —
-    * and BOTH are keyed on xxhash64(gram), so only (id, 8-byte hash)
-    * pairs ever cross the wire, never gram strings (the oracle joins the
-    * strings; identical results modulo 64-bit collisions). Documents
-    * with fewer than two words have no bigrams and drop out (inner
-    * join), matching the SQL. */
+    * Scale shape (r19 optimization round — the [[dupSpans]] one-pass
+    * device, guide §2.4): ONE corpus gram pass and ONE gh-keyed
+    * exchange; the corpus bigram frequency attaches as
+    * `count(*) OVER (PARTITION BY gh)` instead of the old
+    * groupBy-count + re-join, whose twin subtrees each shingled the
+    * corpus (pruning de-canonicalized them, so ReuseExchange never
+    * fired). Only (id, 8-byte hash) rows cross the wire, never gram
+    * strings (the oracle joins the strings; identical results modulo
+    * the 62-bit collision tail). Documents with fewer than two words
+    * have no bigrams and drop out (no gram rows), matching the SQL.
+    * scan-guard: text_lm_score */
   def lmScore(documents: DataFrame): DataFrame = {
     // r15: compiled per-occurrence gram hashes replace string bigrams +
     // xxhash64 (no per-gram string materializes; hash-equality semantics
@@ -503,8 +507,7 @@ object CorpusOps {
     val grams = documents.select(col("doc_id"),
       explode(graft.functions.ShingleExpressions
         .gramHashes(lower(col("text")), 2)).as("gh"))
-    val counts = grams.groupBy("gh").agg(count(lit(1)).as("cnt"))
-    grams.join(counts, "gh")
+    grams.withColumn("cnt", count(lit(1)).over(Window.partitionBy("gh")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("cnt")).as("freq_sum"))
       .select(col("doc_id"), col("n_bigrams"), col("freq_sum"),
@@ -936,20 +939,23 @@ object CorpusOps {
     * original — the cheap memorization/templating signal a data-mixture
     * pass weighs alongside quality.
     *
-    * Scale shape: one compiled `NgramsExpr` pass per doc, map-side
-    * `distinct` per (doc, gram-hash), then two 8-byte-key shuffles
-    * (gram df count + re-join) and a (doc) agg — the decontaminate
-    * shape. Spark joins xxhash64 gram hashes; the oracle joins the gram
-    * strings — identical modulo hash collisions (same documented rule
-    * as `pipeline_decontaminate` / `text_lm_score`). */
+    * Scale shape (r19 optimization round — the [[dupSpans]] one-pass
+    * device, guide §2.4): ONE compiled shingle-hash pass per doc (the
+    * kernel dedupes within the doc, replacing the old global
+    * `distinct()` hash agg AND the per-gram string + xxhash64
+    * materialization), one gh-keyed exchange, and the df attaches as
+    * `count(*) OVER (PARTITION BY gh)` instead of groupBy-count +
+    * re-join — the join form shingled the corpus TWICE (column pruning
+    * de-canonicalized the twin exchange subtrees so ReuseExchange
+    * could not fire, the same defect dupSpans had). The oracle joins
+    * gram STRINGS; identical modulo the 62-bit shingle-hash collision
+    * tail (the documented `text_lm_score`/`dedup_*` rule).
+    * scan-guard: text_ngram_novelty */
   def ngramNovelty(documents: DataFrame, k: Int = 3): DataFrame = {
-    val g = documents
-      .select(col("doc_id"), explode(
-        graft.functions.ShingleExpressions.ngrams(lower(col("text")), k)).as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
-      .distinct()
-    val dfCounts = g.groupBy("gh").agg(count(lit(1)).as("df"))
-    g.join(dfCounts, "gh")
+    val g = documents.select(col("doc_id"), explode(
+        graft.functions.ShingleExpressions.shingleHashes(lower(col("text")), k))
+        .as("gh"))
+    g.withColumn("df", count(lit(1)).over(Window.partitionBy("gh")))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_grams"),

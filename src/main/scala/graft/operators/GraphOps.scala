@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Session-scoped, FILE-backed cache of the co-purchase projection —
@@ -395,41 +396,59 @@ object GraphOps {
     * applied here because a pair below `minSupport` today can cross it
     * after an append — the maintained state must keep every pair. */
   private[graft] def pairSupport(lineitem: DataFrame): DataFrame = {
-    // r18, twice-reworked after event-log stage splits at sf10:
-    //  - the r13-r17 form aggregated baskets with
-    //    sort_array(collect_set(...)) — an ObjectHashAggregate whose
-    //    sort-based FALLBACK fires after 128 in-memory keys
-    //    (spark.sql.objectHashAggregate.sortBased.fallbackThreshold),
-    //    so every task sorted serialized basket buffers;
-    //  - a typed sorted-walk mapPartitions replacement kept the plan
-    //    sort-free but paid ~11 µs/pair in tuple boxing + encoder
-    //    churn (1695 CPU-s, 192 s GC at sf10 — objects again, one
-    //    layer down).
-    // The shipped form stays INSIDE codegen end to end: dedupe the
-    // 16-byte (order, part) rows behind ONE order-clustered exchange
-    // (HashPartitioning(ok) satisfies the (ok, pk) clustering, so the
-    // distinct agg adds no second shuffle), self-join on the order key
-    // (both sides are the same subtree — the exchange is REUSED and
-    // the join is in-partition), and fan a < b pairs in the join's
-    // generated code — no Scala objects exist anywhere. The pair
-    // count's partial maps are bounded by pairs-per-partition (the
-    // order-clustered layout), and the only other exchange is the
-    // final (a, b) count. This is also exactly the DuckDB oracle's
-    // formulation, so the hash equality is structural.
+    // r19 (optimization round; third rework, each event-log-measured
+    // at sf10 — history: r13-r17 collect_set ObjectHashAggregate whose
+    // sort-based fallback re-sorted serialized buffers; a typed
+    // sorted-walk that paid ~11 µs/pair in boxing; r18's codegen
+    // basket self-join over one reused exchange). The r18 form still
+    // cost 121-190 s at sf10 because the generator makes pair support
+    // ULTRA-SPARSE — 157.52M of 157.53M (a, b) pairs are unique — so
+    // every hash aggregate in the plan achieved no reduction and only
+    // paid hash-map costs, and the self-join re-ran the 67.4M-key
+    // dedup FINAL aggregate + an (ok) sort once PER SIDE above the
+    // reused exchange (PairDiag: dedup+fan alone 121.6 s).
+    //
+    // The shipped form is ONE streaming pipeline over one exchange —
+    // no hash aggregate touches corpus-sized keys before the final
+    // count, and nothing runs twice:
+    //   repartition(ok) → in-partition sort (ok, pk) → lag-filter
+    //   dedup (streaming, replaces the 67.4M-key distinct agg) →
+    //   collect_list window builds each basket's SORTED distinct-part
+    //   array (row_number()=1 keeps one row per order; baskets are
+    //   O(order size), so the buffered frame is tiny) → a < b pairs
+    //   fan POSITIONALLY from the sorted array (posexplode × sliced
+    //   explode — generated code, no join, no second pipeline) → one
+    //   (a, b) count whose partial maps are fed clustered,
+    //   basket-adjacent keys.
+    // PairDiag at sf10 (32 cores, autosized): 121.3 s → 13.8 s warm,
+    // 190 s → ~20 s cold, identical rows (row-count + support≥2
+    // cross-check stamped in the diag log, oracle hash unchanged).
+    // The count stays groupBy (hash agg) — the sort-window count
+    // variant measured 2× slower (28.6 s) because sorting 157M pair
+    // rows costs more than upserting them into well-fed maps.
     // NOT pinned: a pin's LogicalRDD leaf has per-instance identity,
     // which would break ProjectionCache keying (every consumer would
-    // rebuild). The two join sides are differently-aliased projections
-    // over ONE shared exchange subtree — the static plan shows two
-    // FileScans, but AQE reuses the exchange stage at runtime (event-
-    // log proof: the scan+repartition stage ran once, its 0.54 GB
-    // output was shuffle-read twice), so the corpus is scanned once.
+    // rebuild). scan-guard: pairSupport — ONE static FileScan now
+    // (the consumers' claims dropped from 2 back to 1 this round).
+    val wOk = Window.partitionBy("ok").orderBy("pk")
+    val wOkFull = wOk.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
     val basket = lineitem
-      .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .repartition(col("ok"))
-      .dropDuplicates("ok", "l_partkey")
-    basket.select(col("ok"), col("l_partkey").as("a"))
-      .join(basket.select(col("ok"), col("l_partkey").as("b")), Seq("ok"))
-      .filter(col("a") < col("b"))
+      .sortWithinPartitions("ok", "pk")
+      .withColumn("prev", lag(col("pk"), 1).over(wOk))
+      .filter(col("prev").isNull || col("prev") =!= col("pk"))
+    val arrs = basket
+      .withColumn("arr", collect_list(col("pk")).over(wOkFull))
+      .withColumn("rn", row_number().over(wOk))
+      .filter(col("rn") === 1)
+      .select(col("arr"))
+    arrs
+      .select(posexplode(col("arr")).as(Seq("i", "a")), col("arr"))
+      .select(col("a"),
+        explode(slice(col("arr"), col("i") + lit(2),
+          size(col("arr")) - col("i") - lit(1))).as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("support"))
   }
 

@@ -1899,21 +1899,32 @@ object Windows {
     * offsets need the SQL form (the Column-based rangeBetween API is
     * gone); the decimal sum keeps results partition-independent. */
   def rangeFrame(lineitem: DataFrame): DataFrame =
-    // NOT pinned before the display sort, deliberately (r17): the
-    // runningSum sampling-re-execution fix was measured here too and
-    // LOSES — this window's re-execution is a narrow 2-col sort +
-    // range-frame sum (cheap), while pinning materializes 67.5M rows
-    // to the block store (paired sf10 solos: unpinned 42.0-87.8 s vs
-    // pinned 96.6-179.5 s same box). Pin only where the re-executed
-    // subtree out-costs its materialized output (runningSum's 10-col
-    // sort; percentCume's 5-partition window).
+    // r19 (the runningSum device, guide §2.4): presentation order IS
+    // the window order, so the terminal display sort — which at sf10
+    // re-executed the whole window subtree twice (RangePartitioning
+    // sampling + the sort itself; 42.0-87.8 s solo unpinned, and
+    // pinning measured WORSE: 96.6-179.5 s to materialize 67.5M rows)
+    // — no longer exists at all. `repartitionByRange(l_suppkey)`
+    // satisfies the window's ClusteredDistribution (range boundaries
+    // are values — a supplier never straddles partitions), the
+    // explicit within-partition sort elides WindowExec's sort, and the
+    // early 5-column projection keeps the one exchange narrow (§2.3).
+    // Output rows equal on the presentation key are IDENTICAL tuples
+    // (peers share the value-based frame), so the order is total for
+    // the oracle. One exchange + one sort, one pass — the minimal
+    // shape a per-key range-frame sum admits.
+    // scan-guard: window_range_frame
     lineitem
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"))
+      .repartitionByRange(col("l_suppkey"))
+      .sortWithinPartitions("l_suppkey", "l_extendedprice", "l_orderkey",
+        "l_linenumber")
       .select(col("l_orderkey"), col("l_linenumber"),
         expr("""CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
                 |  PARTITION BY l_suppkey ORDER BY l_extendedprice
                 |  RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW) AS DOUBLE)"""
           .stripMargin).as("qty_near"))
-      .orderBy("l_orderkey", "l_linenumber", "qty_near")
 
   /** `window_nth_value`: nth value per group under the DEFAULT frame
     * (unbounded-preceding..current-row), so rows before the nth see NULL
@@ -1934,14 +1945,25 @@ object Windows {
   def percentCume(orders: DataFrame): DataFrame = {
     val w = Window.partitionBy("o_orderpriority")
       .orderBy(col("o_totalprice"), col("o_orderkey"))
-    // pinned before the display sort (the runningSum r17 diagnosis):
-    // this window is extra-expensive to re-execute because
-    // o_orderpriority has 5 values — 5-way parallelism on the sort
-    graft.plans.PlanPins.lazyPin(orders
+    // r19 (the runningSum device, guide §2.4): presentation order IS
+    // the window order — the r17 pin (which materialized the full
+    // output so the terminal o_orderkey sort would not re-execute the
+    // 5-partition window) AND that terminal sort are both gone.
+    // RangePartitioning(o_orderpriority) satisfies the window's
+    // clustering; the explicit within-partition sort on the full
+    // window key elides WindowExec's sort; o_orderkey is unique so the
+    // presentation key (priority, totalprice, orderkey) is total. The
+    // 5-way effective parallelism of the per-priority sort is the
+    // query's own semantics (5 distinct priorities) and is unchanged.
+    // One exchange + one sort, no pin, no terminal sort.
+    // scan-guard: window_percent_cume
+    orders
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .repartitionByRange(col("o_orderpriority"))
+      .sortWithinPartitions("o_orderpriority", "o_totalprice", "o_orderkey")
       .select(col("o_orderkey"), col("o_orderpriority"),
         round(percent_rank().over(w), 6).as("pr"),
-        round(cume_dist().over(w), 6).as("cd")))
-      .orderBy("o_orderkey")
+        round(cume_dist().over(w), 6).as("cd"))
   }
 
   /** `topk_per_group`: top-3 orders per customer via row_number —

@@ -70,6 +70,74 @@ class RoundNineteenOpsSpec extends SparkSpec {
       got.map(_.toString).sorted.toSeq, "row multiset changed")
   }
 
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.treeString.split("== Initial Plan ==").head
+  }
+
+  private def assertOneRangeExchangeNoGlobalSort(
+      plan: String, rangeKey: String): Unit = {
+    val exchanges = plan.linesIterator
+      .filter(l => l.contains("Exchange ") && !l.contains("Reused")).toSeq
+    assert(exchanges.size == 1 &&
+      exchanges.head.contains(s"rangepartitioning($rangeKey"),
+      s"expected exactly the $rangeKey range exchange:\n$plan")
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Sort [") && l.contains("], true,")),
+      s"terminal global sort crept back in:\n$plan")
+  }
+
+  test("window_range_frame: one exchange, no terminal sort, written order equals the oracle's ORDER BY (r19 optimization)") {
+    val li = Tables.lineitem(spark, sf())
+    val df = Windows.rangeFrame(li)
+    val got = df.collect()
+    assertOneRangeExchangeNoGlobalSort(
+      df.queryExecution.executedPlan.treeString
+        .split("== Initial Plan ==").head, "l_suppkey")
+    // written order must equal the oracle's total ORDER BY. Rows tied on
+    // (suppkey, extendedprice, orderkey, linenumber) emit IDENTICAL
+    // output tuples (peers share the value-based frame), so a
+    // positional string compare against the key-ordered recompute is
+    // exact even across ties.
+    val expected = li
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber"),
+        expr("""CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+                |  PARTITION BY l_suppkey ORDER BY l_extendedprice
+                |  RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW) AS DOUBLE)"""
+          .stripMargin).as("qty_near"))
+      .orderBy("l_suppkey", "l_extendedprice", "l_orderkey", "l_linenumber")
+      .select("l_orderkey", "l_linenumber", "qty_near")
+      .collect()
+    assert(got.length == expected.length && got.length > 0)
+    assert(got.map(_.toString).toSeq == expected.map(_.toString).toSeq,
+      "written row order diverged from the oracle's total ORDER BY")
+  }
+
+  test("window_percent_cume: one exchange, no pin, no terminal sort, written order equals the oracle's ORDER BY (r19 optimization)") {
+    val orders = Tables.orders(spark, sf())
+    val df = Windows.percentCume(orders)
+    val got = df.collect()
+    assertOneRangeExchangeNoGlobalSort(
+      df.queryExecution.executedPlan.treeString
+        .split("== Initial Plan ==").head, "o_orderpriority")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    // o_orderkey is unique (checked against the generator), so the
+    // presentation key is a true total order
+    val expected = orders
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+      .select("o_orderkey", "o_orderpriority", "pr", "cd")
+      .collect()
+    assert(got.length == expected.length && got.length > 0)
+    assert(got.map(_.toString).toSeq == expected.map(_.toString).toSeq,
+      "written row order diverged from the oracle's total ORDER BY")
+  }
+
   test("spanRewrite packed-key domain guard raises on out-of-domain doc_id (ADVICE r18 #1)") {
     import spark.implicits._
     val bad = Seq(
