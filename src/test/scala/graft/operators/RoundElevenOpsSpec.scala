@@ -51,11 +51,12 @@ class RoundElevenOpsSpec extends SparkSpec {
     val scans = pairs.queryExecution.executedPlan.treeString
       .linesIterator.count(l =>
         l.contains("FileScan") && l.contains("lineitem.parquet"))
-    // r18: two STATIC scans — the build's basket self-join aliases one
-    // shared exchange subtree twice; AQE reuses the exchange stage at
-    // runtime so the corpus is read once (PlanGuardSpec's
-    // graph_triangles note carries the event-log proof)
-    assert(scans == 2, s"expected 2 static lineitem scans, got $scans")
+    // r19: back to ONE static scan — pairSupport is a single streaming
+    // pipeline over one exchange (in-partition sort + lag dedup +
+    // collect_list basket window + positional posexplode fan), no
+    // self-join, so the corpus appears exactly once in the static plan
+    // (PlanGuardSpec's graph_triangles note tracks the same move)
+    assert(scans == 1, s"expected 1 static lineitem scan, got $scans")
   }
 
   test("ts_interp_linear: up-slope gap takes the straight line") {
