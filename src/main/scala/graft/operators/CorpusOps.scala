@@ -78,14 +78,35 @@ object CorpusOps {
       explode(graft.functions.ShingleExpressions
         .shingleHashes(lower(col("text")), k)).as("gh"))
     val evalG = grams(documents.filter(isEval))
-    val trainG = grams(documents.filter(!isEval)).select("gh").distinct()
-    val covered = evalG.join(trainG, Seq("gh"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_covered"))
-    evalG.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-      .join(covered, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
-        round(coalesce(col("n_covered"), lit(0L)).cast("double") / col("n_grams"), 6)
+    // r19 (optimization round), two structural moves:
+    //  1. The train side reduces BEFORE its distinct: coverage only
+    //     needs train grams that exist in the eval universe (a tiny
+    //     fraction of the corpus — evalMod docs), so the eval gram set
+    //     semi-joins the raw train grams FIRST (broadcast-sized by
+    //     construction; AQE degrades to a shuffle semi if not) and the
+    //     distinct runs over the survivors. The old form
+    //     distinct-shuffled the FULL train-gram universe (238 MB at
+    //     sf10) and then let AQE broadcast it — a driver-built
+    //     multi-million-key LongHashedRelation that dominated the query
+    //     (40+ s single-threaded build, and un-broadcastable at 100 TB).
+    //     The surviving set is ≤ the eval universe, so the final join's
+    //     build side is genuinely small (guide §3.1/§3.2).
+    //  2. ONE eval-gram aggregation — a left-OUTER join against the
+    //     (distinct) surviving train grams keeps every eval gram exactly
+    //     once with a membership marker, so one aggregate produces both
+    //     counts: count(1) = n_grams, count(hit) = n_covered (count
+    //     skips NULLs, preserving the old semi-join + coalesce
+    //     semantics). The old twin branches shingled the eval split
+    //     twice and re-joined the counts on doc_id (guide §2.4).
+    val trainHits = grams(documents.filter(!isEval))
+      .join(evalG.select("gh").distinct(), Seq("gh"), "left_semi")
+      .select("gh").distinct()
+    evalG.join(trainHits.withColumn("hit", lit(1)), Seq("gh"), "left_outer")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_grams"),
+        count(col("hit")).as("n_covered"))
+      .select(col("doc_id"), col("n_grams"), col("n_covered"),
+        round(col("n_covered").cast("double") / col("n_grams"), 6)
           .as("coverage"))
       .orderBy("doc_id")
   }
@@ -1101,18 +1122,39 @@ object CorpusOps {
         explode(graft.functions.ShingleExpressions
           .shingleHashes(lower(col("text")), k)).as("gh"))
       .distinct()
-    val rare = grams.groupBy("gh")
-      .agg(count(lit(1)).as("sdf"))
+    // r19 (optimization round): the r15-r18 form computed the `grams`
+    // distinct FOUR times at runtime (rare's groupBy, the semi-join's
+    // probe side, and the self-join's two sides — pruning
+    // de-canonicalized the subtrees, the dupSpans class) and found
+    // shared grams with a gh self-join. Now: ONE gh-keyed window
+    // pipeline (the shingleCandidates device) — source-df attaches as a
+    // full-partition count, the cap filters BEFORE collect_list (basket
+    // buffer ≤ maxSources by construction), and the SORTED source
+    // basket fans src_a < src_b pairs positionally (no self-join).
+    // `sizes` over the SAME capped universe as the intersection — the
+    // honest capped-set Jaccard — now exploded back out of the baskets,
+    // so both consumers share the one corpus-derived exchange at
+    // runtime.
+    val wGh = Window.partitionBy("gh")
+    val wGhOrd = Window.partitionBy("gh").orderBy("source")
+    val wGhFull = wGhOrd.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val baskets = grams
+      .repartition(col("gh"))
+      .sortWithinPartitions("gh", "source")
+      .withColumn("sdf", count(lit(1)).over(wGh))
       .filter(col("sdf") <= maxSources)
-      .select("gh")
-    // sizes over the SAME capped universe as the intersection, so the
-    // Jaccard is the honest capped-set Jaccard (consistent numerator
-    // and denominator), not a mixed-universe ratio
-    val kept = grams.join(rare, Seq("gh"), "left_semi")
-    val sizes = kept.groupBy("source").agg(count(lit(1)).as("n"))
-    val shared = kept.select(col("source").as("src_a"), col("gh"))
-      .join(kept.select(col("source").as("src_b"), col("gh")), "gh")
-      .filter(col("src_a") < col("src_b"))
+      .withColumn("ss", collect_list(col("source")).over(wGhFull))
+      .withColumn("rn", row_number().over(wGhOrd))
+      .filter(col("rn") === 1)
+      .select(col("ss"))
+    val sizes = baskets.select(explode(col("ss")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = baskets
+      .select(posexplode(col("ss")).as(Seq("i", "src_a")), col("ss"))
+      .select(col("src_a"),
+        explode(slice(col("ss"), col("i") + lit(2),
+          size(col("ss")) - col("i") - lit(1))).as("src_b"))
       .groupBy("src_a", "src_b")
       .agg(count(lit(1)).as("shared_grams"))
     shared

@@ -746,9 +746,17 @@ object DedupOps {
     // the flagship inherits the FINITE df-cap — a boilerplate-heavy crawl
     // cannot blow up the near-dup stage through this entry point
     val cl = clusters(ngramJaccard(kept, tau = tau, maxDf = maxDf))
+    // r19 (optimization round): drop-set ANTI join replaces the r?-r18
+    // left-outer + keeper filter — the docs to REMOVE are exactly the
+    // clustered non-keepers (cluster label ≠ own doc_id; labels are
+    // min-reachable doc_ids, never NULL), a set proportional to the
+    // DUPLICATES, not the corpus. The old form sort-merge-joined the
+    // whole surviving corpus against the label table; the anti join
+    // broadcasts the small drop set and the corpus side is never
+    // shuffled (guide §3.1).
     kept
-      .join(cl, Seq("doc_id"), "left")
-      .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
+      .join(cl.filter(col("cluster") =!= col("doc_id")).select("doc_id"),
+        Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "n_chars")
       .orderBy("doc_id")
   }
@@ -883,38 +891,60 @@ object DedupOps {
     val sh = documents
       .select(col("doc_id"),
         explode(ShingleExpressions.shingleHashes(lower(col("text")), k)).as("sh"))
-    // df per shingle FIRST, as a constant-state count — the id lists are
-    // only collected after the universe is df-bounded, so no aggregation
-    // buffer ever exceeds maxDf elements.
-    val dfCounts = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val inUniverse =
-      if (maxDf == Int.MaxValue) dfCounts
-      else dfCounts.filter(col("df") <= maxDf)
-    // singleton shingles (df=1) can't produce pairs — dropped exactly.
-    val pairable = inUniverse.filter(col("df") > 1).select("sh")
-    // bounded inverted index: semi-join keeps 16-byte (sh, doc_id) rows,
-    // then the doc list per surviving shingle is ≤ maxDf elements by
-    // construction. Pairs come from a double explode of that list, so
-    // there is no self-join and no second shuffle of the shingle table
-    // (the join output is already hash-partitioned on sh).
-    val byShingle = sh.join(pairable, Seq("sh"), "left_semi")
-      .groupBy("sh").agg(collect_list(col("doc_id")).as("ds"))
+    // r19 (optimization round): ONE window pipeline over one sh-keyed
+    // exchange replaces the r3-r18 three-branch form (df groupBy-count +
+    // two semi-joins), whose three sh subtrees pruned differently and
+    // never canonicalized equal — the corpus was shingled three times at
+    // runtime (the dupSpans de-canonicalization class, guide §2.4).
+    // Shape: explicit repartition(sh) + in-partition (sh, doc_id) sort
+    // feed BOTH windows sort-free; df attaches as a full-partition count
+    // (spillable window buffer, never a hash-map key per shingle) and
+    // the df cap filters BEFORE collect_list, so the basket buffer stays
+    // ≤ maxDf elements exactly as before — the constant-state discipline
+    // of the old dfCounts-first form is preserved. The sorted basket
+    // fans a < b pairs positionally (the pairSupport device — generated
+    // code, no self-join), replacing the double-explode + filter that
+    // emitted every ordered pair and discarded half.
+    val wSh = Window.partitionBy("sh")
+    val wShOrd = Window.partitionBy("sh").orderBy("doc_id")
+    val wShFull = wShOrd.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val inUniverse = {
+      val withDf = sh
+        .repartition(col("sh"))
+        .sortWithinPartitions("sh", "doc_id")
+        .withColumn("df", count(lit(1)).over(wSh))
+      if (maxDf == Int.MaxValue) withDf
+      else withDf.filter(col("df") <= maxDf)
+    }
+    // one row per universe shingle with its doc list SORTED by doc_id
+    // (collect_list over the ordered full frame preserves the partition
+    // sort). df=1 shingles stay in the baskets — the positional fan
+    // emits nothing for a 1-element array — so `sizes` below counts the
+    // SAME reduced universe the pairs come from (INCLUDING df=1
+    // shingles), keeping the jaccard internally consistent.
+    val baskets = inUniverse
+      .withColumn("ds", collect_list(col("doc_id")).over(wShFull))
+      .withColumn("rn", row_number().over(wShOrd))
+      .filter(col("rn") === 1)
+      .select(col("ds"))
     // |shingles(doc)|: full universe = map-side from the array length (no
-    // shuffle); with maxDf active, counted over the SAME reduced universe
-    // the pairs come from (INCLUDING df=1 shingles), keeping the jaccard
-    // internally consistent.
+    // shuffle); with maxDf active, counted off `inUniverse` (same rows
+    // the baskets collect, INCLUDING df=1 shingles) — this branch and
+    // the basket branch share the one sh-keyed exchange at runtime, and
+    // the sizes side skips the basket window entirely.
     val sizes =
       if (maxDf == Int.MaxValue)
         documents.select(col("doc_id"),
           size(ShingleExpressions.shingleHashes(lower(col("text")), k))
             .cast("long").as("n"))
       else
-        sh.join(inUniverse.select("sh"), Seq("sh"), "left_semi")
-          .groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = byShingle
-      .select(explode(col("ds")).as("id_a"), col("ds"))
-      .select(col("id_a"), explode(col("ds")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
+        inUniverse.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = baskets
+      .select(posexplode(col("ds")).as(Seq("i", "id_a")), col("ds"))
+      .select(col("id_a"),
+        explode(slice(col("ds"), col("i") + lit(2),
+          size(col("ds")) - col("i") - lit(1))).as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     // size re-attach: joins on doc_id — `sizes` is corpus-sized (one row
     // per document) and must never be broadcast; the pairs side is the
