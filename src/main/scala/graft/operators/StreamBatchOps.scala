@@ -1003,19 +1003,72 @@ object StreamBatchOps {
     * Types whose series never turns (monotone) emit zero counts with
     * -1 sentinels.
     *
-    * Scale shape: one scan of events; lag/lead ride one window shuffle
-    * keyed by event_type (partition-local sort; at 100 TB a hot type
-    * re-keys by (type, day) with boundary rows exchanged — the
-    * ts_rolling salt note applies); the rollup collapses to O(types).
-    * scan-guard: ts_local_extrema */
-  def localExtrema(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    * Scale shape (r19 optimization round — the split-and-stitch form):
+    * the r13-r18 plan windowed the WHOLE series per event_type — with a
+    * handful of types the sort ran in O(types) tasks (sf10 probe: the
+    * window stage was 4 tasks / 14.3 s wall while 28 cores idled) and a
+    * hot type serializes its entire 100 TB stream through ONE task.
+    * Now the lag/lead window runs per (type, `bucketSecs` time slice) —
+    * the [[intervalConcurrency]]/saltedAsof stitch pattern: one
+    * explicit (type, slice) repartition + in-partition sort feeds the
+    * window sort-free AND balanced (slices × types ≫ cores); the only
+    * rows whose neighbors live in an adjacent slice are each slice's
+    * first and last, and a tiny per-(type, slice) edge table
+    * (min_by/max_by — O(types × slices) rows, same shared exchange)
+    * lag/leads the missing neighbor cents back in by broadcast. Local
+    * lag is NULL exactly on a slice's first row (lead: last), so
+    * coalesce(p, prev-slice-last) reconstructs the global-window
+    * neighbors bit-exactly; true series endpoints stay NULL. The
+    * rollup collapses to O(types). Slice id is trunc-division of epoch
+    * seconds — monotone in ts, so slice order IS time order.
+    * scan-guard: ts_local_extrema (2 static branches over ONE reused
+    * exchange — runtime corpus reads stay 1, stage-asserted). */
+  def localExtrema(events: DataFrame, bucketSecs: Long = 3600L): DataFrame = {
     val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
-    events.filter(col("ts").isNotNull && col("value").isNotNull)
+    val parted = events.filter(col("ts").isNotNull && col("value").isNotNull)
       .select(col("event_type"), col("ts"), col("event_id"),
-        cents.as("cents"))
-      .withColumn("p", lag(col("cents"), 1).over(w))
-      .withColumn("n", lead(col("cents"), 1).over(w))
+        cents.as("cents"),
+        expr(s"unix_timestamp(ts) DIV $bucketSecs").as("slice"))
+      .repartition(col("event_type"), col("slice"))
+      .sortWithinPartitions("event_type", "slice", "ts", "event_id")
+    val wLoc = Window.partitionBy("event_type", "slice")
+      .orderBy("ts", "event_id")
+    val local = parted
+      .withColumn("p", lag(col("cents"), 1).over(wLoc))
+      .withColumn("n", lead(col("cents"), 1).over(wLoc))
+    // slice edges: first/last cents per non-empty (type, slice); the
+    // neighbor of a slice-boundary row is the adjacent NON-EMPTY
+    // slice's edge (lag/lead over slice order per type — empty slices
+    // simply don't appear, so adjacency is by position, not slice id).
+    // Derived from `local` (boundary rows are exactly the NULL-p/NULL-n
+    // rows), NOT from `parted`: an aggregate directly over `parted`
+    // lets EliminateSorts drop the in-partition sort from this branch
+    // only, the subtrees stop canonicalizing equal, and the corpus
+    // scans+shuffles twice (measured: two 216 MB exchange writes at
+    // sf10). Over `local` both branches are identical through the
+    // window, so they share ONE exchange at runtime.
+    val edge = local.filter(col("p").isNull || col("n").isNull)
+      .groupBy("event_type", "slice").agg(
+        min_by(col("cents"), struct(col("ts"), col("event_id"))).as("first_c"),
+        max_by(col("cents"), struct(col("ts"), col("event_id"))).as("last_c"))
+    val wSl = Window.partitionBy("event_type").orderBy("slice")
+    // NULL-SAFE join keys, deliberately: a plain equi key pushes
+    // isnotnull(event_type) into the build branch only (the LeftOuter
+    // stream side keeps nulls), the twin subtrees stop canonicalizing
+    // equal, and the corpus scans+shuffles twice (measured, the same
+    // class as the EliminateSorts note above). <=> pushes nothing and
+    // additionally stitches a NULL event_type's slices correctly (the
+    // window treats NULL as its own partition; so does <=>).
+    val fix = edge.select(col("event_type").as("ft"), col("slice").as("sl"),
+      lag(col("last_c"), 1).over(wSl).as("prev_c"),
+      lead(col("first_c"), 1).over(wSl).as("next_c"))
+    local
+      .join(broadcast(fix),
+        col("event_type") <=> col("ft") && col("slice") <=> col("sl"),
+        "left")
+      .drop("ft", "sl")
+      .withColumn("p", coalesce(col("p"), col("prev_c")))
+      .withColumn("n", coalesce(col("n"), col("next_c")))
       .withColumn("is_max",
         (col("p").isNotNull && col("n").isNotNull &&
           col("cents") > col("p") && col("cents") > col("n")).cast("long"))

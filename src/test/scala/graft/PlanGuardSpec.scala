@@ -854,8 +854,12 @@ class PlanGuardSpec extends SparkSpec {
       ("text_readability", () => TextOps.readability(docs), "documents", 1),
       ("dedup_url_canonical", () => DedupOps.urlCanonical(docs),
         "documents", 1),
+      // r19: split-and-stitch form — the main window branch and the
+      // slice-edge branch are two STATIC scans over one identical
+      // (type, slice) exchange subtree; runtime reads the corpus once
+      // (ReusedQueryStage, stage-asserted below)
       ("ts_local_extrema", () => StreamBatchOps.localExtrema(events),
-        "events", 1),
+        "events", 2),
       // the two snapshot branches — inherent to diffing
       ("corpus_snapshot_diff", () => CorpusOps.snapshotDiff(docs),
         "documents", 2),
@@ -902,6 +906,19 @@ class PlanGuardSpec extends SparkSpec {
       val n = GraphOps.pairSupport(Tables.lineitem(s, sf()))
         .filter(col("support") >= 2).count()
       assert(n > 0, "pairSupport produced no thresholded pairs at test SF")
+    }
+  }
+
+  test("localExtrema executes ONE corpus scan at runtime: the 2 static branches share the (type, slice) exchange (r19)") {
+    // the split-and-stitch rewrite's twin branches must canonicalize
+    // equal — an extra pushed filter on the edge/build side (e.g. a
+    // plain equi join key re-introducing isnotnull(event_type)) or a
+    // dropped in-partition sort (EliminateSorts under a direct
+    // aggregate) silently doubles the corpus read while the static
+    // claim of 2 still passes
+    assertScanStages("localExtrema", 1) { s =>
+      assert(StreamBatchOps.localExtrema(
+        Tables.events(s, sf())).count() > 0)
     }
   }
 
