@@ -1898,33 +1898,77 @@ object Windows {
     * which keeps it deterministic without a tiebreak. Fractional range
     * offsets need the SQL form (the Column-based rangeBetween API is
     * gone); the decimal sum keeps results partition-independent. */
-  def rangeFrame(lineitem: DataFrame): DataFrame =
+  def rangeFrame(lineitem: DataFrame): DataFrame = {
     // r19 (the runningSum device, guide §2.4): presentation order IS
     // the window order, so the terminal display sort — which at sf10
-    // re-executed the whole window subtree twice (RangePartitioning
-    // sampling + the sort itself; 42.0-87.8 s solo unpinned, and
-    // pinning measured WORSE: 96.6-179.5 s to materialize 67.5M rows)
-    // — no longer exists at all. `repartitionByRange(l_suppkey)`
-    // satisfies the window's ClusteredDistribution (range boundaries
-    // are values — a supplier never straddles partitions), the
-    // explicit within-partition sort elides WindowExec's sort, and the
-    // early 5-column projection keeps the one exchange narrow (§2.3).
-    // Output rows equal on the presentation key are IDENTICAL tuples
-    // (peers share the value-based frame), so the order is total for
-    // the oracle. One exchange + one sort, one pass — the minimal
-    // shape a per-key range-frame sum admits.
+    // re-executed the whole window subtree twice — no longer exists at
+    // all; `repartitionByRange(l_suppkey)` satisfies the window's
+    // ClusteredDistribution and the explicit within-partition sort
+    // elides WindowExec's sort. One exchange, narrow rows (§2.3).
+    //
+    // r19 second pass — O(n) prefix-difference replaces the O(Σ|frame|)
+    // sliding RANGE frame: Spark re-aggregates a moving-lower-bound
+    // RANGE frame from scratch per row (no retraction), which measured
+    // ~20 µs/row at sf10 (the window stage alone 52-72 s wall,
+    // 1179 s executor time). The frame sum decomposes exactly into two
+    // running prefixes — all arithmetic DECIMAL, so the difference is
+    // bit-identical to the direct frame sum:
+    //   qty_near(i) = incl(price_i) − excl(price_i − 100.0)
+    //   incl  = RANGE UNBOUNDED..CURRENT sum (peer-inclusive, O(n)
+    //           incremental in Spark)
+    //   excl  = sum of rows with price STRICTLY below the frame floor —
+    //           computed by fanning each row into its contributor
+    //           (sort key = price) and a query marker (sort key =
+    //           price − 100.0, the same IEEE subtraction Spark's range
+    //           bound evaluates), re-sorting in-partition, and running
+    //           a ROWS UNBOUNDED..CURRENT sum of contributor quantities
+    //           with markers ordered BEFORE contributors at equal key
+    //           (tag DESC) so an exactly-on-the-floor contributor stays
+    //           in the frame, not in excl.
+    // NULL parity: qty_near is NULL iff the frame holds no non-null
+    // quantity — tracked by the matching count prefixes (nincl−nexcl).
+    // Marker order (suppkey, price−100, orderkey, linenumber) equals
+    // presentation order (x ↦ x−100 is strictly monotone on these
+    // 2-decimal doubles), so the written order still equals the
+    // oracle's total ORDER BY with no terminal sort.
     // scan-guard: window_range_frame
+    val qdec = col("l_quantity").cast("decimal(18,2)")
+    val wIncl = Window.partitionBy("l_suppkey")
+      .orderBy("l_extendedprice")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wExcl = Window.partitionBy("l_suppkey")
+      .orderBy(col("sk"), col("tag").desc, col("l_orderkey"),
+        col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nullDec = lit(null).cast("decimal(18,2)")
+    val nullLong = lit(null).cast("long")
     lineitem
       .select(col("l_suppkey"), col("l_extendedprice"), col("l_orderkey"),
         col("l_linenumber"), col("l_quantity"))
       .repartitionByRange(col("l_suppkey"))
       .sortWithinPartitions("l_suppkey", "l_extendedprice", "l_orderkey",
         "l_linenumber")
+      .withColumn("incl", sum(qdec).over(wIncl))
+      .withColumn("nincl", count(col("l_quantity")).over(wIncl))
+      .select(col("l_suppkey"), explode(array(
+        struct(col("l_extendedprice").as("sk"), lit(0).as("tag"),
+          qdec.as("contrib"), nullDec.as("incl"), nullLong.as("nincl"),
+          nullLong.as("l_orderkey"), lit(null).cast("int").as("l_linenumber")),
+        struct((col("l_extendedprice") - lit(100.0)).as("sk"),
+          lit(1).as("tag"), nullDec.as("contrib"), col("incl"),
+          col("nincl"), col("l_orderkey"), col("l_linenumber")))).as("r"))
+      .select(col("l_suppkey"), col("r.*"))
+      .sortWithinPartitions(col("l_suppkey"), col("sk"), col("tag").desc,
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("excl", sum(col("contrib")).over(wExcl))
+      .withColumn("nexcl", count(col("contrib")).over(wExcl))
+      .filter(col("tag") === 1)
       .select(col("l_orderkey"), col("l_linenumber"),
-        expr("""CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
-                |  PARTITION BY l_suppkey ORDER BY l_extendedprice
-                |  RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW) AS DOUBLE)"""
-          .stripMargin).as("qty_near"))
+        when(col("nincl") - col("nexcl") > 0,
+          (col("incl") - coalesce(col("excl"),
+            lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)")))
+            .cast("double")).as("qty_near"))
+  }
 
   /** `window_nth_value`: nth value per group under the DEFAULT frame
     * (unbounded-preceding..current-row), so rows before the nth see NULL
